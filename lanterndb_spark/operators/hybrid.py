@@ -1,0 +1,73 @@
+"""Weighted multi-vector (hybrid) search.
+
+Reference: ``lantern.weighted_vector_search``
+(lantern_hnsw/sql/lantern.sql:673-819). Semantics reproduced exactly:
+
+- joint metric = Σ w_i * (col_i <op> vec_i)            (lantern.sql:732-740)
+- exact=True  → one scan, optional ``joint < max_dist`` filter, ORDER BY
+  joint metric                                          (lantern.sql:748-762)
+- exact=False → per-column candidate query ``ORDER BY col_i <op> vec_i
+  LIMIT ef`` (each with the same max_dist WHERE), UNION ALL, dedup by id
+  (DISTINCT ON), final ORDER BY joint                   (lantern.sql:769-806)
+
+Spark recast is 1:1 with built-ins: per-column ``orderBy.limit(ef)``
+(TakeOrderedAndProject) → ``unionByName`` → ``dropDuplicates([id])`` →
+joint score column → filter → final sort. At scale each candidate query is
+a partition-local top-ef + k-sized merge, and the union/dedup runs over at
+most ``n_cols * ef`` rows — driver-safe by construction.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from lanterndb_spark.functions.distance import distance, query_vec
+
+
+def _joint(terms, metric) -> Column:
+    parts = [
+        F.lit(float(w)) * distance(metric, col, q if isinstance(q, Column) else query_vec(q))
+        for (w, col, q) in terms
+    ]
+    return reduce(lambda a, b: a + b, parts)
+
+
+def weighted_vector_search(
+    df: DataFrame,
+    terms: list[tuple[float, str, list | Column]],
+    id_col: str = "id",
+    metric: str = "l2sq",
+    ef: int = 100,
+    max_dist: float | None = None,
+    exact: bool = False,
+    limit: int | None = None,
+    joint_col: str = "joint_dist",
+) -> DataFrame:
+    """``terms`` is a list of (weight, vector_column, query_vector), one to
+    three entries in the reference, any number here."""
+    if not terms:
+        raise ValueError("need at least one (weight, col, query) term")
+    joint = _joint(terms, metric)
+    base = df.withColumn(joint_col, joint)
+    if max_dist is not None:
+        base = base.filter(F.col(joint_col) < F.lit(float(max_dist)))
+
+    if exact:
+        out = base
+    else:
+        candidates = []
+        for (_w, col, q) in terms:
+            qc = q if isinstance(q, Column) else query_vec(q)
+            d = distance(metric, col, qc)
+            candidates.append(
+                base.orderBy(d.asc(), F.col(id_col).asc()).limit(ef)
+            )
+        out = reduce(DataFrame.unionByName, candidates).dropDuplicates([id_col])
+
+    out = out.orderBy(F.col(joint_col).asc(), F.col(id_col).asc())
+    if limit is not None:
+        out = out.limit(limit)
+    return out

@@ -1,0 +1,42 @@
+"""Helpers shared by __spark_entry__ queries and their DuckDB oracles.
+
+The driver compares Spark results against DuckDB by row-count + schema +
+order-insensitive value-hash, sorting columns by name. Two consequences:
+
+- every computed column must carry the SAME alias on both sides;
+- float results must be deterministic: we cast vector elements to double
+  before arithmetic (both engines then do identical double ops in identical
+  sequential fold order) and additionally round scores to 6 decimals to be
+  robust against fold-order differences;
+- top-k ties must be broken on an id column on both sides.
+"""
+
+from __future__ import annotations
+
+ROUND = 6
+
+# DuckDB SQL fragments mirroring lanterndb_spark.functions.distance.
+# a/b are FLOAT[] list expressions; both engines cast elements to double and
+# fold sequentially, so results agree to well past 6 decimals.
+
+
+def duck_l2sq(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}), "
+        f"x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) ** 2))"
+    )
+
+
+def duck_dot(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}), "
+        f"x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+    )
+
+
+def duck_norm(a: str) -> str:
+    return f"sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+
+def duck_cos(a: str, b: str) -> str:
+    return f"(1.0 - {duck_dot(a, b)} / ({duck_norm(a)} * {duck_norm(b)}))"

@@ -1,0 +1,67 @@
+import pytest
+from pyspark.sql import functions as F
+
+from lanterndb_spark.operators.hybrid import weighted_vector_search
+from lanterndb_spark.functions.distance import l2sq_dist, query_vec
+
+
+@pytest.fixture(scope="module")
+def hybrid_df(tables):
+    # two vector columns: the embedding and its reverse
+    return tables["embeddings"].select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("v1"),
+        F.reverse(F.col("embedding")).alias("v2"),
+        "label",
+    )
+
+
+def q_of(df, i):
+    r = df.filter(F.col("id") == i).first()
+    return [float(x) for x in r["v1"]], [float(x) for x in r["v2"]]
+
+
+def test_exact_mode_matches_manual_joint(hybrid_df):
+    q1, q2 = q_of(hybrid_df, 0)
+    got = weighted_vector_search(
+        hybrid_df, [(1.0, "v1", q1), (0.5, "v2", q2)], exact=True, limit=5
+    ).collect()
+    manual = (
+        hybrid_df.withColumn(
+            "jd", l2sq_dist("v1", query_vec(q1)) + F.lit(0.5) * l2sq_dist("v2", query_vec(q2))
+        )
+        .orderBy("jd", "id")
+        .limit(5)
+        .collect()
+    )
+    assert [r["id"] for r in got] == [r["id"] for r in manual]
+    for g, m in zip(got, manual):
+        assert g["joint_dist"] == pytest.approx(m["jd"])
+
+
+def test_candidate_mode_subset_of_exact_with_full_ef(hybrid_df):
+    n = hybrid_df.count()
+    q1, q2 = q_of(hybrid_df, 1)
+    terms = [(1.0, "v1", q1), (1.0, "v2", q2)]
+    cand = weighted_vector_search(hybrid_df, terms, ef=n, limit=10).collect()
+    exact = weighted_vector_search(hybrid_df, terms, exact=True, limit=10).collect()
+    # with ef == table size the candidate path must equal exact
+    assert [r["id"] for r in cand] == [r["id"] for r in exact]
+
+
+def test_max_dist_filter(hybrid_df):
+    q1, q2 = q_of(hybrid_df, 2)
+    terms = [(1.0, "v1", q1), (1.0, "v2", q2)]
+    full = weighted_vector_search(hybrid_df, terms, exact=True).collect()
+    cutoff = full[5]["joint_dist"]
+    expected = sum(1 for r in full if r["joint_dist"] < cutoff)
+    filtered = weighted_vector_search(hybrid_df, terms, exact=True, max_dist=cutoff).collect()
+    assert len(filtered) == expected > 0
+    assert all(r["joint_dist"] < cutoff for r in filtered)
+
+
+def test_candidate_mode_dedups(hybrid_df):
+    q1, q2 = q_of(hybrid_df, 3)
+    out = weighted_vector_search(hybrid_df, [(1.0, "v1", q1), (1.0, "v2", q2)], ef=50)
+    ids = [r["id"] for r in out.collect()]
+    assert len(ids) == len(set(ids))
