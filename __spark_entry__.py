@@ -20,9 +20,28 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from lanterndb_spark.functions.distance import distance
+from lanterndb_spark.functions.text import (
+    FP_BASE,
+    FP_MOD,
+    LANG_PROFILES,
+    STOPWORDS,
+    bpe_token_estimate,
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+    tokenize,
+)
+from lanterndb_spark.operators.bm25 import build_postings, search_bm25
 from lanterndb_spark.operators.hybrid import weighted_vector_search
 from lanterndb_spark.operators.knn import knn
-from lanterndb_spark.oracle import ROUND, duck_cos, duck_l2sq
+from lanterndb_spark.oracle import (
+    ROUND,
+    duck_cos,
+    duck_l2sq,
+    duck_sql_list,
+    duck_tokens,
+)
 from lanterndb_spark.session import load_tables
 
 
@@ -111,6 +130,35 @@ def q_hybrid_candidate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_out(out, ["id", "label"], "joint_dist")
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, ["documents"])["documents"]
+
+
+BM25_QUERY = "spark window merge"
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return search_bm25(
+        _docs(spark, sf_dir), BM25_QUERY, limit=10, round_scores=ROUND
+    )
+
+
+def q_bm25_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return build_postings(_docs(spark, sf_dir))
+
+
+def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        bpe_token_estimate("text").alias("bpe_tokens"),
+        lang_id("text").alias("lang_guess"),
+        F.round(quality_score("text"), ROUND).alias("quality"),
+        doc_fingerprint("text").alias("fingerprint"),
+    )
+
+
 # ------------------------------------------------------------- oracle SQL
 
 _Q0 = "(SELECT embedding FROM embeddings WHERE vec_id = 0)"
@@ -139,6 +187,91 @@ _HYBRID_BASE = f"""
 
 def _hybrid_joint() -> str:
     return f"(1.0 * {duck_l2sq('v1', 'qv1')} + 0.5 * {duck_l2sq('v2', 'qv2')})"
+
+
+def _bm25_oracle() -> str:
+    from lanterndb_spark.functions.text import tokenize_py
+    from lanterndb_spark.operators.bm25 import B, K1
+
+    q_terms = sorted(set(tokenize_py(BM25_QUERY)))
+    toks = duck_tokens("text", STOPWORDS)
+    # interpolate the exact python doubles the Spark side uses
+    k1p1, k1, one_b, b = repr(K1 + 1.0), repr(K1), repr(1.0 - B), repr(B)
+    return f"""
+    WITH toks AS (SELECT doc_id, {toks} AS terms FROM documents),
+    st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(CAST(len(terms) AS DOUBLE)) AS avgdl FROM toks),
+    ex AS (SELECT doc_id, len(terms) AS dl, unnest(terms) AS term FROM toks),
+    dt AS (SELECT doc_id, term, CAST(count(*) AS INT) AS fq, any_value(dl) AS dl
+           FROM ex GROUP BY doc_id, term),
+    tf AS (SELECT term, CAST(count(*) AS INT) AS tfreq FROM dt GROUP BY term),
+    sc AS (
+      SELECT dt.doc_id,
+        ln((st.n - tf.tfreq + 0.5) / (tf.tfreq + 0.5) + 1.0)
+          * (CAST(dt.fq AS DOUBLE) * {k1p1})
+          / (CAST(dt.fq AS DOUBLE) + {k1} * ({one_b} + {b} * CAST(dt.dl AS DOUBLE) / st.avgdl)) AS s
+      FROM dt JOIN tf USING (term) CROSS JOIN st
+      WHERE dt.term IN {duck_sql_list(q_terms)}
+    )
+    SELECT doc_id, bm25 FROM (
+      SELECT doc_id, round(sum(s), {ROUND}) AS bm25 FROM sc GROUP BY doc_id
+      ORDER BY bm25 DESC, doc_id LIMIT 10
+    ) t
+    """
+
+
+def _postings_oracle() -> str:
+    toks = duck_tokens("text", STOPWORDS)
+    return f"""
+    WITH toks AS (SELECT doc_id, {toks} AS terms FROM documents),
+    ex AS (SELECT doc_id, len(terms) AS dl, unnest(terms) AS term FROM toks),
+    dt AS (SELECT doc_id, term, CAST(count(*) AS INT) AS fq, CAST(any_value(dl) AS INT) AS dl
+           FROM ex GROUP BY doc_id, term)
+    SELECT term,
+           CAST(count(*) AS INT) AS term_freq,
+           CAST(count(*) AS INT) AS doc_ids_len,
+           list(doc_id ORDER BY doc_id) AS doc_ids,
+           list(fq ORDER BY doc_id) AS fqs,
+           list(dl ORDER BY doc_id) AS doc_lens
+    FROM dt GROUP BY term
+    """
+
+
+def _text_metrics_oracle() -> str:
+    tk = duck_tokens("text")
+    lang_scores = ", ".join(
+        f"len(list_filter(tk, t -> t IN {duck_sql_list(LANG_PROFILES[lang])})) AS s_{lang}"
+        for lang in sorted(LANG_PROFILES)
+    )
+    sw = duck_sql_list(STOPWORDS)
+    return f"""
+    WITH toks AS (SELECT doc_id, text, {tk} AS tk FROM documents),
+    m AS (
+      SELECT doc_id, text, tk, {lang_scores},
+        len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_ws_tokens,
+        len(tk) AS n_tk,
+        len(list_filter(tk, t -> t IN {sw})) AS sw_hits,
+        length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS alnum,
+        length(text) AS n_chars
+      FROM toks
+    )
+    SELECT doc_id,
+      CAST(n_ws_tokens AS INT) AS n_tokens,
+      CAST(coalesce(list_sum(list_transform(tk, t -> 1 + CAST(floor(length(t) / 4) AS BIGINT))), 0) AS BIGINT) AS bpe_tokens,
+      CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+           WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+           WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+           WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+           ELSE 'fr' END AS lang_guess,
+      round((least(CAST(n_tk AS DOUBLE) / 20.0, 1.0)
+           + CAST(alnum AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE)
+           + least(CAST(sw_hits AS DOUBLE) * 5.0 / CAST(greatest(n_tk, 1) AS DOUBLE), 1.0)) / 3.0,
+        {ROUND}) AS quality,
+      list_reduce(
+        list_prepend(CAST(0 AS BIGINT),
+          list_transform(tk, t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT))),
+        (a, b) -> (a * {FP_BASE} + b) % {FP_MOD}) AS fingerprint
+    FROM m
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -187,6 +320,9 @@ def oracle_sql() -> dict[str, str]:
         "knn_hamming": hamming,
         "hybrid_exact": hybrid_exact,
         "hybrid_candidate": hybrid_candidate,
+        "bm25_topk": _bm25_oracle(),
+        "bm25_postings": _postings_oracle(),
+        "text_metrics": _text_metrics_oracle(),
     }
 
 
@@ -198,6 +334,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_hamming": q_knn_hamming,
         "hybrid_exact": q_hybrid_exact,
         "hybrid_candidate": q_hybrid_candidate,
+        "bm25_topk": q_bm25_topk,
+        "bm25_postings": q_bm25_postings,
+        "text_metrics": q_text_metrics,
     }
 
 

@@ -1,0 +1,196 @@
+"""BM25 full-text retrieval: inverted-index build + top-k search.
+
+Reference:
+- postings build: ``create_bm25_table`` (lantern_extras/src/bm25_api.sql:31-56)
+  — unnest terms, DISTINCT ON (doc,term), GROUP BY term with count +
+  aligned array_agg's ordered by doc_id; corpus stats smuggled in a
+  ``term IS NULL`` row (doc count, avg_doc_len × 100).
+- scoring: ``bm25_agg`` (lantern_extras/src/bm25_agg.rs:125-159):
+  idf = ln((N - tf + 0.5)/(tf + 0.5) + 1),
+  score = idf * fq*(k1+1) / (fq + k1*(1 - b + b*dl/avgdl)),
+  defaults k1=1.2 b=0.75 (lib.rs:44-46).
+- search: ``search_bm25`` (bm25_api.sql:61-104): stem query → fetch term
+  postings → aggregate → top-limit → optional join back to source.
+
+Spark recast: the postings table is a plain DataFrame built with
+explode + groupBy (map-side combine + shuffle agg — the parallel combine
+the reference's UDAF never implemented, bm25_agg.rs:297-310). Scoring is a
+pure column expression over exploded postings; top-k is orderBy.limit.
+The reference's bloom-filter approximation for hot terms (postings > 8000)
+exists purely to bound UDAF state — exact aggregation is shuffle-parallel
+here, so we keep exactness (strictly better results, same API).
+
+Scale: postings build is one shuffle on term; search touches only the
+postings rows of the query's terms (filter pushdown on term), explodes
+≤ |terms|·avg_postings rows, and aggregates per doc — no driver
+materialization anywhere. Corpus stats are a 1-row broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from lanterndb_spark.functions.text import STOPWORDS, tokenize, tokenize_py
+
+K1 = 1.2
+B = 0.75
+
+
+def build_postings(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    terms_col: str | None = None,
+    stem: bool = False,
+    stopwords: list[str] | None = STOPWORDS,
+) -> DataFrame:
+    """Build the inverted index (the ``<tbl>_bm25`` analogue).
+
+    Returns columns: term, term_freq, doc_ids_len, doc_ids, fqs, doc_lens —
+    arrays aligned and sorted by doc_id (invariant: bm25_agg.rs:713-719).
+    Pass ``terms_col`` to index a pre-tokenized array column instead.
+    """
+    terms = F.col(terms_col) if terms_col else tokenize(text_col, stopwords=stopwords, stem=stem)
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(terms).alias("doc_len"),
+        F.explode(terms).alias("term"),
+    )
+    per_doc_term = exploded.groupBy("doc_id", "term").agg(
+        F.count("*").cast("int").alias("fq"),
+        F.first("doc_len").cast("int").alias("doc_len"),
+    )
+    return (
+        per_doc_term.groupBy("term")
+        .agg(
+            F.count("*").cast("int").alias("term_freq"),
+            F.sort_array(F.collect_list(F.struct("doc_id", "fq", "doc_len"))).alias("z"),
+        )
+        .select(
+            "term",
+            "term_freq",
+            F.col("term_freq").alias("doc_ids_len"),
+            F.col("z.doc_id").alias("doc_ids"),
+            F.col("z.fq").alias("fqs"),
+            F.col("z.doc_len").alias("doc_lens"),
+        )
+    )
+
+
+def corpus_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    terms_col: str | None = None,
+    stem: bool = False,
+    stopwords: list[str] | None = STOPWORDS,
+) -> tuple[int, float]:
+    """(corpus_size, avg_doc_len). The reference stores these in the
+    postings table's NULL-term row, avg×100 (bm25_api.sql:48-50); we keep
+    them as honest values."""
+    terms = F.col(terms_col) if terms_col else tokenize(text_col, stopwords=stopwords, stem=stem)
+    row = docs.select(
+        F.count("*").alias("n"), F.avg(F.size(terms)).alias("avgdl")
+    ).first()
+    return int(row["n"]), float(row["avgdl"])
+
+
+def bm25_score_expr(
+    fq: Column, doc_len: Column, term_freq: Column,
+    corpus_size: int, avg_doc_len: float, k1: float = K1, b: float = B,
+) -> Column:
+    """The exact scoring expression of bm25_agg.rs:125-159 (as doubles)."""
+    idf = F.log(
+        (F.lit(float(corpus_size)) - term_freq + F.lit(0.5)) / (term_freq + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    fq = fq.cast("double")
+    return idf * (
+        (fq * F.lit(k1 + 1.0))
+        / (fq + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * doc_len.cast("double") / F.lit(avg_doc_len)))
+    )
+
+
+def search_bm25(
+    docs: DataFrame,
+    query: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    limit: int = 10,
+    k1: float = K1,
+    b: float = B,
+    stem: bool = False,
+    stopwords: list[str] | None = STOPWORDS,
+    postings: DataFrame | None = None,
+    stats: tuple[int, float] | None = None,
+    join_content: bool = False,
+    round_scores: int | None = None,
+) -> DataFrame:
+    """Top-``limit`` docs for ``query`` by BM25 (search_bm25 analogue).
+
+    Builds postings on the fly unless a prebuilt ``postings`` (+``stats``)
+    pair is passed. ``round_scores`` orders on the rounded score with a
+    doc_id tie-break, making results exactly reproducible across engines.
+    """
+    q_terms = sorted(set(tokenize_py(query, stopwords=stopwords, stem=stem)))
+    if not q_terms:
+        raise ValueError("query has no terms after tokenization")
+    if postings is None:
+        postings = build_postings(docs, id_col, text_col, stem=stem, stopwords=stopwords)
+    if stats is None:
+        n, avgdl = corpus_stats(docs, text_col, stem=stem, stopwords=stopwords)
+    else:
+        n, avgdl = stats
+
+    hits = postings.filter(F.col("term").isin(q_terms))
+    per_doc = hits.select(
+        "term",
+        "term_freq",
+        F.explode(F.arrays_zip("doc_ids", "fqs", "doc_lens")).alias("p"),
+    ).select(
+        F.col("p.doc_ids").alias("doc_id"),
+        bm25_score_expr(
+            F.col("p.fqs"), F.col("p.doc_lens"), F.col("term_freq"), n, avgdl, k1, b
+        ).alias("score"),
+    )
+    scored = per_doc.groupBy("doc_id").agg(F.sum("score").alias("bm25"))
+    if round_scores is not None:
+        scored = scored.withColumn("bm25", F.round("bm25", round_scores))
+    out = scored.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(limit)
+    if join_content:
+        out = out.join(
+            docs.withColumnRenamed(id_col, "doc_id"), on="doc_id", how="left"
+        ).orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    return out
+
+
+def consolidate_postings(postings: DataFrame) -> DataFrame:
+    """Re-merge duplicate term rows after incremental appends
+    (consolidate_bm25_table analogue, bm25_api.sql:108-159). In Spark this
+    is just re-aggregation of the exploded postings."""
+    return (
+        postings.select(
+            "term", F.explode(F.arrays_zip("doc_ids", "fqs", "doc_lens")).alias("p")
+        )
+        .select(
+            "term",
+            F.col("p.doc_ids").alias("doc_id"),
+            F.col("p.fqs").alias("fq"),
+            F.col("p.doc_lens").alias("doc_len"),
+        )
+        .groupBy("term", "doc_id")
+        .agg(F.sum("fq").cast("int").alias("fq"), F.max("doc_len").cast("int").alias("doc_len"))
+        .groupBy("term")
+        .agg(
+            F.count("*").cast("int").alias("term_freq"),
+            F.sort_array(F.collect_list(F.struct("doc_id", "fq", "doc_len"))).alias("z"),
+        )
+        .select(
+            "term",
+            "term_freq",
+            F.col("term_freq").alias("doc_ids_len"),
+            F.col("z.doc_id").alias("doc_ids"),
+            F.col("z.fq").alias("fqs"),
+            F.col("z.doc_len").alias("doc_lens"),
+        )
+    )

@@ -40,3 +40,18 @@ def duck_norm(a: str) -> str:
 
 def duck_cos(a: str, b: str) -> str:
     return f"(1.0 - {duck_dot(a, b)} / ({duck_norm(a)} * {duck_norm(b)}))"
+
+
+def duck_sql_list(words) -> str:
+    return "(" + ", ".join(f"'{w}'" for w in words) + ")"
+
+
+def duck_tokens(col: str, stopwords=None) -> str:
+    """DuckDB twin of functions.text.tokenize (no stemming)."""
+    base = (
+        f"list_filter(string_split_regex(regexp_replace(lower({col}), "
+        f"'[^\\p{{L}}\\p{{N}}]+', ' ', 'g'), '\\s+'), t -> t <> '')"
+    )
+    if stopwords:
+        base = f"list_filter({base}, t -> t NOT IN {duck_sql_list(stopwords)})"
+    return base

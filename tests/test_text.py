@@ -1,0 +1,89 @@
+import pytest
+from pyspark.sql import functions as F
+
+from lanterndb_spark.functions.text import (
+    STOPWORDS,
+    bpe_token_estimate,
+    doc_fingerprint,
+    lang_id,
+    porter_stem,
+    quality_score,
+    token_count,
+    tokenize,
+    tokenize_py,
+)
+
+
+def test_porter_golden_pairs():
+    # reference snowball goldens (lantern_extras/src/stemmers.rs:148-280)
+    assert porter_stem("lazy") == "lazi"
+    assert porter_stem("jumps") == "jump"
+    assert porter_stem("apple") == "appl"
+    assert porter_stem("banana") == "banana"
+    assert porter_stem("running") == "run"
+    assert porter_stem("relational") == "relat"
+    assert porter_stem("kiwi") == "kiwi"
+
+
+def test_tokenize_matches_reference_semantics(spark):
+    # lowercase, non-alnum -> space, stopword removal (stemmers.rs:105-115)
+    df = spark.createDataFrame([("The quick-brown FOX, jumps over the lazy dog!",)], "t string")
+    got = df.select(tokenize("t").alias("x")).first()["x"]
+    assert got == ["quick", "brown", "fox", "jumps", "over", "lazy", "dog"]
+    stemmed = df.select(tokenize("t", stem=True).alias("x")).first()["x"]
+    assert stemmed == ["quick", "brown", "fox", "jump", "over", "lazi", "dog"]
+
+
+def test_tokenize_py_lockstep(spark):
+    texts = [
+        "The quick-brown FOX, jumps over the lazy dog!",
+        "apple banana orange",
+        "  multiple   spaces\tand\nnewlines  ",
+        "punct!!! only??? ...",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    spark_toks = [r["x"] for r in df.select(tokenize("t").alias("x")).collect()]
+    for t, st in zip(texts, spark_toks):
+        assert tokenize_py(t) == st
+
+
+def test_tokenize_keeps_duplicates(spark):
+    # fqs depend on duplicate tokens surviving (array_except would eat them)
+    df = spark.createDataFrame([("apple apple banana",)], "t string")
+    assert df.select(tokenize("t").alias("x")).first()["x"] == ["apple", "apple", "banana"]
+
+
+def test_lang_id_profiles(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat is on the mat and it is happy",),
+            ("der hund ist nicht mit der katze",),
+            ("el perro es un animal que vive con nosotros",),
+            ("zzz qqq xxx",),
+        ],
+        "t string",
+    )
+    got = [r["l"] for r in df.select(lang_id("t").alias("l")).collect()]
+    assert got == ["en", "de", "es", "und"]
+
+
+def test_text_metrics(spark):
+    df = spark.createDataFrame([("the quick fox",), ("",)], "t string")
+    rows = df.select(
+        token_count("t").alias("tc"),
+        bpe_token_estimate("t").alias("bpe"),
+        quality_score("t").alias("q"),
+        doc_fingerprint("t").alias("fp"),
+    ).collect()
+    assert rows[0]["tc"] == 3
+    assert rows[0]["bpe"] >= 3
+    assert 0.0 <= rows[0]["q"] <= 1.0
+    assert 0 <= rows[0]["fp"] < 1_000_000_007
+    assert rows[1]["tc"] == 0
+    assert rows[1]["fp"] == 0
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame([("alpha beta",), ("beta alpha",)], "t string")
+    fps = [r["fp"] for r in df.select(doc_fingerprint("t").alias("fp")).collect()]
+    assert fps[0] != fps[1]
