@@ -130,6 +130,43 @@ def q_hybrid_candidate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_out(out, ["id", "label"], "joint_dist")
 
 
+# --- ANN / PQ queries: inherently non-SQL-expressible (k-means training),
+# so no oracle entry — the driver records rows-only; real acceptance is the
+# recall-vs-exact harness in tests/ (the reference does the same:
+# test/sql/utils/calculate_recall.sql).
+
+def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lanterndb_spark.operators.ivf import build_ivf, ivf_search
+
+    emb = _emb(spark, sf_dir)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    index = build_ivf(emb, "embedding", nlist=8, seed=42)
+    out = ivf_search(index, qv, k=10, nprobe=4, id_col="vec_id")
+    return _round_out(out.drop("cluster_id"), ["vec_id", "label"], "dist")
+
+
+def q_pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lanterndb_spark.operators.pq import adc_knn, quantize, train_codebook
+
+    emb = _emb(spark, sf_dir)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    codebook = train_codebook(emb, "embedding", splits=8, clusters=16, seed=42)
+    coded = quantize(emb, "embedding", codebook)
+    out = adc_knn(coded, "embedding_pq", qv, codebook, k=10, id_col="vec_id")
+    return _round_out(out, ["vec_id", "label"], "dist")
+
+
+def q_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lanterndb_spark.operators.pq import train_codebook
+
+    emb = _emb(spark, sf_dir)
+    cb = train_codebook(emb, "embedding", splits=8, clusters=16, seed=42)
+    return cb.select(
+        "subvector_id", "centroid_id",
+        F.round(F.aggregate(F.col("c").cast("array<double>"), F.lit(0.0), lambda a, x: a + x), ROUND).alias("c_sum"),
+    )
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_tables(spark, sf_dir, ["documents"])["documents"]
 
@@ -337,6 +374,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "bm25_postings": q_bm25_postings,
         "text_metrics": q_text_metrics,
+        "ivf_knn": q_ivf_knn,
+        "pq_adc_knn": q_pq_adc_knn,
+        "pq_codebook": q_pq_codebook,
     }
 
 

@@ -1,0 +1,120 @@
+"""ANN parameter autotune + recall validation harness.
+
+Reference: lantern_cli/src/index_autotune/mod.rs (526 LoC) — sample rows,
+compute exact ground-truth top-k for 10 random queries
+(calculate_ground_truth :188-218), grid-search index params measuring
+recall@k and latency (:220-254), pick the best variant meeting the target
+recall (find_best_variant :161-186).
+
+Also doubles as the engine's ``validate_index`` analogue
+(validate_index.c): instead of structural graph checks we recompute recall
+of the ANN structure against exact top-k on a sample — the semantically
+meaningful invariant for a data-parallel engine.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lanterndb_spark.operators.ivf import build_ivf, ivf_search
+from lanterndb_spark.operators.knn import knn
+
+
+def recall_at_k(ann_ids: list, exact_ids: list) -> float:
+    """|ANN ∩ exact| / k — the INTERSECT-based recall of
+    test/sql/utils/calculate_recall.sql:20-24."""
+    if not exact_ids:
+        return 1.0
+    return len(set(ann_ids) & set(exact_ids)) / len(exact_ids)
+
+
+def sample_queries(
+    df: DataFrame, vec_col: str, n: int = 10, seed: int = 42
+) -> list[list[float]]:
+    """ORDER BY RANDOM() LIMIT n sampling (index_autotune/mod.rs:201)."""
+    rows = df.select(vec_col).orderBy(F.rand(seed)).limit(n).collect()
+    return [[float(x) for x in r[vec_col]] for r in rows]
+
+
+@dataclass
+class TuneResult:
+    params: dict
+    recall: float
+    latency_s: float
+    build_s: float
+
+
+def autotune_ivf(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+    nlist_grid: tuple[int, ...] = (4, 8, 16),
+    nprobe_grid: tuple[int, ...] = (1, 2, 4),
+    n_queries: int = 10,
+    target_recall: float = 0.9,
+    seed: int = 42,
+) -> tuple[TuneResult | None, list[TuneResult]]:
+    """Grid-search (nlist, nprobe); returns (best_meeting_target, all).
+
+    Best = highest recall ≥ target with lowest latency, else None —
+    find_best_variant semantics (index_autotune/mod.rs:161-186)."""
+    queries = sample_queries(df, vec_col, n=n_queries, seed=seed)
+    truth = [
+        [r[id_col] for r in knn(df, vec_col, q, k=k, id_col=id_col).collect()]
+        for q in queries
+    ]
+    results: list[TuneResult] = []
+    for nlist in nlist_grid:
+        t0 = time.monotonic()
+        index = build_ivf(df, vec_col, nlist=nlist, seed=seed)
+        index.assigned.cache().count()
+        build_s = time.monotonic() - t0
+        for nprobe in nprobe_grid:
+            if nprobe > nlist:
+                continue
+            t1 = time.monotonic()
+            recs = []
+            for q, t in zip(queries, truth):
+                got = [
+                    r[id_col]
+                    for r in ivf_search(index, q, k=k, nprobe=nprobe, id_col=id_col).collect()
+                ]
+                recs.append(recall_at_k(got, t))
+            latency = (time.monotonic() - t1) / len(queries)
+            results.append(
+                TuneResult(
+                    {"nlist": nlist, "nprobe": nprobe},
+                    sum(recs) / len(recs),
+                    latency,
+                    build_s,
+                )
+            )
+        index.assigned.unpersist()
+    ok = [r for r in results if r.recall >= target_recall]
+    best = min(ok, key=lambda r: r.latency_s) if ok else None
+    return best, results
+
+
+def validate_ann(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    search_fn,
+    k: int = 10,
+    n_queries: int = 10,
+    seed: int = 42,
+) -> float:
+    """Mean recall@k of an arbitrary ANN search callable vs exact truth.
+    ``search_fn(query_vec, k) -> DataFrame`` with id_col."""
+    queries = sample_queries(df, vec_col, n=n_queries, seed=seed)
+    total = 0.0
+    for q in queries:
+        exact = [r[id_col] for r in knn(df, vec_col, q, k=k, id_col=id_col).collect()]
+        got = [r[id_col] for r in search_fn(q, k).collect()]
+        total += recall_at_k(got, exact)
+    return total / len(queries)

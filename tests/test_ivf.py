@@ -1,0 +1,76 @@
+import pytest
+from pyspark.sql import functions as F
+
+from lanterndb_spark.operators.autotune import autotune_ivf, recall_at_k, validate_ann
+from lanterndb_spark.operators.ivf import build_ivf, ivf_search, load_ivf, save_ivf
+from lanterndb_spark.operators.knn import knn
+
+
+@pytest.fixture(scope="module")
+def emb(tables):
+    return tables["embeddings"]
+
+
+@pytest.fixture(scope="module")
+def index(emb):
+    idx = build_ivf(emb, "embedding", nlist=8, seed=42)
+    idx.assigned.cache().count()
+    return idx
+
+
+def qvec(emb, i):
+    return [float(x) for x in emb.filter(F.col("vec_id") == i).first()["embedding"]]
+
+
+def test_build_assigns_all_rows(emb, index):
+    assert index.assigned.count() == emb.count()
+    assert index.nlist == 8
+    assert index.assigned.select("cluster_id").distinct().count() <= 8
+
+
+def test_full_probe_equals_exact(emb, index):
+    q = qvec(emb, 11)
+    ann = [r["vec_id"] for r in ivf_search(index, q, k=10, nprobe=8, id_col="vec_id").collect()]
+    exact = [r["vec_id"] for r in knn(emb, "embedding", q, k=10, id_col="vec_id").collect()]
+    assert ann == exact  # nprobe == nlist degrades to exact scan
+
+
+def test_partial_probe_recall(emb, index):
+    rec = validate_ann(
+        emb, "embedding", "vec_id",
+        lambda q, k: ivf_search(index, q, k=k, nprobe=4, id_col="vec_id"),
+        k=10, n_queries=5,
+    )
+    assert rec >= 0.6
+
+
+def test_save_load_partition_pruning(emb, index, tmp_path, spark):
+    path = str(tmp_path / "ivf")
+    save_ivf(index, path)
+    loaded = load_ivf(spark, path, "embedding")
+    q = qvec(emb, 3)
+    a = [r["vec_id"] for r in ivf_search(index, q, k=5, nprobe=8, id_col="vec_id").collect()]
+    b = [r["vec_id"] for r in ivf_search(loaded, q, k=5, nprobe=8, id_col="vec_id").collect()]
+    assert a == b
+    # the probe filter must reach the scan as a partition filter
+    cand = loaded.assigned.filter(F.col("cluster_id").isin([0, 1]))
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster_id" in plan
+
+
+def test_recall_helper():
+    assert recall_at_k([1, 2, 3], [1, 2, 4]) == pytest.approx(2 / 3)
+    assert recall_at_k([], []) == 1.0
+
+
+def test_autotune_grid(emb):
+    best, results = autotune_ivf(
+        emb, "embedding", "vec_id", k=5,
+        nlist_grid=(2, 4), nprobe_grid=(1, 2, 4), n_queries=3, target_recall=0.5,
+    )
+    assert len(results) >= 4
+    # nprobe == nlist rows must have recall 1.0 (exact degradation)
+    for r in results:
+        if r.params["nprobe"] == r.params["nlist"]:
+            assert r.recall == pytest.approx(1.0)
+    assert best is not None and best.recall >= 0.5
