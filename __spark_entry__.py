@@ -196,6 +196,124 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------ dedup / pairs
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lanterndb_spark.operators.dedup import exact_dedup
+
+    docs = _docs(spark, sf_dir)
+    return exact_dedup(docs, ["lang", "source"], "doc_id").select("doc_id", "lang", "source")
+
+
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lanterndb_spark.operators.dedup import duplicate_groups
+
+    return duplicate_groups(_docs(spark, sf_dir), "lang", "doc_id")
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lanterndb_spark.operators.dedup import jaccard_pairs
+
+    out = jaccard_pairs(_docs(spark, sf_dir), "doc_id", "text", n=3, threshold=0.5)
+    return out.select("id_a", "id_b", F.round("jaccard", ROUND).alias("jaccard"))
+
+
+def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lanterndb_spark.operators.dedup import embedding_near_dup_pairs
+
+    emb = _emb(spark, sf_dir)
+    out = embedding_near_dup_pairs(emb, "vec_id", "embedding", max_cos_dist=0.6)
+    return out.select("id_a", "id_b", F.round("cos_dist", ROUND).alias("cos_dist"))
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: Spark murmur3 signatures aren't reproducible in DuckDB;
+    # correctness = verified-jaccard equality with the exact operator (tests)
+    from lanterndb_spark.operators.dedup import minhash_lsh_pairs
+
+    out = minhash_lsh_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", num_hashes=64, bands=16, threshold=0.5
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", ROUND).alias("jaccard"))
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lanterndb_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(spark, sf_dir), "doc_id", "text", max_hamming=12)
+
+
+def q_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embed documents (deterministic hash runtime) then semantic top-k —
+    the create-embeddings → knn pipeline in one query. Rows-only: the
+    md5-seeded gaussian embedding isn't SQL-expressible."""
+    from lanterndb_spark.operators.embed import embed
+
+    docs = _docs(spark, sf_dir)
+    emb = embed(docs.select("doc_id", "text"), "text", model="hash/debug-64")
+    q = F.broadcast(
+        emb.filter(F.col("doc_id") == 0).select(F.col("embedding").alias("qv"))
+    )
+    out = knn(emb.crossJoin(q), "embedding", F.col("qv"), k=10, metric="cos", id_col="doc_id")
+    return _round_out(out, ["doc_id"], "dist")
+
+
+# --------------------------------------------- relational / window spine
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style agg over lineitem (§2.9 relational spine). Sums in
+    DECIMAL so Spark's partition-order float summation matches the oracle
+    exactly."""
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    dec = lambda c: c.cast("decimal(24,6)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec(F.col("l_quantity"))).alias("sum_qty"),
+            F.sum(dec(F.col("l_extendedprice"))).alias("sum_base_price"),
+            F.sum(dec(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))).alias("sum_disc_price"),
+            F.avg(dec(F.col("l_quantity"))).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus",
+            F.col("sum_qty").cast("double").alias("sum_qty"),
+            F.col("sum_base_price").cast("double").alias("sum_base_price"),
+            F.col("sum_disc_price").cast("double").alias("sum_disc_price"),
+            F.round(F.col("avg_qty").cast("double"), ROUND).alias("avg_qty"),
+            "count_order",
+        )
+    )
+
+
+def q_window_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW_NUMBER window (the reference's only window usage,
+    test/sql/hnsw_correct.sql:17-33): first 3 events per user."""
+    from pyspark.sql.window import Window
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("event_id", "user_id", "event_type", "rn")
+    )
+
+
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation (batch twin of the streaming
+    operator in lanterndb_spark.streaming)."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), ROUND).alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("bucket_start"),
+            "event_type", "n", "sum_value",
+        )
+    )
+
+
 # ------------------------------------------------------------- oracle SQL
 
 _Q0 = "(SELECT embedding FROM embeddings WHERE vec_id = 0)"
@@ -311,6 +429,54 @@ def _text_metrics_oracle() -> str:
     """
 
 
+def _shingles_cte() -> str:
+    """DuckDB twin of dedup.word_shingles(n=3) over documents."""
+    tk = duck_tokens("text")
+    return f"""
+    toks AS (SELECT doc_id, {tk} AS tk FROM documents),
+    sh AS (
+      SELECT doc_id,
+        list_distinct(CASE
+          WHEN len(tk) >= 3 THEN list_transform(range(len(tk) - 2), i -> array_to_string(tk[i+1:i+3], ' '))
+          WHEN len(tk) > 0 THEN [array_to_string(tk, ' ')]
+          ELSE []::VARCHAR[] END) AS sh
+      FROM toks
+    )"""
+
+
+def _jaccard_oracle() -> str:
+    return f"""
+    WITH {_shingles_cte()},
+    ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+    sz AS (SELECT doc_id, len(sh) AS sz FROM sh),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      FROM ex a JOIN ex b USING (g) WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT id_a, id_b,
+             CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) AS jaccard
+      FROM common
+      JOIN sz sa ON sa.doc_id = id_a
+      JOIN sz sb ON sb.doc_id = id_b
+    )
+    SELECT id_a, id_b, round(jaccard, {ROUND}) AS jaccard FROM j WHERE jaccard >= 0.5
+    """
+
+
+def _tpch_q1_oracle() -> str:
+    return f"""
+    SELECT l_returnflag, l_linestatus,
+      CAST(sum(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE) AS sum_qty,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(24,6))) AS DOUBLE) AS sum_base_price,
+      CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS sum_disc_price,
+      round(CAST(avg(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE), {ROUND}) AS avg_qty,
+      count(*) AS count_order
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     hybrid_exact = f"""
     WITH base AS ({_HYBRID_BASE})
@@ -360,6 +526,37 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _bm25_oracle(),
         "bm25_postings": _postings_oracle(),
         "text_metrics": _text_metrics_oracle(),
+        "dedup_exact": """
+            SELECT d.doc_id, d.lang, d.source
+            FROM documents d
+            JOIN (SELECT lang, source, min(doc_id) AS m FROM documents GROUP BY lang, source) k
+              ON d.lang = k.lang AND d.source = k.source AND d.doc_id = k.m
+        """,
+        "dedup_groups": """
+            SELECT lang, CAST(count(*) AS INT) AS n_dups,
+                   list(doc_id ORDER BY doc_id) AS ids
+            FROM documents GROUP BY lang HAVING count(*) > 1
+        """,
+        "jaccard_pairs": _jaccard_oracle(),
+        "emb_near_dup": f"""
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round({duck_cos('a.embedding', 'b.embedding')}, {ROUND}) AS cos_dist
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE {duck_cos('a.embedding', 'b.embedding')} <= 0.6
+        """,
+        "tpch_q1": _tpch_q1_oracle(),
+        "window_rownum": """
+            SELECT event_id, user_id, event_type, CAST(rn AS INT) AS rn FROM (
+              SELECT event_id, user_id, event_type,
+                     row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+              FROM events
+            ) t WHERE rn <= 3
+        """,
+        "events_tumbling": f"""
+            SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket_start,
+                   event_type, count(*) AS n, round(sum(value), {ROUND}) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
     }
 
 
@@ -377,6 +574,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_knn": q_ivf_knn,
         "pq_adc_knn": q_pq_adc_knn,
         "pq_codebook": q_pq_codebook,
+        "dedup_exact": q_dedup_exact,
+        "dedup_groups": q_dedup_groups,
+        "jaccard_pairs": q_jaccard_pairs,
+        "emb_near_dup": q_emb_near_dup,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "embed_knn": q_embed_knn,
+        "tpch_q1": q_tpch_q1,
+        "window_rownum": q_window_rownum,
+        "events_tumbling": q_events_tumbling,
     }
 
 

@@ -1,0 +1,90 @@
+"""Readers for the standard ANN-benchmark vector file formats.
+
+Reference: ``parse_fvecs`` / ``parse_ivecs`` / ``parse_bvecs`` SRFs
+(lantern_extras/src/dotvecs.rs:32-138). Format per record: little-endian
+u32 dimension prefix followed by dim elements (f32 / i32 / u8).
+
+Spark recast: ``spark.read.format("binaryFile")`` picks up each file as
+one row (path, content); a mapInPandas decoder explodes the payload into
+(file, row_id, v) rows with numpy — Arrow-batched, no driver
+materialization of vector data. Files are the unit of parallelism; for
+multi-GB single files, split upstream or use the offset variant.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+_SPEC = {
+    "fvecs": (np.float32, "array<float>"),
+    "ivecs": (np.int32, "array<int>"),
+    "bvecs": (np.uint8, "array<int>"),
+}
+
+
+def _decode(content: bytes, dtype) -> list:
+    """Decode one .Xvecs payload into a list of vectors."""
+    out = []
+    itemsize = np.dtype(dtype).itemsize
+    off = 0
+    n = len(content)
+    while off + 4 <= n:
+        dim = int(np.frombuffer(content, dtype="<u4", count=1, offset=off)[0])
+        off += 4
+        nbytes = dim * itemsize
+        if dim <= 0 or off + nbytes > n:
+            raise ValueError(f"corrupt vecs record at offset {off - 4}: dim={dim}")
+        out.append(np.frombuffer(content, dtype=dtype, count=dim, offset=off).tolist())
+        off += nbytes
+    return out
+
+
+def _read_vecs(spark: SparkSession, path: str, kind: str) -> DataFrame:
+    dtype, spark_type = _SPEC[kind]
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+    schema = f"path string, row_id bigint, v {spark_type}"
+
+    def decode_files(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                vecs = _decode(row["content"], dtype)
+                yield pd.DataFrame(
+                    {
+                        "path": row["path"],
+                        "row_id": np.arange(len(vecs), dtype=np.int64),
+                        "v": vecs,
+                    }
+                )
+
+    return files.mapInPandas(decode_files, schema)
+
+
+def read_fvecs(spark: SparkSession, path: str) -> DataFrame:
+    """f32 vectors: (path, row_id, v array<float>)."""
+    return _read_vecs(spark, path, "fvecs")
+
+
+def read_ivecs(spark: SparkSession, path: str) -> DataFrame:
+    """i32 vectors (ground-truth neighbor lists): (path, row_id, v array<int>)."""
+    return _read_vecs(spark, path, "ivecs")
+
+
+def read_bvecs(spark: SparkSession, path: str) -> DataFrame:
+    """u8 vectors: (path, row_id, v array<int>)."""
+    return _read_vecs(spark, path, "bvecs")
+
+
+def write_fvecs(df: DataFrame, vec_col: str, local_path: str) -> int:
+    """Export a vector column to a local .fvecs file (driver-side collect —
+    test/interop helper, not a scale path). Returns row count."""
+    rows = df.select(vec_col).collect()
+    with open(local_path, "wb") as f:
+        for r in rows:
+            v = np.asarray(r[vec_col], dtype=np.float32)
+            f.write(np.uint32(len(v)).tobytes())
+            f.write(v.tobytes())
+    return len(rows)

@@ -1,0 +1,95 @@
+"""Structured Streaming operators.
+
+The reference has NO streaming semantics (SURVEY §2.9 notes this
+explicitly) — its closest analogues are the insert-time index maintenance
+(aminsert, insert.c:51-262) and the NOTIFY-driven job daemon
+(daemon/embedding_jobs.rs). This module re-expresses those as Spark
+Structured Streaming:
+
+- ``windowed_event_counts``: watermarked tumbling-window aggregation over
+  an event stream (the batch twin is __spark_entry__.q_events_tumbling,
+  which IS the correctness oracle — streaming results over a finite input
+  must converge to the batch answer);
+- ``incremental_postings_stream``: the streaming analogue of BM25 insert
+  maintenance — per-micro-batch partial postings are appended, and
+  ``consolidate_postings`` (operators.bm25) merges them, exactly like the
+  reference's consolidate_bm25_table after incremental inserts
+  (bm25_api.sql:108-159).
+
+At scale these run with the same code against Kafka/file sources; tests
+drive them with the file source over the driver's events parquet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def stream_events(spark: SparkSession, path: str, max_files_per_trigger: int = 1) -> DataFrame:
+    """File-source stream over an events parquet directory (ts stored as
+    nanos → converted to a proper timestamp like session.load_tables)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_SCHEMA).option(
+        "maxFilesPerTrigger", max_files_per_trigger
+    )
+    if path.endswith(".parquet"):
+        # file source requires a directory; glob down to the single file
+        base, fname = path.rsplit("/", 1)
+        reader = reader.option("pathGlobFilter", fname)
+        path = base
+    raw = reader.parquet(path)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window counts+sums per event_type. Late rows
+    beyond the watermark are dropped; output schema matches the batch twin
+    q_events_tumbling."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("bucket_start"),
+            "event_type", "n", "sum_value",
+        )
+    )
+
+
+def incremental_postings_stream(
+    docs_stream: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Per-micro-batch partial postings via foreachBatch.
+
+    Returns (writer_fn, state) where writer_fn is meant for
+    ``docs_stream.writeStream.foreachBatch(writer_fn)``: each batch's
+    postings are built with the batch operator and unioned into
+    ``state['postings']``; call ``consolidate()`` for the merged view
+    (consolidate_bm25_table semantics)."""
+    from lanterndb_spark.operators.bm25 import build_postings, consolidate_postings
+
+    state: dict = {"postings": None}
+
+    def write_batch(batch_df: DataFrame, batch_id: int):
+        part = build_postings(batch_df, id_col=id_col, text_col=text_col)
+        prev = state["postings"]
+        state["postings"] = part if prev is None else prev.unionByName(part)
+
+    def consolidate() -> DataFrame:
+        if state["postings"] is None:
+            raise ValueError("no batches processed yet")
+        return consolidate_postings(state["postings"])
+
+    return write_batch, consolidate, state

@@ -1,0 +1,101 @@
+import pytest
+from pyspark.sql import functions as F
+
+from lanterndb_spark.operators.dedup import (
+    duplicate_groups,
+    embedding_near_dup_pairs,
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    simhash_fingerprints,
+    simhash_pairs,
+    word_shingles,
+)
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+            (3, "the quick brown fox jumps over the lazy cat"),   # near dup
+            (4, "completely different content about spark engines"),
+            (5, "spark engines process completely different content"),
+        ],
+        "doc_id int, text string",
+    )
+
+
+def test_exact_dedup(dup_docs):
+    kept = exact_dedup(dup_docs, "text", "doc_id")
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == [1, 3, 4, 5]
+    groups = duplicate_groups(dup_docs, "text", "doc_id").collect()
+    assert len(groups) == 1 and groups[0]["ids"] == [1, 2]
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",), ("",)], "t string")
+    rows = [r["s"] for r in df.select(word_shingles("t", 3).alias("s")).collect()]
+    assert sorted(rows[0]) == ["a b c", "b c d"]
+    assert rows[1] == ["a b"]  # shorter than n -> single joined shingle
+    assert rows[2] == []
+
+
+def test_jaccard_pairs(dup_docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             jaccard_pairs(dup_docs, "doc_id", "text", n=3, threshold=0.3).collect()}
+    assert pairs[(1, 2)] == pytest.approx(1.0)   # identical
+    assert (1, 3) in pairs and pairs[(1, 3)] < 1.0
+    assert (4, 5) not in pairs  # word order differs -> different 3-grams
+
+
+def test_minhash_signature_deterministic(dup_docs):
+    sigs = {r["id"]: r["sig"] for r in minhash_signatures(dup_docs, "doc_id", "text", 16, 3).collect()}
+    assert sigs[1] == sigs[2]           # identical docs, identical signatures
+    assert len(sigs[1]) == 16
+    again = {r["id"]: r["sig"] for r in minhash_signatures(dup_docs, "doc_id", "text", 16, 3).collect()}
+    assert sigs == again
+
+
+def test_minhash_lsh_finds_near_dups(dup_docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in minhash_lsh_pairs(
+        dup_docs, "doc_id", "text", num_hashes=32, bands=16, threshold=0.3).collect()}
+    assert pairs[(1, 2)] == pytest.approx(1.0)
+    assert (1, 3) in pairs
+    # verified jaccard must match the exact computation
+    exact = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             jaccard_pairs(dup_docs, "doc_id", "text", threshold=0.3).collect()}
+    for k, v in pairs.items():
+        assert v == pytest.approx(exact[k])
+
+
+def test_minhash_bands_validation(dup_docs):
+    with pytest.raises(ValueError):
+        minhash_lsh_pairs(dup_docs, "doc_id", "text", num_hashes=10, bands=3)
+
+
+def test_simhash_properties(dup_docs):
+    fps = {r["id"]: r["fp"] for r in simhash_fingerprints(dup_docs, "doc_id", "text").collect()}
+    assert fps[1] == fps[2]
+    assert fps[1] != fps[4]
+    pairs = simhash_pairs(dup_docs, "doc_id", "text", max_hamming=8).collect()
+    found = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert found[(1, 2)] == 0
+    if (1, 3) in found:
+        assert found[(1, 3)] > 0
+
+
+def test_embedding_near_dup(tables):
+    emb = tables["embeddings"].limit(200)
+    brute = embedding_near_dup_pairs(emb, "vec_id", "embedding", max_cos_dist=0.4).collect()
+    assert all(r["id_a"] < r["id_b"] for r in brute)
+    assert all(r["cos_dist"] <= 0.4 for r in brute)
+    # LSH path returns a subset of brute pairs (bucketing only prunes)
+    lsh = embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", max_cos_dist=0.4, method="lsh", n_planes=4
+    ).collect()
+    brute_keys = {(r["id_a"], r["id_b"]) for r in brute}
+    assert {(r["id_a"], r["id_b"]) for r in lsh} <= brute_keys

@@ -1,0 +1,109 @@
+import pytest
+from pyspark.sql import functions as F
+
+from lanterndb_spark.operators.embed import (
+    JobRegistry,
+    embed,
+    get_available_models,
+    get_available_runtimes,
+    quarantine_failed,
+)
+from lanterndb_spark.functions.multimodal import (
+    attach_media_meta,
+    decode_image,
+    image_embedding,
+    sample_frames,
+)
+
+
+def test_registry_discovery():
+    # discovery surface mirroring get_available_models/runtimes (embeddings.rs:201-225)
+    assert "clip/ViT-B-32-visual" in get_available_models()
+    assert set(get_available_runtimes()) >= {"ort", "openai", "cohere", "hash"}
+
+
+def test_hash_embed_deterministic_normalized(spark):
+    df = spark.createDataFrame([("hello",), ("world",), ("hello",)], "t string")
+    rows = embed(df, "t", model="hash/debug-64").collect()
+    by_text = {}
+    for r in rows:
+        v = r["embedding"]
+        assert len(v) == 64
+        assert sum(x * x for x in v) == pytest.approx(1.0, abs=1e-3)
+        by_text.setdefault(r["t"], []).append(v)
+    assert by_text["hello"][0] == by_text["hello"][1]  # deterministic
+    assert by_text["hello"][0] != by_text["world"][0]
+
+
+def test_null_text_quarantined(spark):
+    df = spark.createDataFrame([("ok",), (None,)], "t string")
+    out = embed(df, "t")
+    ok, failed = quarantine_failed(out)
+    assert ok.count() == 1 and failed.count() == 1
+
+
+def test_stubbed_runtime_raises(spark):
+    df = spark.createDataFrame([("x",)], "t string")
+    out = embed(df, "t", model="BAAI/bge-small-en")  # ort runtime stub
+    with pytest.raises(Exception, match="NotImplemented|needs its model"):
+        out.collect()
+
+
+def test_unknown_model_and_runtime(spark):
+    df = spark.createDataFrame([("x",)], "t string")
+    with pytest.raises(ValueError):
+        embed(df, "t", model="nope/nope")
+    with pytest.raises(ValueError):
+        embed(df, "t", runtime="quantum")
+
+
+def test_job_registry_lifecycle(spark):
+    reg = JobRegistry()
+    jid = reg.add_embedding_job("docs", "t", "emb")
+    assert reg.get_status(jid) == "queued"
+    df = spark.createDataFrame([("a",), ("b",)], "t string")
+    out = reg.run(jid, df)
+    assert out.filter(F.col("emb").isNotNull()).count() == 2
+    assert reg.get_status(jid) == "done"
+    jid2 = reg.add_embedding_job("docs", "t", "emb")
+    reg.cancel(jid2)
+    with pytest.raises(ValueError):
+        reg.run(jid2, df)
+
+
+@pytest.fixture()
+def media_df(spark):
+    return spark.createDataFrame(
+        [(1, b"\x01\x02imagebytes" * 10), (2, b"\x09\x08othervid" * 20)],
+        "id int, data binary",
+    )
+
+
+def test_media_meta_schema(media_df):
+    out = attach_media_meta(media_df, "data", kind="image", mime="image/png")
+    row = out.first()
+    assert row["media_meta"]["kind"] == "image"
+    assert row["media_meta"]["width"] is None
+
+
+def test_decode_image_stub_contract(media_df):
+    with pytest.raises(Exception, match="NotImplemented|codec"):
+        decode_image(media_df, "data").collect()
+    out = decode_image(media_df, "data", width=4, height=4, fake=True)
+    rows = out.collect()
+    assert all(len(r["pixels"]) == 4 * 4 * 3 for r in rows)
+    again = decode_image(media_df, "data", width=4, height=4, fake=True).collect()
+    assert [r["pixels"] for r in rows] == [r["pixels"] for r in again]  # deterministic
+
+
+def test_image_embedding_stub(media_df):
+    out = image_embedding(media_df, "data", fake=True)
+    v = out.first()["embedding"]
+    assert len(v) == 512
+    assert sum(x * x for x in v) == pytest.approx(1.0, abs=1e-3)
+
+
+def test_sample_frames_stub(media_df):
+    out = sample_frames(media_df, "data", max_frames=4, fake=True)
+    for r in out.collect():
+        assert 1 <= len(r["frames"]) <= 4
