@@ -32,6 +32,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from lanterndb_spark.functions.text import STOPWORDS, tokenize, tokenize_py
+from lanterndb_spark.plans.shape import explode_nonempty, widen_partitions
 
 K1 = 1.2
 B = 0.75
@@ -51,11 +52,20 @@ def build_postings(
     arrays aligned and sorted by doc_id (invariant: bm25_agg.rs:713-719).
     Pass ``terms_col`` to index a pre-tokenized array column instead.
     """
-    terms = F.col(terms_col) if terms_col else tokenize(text_col, stopwords=stopwords, stem=stem)
-    exploded = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(terms).alias("doc_len"),
-        F.explode(terms).alias("term"),
+    # project terms ONCE on a widened skinny projection, then size+explode
+    # reference the projected column — otherwise tokenize runs twice per row
+    # and InferFiltersFromGenerate pushes a third copy into the scan
+    # (lanterndb_spark/plans/shape.py for both pathologies)
+    src = F.col(terms_col) if terms_col else F.col(text_col)
+    base = widen_partitions(docs.select(F.col(id_col).alias("doc_id"), src.alias("_src")))
+    terms = (
+        F.col("_src") if terms_col
+        else tokenize("_src", stopwords=stopwords, stem=stem)
+    )
+    wt = base.select("doc_id", terms.alias("_t"))
+    exploded = explode_nonempty(
+        wt.select("doc_id", F.size("_t").alias("doc_len"), F.col("_t")),
+        "_t", "term", "doc_id", "doc_len",
     )
     per_doc_term = exploded.groupBy("doc_id", "term").agg(
         F.count("*").cast("int").alias("fq"),

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from lanterndb_spark.functions.distance import cos_dist
 from lanterndb_spark.functions.text import tokenize
+from lanterndb_spark.plans.shape import explode_nonempty, widen_partitions
 
 
 # ------------------------------------------------------------ exact
@@ -82,9 +83,11 @@ def _grams_over(tk, n: int) -> Column:
 def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """(id, sh array<string>): tokenize projected first, then n-grams over
     the column reference — the fast two-step plan every operator here uses."""
-    return df.select(
-        F.col(id_col).alias("id"), tokenize(text_col, stopwords=None).alias("tk")
-    ).select("id", _grams_over(F.col("tk"), n).alias("sh"))
+    return (
+        widen_partitions(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt")))
+        .select("id", tokenize("_txt", stopwords=None).alias("tk"))
+        .select("id", _grams_over(F.col("tk"), n).alias("sh"))
+    )
 
 
 def word_shingles(col, n: int = 3) -> Column:
@@ -115,12 +118,12 @@ def jaccard_pairs(
     # cluster scale this materialization is the classic "write the shingle
     # table once, join against it" pattern.
     sh = (
-        df.select(F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh"))
+        shingle_table(df, id_col, text_col, n)
         .withColumn("sz", F.size("sh"))
         .persist()
     )
     sizes = sh.select("id", "sz")
-    ex = sh.select("id", F.explode("sh").alias("g"))
+    ex = explode_nonempty(sh, "sh", "g", "id")
     a, b = ex.alias("a"), ex.alias("b")
     common = (
         a.join(b, on="g")
@@ -155,9 +158,7 @@ def _minhash_wide(
     explode + ``min(hash(g, seed))`` aggregates are fully codegen'd AND
     get map-side partial aggregation (min is associative), so the shuffle
     carries one row per (doc, 64 ints) — the standard distributed MinHash."""
-    ex = df.select(
-        F.col(id_col).alias("id"), F.explode(word_shingles(text_col, n)).alias("g")
-    )
+    ex = explode_nonempty(shingle_table(df, id_col, text_col, n), "sh", "g", "id")
     # Kirsch-Mitzenmacher double hashing: h_i(g) = h1(g) + i*h2(g) gives an
     # adequate minhash family from TWO murmur evaluations per shingle —
     # keeps the generated aggregate code small (64 ints of arithmetic
@@ -234,9 +235,7 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return cand
-    sh = df.select(
-        F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh")
-    ).persist()
+    sh = shingle_table(df, id_col, text_col, n).persist()
     out = (
         cand.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
         .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
@@ -262,9 +261,11 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str, bits: int = 
     tokens are codegen'd + map-side combined; the equivalent
     ``aggregate(transform(...))`` higher-order fold is interpreted and was
     ~10x slower. Token-less docs drop out."""
-    ex = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(tokenize(text_col, stopwords=None)).alias("t"),
+    ex = explode_nonempty(
+        widen_partitions(
+            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt"))
+        ).select("id", tokenize("_txt", stopwords=None).alias("tk")),
+        "tk", "t", "id",
     )
     h64 = (
         F.hash("t", F.lit(0)).cast("bigint").bitwiseAND(F.lit(0xFFFFFFFF))

@@ -1,0 +1,51 @@
+"""Plan-shape utilities: helpers that exist purely to make Catalyst emit
+the physical plan we want for expression-heavy pipelines.
+
+Two measured pathologies these fix (numbers from sf0.1 documents, local[32]):
+
+1. ``F.explode(expensive_expr)`` — Catalyst's InferFiltersFromGenerate
+   rule synthesizes ``size(expensive_expr) > 0`` and pushes it through
+   every project down to the scan, with the full expression tree inlined.
+   For a shingle expression whose elements access a projected token
+   array, the inlined copy re-evaluates tokenization per element access
+   (O(len²)) on the scan's partitioning (often 1 row-group = 1 task).
+   Measured: 13s → 0.4s for a 260k-shingle explode after switching to
+   ``explode_outer`` (exempt from the rule) + a post-filter on the
+   generator output, which cannot be pushed below the Generate.
+
+2. Heavy per-row expressions run map-side BEFORE any shuffle, i.e. in
+   the *input's* partitioning. A single-row-group parquet file or a
+   1-partition cached table serializes the whole corpus onto one core
+   no matter how wide the cluster is. ``widen_partitions`` repartitions
+   up to ``defaultParallelism`` only when the input has fewer
+   partitions — at 100 TB inputs carry thousands of partitions and this
+   is a no-op (no extra shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def widen_partitions(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Round-robin repartition up to the cluster parallelism, only when
+    the plan's current partitioning is narrower. Call this on a skinny
+    projection (id + raw text) BEFORE computing heavy expressions so the
+    shuffle moves raw bytes, not computed arrays."""
+    sc = df.sparkSession.sparkContext
+    target = target or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def explode_nonempty(df: DataFrame, arr, alias: str, *keep) -> DataFrame:
+    """``select(*keep, explode(arr))`` without InferFiltersFromGenerate's
+    pushed-down ``size(arr) > 0`` filter (pathology 1 above): explode_outer
+    is exempt from the rule, and the null rows it adds for empty arrays are
+    dropped by a filter on the generator OUTPUT, which stays above the
+    Generate node. Semantically identical to inner explode."""
+    arr = F.col(arr) if isinstance(arr, str) else arr
+    out = df.select(*keep, F.explode_outer(arr).alias(alias))
+    return out.filter(F.col(alias).isNotNull())
