@@ -34,7 +34,7 @@ from lanterndb_spark.functions.text import (
 )
 from lanterndb_spark.operators.bm25 import build_postings, search_bm25
 from lanterndb_spark.operators.hybrid import weighted_vector_search
-from lanterndb_spark.operators.knn import knn
+from lanterndb_spark.operators.knn import knn, knn_join
 from lanterndb_spark.oracle import (
     ROUND,
     duck_cos,
@@ -95,6 +95,19 @@ def q_knn_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = F.broadcast(emb.filter(F.col("vec_id") == 3).select(F.col("iv").alias("qv")))
     out = knn(emb.crossJoin(q), "iv", F.col("qv"), k=10, metric="hamming", id_col="vec_id")
     return out.select("vec_id", "label", F.col("dist").cast("int").alias("dist"))
+
+
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # lateral-join shape (test/sql/hnsw_select.sql:66-67): top-5 neighbors
+    # for each of 5 query rows, one distributed job (WindowGroupLimit plan)
+    emb = _emb(spark, sf_dir)
+    qdf = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    out = knn_join(emb, "embedding", qdf, "qv", k=5, metric="l2sq", id_col="vec_id")
+    return out.select(
+        "q_id", "vec_id", "label", F.round("dist", ROUND).alias("dist")
+    )
 
 
 def _hybrid_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -521,6 +534,16 @@ def oracle_sql() -> dict[str, str]:
         "knn_cos": _knn_oracle(7, duck_cos),
         "knn_filtered": _knn_oracle(0, duck_l2sq, where="WHERE label = 3"),
         "knn_hamming": hamming,
+        "knn_join": f"""
+            SELECT q_id, vec_id, label, round(d, {ROUND}) AS dist FROM (
+              SELECT q.vec_id AS q_id, t.vec_id, t.label, t.d
+              FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q,
+              LATERAL (
+                SELECT vec_id, label, {duck_l2sq('embedding', 'q.embedding')} AS d
+                FROM embeddings ORDER BY d, vec_id LIMIT 5
+              ) t
+            ) z
+        """,
         "hybrid_exact": hybrid_exact,
         "hybrid_candidate": hybrid_candidate,
         "bm25_topk": _bm25_oracle(),
@@ -566,6 +589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cos": q_knn_cos,
         "knn_filtered": q_knn_filtered,
         "knn_hamming": q_knn_hamming,
+        "knn_join": q_knn_join,
         "hybrid_exact": q_hybrid_exact,
         "hybrid_candidate": q_hybrid_candidate,
         "bm25_topk": q_bm25_topk,

@@ -48,7 +48,7 @@ def main():
     from lanterndb_spark.operators.bm25 import build_postings, corpus_stats, search_bm25
     from lanterndb_spark.operators.dedup import minhash_lsh_pairs
     from lanterndb_spark.operators.hybrid import weighted_vector_search
-    from lanterndb_spark.operators.ivf import build_ivf, ivf_search
+    from lanterndb_spark.operators.ivf import build_ivf, ivf_search_batch
     from lanterndb_spark.operators.knn import knn
     from lanterndb_spark.operators.pq import quantize, train_codebook
     from lanterndb_spark.operators.autotune import recall_at_k, sample_queries
@@ -100,8 +100,9 @@ def main():
         idx = build_ivf(emb, "embedding", nlist=16, seed=42)
         idx.assigned.cache().count()
         ivf_state["idx"] = idx
-        for q in sample_queries(emb, "embedding", n=10, seed=7):
-            ivf_search(idx, q, k=10, nprobe=10, id_col="vec_id").collect()
+        qs = sample_queries(emb, "embedding", n=10, seed=7)
+        ivf_state["qs"] = qs
+        ivf_search_batch(idx, qs, k=10, nprobe=10, id_col="vec_id").collect()
 
     queries["q_ivf"] = timed(ivf_job)
 
@@ -121,13 +122,15 @@ def main():
         .collect()
     )
 
-    # quality metric: IVF recall@10 vs exact on 10 sampled queries
-    idx = ivf_state["idx"]
-    recs = []
-    for q in sample_queries(emb, "embedding", n=10, seed=7):
-        exact = [r["vec_id"] for r in knn(emb, "embedding", q, k=10, id_col="vec_id").collect()]
-        got = [r["vec_id"] for r in ivf_search(idx, q, k=10, nprobe=10, id_col="vec_id").collect()]
-        recs.append(recall_at_k(got, exact))
+    # quality metric: IVF recall@10 vs exact on 10 sampled queries (batch)
+    from lanterndb_spark.operators.autotune import _collect_by_query, exact_topk_batch
+
+    idx, qs = ivf_state["idx"], ivf_state["qs"]
+    truth = exact_topk_batch(emb, "embedding", qs, k=10, id_col="vec_id")
+    got = _collect_by_query(
+        ivf_search_batch(idx, qs, k=10, nprobe=10, id_col="vec_id"), "vec_id"
+    )
+    recs = [recall_at_k(got.get(i, []), truth.get(i, [])) for i in range(len(qs))]
     recall = round(sum(recs) / len(recs), 4)
 
     total = round(sum(queries.values()), 3)

@@ -20,8 +20,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from lanterndb_spark.operators.ivf import build_ivf, ivf_search
-from lanterndb_spark.operators.knn import knn
+from lanterndb_spark.operators.ivf import build_ivf, ivf_search_batch
+from lanterndb_spark.operators.knn import knn_join
 
 
 def recall_at_k(ann_ids: list, exact_ids: list) -> float:
@@ -38,6 +38,27 @@ def sample_queries(
     """ORDER BY RANDOM() LIMIT n sampling (index_autotune/mod.rs:201)."""
     rows = df.select(vec_col).orderBy(F.rand(seed)).limit(n).collect()
     return [[float(x) for x in r[vec_col]] for r in rows]
+
+
+def _collect_by_query(res: DataFrame, id_col: str) -> dict[int, list]:
+    """{q_id: [ids ordered by dist]} from a batch top-k result."""
+    out: dict[int, list] = {}
+    for r in res.select("q_id", id_col, "dist").orderBy("q_id", "dist", id_col).collect():
+        out.setdefault(r["q_id"], []).append(r[id_col])
+    return out
+
+
+def exact_topk_batch(
+    df: DataFrame, vec_col: str, queries: list[list[float]], k: int, id_col: str
+) -> dict[int, list]:
+    """Ground truth for a whole query batch in one job (the driver-loop
+    of calculate_ground_truth :188-218 recast as a knn_join)."""
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(
+        [(i, q) for i, q in enumerate(queries)], "q_id int, __q array<double>"
+    )
+    res = knn_join(df, vec_col, qdf, "__q", k=k, id_col=id_col)
+    return _collect_by_query(res, id_col)
 
 
 @dataclass
@@ -64,10 +85,7 @@ def autotune_ivf(
     Best = highest recall ≥ target with lowest latency, else None —
     find_best_variant semantics (index_autotune/mod.rs:161-186)."""
     queries = sample_queries(df, vec_col, n=n_queries, seed=seed)
-    truth = [
-        [r[id_col] for r in knn(df, vec_col, q, k=k, id_col=id_col).collect()]
-        for q in queries
-    ]
+    truth = exact_topk_batch(df, vec_col, queries, k=k, id_col=id_col)
     results: list[TuneResult] = []
     for nlist in nlist_grid:
         t0 = time.monotonic()
@@ -78,13 +96,14 @@ def autotune_ivf(
             if nprobe > nlist:
                 continue
             t1 = time.monotonic()
-            recs = []
-            for q, t in zip(queries, truth):
-                got = [
-                    r[id_col]
-                    for r in ivf_search(index, q, k=k, nprobe=nprobe, id_col=id_col).collect()
-                ]
-                recs.append(recall_at_k(got, t))
+            got = _collect_by_query(
+                ivf_search_batch(index, queries, k=k, nprobe=nprobe, id_col=id_col),
+                id_col,
+            )
+            recs = [
+                recall_at_k(got.get(qi, []), truth.get(qi, []))
+                for qi in range(len(queries))
+            ]
             latency = (time.monotonic() - t1) / len(queries)
             results.append(
                 TuneResult(
@@ -112,9 +131,9 @@ def validate_ann(
     """Mean recall@k of an arbitrary ANN search callable vs exact truth.
     ``search_fn(query_vec, k) -> DataFrame`` with id_col."""
     queries = sample_queries(df, vec_col, n=n_queries, seed=seed)
+    truth = exact_topk_batch(df, vec_col, queries, k=k, id_col=id_col)
     total = 0.0
-    for q in queries:
-        exact = [r[id_col] for r in knn(df, vec_col, q, k=k, id_col=id_col).collect()]
+    for qi, q in enumerate(queries):
         got = [r[id_col] for r in search_fn(q, k).collect()]
-        total += recall_at_k(got, exact)
+        total += recall_at_k(got, truth.get(qi, []))
     return total / len(queries)

@@ -50,3 +50,44 @@ def knn(
     if id_col:
         order.append(F.col(id_col).asc())
     return out.orderBy(*order).limit(k)
+
+
+def knn_join(
+    data: DataFrame,
+    vec_col: str,
+    queries: DataFrame,
+    q_vec_col: str,
+    k: int = 10,
+    metric: str = "l2sq",
+    id_col: str | None = None,
+    q_id_col: str = "q_id",
+    dist_col: str = "dist",
+) -> DataFrame:
+    """Top-k neighbors in ``data`` for EVERY row of ``queries`` — the
+    reference's lateral-join query shape (test/sql/hnsw_select.sql:66-67:
+    ``FROM queries, LATERAL (SELECT … ORDER BY v <-> q.v LIMIT k)``) as one
+    distributed job instead of a per-query driver loop.
+
+    Plan: broadcast the (small) query set → each data partition scores all
+    queries map-side → ``row_number() OVER (PARTITION BY q_id ORDER BY
+    dist)`` ≤ k. Spark ≥3.5 rewrites the rank filter into a
+    WindowGroupLimit that prunes to a per-partition top-k heap BEFORE the
+    shuffle, so the exchange carries ≤ k·partitions rows per query — the
+    same partial-top-k + merge shape as single-query knn. Scales to any
+    data size; query side should stay broadcast-small (≤ ~100k rows).
+    """
+    from pyspark.sql import Window
+
+    pairs = data.join(
+        F.broadcast(queries.select(F.col(q_id_col), F.col(q_vec_col).alias("__qv")))
+    )
+    pairs = pairs.withColumn(dist_col, distance(metric, vec_col, F.col("__qv")))
+    order = [F.col(dist_col).asc()]
+    if id_col:
+        order.append(F.col(id_col).asc())
+    w = Window.partitionBy(q_id_col).orderBy(*order)
+    return (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__qv", "__rn")
+    )

@@ -54,8 +54,10 @@ def _kmeans_numpy(x: np.ndarray, k: int, seed: int, max_iters: int = 25) -> np.n
     rng = np.random.default_rng(seed)
     k = min(k, len(x))
     centers = x[rng.choice(len(x), size=k, replace=False)].astype(np.float64)
+    x_sq = (x**2).sum(axis=1)[:, None]
     for _ in range(max_iters):
-        d = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        # |a-b|^2 = |a|^2 - 2ab + |b|^2: O(n*k*dim) matmul, no 3-D tensor
+        d = x_sq - 2.0 * x @ centers.T + (centers**2).sum(axis=1)[None, :]
         assign = d.argmin(axis=1)
         new_centers = centers.copy()
         for c in range(k):

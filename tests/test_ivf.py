@@ -74,3 +74,16 @@ def test_autotune_grid(emb):
         if r.params["nprobe"] == r.params["nlist"]:
             assert r.recall == pytest.approx(1.0)
     assert best is not None and best.recall >= 0.5
+
+
+def test_batch_search_matches_loop(emb, index):
+    from lanterndb_spark.operators.ivf import ivf_search_batch
+
+    qs = [qvec(emb, i) for i in (3, 11, 17)]
+    batch = ivf_search_batch(index, qs, k=5, nprobe=4, id_col="vec_id").collect()
+    by_q = {}
+    for r in sorted(batch, key=lambda r: (r["q_id"], r["dist"], r["vec_id"])):
+        by_q.setdefault(r["q_id"], []).append(r["vec_id"])
+    for qi, q in enumerate(qs):
+        loop = [r["vec_id"] for r in ivf_search(index, q, k=5, nprobe=4, id_col="vec_id").collect()]
+        assert by_q[qi] == loop

@@ -38,3 +38,33 @@ def test_knn_cosine_on_embeddings(tables):
     assert rows[0]["vec_id"] == 0
     assert rows[0]["dist"] == pytest.approx(0.0, abs=1e-6)
     assert rows[0]["dist"] <= rows[1]["dist"] <= rows[2]["dist"]
+
+
+def test_knn_join_matches_per_query_knn(tables, spark):
+    from lanterndb_spark.operators.knn import knn_join
+
+    emb = tables["embeddings"]
+    qdf = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    res = knn_join(emb, "embedding", qdf, "qv", k=5, id_col="vec_id").collect()
+    by_q = {}
+    for r in sorted(res, key=lambda r: (r["q_id"], r["dist"], r["vec_id"])):
+        by_q.setdefault(r["q_id"], []).append(r["vec_id"])
+    assert set(by_q) == {0, 1, 2}
+    for qid, ids in by_q.items():
+        q = [float(x) for x in emb.filter(F.col("vec_id") == qid).first()["embedding"]]
+        exact = [r["vec_id"] for r in knn(emb, "embedding", q, k=5, id_col="vec_id").collect()]
+        assert ids == exact
+
+
+def test_knn_join_plan_has_window_group_limit(tables):
+    from lanterndb_spark.operators.knn import knn_join
+
+    emb = tables["embeddings"]
+    qdf = emb.limit(2).select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"))
+    plan = (
+        knn_join(emb, "embedding", qdf, "qv", k=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan  # map-side top-k prune before shuffle
