@@ -180,6 +180,70 @@ def q_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sq8_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # scalar quantization (quant_bits=8 analogue): knn over int8 codes
+    from lanterndb_spark.operators.sq import sq8_l2sq, sq8_quantize
+
+    emb = sq8_quantize(_emb(spark, sf_dir), "embedding")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(
+            F.col("embedding_sq8").alias("qc"), F.col("embedding_sq8_scale").alias("qs")
+        )
+    )
+    out = (
+        emb.crossJoin(q)
+        .withColumn("dist", sq8_l2sq("embedding_sq8", "embedding_sq8_scale", "qc", "qs"))
+        .orderBy(F.col("dist").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+    return _round_out(out, ["vec_id", "label"], "dist")
+
+
+def q_srp_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SRP-LSH ANN backend (rows-only: hyperplanes are seeded numpy draws)
+    from lanterndb_spark.operators.lsh import build_srp, srp_search
+
+    emb = _emb(spark, sf_dir)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    idx = build_srp(emb, "embedding", nbits=128, seed=42)
+    out = srp_search(idx, qv, k=10, oversample=20, metric="cos", id_col="vec_id")
+    return _round_out(out.drop(*idx.sig_cols), ["vec_id", "label"], "dist")
+
+
+def q_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ad-hoc document scoring against corpus stats (bm25_agg.rs:61-122)
+    from lanterndb_spark.operators.bm25 import bm25_score, corpus_stats
+
+    docs = _docs(spark, sf_dir)
+    postings = build_postings(docs)
+    stats = corpus_stats(docs)
+    s = bm25_score(postings, stats, AD_HOC_DOC, BM25_QUERY)
+    return spark.createDataFrame([(round(s, ROUND),)], "bm25 double")
+
+
+def q_bloom_hot_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # posting blooms for hot terms (rows-only: bitmap = Spark-side hashes)
+    from lanterndb_spark.functions.bloom import add_posting_blooms, might_contain
+
+    docs = _docs(spark, sf_dir)
+    postings = build_postings(docs)
+    hot = add_posting_blooms(postings, threshold=50).filter(
+        F.col("doc_ids_bloom").isNotNull()
+    )
+    # verify the no-false-negative invariant inside the query itself
+    return hot.select(
+        "term",
+        "doc_ids_len",
+        F.forall(
+            F.transform("doc_ids", lambda d: might_contain("doc_ids_bloom", d)),
+            lambda x: x,
+        ).alias("all_members_hit"),
+    ).orderBy("term")
+
+
+AD_HOC_DOC = "spark merge window spark shuffle"
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_tables(spark, sf_dir, ["documents"])["documents"]
 
@@ -478,6 +542,57 @@ def _jaccard_oracle() -> str:
     """
 
 
+def _sq8_oracle() -> str:
+    return f"""
+    WITH sc AS (
+      SELECT vec_id, label,
+        greatest(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 1e-30) / 127.0 AS s,
+        embedding
+      FROM embeddings
+    ),
+    codes AS (
+      SELECT vec_id, label, s,
+        list_transform(embedding, x -> round(CAST(x AS DOUBLE) / s)) AS c
+      FROM sc
+    ),
+    q AS (SELECT s AS qs, c AS qc FROM codes WHERE vec_id = 0)
+    SELECT vec_id, label, round(d, {ROUND}) AS dist FROM (
+      SELECT vec_id, label,
+        list_sum(list_transform(list_zip(c, qc), z ->
+          (CAST(z[1] AS DOUBLE) * s - CAST(z[2] AS DOUBLE) * qs) ** 2)) AS d
+      FROM codes CROSS JOIN q
+      ORDER BY d, vec_id LIMIT 10
+    ) t
+    """
+
+
+def _bm25_score_oracle() -> str:
+    from lanterndb_spark.functions.text import tokenize_py
+    from lanterndb_spark.operators.bm25 import B, K1
+
+    q_terms = sorted(set(tokenize_py(BM25_QUERY)))
+    d_terms = tokenize_py(AD_HOC_DOC)
+    dl = len(d_terms)
+    fq = {t: d_terms.count(t) for t in q_terms if t in d_terms}
+    vals = ", ".join(f"('{t}', {n})" for t, n in sorted(fq.items()))
+    toks = duck_tokens("text", STOPWORDS)
+    k1p1, k1, one_b, b = repr(K1 + 1.0), repr(K1), repr(1.0 - B), repr(B)
+    return f"""
+    WITH toks AS (SELECT doc_id, {toks} AS terms FROM documents),
+    st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(CAST(len(terms) AS DOUBLE)) AS avgdl FROM toks),
+    ex AS (SELECT doc_id, unnest(terms) AS term FROM toks),
+    dt AS (SELECT doc_id, term FROM ex GROUP BY doc_id, term),
+    tf AS (SELECT term, CAST(count(*) AS INT) AS tfreq FROM dt GROUP BY term),
+    qd(term, fq) AS (VALUES {vals})
+    SELECT round(sum(
+      ln((st.n - coalesce(tf.tfreq, 0) + 0.5) / (coalesce(tf.tfreq, 0) + 0.5) + 1.0)
+      * (CAST(qd.fq AS DOUBLE) * {k1p1})
+      / (CAST(qd.fq AS DOUBLE) + {k1} * ({one_b} + {b} * {float(dl)} / st.avgdl))
+    ), {ROUND}) AS bm25
+    FROM qd LEFT JOIN tf USING (term) CROSS JOIN st
+    """
+
+
 def _tpch_q1_oracle() -> str:
     return f"""
     SELECT l_returnflag, l_linestatus,
@@ -548,6 +663,8 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_candidate": hybrid_candidate,
         "bm25_topk": _bm25_oracle(),
         "bm25_postings": _postings_oracle(),
+        "bm25_score": _bm25_score_oracle(),
+        "sq8_knn": _sq8_oracle(),
         "text_metrics": _text_metrics_oracle(),
         "dedup_exact": """
             SELECT d.doc_id, d.lang, d.source
@@ -594,6 +711,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_candidate": q_hybrid_candidate,
         "bm25_topk": q_bm25_topk,
         "bm25_postings": q_bm25_postings,
+        "bm25_score": q_bm25_score,
+        "sq8_knn": q_sq8_knn,
+        "srp_knn": q_srp_knn,
+        "bloom_hot_terms": q_bloom_hot_terms,
         "text_metrics": q_text_metrics,
         "ivf_knn": q_ivf_knn,
         "pq_adc_knn": q_pq_adc_knn,

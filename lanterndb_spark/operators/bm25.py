@@ -174,6 +174,51 @@ def search_bm25(
     return out
 
 
+def bm25_score(
+    postings: DataFrame,
+    stats: tuple[int, float],
+    document: str,
+    query: str,
+    k1: float = K1,
+    b: float = B,
+    stem: bool = False,
+    stopwords: list[str] | None = STOPWORDS,
+) -> float:
+    """Score an AD-HOC document (not necessarily in the corpus) against the
+    corpus statistics — ``bm25_score(table, document, query)``
+    (lantern_extras/src/bm25_agg.rs:61-122): term frequencies come from the
+    document itself, idf from the corpus postings, doc_len from the
+    document, avgdl from the corpus.
+
+    Driver-side by design: one document, |query| postings-row lookups.
+    """
+    n, avgdl = stats
+    q_terms = sorted(set(tokenize_py(query, stopwords=stopwords, stem=stem)))
+    if not q_terms:
+        return 0.0
+    d_terms = tokenize_py(document, stopwords=stopwords, stem=stem)
+    dl = len(d_terms)
+    if dl == 0:
+        return 0.0
+    fq = {t: d_terms.count(t) for t in q_terms if t in d_terms}
+    if not fq:
+        return 0.0
+    tf_rows = (
+        postings.filter(F.col("term").isin(list(fq)))
+        .select("term", "term_freq")
+        .collect()
+    )
+    tfreq = {r["term"]: r["term_freq"] for r in tf_rows}
+    import math
+
+    score = 0.0
+    for t, f in fq.items():
+        tf = tfreq.get(t, 0)
+        idf = math.log((n - tf + 0.5) / (tf + 0.5) + 1.0)
+        score += idf * (f * (k1 + 1.0)) / (f + k1 * (1.0 - b + b * dl / avgdl))
+    return score
+
+
 def consolidate_postings(postings: DataFrame) -> DataFrame:
     """Re-merge duplicate term rows after incremental appends
     (consolidate_bm25_table analogue, bm25_api.sql:108-159). In Spark this
