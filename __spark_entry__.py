@@ -391,6 +391,21 @@ def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # gap-based sessionization (batch twin of streaming.sessions)
+    from lanterndb_spark.streaming.sessions import sessionize_batch
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    sess = sessionize_batch(ev, gap="30 minutes")
+    return sess.select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        "n_events",
+        F.round("sum_value", ROUND).alias("sum_value"),
+    )
+
+
 # ------------------------------------------------------------- oracle SQL
 
 _Q0 = "(SELECT embedding FROM embeddings WHERE vec_id = 0)"
@@ -697,6 +712,25 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*) AS n, round(sum(value), {ROUND}) AS sum_value
             FROM events GROUP BY 1, 2
         """,
+        "sessionize": f"""
+            WITH e AS (SELECT user_id, value, epoch_us(ts) AS tus FROM events),
+            f AS (
+              SELECT *, CASE WHEN (tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus))
+                                  / 1000000.0 > 1800.0 THEN 1 ELSE 0 END AS nw
+              FROM e
+            ),
+            g AS (
+              SELECT *, sum(nw) OVER (PARTITION BY user_id ORDER BY tus
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+              FROM f
+            )
+            SELECT user_id,
+                   min(tus) AS session_start_us,
+                   max(tus) AS session_end_us,
+                   count(*) AS n_events,
+                   round(sum(value), {ROUND}) AS sum_value
+            FROM g GROUP BY user_id, sid
+        """,
     }
 
 
@@ -729,6 +763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "window_rownum": q_window_rownum,
         "events_tumbling": q_events_tumbling,
+        "sessionize": q_sessionize,
     }
 
 
