@@ -391,6 +391,32 @@ def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q3 shape: selective dims broadcast into the lineitem fact scan
+    t = load_tables(spark, sf_dir, ["customer", "orders", "lineitem"])
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    orders = t["orders"].filter(F.col("o_orderdate") < "1995-03-15").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    li = t["lineitem"].filter(F.col("l_shipdate") > "1995-03-15").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    out = (
+        li.join(F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+                li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+    return out.select(
+        "l_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        "o_orderpriority",
+        F.round("revenue", ROUND).alias("revenue"),
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # gap-based sessionization (batch twin of streaming.sessions)
     from lanterndb_spark.streaming.sessions import sessionize_batch
@@ -712,6 +738,24 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*) AS n, round(sum(value), {ROUND}) AS sum_value
             FROM events GROUP BY 1, 2
         """,
+        "tpch_q3": f"""
+            SELECT l_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   o_orderpriority,
+                   round(rev, {ROUND}) AS revenue
+            FROM (
+              SELECT l_orderkey, o_orderdate, o_orderpriority,
+                     sum(l_extendedprice * (1 - l_discount)) AS rev
+              FROM customer
+              JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+              WHERE c_mktsegment = 'BUILDING'
+                AND o_orderdate < TIMESTAMP '1995-03-15'
+                AND l_shipdate > TIMESTAMP '1995-03-15'
+              GROUP BY l_orderkey, o_orderdate, o_orderpriority
+              ORDER BY rev DESC, l_orderkey LIMIT 10
+            ) t
+        """,
         "sessionize": f"""
             WITH e AS (SELECT user_id, value, epoch_us(ts) AS tus FROM events),
             f AS (
@@ -764,6 +808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_rownum": q_window_rownum,
         "events_tumbling": q_events_tumbling,
         "sessionize": q_sessionize,
+        "tpch_q3": q_tpch_q3,
     }
 
 

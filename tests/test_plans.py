@@ -1,0 +1,115 @@
+"""Physical-plan assertions — the 100 TB posture checks.
+
+Each test pins a plan property that makes the operator scale: filter and
+projection pushdown to the parquet scan, partition pruning on the IVF
+layout, map-side top-k (TakeOrderedAndProject / WindowGroupLimit), and
+broadcast of the small side. A correctness-green operator that loses one
+of these properties regresses 100× at scale without failing any value
+test — so the plan itself is under test.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lanterndb_spark.operators.knn import knn, knn_join
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb_parquet(spark):
+    # read straight from parquet (NOT cached) so scan-level pushdown shows
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_knn_is_take_ordered_with_column_pruning(emb_parquet):
+    out = knn(emb_parquet, "embedding", [0.0] * 16, k=5, id_col="vec_id").select(
+        "vec_id", "dist"
+    )
+    plan = _plan(out)
+    assert "TakeOrderedAndProject" in plan  # partition-local top-k + k-merge
+    # label not needed → pruned from the parquet ReadSchema
+    scan = plan[plan.index("FileScan") :]
+    assert "label" not in scan.split("ReadSchema")[1][:200]
+
+
+def test_filter_pushdown_reaches_scan(emb_parquet):
+    out = knn(
+        emb_parquet, "embedding", [0.0] * 16, k=5,
+        pred=F.col("label") == 3, id_col="vec_id",
+    )
+    plan = _plan(out)
+    assert "PushedFilters: [" in plan
+    assert "EqualTo(label,3)" in plan
+
+
+def test_knn_join_broadcasts_queries_and_group_limits(emb_parquet, spark):
+    qdf = spark.createDataFrame(
+        [(0, [0.0] * 16), (1, [1.0] * 16)], "q_id int, qv array<double>"
+    )
+    plan = _plan(knn_join(emb_parquet, "embedding", qdf, "qv", k=3))
+    assert "WindowGroupLimit" in plan  # map-side per-query top-k heap
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_ivf_saved_layout_prunes_partitions(emb_parquet, spark, tmp_path):
+    from lanterndb_spark.operators.ivf import build_ivf, ivf_search, load_ivf, save_ivf
+
+    idx = build_ivf(emb_parquet, "embedding", nlist=4, seed=42)
+    save_ivf(idx, str(tmp_path / "ivf"))
+    loaded = load_ivf(spark, str(tmp_path / "ivf"), "embedding")
+    q = [float(x) for x in emb_parquet.first()["embedding"]]
+    out = ivf_search(loaded, q, k=3, nprobe=1, id_col="vec_id")
+    plan = _plan(out)
+    # cluster_id isin [...] must hit the partitioned layout as a
+    # partition filter, not a post-scan filter
+    scan = plan[plan.index("FileScan") :]
+    assert "PartitionFilters" in scan
+    assert "cluster_id" in scan.split("PartitionFilters")[1][:200]
+
+
+def test_bm25_search_prunes_postings_scan(spark, tmp_path, tables):
+    from lanterndb_spark.operators.bm25 import build_postings, corpus_stats, search_bm25
+
+    docs = tables["documents"]
+    postings_path = str(tmp_path / "postings")
+    build_postings(docs).write.parquet(postings_path)
+    postings = spark.read.parquet(postings_path)
+    stats = corpus_stats(docs)
+    out = search_bm25(
+        docs, "spark window merge", limit=5, postings=postings, stats=stats
+    )
+    plan = _plan(out)
+    assert "PushedFilters: [In(term" in plan  # only query-term rows are read
+
+
+def test_hybrid_candidate_avoids_full_sort(tables):
+    from lanterndb_spark.operators.hybrid import weighted_vector_search
+
+    emb = tables["embeddings"]
+    df = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("v1"),
+        F.reverse("embedding").alias("v2"),
+    )
+    q = [0.0] * 16
+    out = weighted_vector_search(
+        df, [(1.0, "v1", q), (0.5, "v2", list(reversed(q)))], ef=20, limit=5
+    )
+    plan = _plan(out)
+    # candidate mode: per-column top-ef are TakeOrdered, never a global Sort
+    assert plan.count("TakeOrderedAndProject") >= 2
+
+
+def test_exact_dedup_single_shuffle(tables):
+    from lanterndb_spark.operators.dedup import exact_dedup
+
+    docs = tables["documents"]
+    plan = _plan(exact_dedup(docs, ["text"], "doc_id"))
+    # groupBy + self-join on (text, doc_id): AQE may leave 2 exchanges
+    # pre-join, but there must be no third shuffle after the join
+    assert plan.count("Exchange hashpartitioning") <= 4
