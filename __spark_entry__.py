@@ -391,6 +391,30 @@ def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_autotune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # parameter grid search with recall/latency measurement
+    # (index_autotune/mod.rs pattern); rows-only: latency is a measurement
+    from lanterndb_spark.operators.autotune import autotune_ivf
+
+    emb = _emb(spark, sf_dir)
+    best, results = autotune_ivf(
+        emb, "embedding", "vec_id", k=10,
+        nlist_grid=(4, 8), nprobe_grid=(1, 4), n_queries=5, target_recall=0.5,
+    )
+    rows = [
+        (
+            r.params["nlist"], r.params["nprobe"], float(r.recall),
+            float(r.latency_s), float(r.build_s),
+            best is not None and r.params == best.params,
+        )
+        for r in results
+    ]
+    return spark.createDataFrame(
+        rows,
+        "nlist int, nprobe int, recall double, latency_s double, build_s double, is_best boolean",
+    )
+
+
 def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TPC-H Q3 shape: selective dims broadcast into the lineitem fact scan
     t = load_tables(spark, sf_dir, ["customer", "orders", "lineitem"])
@@ -809,6 +833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_tumbling": q_events_tumbling,
         "sessionize": q_sessionize,
         "tpch_q3": q_tpch_q3,
+        "autotune_ivf": q_autotune,
     }
 
 

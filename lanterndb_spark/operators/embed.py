@@ -114,6 +114,51 @@ def embed(
     return df.withColumn(out_col, run(F.col(text_col)))
 
 
+COMPLETION_MODELS = {
+    "gpt-4o": "openai",
+    "gpt-4o-mini": "openai",
+    "echo/debug": "echo",
+}
+
+
+def complete(
+    df: DataFrame,
+    text_col: str,
+    model: str = "echo/debug",
+    system_prompt: str = "",
+    out_col: str = "completion",
+    batch_partitions: int | None = None,
+) -> DataFrame:
+    """Chat-completion column — ``llm_completion(user_prompt, model,
+    system_prompt, …)`` (lantern_extras/src/embeddings.rs:129-152).
+
+    ``echo`` runtime is a deterministic stub (system prompt + text digest)
+    with the real Arrow batch shape; API runtimes raise at call time, the
+    same stub-the-client pattern as :func:`embed`."""
+    if model not in COMPLETION_MODELS:
+        raise ValueError(f"unknown model {model!r}")
+    runtime = COMPLETION_MODELS[model]
+    if batch_partitions:
+        df = df.repartition(batch_partitions)
+
+    if runtime == "echo":
+        @F.pandas_udf("string")
+        def run(s: pd.Series) -> pd.Series:
+            return s.map(
+                lambda t: None if t is None
+                else f"{system_prompt}|{hashlib.md5(t.encode()).hexdigest()[:12]}"
+            )
+    else:
+        @F.pandas_udf("string")
+        def run(s: pd.Series) -> pd.Series:
+            raise NotImplementedError(
+                f"runtime {runtime!r} needs its API client installed; "
+                "swap this body for the chat-completion call"
+            )
+
+    return df.withColumn(out_col, run(F.col(text_col)))
+
+
 def quarantine_failed(df: DataFrame, out_col: str = "embedding") -> tuple[DataFrame, DataFrame]:
     """(ok, failed) split — the failed-rows-table semantics
     (embeddings/mod.rs:69-83, 267-350)."""
@@ -153,6 +198,23 @@ class JobRegistry:
         )
         return job_id
 
+    def add_completion_job(
+        self, src_table: str, src_column: str, dst_column: str,
+        model: str = "echo/debug", system_prompt: str = "",
+        batch_size: int | None = None,
+    ) -> int:
+        job_id = len(self.jobs) + 1
+        self.jobs.append(
+            {
+                "id": job_id, "src_table": src_table, "src_column": src_column,
+                "dst_column": dst_column, "embedding_model": model,
+                "runtime": COMPLETION_MODELS.get(model, "echo"),
+                "batch_size": batch_size, "job_type": "completion",
+                "status": "queued", "system_prompt": system_prompt,
+            }
+        )
+        return job_id
+
     def get_status(self, job_id: int) -> str:
         return self.jobs[job_id - 1]["status"]
 
@@ -164,10 +226,17 @@ class JobRegistry:
         if job["status"] == "canceled":
             raise ValueError(f"job {job_id} is canceled")
         job["status"] = "running"
-        out = embed(
-            df, job["src_column"], model=job["embedding_model"],
-            runtime=job["runtime"], out_col=job["dst_column"],
-            batch_partitions=job["batch_size"],
-        )
+        if job["job_type"] == "completion":
+            out = complete(
+                df, job["src_column"], model=job["embedding_model"],
+                system_prompt=job.get("system_prompt", ""),
+                out_col=job["dst_column"], batch_partitions=job["batch_size"],
+            )
+        else:
+            out = embed(
+                df, job["src_column"], model=job["embedding_model"],
+                runtime=job["runtime"], out_col=job["dst_column"],
+                batch_partitions=job["batch_size"],
+            )
         job["status"] = "done"
         return out

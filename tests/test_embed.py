@@ -107,3 +107,28 @@ def test_sample_frames_stub(media_df):
     out = sample_frames(media_df, "data", max_frames=4, fake=True)
     for r in out.collect():
         assert 1 <= len(r["frames"]) <= 4
+
+
+def test_complete_echo_runtime(tables):
+    from lanterndb_spark.operators.embed import complete
+
+    docs = tables["documents"].limit(10)
+    out = complete(docs, "text", model="echo/debug", system_prompt="sys").collect()
+    assert all(r["completion"].startswith("sys|") for r in out)
+    # deterministic per text
+    again = complete(tables["documents"].limit(10), "text", model="echo/debug",
+                     system_prompt="sys").collect()
+    assert {r["doc_id"]: r["completion"] for r in out} == {
+        r["doc_id"]: r["completion"] for r in again
+    }
+
+
+def test_completion_job_registry(tables):
+    from lanterndb_spark.operators.embed import JobRegistry
+
+    reg = JobRegistry()
+    jid = reg.add_completion_job("documents", "text", "summary", system_prompt="s")
+    assert reg.get_status(jid) == "queued"
+    out = reg.run(jid, tables["documents"].limit(5))
+    assert "summary" in out.columns and out.count() == 5
+    assert reg.get_status(jid) == "done"
