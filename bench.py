@@ -112,6 +112,24 @@ def main():
         ).count()
     )
 
+    def knn_join_job():
+        from lanterndb_spark.operators.knn import knn_join
+
+        qdf = emb.limit(32).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+        )
+        knn_join(emb, "embedding", qdf, "qv", k=10, id_col="vec_id").collect()
+
+    queries["q_knn_join"] = timed(knn_join_job)
+
+    def sessionize_job():
+        from lanterndb_spark.streaming.sessions import sessionize_batch
+
+        ev = t["events"]
+        sessionize_batch(ev, gap="30 minutes").count()
+
+    queries["q_sessionize"] = timed(sessionize_job)
+
     queries["q_tpch_q1"] = timed(
         lambda: li.groupBy("l_returnflag", "l_linestatus")
         .agg(

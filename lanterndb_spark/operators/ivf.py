@@ -163,7 +163,9 @@ def ivf_search_batch(
         for c in probe_ids[qi]
     ]
     probes = spark.createDataFrame(rows, "q_id int, cluster_id int, __qv array<double>")
-    pairs = index.assigned.join(F.broadcast(probes), on="cluster_id")
+    from lanterndb_spark.plans.shape import widen_partitions
+
+    pairs = widen_partitions(index.assigned).join(F.broadcast(probes), on="cluster_id")
     pairs = pairs.withColumn("dist", distance(metric, index.vec_col, F.col("__qv")))
     order = [F.col("dist").asc()]
     if id_col:

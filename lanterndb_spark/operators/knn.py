@@ -78,7 +78,9 @@ def knn_join(
     """
     from pyspark.sql import Window
 
-    pairs = data.join(
+    from lanterndb_spark.plans.shape import widen_partitions
+
+    pairs = widen_partitions(data).join(
         F.broadcast(queries.select(F.col(q_id_col), F.col(q_vec_col).alias("__qv")))
     )
     pairs = pairs.withColumn(dist_col, distance(metric, vec_col, F.col("__qv")))

@@ -131,7 +131,9 @@ def srp_search_batch(
         for i in range(len(queries))
     ]
     qdf = spark.createDataFrame(rows, "q_id int, __qv array<double>, __qsig array<bigint>")
-    pairs = index.sketched.join(F.broadcast(qdf))
+    from lanterndb_spark.plans.shape import widen_partitions
+
+    pairs = widen_partitions(index.sketched).join(F.broadcast(qdf))
     ham = F.lit(0).cast("bigint")
     for w, c in enumerate(index.sig_cols):
         ham = ham + F.bit_count(F.col(c).bitwiseXOR(F.col("__qsig")[w]))
