@@ -61,11 +61,13 @@ def vector_norm(a: ColumnOrName) -> Column:
 def cos_dist(a: ColumnOrName, b: ColumnOrName) -> Column:
     """Cosine distance = 1 - dot(a,b) / (|a|*|b|).
 
-    Zero-norm inputs yield NULL/NaN like a division by zero would in the
-    reference's C implementation.
+    Zero-norm inputs yield NULL (undefined angle). The guard matters
+    under ANSI mode (Spark 4 default), where a bare division would
+    RAISE on the first zero vector and kill the whole job.
     """
     dot = _fold_sum(F.zip_with(_d(a), _d(b), lambda x, y: x * y))
-    return F.lit(1.0) - dot / (vector_norm(a) * vector_norm(b))
+    denom = F.nullif(vector_norm(a) * vector_norm(b), F.lit(0.0))
+    return F.lit(1.0) - dot / denom
 
 
 def hamming_dist(a: ColumnOrName, b: ColumnOrName) -> Column:

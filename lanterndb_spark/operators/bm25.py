@@ -98,8 +98,12 @@ def corpus_stats(
     """(corpus_size, avg_doc_len). The reference stores these in the
     postings table's NULL-term row, avg×100 (bm25_api.sql:48-50); we keep
     them as honest values."""
-    terms = F.col(terms_col) if terms_col else tokenize(text_col, stopwords=stopwords, stem=stem)
-    row = docs.select(
+    src = F.col(terms_col) if terms_col else F.col(text_col)
+    base = widen_partitions(docs.select(src.alias("_src")))
+    terms = (
+        F.col("_src") if terms_col else tokenize("_src", stopwords=stopwords, stem=stem)
+    )
+    row = base.select(
         F.count("*").alias("n"), F.avg(F.size(terms)).alias("avgdl")
     ).first()
     return int(row["n"]), float(row["avgdl"])

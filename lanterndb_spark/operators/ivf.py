@@ -73,8 +73,15 @@ def build_ivf(
     )
     x = np.asarray([r["v"] for r in rows], dtype=np.float64)
     centroids = _kmeans_numpy(x, nlist, seed=seed, max_iters=max_iter).astype(np.float64)
+    assigned = df.withColumn(
+        cluster_col, _assign_expr(df.sparkSession, centroids, vec_col)
+    )
+    return IvfIndex(assigned, centroids, vec_col)
 
-    bc = df.sparkSession.sparkContext.broadcast(centroids)
+
+def _assign_expr(spark, centroids: np.ndarray, vec_col: str):
+    """Arrow-batched nearest-centroid id against broadcast centroids."""
+    bc = spark.sparkContext.broadcast(centroids)
 
     @F.pandas_udf("int")
     def assign(s: pd.Series) -> pd.Series:
@@ -83,8 +90,18 @@ def build_ivf(
         d = (xs**2).sum(1)[:, None] - 2.0 * xs @ c.T + (c**2).sum(1)[None, :]
         return pd.Series(d.argmin(axis=1).astype(np.int32))
 
-    assigned = df.withColumn(cluster_col, assign(F.col(vec_col)))
-    return IvfIndex(assigned, centroids, vec_col)
+    return assign(F.col(vec_col))
+
+
+def ivf_assign(index: IvfIndex, delta: DataFrame, cluster_col: str = "cluster_id") -> DataFrame:
+    """Assign NEW rows to the existing centroids — the aminsert analogue
+    for the IVF layout (insert.c:51-262 appends to the existing graph
+    without retraining). Compose with maintenance.with_deltas so queries
+    see base ∪ delta with both sides cluster-pruned; retrain (build_ivf)
+    when drift degrades recall, as measured by autotune.validate_ann."""
+    return delta.withColumn(
+        cluster_col, _assign_expr(delta.sparkSession, index.centroids, index.vec_col)
+    )
 
 
 def save_ivf(index: IvfIndex, path: str, spark=None) -> None:

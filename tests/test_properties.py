@@ -1,0 +1,131 @@
+"""Property-based tests (hypothesis) — randomized invariants over the
+expression-level operators, mirroring the reference's property checks on
+BM25 postings (bm25_agg.rs:583-784) and distance functions.
+
+Each property generates a small batch of rows and runs ONE Spark job per
+example; max_examples is kept low because the JVM round-trip dominates.
+"""
+
+import math
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from lanterndb_spark.functions.distance import cos_dist, hamming_dist, l2sq_dist
+from lanterndb_spark.functions.text import tokenize, tokenize_py
+
+SET = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+finite = st.floats(
+    min_value=-100, max_value=100, allow_nan=False, allow_infinity=False, width=32
+)
+
+
+@SET
+@given(st.lists(st.tuples(st.lists(finite, min_size=8, max_size=8),
+                          st.lists(finite, min_size=8, max_size=8)),
+                min_size=1, max_size=20))
+def test_l2sq_cos_match_numpy(spark, pairs):
+    df = spark.createDataFrame(pairs, "a array<float>, b array<float>")
+    rows = df.select(
+        "a", "b", l2sq_dist("a", "b").alias("l2"), cos_dist("a", "b").alias("c")
+    ).collect()
+    for r in rows:
+        a = np.asarray(r["a"], dtype=np.float64)
+        b = np.asarray(r["b"], dtype=np.float64)
+        # spark computes over float32 inputs upcast per-element; compare
+        # against the same float32-rounded inputs
+        a32, b32 = a.astype(np.float32).astype(np.float64), b.astype(np.float32).astype(np.float64)
+        assert r["l2"] == pytest.approx(((a32 - b32) ** 2).sum(), rel=1e-6, abs=1e-6)
+        na, nb = np.linalg.norm(a32), np.linalg.norm(b32)
+        if na > 1e-12 and nb > 1e-12:
+            want = 1.0 - float(a32 @ b32) / (na * nb)
+            assert r["c"] == pytest.approx(want, rel=1e-5, abs=1e-5)
+
+
+@SET
+@given(st.lists(st.tuples(st.lists(st.integers(-(2**31), 2**31 - 1), min_size=4, max_size=4),
+                          st.lists(st.integers(-(2**31), 2**31 - 1), min_size=4, max_size=4)),
+                min_size=1, max_size=20))
+def test_hamming_matches_popcount(spark, pairs):
+    df = spark.createDataFrame(pairs, "a array<int>, b array<int>")
+    rows = df.select("a", "b", hamming_dist("a", "b").alias("h")).collect()
+    for r in rows:
+        want = sum(
+            bin((x ^ y) & 0xFFFFFFFF).count("1") for x, y in zip(r["a"], r["b"])
+        )
+        assert r["h"] == want
+
+
+@SET
+@given(st.lists(st.text(max_size=60), min_size=1, max_size=15))
+def test_tokenize_spark_matches_python(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    rows = df.select("t", tokenize("t", stopwords=None).alias("tk")).collect()
+    for r in rows:
+        assert list(r["tk"]) == tokenize_py(r["t"], stopwords=None)
+
+
+@SET
+@given(st.lists(st.lists(finite, min_size=6, max_size=6), min_size=1, max_size=15))
+def test_sq8_reconstruction_bound(spark, vecs):
+    from lanterndb_spark.operators.sq import sq8_dequantize, sq8_quantize
+
+    df = spark.createDataFrame([(v,) for v in vecs], "v array<float>")
+    out = sq8_dequantize(sq8_quantize(df, "v"), "v_sq8", "deq").collect()
+    for r in out:
+        v = np.asarray(r["v"], dtype=np.float32).astype(np.float64)
+        d = np.asarray(r["deq"], dtype=np.float64)
+        scale = max(np.abs(v).max(), 1e-30) / 127.0
+        # each element reconstructs within half a quantization step
+        assert np.abs(v - d).max() <= scale / 2 + 1e-9
+
+
+@SET
+@given(st.lists(st.integers(0, 10**9), min_size=1, max_size=200))
+def test_bloom_never_false_negative(spark, ids):
+    from lanterndb_spark.functions.bloom import bloom_build, might_contain
+
+    df = spark.createDataFrame([(i,) for i in set(ids)], "e bigint").withColumn(
+        "g", F.lit(1)
+    )
+    bloom = bloom_build(df, "e", ["g"], num_bits=4096)
+    hits = (
+        df.join(bloom.select("bloom"))
+        .select(might_contain("bloom", "e").alias("hit"))
+        .collect()
+    )
+    assert all(r["hit"] for r in hits)
+
+
+def test_vecs_roundtrip(spark, tmp_path):
+    from lanterndb_spark.sources.vecs import read_fvecs, write_fvecs
+
+    rng = np.random.default_rng(7)
+    vecs = [rng.standard_normal(16).astype(np.float32).tolist() for _ in range(50)]
+    df = spark.createDataFrame([(v,) for v in vecs], "v array<float>")
+    path = str(tmp_path / "x.fvecs")
+    assert write_fvecs(df, "v", path) == 50
+    back = read_fvecs(spark, path).orderBy("row_id").collect()
+    assert len(back) == 50
+    for want, got in zip(vecs, back):
+        assert got["v"] == pytest.approx(want)
+
+
+def test_ivf_assign_matches_build(tables):
+    from lanterndb_spark.operators.ivf import build_ivf, ivf_assign
+
+    emb = tables["embeddings"]
+    idx = build_ivf(emb, "embedding", nlist=4, seed=42)
+    base = {r["vec_id"]: r["cluster_id"] for r in idx.assigned.collect()}
+    # re-assigning the same rows through the delta path gives identical ids
+    delta = ivf_assign(idx, emb)
+    got = {r["vec_id"]: r["cluster_id"] for r in delta.collect()}
+    assert got == base
