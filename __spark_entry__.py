@@ -391,6 +391,35 @@ def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # binary media column → metadata → fake decode → visual embedding →
+    # knn over the image embeddings (rows-only: decode stub is seeded rng;
+    # the Spark-side schema/partitioning/UDF plumbing is the real thing)
+    from lanterndb_spark.functions.multimodal import (
+        attach_media_meta,
+        decode_image,
+        image_embedding,
+    )
+    from lanterndb_spark.operators.knn import knn
+
+    docs = _docs(spark, sf_dir).limit(200)
+    media = docs.select(
+        "doc_id", F.encode("text", "utf-8").alias("img_bytes")
+    )
+    media = attach_media_meta(media, "img_bytes", kind="image", mime="image/fake")
+    decoded = decode_image(media, "img_bytes", width=8, height=8, fake=True)
+    embedded = image_embedding(decoded, "img_bytes", dim=64, fake=True)
+    q = embedded.filter(F.col("doc_id") == embedded.select(F.min("doc_id")).first()[0])
+    qv = [float(x) for x in q.first()["embedding"]]
+    out = knn(embedded, "embedding", qv, k=10, metric="cos", id_col="doc_id")
+    return out.select(
+        "doc_id",
+        F.size("pixels").alias("n_pixels"),
+        F.col("media_meta.kind").alias("kind"),
+        F.round("dist", ROUND).alias("dist"),
+    )
+
+
 def q_autotune(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parameter grid search with recall/latency measurement
     # (index_autotune/mod.rs pattern); rows-only: latency is a measurement
@@ -834,6 +863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "tpch_q3": q_tpch_q3,
         "autotune_ivf": q_autotune,
+        "multimodal_pipeline": q_multimodal_pipeline,
     }
 
 

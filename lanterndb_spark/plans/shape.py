@@ -40,6 +40,38 @@ def widen_partitions(df: DataFrame, target: int | None = None) -> DataFrame:
     return df
 
 
+def salted_collect_list(
+    df: DataFrame,
+    keys: list[str],
+    col: str,
+    alias: str = "items",
+    salt: int = 16,
+    sort: bool = True,
+) -> DataFrame:
+    """Two-stage collect_list for skewed keys: collect per (keys, salt)
+    → flatten per keys.
+
+    Algebraic aggs (sum/min/max/count) don't need this — Spark's partial
+    aggregation combines them map-side. collect_list is the exception:
+    it is size-bound, gets NO map-side combine (ObjectHashAggregate
+    falls back to sort-agg), and a hot key (a stop-word-like term in a
+    postings build) funnels its entire group through one reducer task.
+    Salting splits that group ``salt`` ways and the final flatten handles
+    `salt` pre-built arrays instead of millions of rows. AQE's skew
+    handling only splits joins, not aggregations — this is the manual
+    equivalent for the agg side."""
+    salted = df.withColumn("__salt", F.pmod(F.hash(col), F.lit(salt)))
+    partial = salted.groupBy(*keys, "__salt").agg(
+        F.collect_list(col).alias("__part")
+    )
+    out = partial.groupBy(*keys).agg(
+        F.flatten(F.collect_list("__part")).alias(alias)
+    )
+    if sort:
+        out = out.withColumn(alias, F.sort_array(F.col(alias)))
+    return out
+
+
 def explode_nonempty(df: DataFrame, arr, alias: str, *keep) -> DataFrame:
     """``select(*keep, explode(arr))`` without InferFiltersFromGenerate's
     pushed-down ``size(arr) > 0`` filter (pathology 1 above): explode_outer

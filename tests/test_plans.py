@@ -113,3 +113,20 @@ def test_exact_dedup_single_shuffle(tables):
     # groupBy + self-join on (text, doc_id): AQE may leave 2 exchanges
     # pre-join, but there must be no third shuffle after the join
     assert plan.count("Exchange hashpartitioning") <= 4
+
+
+def test_salted_collect_list_matches_plain(tables):
+    from lanterndb_spark.plans.shape import salted_collect_list
+
+    docs = tables["documents"]
+    plain = {
+        r["lang"]: r["ids"]
+        for r in docs.groupBy("lang")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .collect()
+    }
+    salted = {
+        r["lang"]: r["ids"]
+        for r in salted_collect_list(docs, ["lang"], "doc_id", "ids", salt=8).collect()
+    }
+    assert salted == plain
