@@ -182,7 +182,13 @@ def ivf_search_batch(
     probes = spark.createDataFrame(rows, "q_id int, cluster_id int, __qv array<double>")
     from lanterndb_spark.plans.shape import widen_partitions
 
-    pairs = widen_partitions(index.assigned).join(F.broadcast(probes), on="cluster_id")
+    # static partition-pruning filter: the equi-join alone doesn't prune a
+    # partitionBy(cluster_id) layout at planning time; the isin over the
+    # union of probed clusters does (PartitionFilters in the scan), so a
+    # batch touching p clusters reads p/nlist of the data
+    probed_clusters = sorted({int(c) for qi in range(len(queries)) for c in probe_ids[qi]})
+    data = index.assigned.filter(F.col("cluster_id").isin(probed_clusters))
+    pairs = widen_partitions(data).join(F.broadcast(probes), on="cluster_id")
     pairs = pairs.withColumn("dist", distance(metric, index.vec_col, F.col("__qv")))
     order = [F.col("dist").asc()]
     if id_col:

@@ -83,6 +83,25 @@ def build_srp(
     return SrpIndex(out.drop("__sig"), planes, vec_col, sig_cols)
 
 
+def save_srp(index: SrpIndex, path: str) -> None:
+    """Persist sketch table + hyperplanes (both plain parquet — engine
+    state is data, like the IVF layout)."""
+    index.sketched.write.mode("overwrite").parquet(f"{path}/data")
+    spark = index.sketched.sparkSession
+    rows = [(i, [float(x) for x in p]) for i, p in enumerate(index.planes)]
+    spark.createDataFrame(rows, "plane_id int, coef array<double>").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/planes")
+
+
+def load_srp(spark, path: str, vec_col: str) -> SrpIndex:
+    sketched = spark.read.parquet(f"{path}/data")
+    rows = spark.read.parquet(f"{path}/planes").collect()
+    planes = np.array([r["coef"] for r in sorted(rows, key=lambda r: r["plane_id"])])
+    words = planes.shape[0] // 64
+    return SrpIndex(sketched, planes, vec_col, [f"sig_{w}" for w in range(words)])
+
+
 def _hamming_to_query(index: SrpIndex, qsig: np.ndarray) -> Column:
     expr = F.lit(0).cast("bigint")
     for w, c in enumerate(index.sig_cols):

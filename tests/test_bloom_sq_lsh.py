@@ -202,3 +202,18 @@ def test_masked_explain(tables):
     assert "…×" in s or "[0.0, 1.0, 2.0" not in s  # long literal collapsed
     masked = mask_arrays("[" + ", ".join(str(float(i)) for i in range(50)) + "]")
     assert "…×50" in masked
+
+
+def test_srp_save_load_roundtrip(tables, spark, tmp_path):
+    from lanterndb_spark.operators.lsh import build_srp, load_srp, srp_search
+
+    emb = tables["embeddings"]
+    idx = build_srp(emb, "embedding", nbits=128, seed=3)
+    from lanterndb_spark.operators.lsh import save_srp
+
+    save_srp(idx, str(tmp_path / "srp"))
+    loaded = load_srp(spark, str(tmp_path / "srp"), "embedding")
+    q = [float(x) for x in emb.first()["embedding"]]
+    a = [r["vec_id"] for r in srp_search(idx, q, k=5, oversample=10, id_col="vec_id").collect()]
+    b = [r["vec_id"] for r in srp_search(loaded, q, k=5, oversample=10, id_col="vec_id").collect()]
+    assert a == b

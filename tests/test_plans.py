@@ -130,3 +130,17 @@ def test_salted_collect_list_matches_plain(tables):
         for r in salted_collect_list(docs, ["lang"], "doc_id", "ids", salt=8).collect()
     }
     assert salted == plain
+
+
+def test_ivf_batch_search_prunes_partitions(emb_parquet, spark, tmp_path):
+    from lanterndb_spark.operators.ivf import build_ivf, ivf_search_batch, load_ivf, save_ivf
+
+    idx = build_ivf(emb_parquet, "embedding", nlist=4, seed=42)
+    save_ivf(idx, str(tmp_path / "ivf_b"))
+    loaded = load_ivf(spark, str(tmp_path / "ivf_b"), "embedding")
+    qs = [[float(x) for x in r["embedding"]] for r in emb_parquet.limit(3).collect()]
+    out = ivf_search_batch(loaded, qs, k=3, nprobe=1, id_col="vec_id")
+    plan = _plan(out)
+    scan = plan[plan.index("FileScan") :]
+    assert "PartitionFilters" in scan
+    assert "cluster_id" in scan.split("PartitionFilters")[1][:300]
