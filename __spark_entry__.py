@@ -158,6 +158,20 @@ def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_out(out.drop("cluster_id"), ["vec_id", "label"], "dist")
 
 
+def q_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF+PQ composite: cluster pruning -> ADC over codes -> exact refine
+    from lanterndb_spark.operators.ivf import IvfIndex, build_ivf, ivfpq_search
+    from lanterndb_spark.operators.pq import quantize, train_codebook
+
+    emb = _emb(spark, sf_dir)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    cb = train_codebook(emb, "embedding", splits=8, clusters=16, seed=42)
+    idx = build_ivf(emb, "embedding", nlist=8, seed=42)
+    coded = IvfIndex(quantize(idx.assigned, "embedding", cb), idx.centroids, "embedding")
+    out = ivfpq_search(coded, cb, qv, k=10, nprobe=4, refine=4, id_col="vec_id")
+    return _round_out(out.drop("cluster_id", "embedding_pq"), ["vec_id", "label"], "dist")
+
+
 def q_pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lanterndb_spark.operators.pq import adc_knn, quantize, train_codebook
 
@@ -848,6 +862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_hot_terms": q_bloom_hot_terms,
         "text_metrics": q_text_metrics,
         "ivf_knn": q_ivf_knn,
+        "ivfpq_knn": q_ivfpq_knn,
         "pq_adc_knn": q_pq_adc_knn,
         "pq_codebook": q_pq_codebook,
         "dedup_exact": q_dedup_exact,

@@ -93,6 +93,41 @@ def _assign_expr(spark, centroids: np.ndarray, vec_col: str):
     return assign(F.col(vec_col))
 
 
+def ivfpq_search(
+    index: IvfIndex,
+    codebook: DataFrame,
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    refine: int = 4,
+    pq_col: str | None = None,
+    id_col: str | None = None,
+) -> DataFrame:
+    """IVF + PQ composite — the reference's pq=true index mode
+    (build.c:497-501 loads the codebook into the index; scan.c:75-81
+    scores quantized) and the standard billion-scale layout:
+
+    1. prune to ``nprobe`` clusters (partition pruning on the saved
+       layout — reads nprobe/nlist of the data);
+    2. ADC-score the PQ codes (1 byte/subvector instead of 4·dim — the
+       scan that touches every surviving row reads ~32× less);
+    3. exact re-rank of the top ``k·refine`` candidates on the full
+       vectors (a k·refine-row job, negligible).
+
+    ``index.assigned`` must carry the PQ code column (run pq.quantize
+    over the assigned table once at build time).
+    """
+    from lanterndb_spark.operators.pq import adc_knn
+
+    pq_col = pq_col or f"{index.vec_col}_pq"
+    q = np.asarray(query, dtype=np.float64)
+    d = ((index.centroids - q[None, :]) ** 2).sum(axis=1)
+    probes = [int(i) for i in np.argsort(d)[:nprobe]]
+    cand = index.assigned.filter(F.col("cluster_id").isin(probes))
+    coarse = adc_knn(cand, pq_col, query, codebook, k=k * refine, id_col=id_col).drop("dist")
+    return knn(coarse, index.vec_col, query, k=k, id_col=id_col)
+
+
 def ivf_assign(index: IvfIndex, delta: DataFrame, cluster_col: str = "cluster_id") -> DataFrame:
     """Assign NEW rows to the existing centroids — the aminsert analogue
     for the IVF layout (insert.c:51-262 appends to the existing graph
