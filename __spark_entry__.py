@@ -309,6 +309,17 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", ROUND).alias("jaccard"))
 
 
+def q_dedup_near_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # end-to-end near-dup removal: jaccard pairs → connected components →
+    # keep min-id representative per group
+    from lanterndb_spark.operators.dedup import dedup_keep_representatives, jaccard_pairs
+
+    docs = _docs(spark, sf_dir)
+    pairs = jaccard_pairs(docs, "doc_id", "text", threshold=0.5)
+    kept = dedup_keep_representatives(docs, pairs, "doc_id")
+    return kept.select("doc_id").orderBy("doc_id")
+
+
 def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lanterndb_spark.operators.dedup import embedding_near_dup_pairs
 
@@ -786,6 +797,37 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY lang HAVING count(*) > 1
         """,
         "jaccard_pairs": _jaccard_oracle(),
+        "dedup_near_keep": f"""
+            WITH RECURSIVE {_shingles_cte()},
+            ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+            sz AS (SELECT doc_id, len(sh) AS sz FROM sh),
+            common AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+              FROM ex a JOIN ex b USING (g) WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            p AS (
+              SELECT id_a, id_b FROM common
+              JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+              WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.5
+            ),
+            nodes AS (SELECT id_a AS id FROM p UNION SELECT id_b FROM p),
+            edges AS (SELECT id_a AS src, id_b AS dst FROM p
+                      UNION SELECT id_b, id_a FROM p),
+            reach AS (
+              SELECT id, id AS comp FROM nodes
+              UNION
+              SELECT e.dst AS id, r.comp FROM reach r JOIN edges e ON e.src = r.id
+            ),
+            comp AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),
+            reps AS (SELECT comp, min(id) AS rep FROM comp GROUP BY comp),
+            dropids AS (
+              SELECT c.id FROM comp c JOIN reps r USING (comp) WHERE c.id <> r.rep
+            )
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT id FROM dropids)
+            ORDER BY doc_id
+        """,
         "emb_near_dup": f"""
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round({duck_cos('a.embedding', 'b.embedding')}, {ROUND}) AS cos_dist
@@ -868,6 +910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_groups": q_dedup_groups,
         "jaccard_pairs": q_jaccard_pairs,
+        "dedup_near_keep": q_dedup_near_keep,
         "emb_near_dup": q_emb_near_dup,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,

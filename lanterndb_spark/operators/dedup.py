@@ -338,6 +338,74 @@ def simhash_pairs(
 
 # ------------------------------------------- embedding cosine near-dup
 
+def connected_components(
+    pairs: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """(id, component) for every id in a pair list — resolves near-dup
+    PAIRS into GROUPS so a pipeline can keep one representative per group.
+
+    Alternating small-star label propagation with DataFrames only: each
+    iteration joins current labels onto the edges and takes the min label
+    over each node's neighborhood; stops at fixpoint. Near-dup clusters
+    have tiny diameters (a handful of hops), so convergence is fast; each
+    iteration is one join + one groupBy at any scale. ``component`` is the
+    min id of the cluster.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    for _ in range(max_iter):
+        # every node adopts the min component among itself + its neighbors
+        nbr = (
+            edges.join(labels.withColumnRenamed("id", "dst"), on="dst")
+            .select(F.col("src").alias("id"), "component")
+        )
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+        ).persist()
+        new_labels.count()
+        changed = (
+            labels.alias("o")
+            .join(new_labels.alias("n"), on="id")
+            .filter(F.col("o.component") != F.col("n.component"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_keep_representatives(
+    df: DataFrame, pairs: DataFrame, id_col: str, keep: str = "min"
+) -> DataFrame:
+    """Drop near-duplicates: every id appearing in ``pairs`` keeps only the
+    group representative (min/max id of its connected component). Rows not
+    in any pair pass through untouched — the end-to-end near-dup dedup
+    step a training-data pipeline actually runs."""
+    comp = connected_components(pairs)
+    agg = F.min("id") if keep == "min" else F.max("id")
+    reps = comp.groupBy("component").agg(agg.alias("__rep"))
+    keepers = comp.join(reps, on="component").filter(F.col("id") == F.col("__rep"))
+    drop = comp.join(keepers.select("id", F.lit(True).alias("__keep")), on="id", how="left_anti")
+    return df.join(
+        drop.select(F.col("id").alias(id_col)), on=id_col, how="left_anti"
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str,

@@ -99,3 +99,24 @@ def test_embedding_near_dup(tables):
     ).collect()
     brute_keys = {(r["id_a"], r["id_b"]) for r in brute}
     assert {(r["id_a"], r["id_b"]) for r in lsh} <= brute_keys
+
+
+def test_connected_components_chain_and_islands(spark):
+    from lanterndb_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4, island pair 10-11, singleton edge 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21)], "id_a bigint, id_b bigint"
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_dedup_keep_representatives(spark):
+    from lanterndb_spark.operators.dedup import dedup_keep_representatives
+
+    df = spark.createDataFrame([(i, f"d{i}") for i in range(8)], "doc_id bigint, t string")
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "id_a bigint, id_b bigint")
+    out = sorted(r["doc_id"] for r in dedup_keep_representatives(df, pairs, "doc_id").collect())
+    # groups {1,2,3} -> keep 1; {5,6} -> keep 5; 0,4,7 untouched
+    assert out == [0, 1, 4, 5, 7]
