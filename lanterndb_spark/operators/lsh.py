@@ -58,6 +58,20 @@ def _sig_of(planes: np.ndarray, x: np.ndarray) -> np.ndarray:
     return _pack_signs(x @ planes.T >= 0)
 
 
+def _with_sketch(df: DataFrame, planes: np.ndarray, vec_col: str, sig_cols: list[str]) -> DataFrame:
+    bc = df.sparkSession.sparkContext.broadcast(planes)
+
+    @F.pandas_udf("array<bigint>")
+    def sketch(s: pd.Series) -> pd.Series:
+        x = np.asarray(s.tolist(), dtype=np.float64)
+        return pd.Series(list(_sig_of(bc.value, x)))
+
+    out = df.withColumn("__sig", sketch(F.col(vec_col)))
+    for w, c in enumerate(sig_cols):
+        out = out.withColumn(c, F.col("__sig")[w])
+    return out.drop("__sig")
+
+
 def build_srp(
     df: DataFrame, vec_col: str, nbits: int = 128, dim: int | None = None, seed: int = 42
 ) -> SrpIndex:
@@ -68,19 +82,15 @@ def build_srp(
         dim = len(df.select(vec_col).first()[0])
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((nbits, dim))
-    bc = df.sparkSession.sparkContext.broadcast(planes)
-    words = nbits // 64
-    sig_cols = [f"sig_{w}" for w in range(words)]
+    sig_cols = [f"sig_{w}" for w in range(nbits // 64)]
+    return SrpIndex(_with_sketch(df, planes, vec_col, sig_cols), planes, vec_col, sig_cols)
 
-    @F.pandas_udf("array<bigint>")
-    def sketch(s: pd.Series) -> pd.Series:
-        x = np.asarray(s.tolist(), dtype=np.float64)
-        return pd.Series(list(_sig_of(bc.value, x)))
 
-    out = df.withColumn("__sig", sketch(F.col(vec_col)))
-    for w, c in enumerate(sig_cols):
-        out = out.withColumn(c, F.col("__sig")[w])
-    return SrpIndex(out.drop("__sig"), planes, vec_col, sig_cols)
+def srp_sketch(index: SrpIndex, delta: DataFrame) -> DataFrame:
+    """Sketch NEW rows with the index's existing hyperplanes — the
+    insert-without-rebuild path (hyperplanes are data-independent, so
+    delta sketches are exactly what a full rebuild would produce)."""
+    return _with_sketch(delta, index.planes, index.vec_col, index.sig_cols)
 
 
 def save_srp(index: SrpIndex, path: str) -> None:

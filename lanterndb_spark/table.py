@@ -1,0 +1,215 @@
+"""LanternTable — the user-facing surface that makes switching from the
+reference a one-object affair.
+
+In the reference a user has a Postgres table, creates indexes/side
+tables on it (``CREATE INDEX USING lantern_hnsw``, ``create_pq_codebook``,
+``create_bm25_table``), and queries with operators (``ORDER BY v <-> q
+LIMIT k``, ``search_bm25``, ``weighted_vector_search``); the planner
+picks the index. Here the same lifecycle is one handle that owns the
+DataFrame plus its acceleration artifacts and routes each query:
+
+    t = LanternTable(df, id_col="doc_id")
+    t.create_index("embedding", kind="ivf", nlist=64)     # CREATE INDEX
+    t.create_pq("embedding", splits=8, clusters=256)      # create_pq_codebook
+    t.create_bm25("text")                                 # create_bm25_table
+    t.knn("embedding", q, k=10)                # auto: ivf if indexed, exact else
+    t.knn("embedding", q, k=10, mode="exact")  # force the exact scan
+    t.search_bm25("query text", limit=10)
+    t.delete([ids...]); t.insert(delta_df)     # tombstones / deltas
+
+Routing mirrors the reference's planner behavior: an indexed column uses
+its ANN structure, ``mode="exact"`` forces the sequential scan (the
+reference does this by dropping the ORDER BY operator / enable_indexscan),
+and every query first applies tombstones and deltas the way the index
+scan skips deleted labels (scan.c:294-300).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from lanterndb_spark.operators import maintenance
+from lanterndb_spark.operators.knn import knn as exact_knn
+
+
+class LanternTable:
+    def __init__(self, df: DataFrame, id_col: str):
+        self.base = df
+        self.id_col = id_col
+        self._indexes: dict[str, tuple[str, object]] = {}  # vec_col -> (kind, index)
+        self._codebooks: dict[str, DataFrame] = {}
+        self._postings: dict[str, tuple[DataFrame, tuple[int, float]]] = {}
+        self._tombstones: list = []
+        self._deltas: list[DataFrame] = []
+
+    # ------------------------------------------------------------ data
+
+    @property
+    def df(self) -> DataFrame:
+        """Current visible rows: base ∪ deltas − tombstones."""
+        out = maintenance.with_deltas(self.base, *self._deltas)
+        if self._tombstones:
+            out = maintenance.apply_tombstones(out, self._tombstones, self.id_col)
+        return out
+
+    def insert(self, delta: DataFrame) -> "LanternTable":
+        """Append rows (aminsert analogue). ANN assignments for indexed
+        columns are computed for the delta so index search stays exact."""
+        for vec_col, (kind, index) in self._indexes.items():
+            if kind == "ivf":
+                from lanterndb_spark.operators.ivf import ivf_assign
+
+                delta = ivf_assign(index, delta)
+        self._deltas.append(delta)
+        return self
+
+    def delete(self, ids: list) -> "LanternTable":
+        """Tombstone ids (ambulkdelete analogue)."""
+        self._tombstones.extend(ids)
+        return self
+
+    def compact(self) -> "LanternTable":
+        """Fold deltas+tombstones into a new base AND into every index's
+        row set (REINDEX moment — without it the index would keep serving
+        deleted rows and miss inserted ones after the lists reset)."""
+        for vec_col, (kind, index) in list(self._indexes.items()):
+            if kind == "ivf":
+                from lanterndb_spark.operators.ivf import IvfIndex, ivf_assign
+
+                assigned = maintenance.with_deltas(
+                    index.assigned, *[ivf_assign(index, d) for d in self._deltas]
+                )
+                if self._tombstones:
+                    assigned = maintenance.apply_tombstones(
+                        assigned, self._tombstones, self.id_col
+                    )
+                self._indexes[vec_col] = (kind, IvfIndex(assigned, index.centroids, vec_col))
+            elif kind == "srp":
+                from lanterndb_spark.operators.lsh import SrpIndex, srp_sketch
+
+                sketched = maintenance.with_deltas(
+                    index.sketched, *[srp_sketch(index, d) for d in self._deltas]
+                )
+                if self._tombstones:
+                    sketched = maintenance.apply_tombstones(
+                        sketched, self._tombstones, self.id_col
+                    )
+                self._indexes[vec_col] = (
+                    kind, SrpIndex(sketched, index.planes, vec_col, index.sig_cols)
+                )
+        self.base = self.df
+        self._deltas, self._tombstones = [], []
+        return self
+
+    # --------------------------------------------------------- indexes
+
+    def create_index(self, vec_col: str, kind: str = "ivf", **params) -> "LanternTable":
+        if kind == "ivf":
+            from lanterndb_spark.operators.ivf import build_ivf
+
+            index = build_ivf(self.df, vec_col, **params)
+        elif kind == "srp":
+            from lanterndb_spark.operators.lsh import build_srp
+
+            index = build_srp(self.df, vec_col, **params)
+        else:
+            raise ValueError(f"unknown index kind {kind!r} (ivf | srp)")
+        self._indexes[vec_col] = (kind, index)
+        return self
+
+    def drop_index(self, vec_col: str) -> "LanternTable":
+        self._indexes.pop(vec_col, None)
+        return self
+
+    def create_pq(self, vec_col: str, **params) -> "LanternTable":
+        from lanterndb_spark.operators.pq import train_codebook
+
+        self._codebooks[vec_col] = train_codebook(self.df, vec_col, **params)
+        return self
+
+    def create_bm25(self, text_col: str, **params) -> "LanternTable":
+        from lanterndb_spark.operators.bm25 import build_postings, corpus_stats
+
+        docs = self.df
+        postings = build_postings(docs, id_col=self.id_col, text_col=text_col, **params)
+        stats = corpus_stats(docs, text_col=text_col, **params)
+        self._postings[text_col] = (postings, stats)
+        return self
+
+    # ---------------------------------------------------------- queries
+
+    def knn(
+        self,
+        vec_col: str,
+        query: list[float],
+        k: int = 10,
+        metric: str = "l2sq",
+        mode: str = "auto",
+        pred: Column | None = None,
+        **search_params,
+    ) -> DataFrame:
+        """Top-k under ``metric``. mode='auto' routes to the column's ANN
+        index when one exists (the planner picking the index path);
+        'exact' forces the sequential scan; 'ivf'/'srp' force a backend."""
+        if mode == "auto":
+            mode = self._indexes.get(vec_col, ("exact",))[0]
+        if mode == "exact" or vec_col not in self._indexes:
+            return exact_knn(
+                self.df, vec_col, query, k=k, metric=metric,
+                id_col=self.id_col, pred=pred,
+            )
+        kind, index = self._indexes[vec_col]
+        if kind == "ivf":
+            from lanterndb_spark.operators.ivf import IvfIndex, ivf_search
+
+            base_index = index
+            if self._deltas:
+                from lanterndb_spark.operators.ivf import ivf_assign
+
+                assigned = maintenance.with_deltas(
+                    index.assigned, *[ivf_assign(index, d) for d in self._deltas]
+                )
+                base_index = IvfIndex(assigned, index.centroids, vec_col)
+            if self._tombstones:
+                assigned = maintenance.apply_tombstones(
+                    base_index.assigned, self._tombstones, self.id_col
+                )
+                base_index = IvfIndex(assigned, index.centroids, vec_col)
+            return ivf_search(
+                base_index, query, k=k, metric=metric, id_col=self.id_col,
+                pred=pred, **search_params,
+            )
+        from lanterndb_spark.operators.lsh import srp_search
+
+        return srp_search(index, query, k=k, metric=metric, id_col=self.id_col, **search_params)
+
+    def search_bm25(self, query: str, text_col: str = "text", limit: int = 10, **kw) -> DataFrame:
+        from lanterndb_spark.operators.bm25 import search_bm25
+
+        if text_col in self._postings:
+            postings, stats = self._postings[text_col]
+            kw.setdefault("postings", postings)
+            kw.setdefault("stats", stats)
+        return search_bm25(
+            self.df, query, id_col=self.id_col, text_col=text_col, limit=limit, **kw
+        )
+
+    def weighted_search(self, terms, **kw) -> DataFrame:
+        from lanterndb_spark.operators.hybrid import weighted_vector_search
+
+        kw.setdefault("id_col", self.id_col)
+        return weighted_vector_search(self.df, terms, **kw)
+
+    def validate(self, vec_col: str, k: int = 10, n_queries: int = 5, seed: int = 42) -> float:
+        """validate_index analogue: recall of the column's ANN index vs
+        exact top-k on sampled queries."""
+        from lanterndb_spark.operators.autotune import validate_ann
+
+        if vec_col not in self._indexes:
+            return 1.0
+        return validate_ann(
+            self.df, vec_col, self.id_col,
+            lambda q, kk: self.knn(vec_col, q, k=kk),
+            k=k, n_queries=n_queries, seed=seed,
+        )

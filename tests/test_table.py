@@ -1,0 +1,67 @@
+import pytest
+from pyspark.sql import functions as F
+
+from lanterndb_spark.operators.knn import knn
+from lanterndb_spark.table import LanternTable
+
+
+@pytest.fixture(scope="module")
+def emb(tables):
+    return tables["embeddings"]
+
+
+def qvec(emb, i):
+    return [float(x) for x in emb.filter(F.col("vec_id") == i).first()["embedding"]]
+
+
+def test_auto_routing_exact_when_no_index(emb):
+    t = LanternTable(emb, "vec_id")
+    q = qvec(emb, 0)
+    got = [r["vec_id"] for r in t.knn("embedding", q, k=5).collect()]
+    want = [r["vec_id"] for r in knn(emb, "embedding", q, k=5, id_col="vec_id").collect()]
+    assert got == want
+
+
+def test_auto_routing_uses_index_and_exact_override(emb):
+    t = LanternTable(emb, "vec_id").create_index("embedding", kind="ivf", nlist=4, seed=42)
+    q = qvec(emb, 3)
+    # nprobe=nlist → index path degrades to exact: same results
+    via_index = [r["vec_id"] for r in t.knn("embedding", q, k=5, nprobe=4).collect()]
+    exact = [r["vec_id"] for r in t.knn("embedding", q, k=5, mode="exact").collect()]
+    assert via_index == exact
+
+
+def test_delete_insert_visibility_through_index(emb):
+    t = LanternTable(emb, "vec_id").create_index("embedding", kind="ivf", nlist=4, seed=42)
+    q = qvec(emb, 0)
+    top = t.knn("embedding", q, k=3, nprobe=4).collect()
+    assert top[0]["vec_id"] == 0
+    t.delete([0])
+    top2 = t.knn("embedding", q, k=3, nprobe=4).collect()
+    assert all(r["vec_id"] != 0 for r in top2)
+    # insert a duplicate of vec 0 under a new id → it becomes the nearest
+    dup = emb.filter(F.col("vec_id") == 0).withColumn("vec_id", F.lit(99999).cast("bigint"))
+    t.insert(dup)
+    top3 = t.knn("embedding", q, k=3, nprobe=4).collect()
+    assert top3[0]["vec_id"] == 99999
+    # compact folds everything; results unchanged
+    t.compact()
+    top4 = t.knn("embedding", q, k=3, nprobe=4).collect()
+    assert [r["vec_id"] for r in top4] == [r["vec_id"] for r in top3]
+
+
+def test_bm25_through_table(tables):
+    docs = tables["documents"]
+    t = LanternTable(docs, "doc_id").create_bm25("text")
+    out = t.search_bm25("spark window merge", limit=5).collect()
+    assert 0 < len(out) <= 5
+    assert out[0]["bm25"] >= out[-1]["bm25"]
+
+
+def test_validate_reports_recall(emb):
+    t = LanternTable(emb, "vec_id").create_index("embedding", kind="ivf", nlist=4, seed=42)
+    rec = t.validate("embedding", k=5, n_queries=3)
+    assert 0.0 <= rec <= 1.0
+    # full probe in auto mode defaults nprobe=4 → exact-equivalent? default
+    # nprobe is ivf_search's default (4 == nlist here) so recall is 1
+    assert rec == pytest.approx(1.0)
