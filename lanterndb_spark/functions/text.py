@@ -30,6 +30,22 @@ STOPWORDS = [
 ]
 
 
+# user stopword management (set_user_stopwords / get_user_stopwords,
+# lantern_extras/src/stemmers.rs:25-63) — a process-level override list
+# that tokenize() callers pass explicitly; stored here so the whole
+# pipeline (build + query side) reads one source of truth
+_user_stopwords: list[str] | None = None
+
+
+def set_user_stopwords(words: list[str] | None) -> None:
+    global _user_stopwords
+    _user_stopwords = sorted(set(words)) if words is not None else None
+
+
+def get_user_stopwords() -> list[str]:
+    return list(_user_stopwords) if _user_stopwords is not None else list(STOPWORDS)
+
+
 def _c(col) -> Column:
     return F.col(col) if isinstance(col, str) else col
 

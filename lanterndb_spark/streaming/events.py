@@ -66,6 +66,38 @@ def windowed_event_counts(
     )
 
 
+def embedding_job_stream(
+    docs_stream: DataFrame,
+    text_col: str = "text",
+    model: str = "hash/debug-64",
+    out_col: str = "embedding",
+):
+    """Streaming embedding generation — the NOTIFY-driven daemon job
+    (lantern_cli/src/daemon/embedding_jobs.rs:271-1279) recast: each
+    micro-batch runs the batch embed operator and appends to an
+    accumulated result, with failed rows quarantined per batch exactly
+    like the failed-rows table (embeddings/mod.rs:69-83).
+
+    Returns (writer_fn, state): pass writer_fn to
+    ``docs_stream.writeStream.foreachBatch(...)``; ``state['ok']`` /
+    ``state['failed']`` hold the unions so far."""
+    from lanterndb_spark.operators.embed import embed, quarantine_failed
+
+    state: dict = {"ok": None, "failed": None, "batches": 0}
+
+    def write_batch(batch_df: DataFrame, batch_id: int):
+        ok, failed = quarantine_failed(
+            embed(batch_df, text_col, model=model, out_col=out_col), out_col
+        )
+        state["ok"] = ok if state["ok"] is None else state["ok"].unionByName(ok)
+        state["failed"] = (
+            failed if state["failed"] is None else state["failed"].unionByName(failed)
+        )
+        state["batches"] += 1
+
+    return write_batch, state
+
+
 def incremental_postings_stream(
     docs_stream: DataFrame,
     id_col: str = "doc_id",

@@ -64,8 +64,14 @@ def test_hamming_matches_popcount(spark, pairs):
         assert r["h"] == want
 
 
+# NOTE: alphabet capped at U+024F (Latin incl. Extended-B) + common
+# punctuation. Full-unicode text hits JVM/Python Unicode-VERSION skew:
+# Java 17 implements Unicode 13, Python 3.11 Unicode 14, so characters
+# added in 14 (e.g. U+10570 VITHKUQI A) are \p{L} on one side only.
+# The property pins tokenizer LOGIC parity, not Unicode table parity.
 @SET
-@given(st.lists(st.text(max_size=60), min_size=1, max_size=15))
+@given(st.lists(st.text(st.characters(max_codepoint=0x024F), max_size=60),
+                min_size=1, max_size=15))
 def test_tokenize_spark_matches_python(spark, texts):
     df = spark.createDataFrame([(t,) for t in texts], "t string")
     rows = df.select("t", tokenize("t", stopwords=None).alias("tk")).collect()

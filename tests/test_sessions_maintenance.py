@@ -88,3 +88,47 @@ def test_knn_skips_tombstoned(tables):
     assert all(r["vec_id"] != 0 for r in top2)
     # remaining order preserved (scan.c:294-300 skip semantics)
     assert [r["vec_id"] for r in top2[:2]] == [r["vec_id"] for r in top[1:3]]
+
+
+def test_async_tasks(spark, tables):
+    from lanterndb_spark.operators.tasks import AsyncTasks
+
+    at = AsyncTasks(spark)
+    tid = at.async_task("SELECT count(*) AS n FROM documents", name="count-docs")
+    row = at.wait(tid, timeout=60)
+    assert row["status"] == "done"
+    assert row["duration_s"] is not None
+    bad = at.async_task("SELECT * FROM no_such_table")
+    row2 = at.wait(bad, timeout=60)
+    assert row2["status"] == "failed" and "no_such_table" in row2["error_message"]
+    tdf = at.tasks_df()
+    assert tdf.count() == 2
+    assert set(r["status"] for r in tdf.collect()) == {"done", "failed"}
+
+
+def test_user_stopwords_roundtrip():
+    from lanterndb_spark.functions.text import (
+        STOPWORDS,
+        get_user_stopwords,
+        set_user_stopwords,
+    )
+
+    assert get_user_stopwords() == sorted(set(STOPWORDS)) or get_user_stopwords() == list(STOPWORDS)
+    set_user_stopwords(["foo", "bar", "foo"])
+    assert get_user_stopwords() == ["bar", "foo"]
+    set_user_stopwords(None)
+    assert get_user_stopwords() == list(STOPWORDS)
+
+
+def test_embedding_job_stream_batches(tables):
+    from lanterndb_spark.streaming.events import embedding_job_stream
+
+    docs = tables["documents"].limit(40)
+    write_batch, state = embedding_job_stream(docs)
+    write_batch(docs.filter(F.col("doc_id") < 20), 0)
+    write_batch(docs.filter(F.col("doc_id") >= 20), 1)
+    assert state["batches"] == 2
+    assert state["ok"].count() == 40
+    assert state["failed"].count() == 0
+    emb = state["ok"].first()["embedding"]
+    assert len(emb) == 64
