@@ -18,7 +18,8 @@ re-expresses that capability surface Spark-first:
 See SURVEY.md for the full capability map with reference citations.
 """
 
-from lanterndb_spark.session import get_spark
+from lanterndb_spark.session import get_spark, load_tables
+from lanterndb_spark.table import LanternTable
 
-__all__ = ["get_spark"]
+__all__ = ["get_spark", "load_tables", "LanternTable"]
 __version__ = "0.1.0"

@@ -1,4 +1,30 @@
-from lanterndb_spark.operators.knn import knn
+from lanterndb_spark.operators.knn import knn, knn_join
 from lanterndb_spark.operators.hybrid import weighted_vector_search
+from lanterndb_spark.operators.ivf import build_ivf, ivf_search, ivf_search_batch, ivfpq_search
+from lanterndb_spark.operators.lsh import build_srp, srp_search, srp_search_batch
+from lanterndb_spark.operators.bm25 import build_postings, search_bm25, bm25_score
+from lanterndb_spark.operators.pq import train_codebook, quantize, dequantize, adc_knn
+from lanterndb_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+    embedding_near_dup_pairs,
+    connected_components,
+    dedup_keep_representatives,
+)
+from lanterndb_spark.operators.embed import embed, complete
+from lanterndb_spark.operators.autotune import autotune_ivf, validate_ann
+from lanterndb_spark.operators.maintenance import apply_tombstones, with_deltas, compact
 
-__all__ = ["knn", "weighted_vector_search"]
+__all__ = [
+    "knn", "knn_join", "weighted_vector_search",
+    "build_ivf", "ivf_search", "ivf_search_batch", "ivfpq_search",
+    "build_srp", "srp_search", "srp_search_batch",
+    "build_postings", "search_bm25", "bm25_score",
+    "train_codebook", "quantize", "dequantize", "adc_knn",
+    "exact_dedup", "jaccard_pairs", "minhash_lsh_pairs", "simhash_pairs",
+    "embedding_near_dup_pairs", "connected_components", "dedup_keep_representatives",
+    "embed", "complete", "autotune_ivf", "validate_ann",
+    "apply_tombstones", "with_deltas", "compact",
+]

@@ -68,3 +68,20 @@ def test_knn_join_plan_has_window_group_limit(tables):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "WindowGroupLimit" in plan  # map-side top-k prune before shuffle
+
+
+def test_knn_join_arrow_matches_expr(tables, spark):
+    from lanterndb_spark.operators.knn import knn_join
+
+    emb = tables["embeddings"]
+    qdf = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    for metric in ("l2sq", "cos"):
+        a = knn_join(emb, "embedding", qdf, "qv", k=5, metric=metric,
+                     id_col="vec_id", impl="arrow").collect()
+        b = knn_join(emb, "embedding", qdf, "qv", k=5, metric=metric,
+                     id_col="vec_id", impl="expr").collect()
+        ka = sorted((r["q_id"], r["vec_id"]) for r in a)
+        kb = sorted((r["q_id"], r["vec_id"]) for r in b)
+        assert ka == kb
