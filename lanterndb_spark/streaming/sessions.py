@@ -35,6 +35,36 @@ SESSION_SCHEMA = (
 _STATE_SCHEMA = "start double, end double, n long, s double"
 
 
+def sessionize_native(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Spark's built-in ``session_window`` aggregation — the most
+    idiomatic form (works in batch AND streaming with a watermark; the
+    state store handles session merges). Semantics note: session_window
+    merges an event into the current session when its gap to the previous
+    event is STRICTLY LESS than ``gap``; :func:`sessionize_batch` starts a
+    new session when the gap EXCEEDS ``gap`` — the two differ only for
+    events exactly ``gap`` apart. window end = last event + gap, so
+    session_end here is reported as window.end - gap to match the others.
+    """
+    gap_s = _gap_seconds(gap)
+    return (
+        events.groupBy(F.session_window(ts_col, gap).alias("w"), user_col)
+        .agg(F.count("*").alias("n_events"), F.sum(value_col).alias("sum_value"))
+        .select(
+            user_col,
+            F.col("w.start").alias("session_start"),
+            (F.col("w.end").cast("double") - gap_s).cast("timestamp").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def sessionize_batch(
     events: DataFrame,
     gap: str = "30 minutes",

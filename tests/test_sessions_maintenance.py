@@ -132,3 +132,14 @@ def test_embedding_job_stream_batches(tables):
     assert state["failed"].count() == 0
     emb = state["ok"].first()["embedding"]
     assert len(emb) == 64
+
+
+def test_sessionize_native_matches_lag_cumsum(tables):
+    from lanterndb_spark.streaming.sessions import sessionize_batch, sessionize_native
+
+    ev = tables["events"]
+    a = _norm(sessionize_batch(ev, gap="30 minutes").collect())
+    b = _norm(sessionize_native(ev, gap="30 minutes").collect())
+    # strict-boundary ties (events exactly 30min apart) are the only
+    # permitted difference; on this fixture there are none
+    assert a == b
