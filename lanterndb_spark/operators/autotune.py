@@ -49,7 +49,8 @@ def _collect_by_query(res: DataFrame, id_col: str) -> dict[int, list]:
 
 
 def exact_topk_batch(
-    df: DataFrame, vec_col: str, queries: list[list[float]], k: int, id_col: str
+    df: DataFrame, vec_col: str, queries: list[list[float]], k: int, id_col: str,
+    metric: str = "l2sq",
 ) -> dict[int, list]:
     """Ground truth for a whole query batch in one job (the driver-loop
     of calculate_ground_truth :188-218 recast as a knn_join)."""
@@ -57,7 +58,7 @@ def exact_topk_batch(
     qdf = spark.createDataFrame(
         [(i, q) for i, q in enumerate(queries)], "q_id int, __q array<double>"
     )
-    res = knn_join(df, vec_col, qdf, "__q", k=k, id_col=id_col)
+    res = knn_join(df, vec_col, qdf, "__q", k=k, id_col=id_col, metric=metric)
     return _collect_by_query(res, id_col)
 
 
@@ -114,6 +115,58 @@ def autotune_ivf(
                 )
             )
         index.assigned.unpersist()
+    ok = [r for r in results if r.recall >= target_recall]
+    best = min(ok, key=lambda r: r.latency_s) if ok else None
+    return best, results
+
+
+def autotune_srp(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+    nbits_grid: tuple[int, ...] = (64, 128, 256),
+    oversample_grid: tuple[int, ...] = (5, 10, 20),
+    n_queries: int = 10,
+    target_recall: float = 0.9,
+    metric: str = "cos",
+    seed: int = 42,
+) -> tuple[TuneResult | None, list[TuneResult]]:
+    """Same find_best_variant loop over the SRP backend's knobs
+    (nbits ≈ build cost / sketch size, oversample ≈ ef)."""
+    from lanterndb_spark.operators.lsh import build_srp, srp_search_batch
+
+    queries = sample_queries(df, vec_col, n=n_queries, seed=seed)
+    truth = exact_topk_batch(df, vec_col, queries, k=k, id_col=id_col, metric=metric)
+    results: list[TuneResult] = []
+    for nbits in nbits_grid:
+        t0 = time.monotonic()
+        index = build_srp(df, vec_col, nbits=nbits, seed=seed)
+        index.sketched.cache().count()
+        build_s = time.monotonic() - t0
+        for oversample in oversample_grid:
+            t1 = time.monotonic()
+            got = _collect_by_query(
+                srp_search_batch(
+                    index, queries, k=k, oversample=oversample,
+                    metric=metric, id_col=id_col,
+                ),
+                id_col,
+            )
+            recs = [
+                recall_at_k(got.get(qi, []), truth.get(qi, []))
+                for qi in range(len(queries))
+            ]
+            latency = (time.monotonic() - t1) / len(queries)
+            results.append(
+                TuneResult(
+                    {"nbits": nbits, "oversample": oversample},
+                    sum(recs) / len(recs),
+                    latency,
+                    build_s,
+                )
+            )
+        index.sketched.unpersist()
     ok = [r for r in results if r.recall >= target_recall]
     best = min(ok, key=lambda r: r.latency_s) if ok else None
     return best, results

@@ -130,3 +130,19 @@ def test_ivfpq_reasonable_recall_small_refine(emb, index):
     # ADC ranking is much tighter. Far above random (10/200 = 0.05) is the
     # meaningful bound here; exactness is pinned by the high-refine test.
     assert sum(recs) / len(recs) >= 0.5
+
+
+def test_autotune_srp_grid(emb):
+    from lanterndb_spark.operators.autotune import autotune_srp
+
+    best, results = autotune_srp(
+        emb, "embedding", "vec_id", k=5,
+        nbits_grid=(64, 128), oversample_grid=(5, 40),
+        n_queries=3, target_recall=0.5,
+    )
+    assert len(results) == 4
+    # more bits + bigger oversample can't hurt mean recall on average —
+    # check the extreme corners instead of every pair
+    by = {(r.params["nbits"], r.params["oversample"]): r.recall for r in results}
+    assert by[(128, 40)] >= by[(64, 5)]
+    assert best is None or best.recall >= 0.5
