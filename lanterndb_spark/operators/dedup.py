@@ -196,14 +196,22 @@ def minhash_lsh_pairs(
     bands: int = 16,
     n: int = 3,
     threshold: float = 0.5,
-    verify: bool = True,
+    verify: bool | str = True,
 ) -> DataFrame:
     """Near-dup pairs via banded MinHash LSH.
 
     bands×rows = num_hashes; a pair lands in a candidate bucket if any
-    band of its signatures matches exactly (P ≈ 1-(1-j^r)^b). Candidates
-    are then verified with exact Jaccard when ``verify`` (what you want at
-    100 TB: LSH prunes the quadratic space, exact check keeps precision).
+    band of its signatures matches exactly (P ≈ 1-(1-j^r)^b). Candidate
+    verification modes:
+
+    - ``verify=True`` / ``"exact"``: join shingle sets back, exact
+      Jaccard ≥ threshold — full precision, costs a pairs×shingles join.
+    - ``verify="estimate"``: estimated Jaccard = fraction of agreeing
+      minhash coordinates — zero extra joins (signatures are already in
+      hand from banding), stderr ≈ 1/√num_hashes (~0.125 at 64). The
+      scale mode when the verify join dominates (a corpus with tens of
+      millions of true near-dup pairs).
+    - ``verify=False``: raw candidates.
     """
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
@@ -235,6 +243,27 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return cand
+    if verify == "estimate":
+        sig = wide.select(
+            "id", F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("sig")
+        )
+        out = (
+            cand.join(sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
+            .join(sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
+            .withColumn(
+                "jaccard",
+                F.size(
+                    F.filter(
+                        F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                        lambda m: m,
+                    )
+                ).cast("double")
+                / F.lit(float(num_hashes)),
+            )
+            .filter(F.col("jaccard") >= F.lit(float(threshold)))
+            .select("id_a", "id_b", "jaccard")
+        )
+        return out
     sh = shingle_table(df, id_col, text_col, n).persist()
     out = (
         cand.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")

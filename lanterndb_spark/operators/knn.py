@@ -54,6 +54,38 @@ def knn(
     return out.orderBy(*order).limit(k)
 
 
+def knn_stream(
+    df: DataFrame,
+    vec_col: str,
+    query,
+    init_k: int = 10,
+    max_k: int = 1000,
+    metric: str = "l2sq",
+    pred: Column | None = None,
+    id_col: str | None = None,
+):
+    """Generator yielding neighbors in distance order with doubling
+    re-search — the reference's streaming-k scan (scan.c:240-292: when
+    the consumer exhausts the first ``init_k`` results, re-search with
+    k·2, warning cap at 1000; GUC ``lantern_hnsw.init_k`` default 10 max
+    1000, options.c:324-335). Stop iterating when satisfied; each growth
+    step is one more top-k job over the same plan."""
+    k = init_k
+    seen = 0
+    while True:
+        rows = knn(
+            df, vec_col, query, k=k, metric=metric, pred=pred, id_col=id_col
+        ).collect()
+        for r in rows[seen:]:
+            yield r
+        if len(rows) < k:
+            return  # exhausted the table
+        seen = len(rows)
+        if k >= max_k:
+            return
+        k = min(k * 2, max_k)
+
+
 def knn_join(
     data: DataFrame,
     vec_col: str,

@@ -103,3 +103,17 @@ def test_search_on_documents_table(tables):
 def test_empty_query_raises(corpus):
     with pytest.raises(ValueError):
         search_bm25(corpus, "the and of")  # all stopwords
+
+
+def test_stemmed_postings_and_search(tables):
+    from lanterndb_spark.operators.bm25 import build_postings, corpus_stats, search_bm25
+
+    docs = tables["documents"].limit(150)
+    p = build_postings(docs, stem=True).cache()
+    # stemming merges inflected forms: no term ends in common suffixes
+    terms = [r["term"] for r in p.select("term").collect()]
+    assert terms and not any(t.endswith("ing") and len(t) > 5 for t in terms)
+    st = corpus_stats(docs, stem=True)
+    out = search_bm25(docs, "merging windows", limit=5, postings=p, stats=st, stem=True)
+    rows = out.collect()
+    assert len(rows) > 0

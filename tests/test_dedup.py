@@ -120,3 +120,23 @@ def test_dedup_keep_representatives(spark):
     out = sorted(r["doc_id"] for r in dedup_keep_representatives(df, pairs, "doc_id").collect())
     # groups {1,2,3} -> keep 1; {5,6} -> keep 5; 0,4,7 untouched
     assert out == [0, 1, 4, 5, 7]
+
+
+def test_minhash_estimate_verify_mode(tables):
+    from lanterndb_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = tables["documents"]
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    est = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", threshold=0.5, verify="estimate"
+        ).collect()
+    }
+    # estimate mode: same candidates, jaccard estimated from signatures —
+    # overlap should be large (both filter at the same threshold)
+    inter = len(exact & est)
+    assert inter >= 0.7 * max(len(exact), 1)

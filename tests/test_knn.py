@@ -85,3 +85,21 @@ def test_knn_join_arrow_matches_expr(tables, spark):
         ka = sorted((r["q_id"], r["vec_id"]) for r in a)
         kb = sorted((r["q_id"], r["vec_id"]) for r in b)
         assert ka == kb
+
+
+def test_knn_stream_doubles_and_exhausts(small_world):
+    from lanterndb_spark.operators.knn import knn_stream
+
+    got = [r["id"] for r in knn_stream(small_world, "v", [0.0, 0.0, 0.0],
+                                       init_k=2, id_col="id")]
+    want = [r["id"] for r in knn(small_world, "v", [0.0, 0.0, 0.0], k=8,
+                                 id_col="id").collect()]
+    assert got == want  # all 8 corners, in distance order, no dups
+
+
+def test_knn_stream_partial_consumption(small_world):
+    from lanterndb_spark.operators.knn import knn_stream
+
+    gen = knn_stream(small_world, "v", [0.0, 0.0, 0.0], init_k=2, id_col="id")
+    first_three = [next(gen)["id"] for _ in range(3)]
+    assert first_three == ["000", "001", "010"]
