@@ -495,6 +495,50 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q5 shape: 6-table star join, dims broadcast down the chain
+    t = load_tables(
+        spark, sf_dir, ["customer", "orders", "lineitem", "supplier", "nation", "region"]
+    )
+    asia = t["region"].filter(F.col("r_name") == "ASIA").select("r_regionkey")
+    nat = t["nation"].join(F.broadcast(asia), t["nation"].n_regionkey == asia.r_regionkey)
+    sup = t["supplier"].join(
+        F.broadcast(nat.select("n_nationkey", "n_name")),
+        t["supplier"].s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    cust = t["customer"].select("c_custkey", "c_nationkey")
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= "1994-01-01") & (F.col("o_orderdate") < "1996-01-01")
+    ).select("o_orderkey", "o_custkey")
+    li = t["lineitem"].select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    out = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+              (F.col("l_orderkey") == F.col("o_orderkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .groupBy("n_name")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+    return out.select("n_name", F.round("revenue", ROUND).alias("revenue"))
+
+
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # semi-structured props: JSON extraction + agg (get_json_object path)
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), ROUND).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # gap-based sessionization (batch twin of streaming.sessions)
     from lanterndb_spark.streaming.sessions import sessionize_batch
@@ -865,6 +909,28 @@ def oracle_sql() -> dict[str, str]:
               ORDER BY rev DESC, l_orderkey LIMIT 10
             ) t
         """,
+        "tpch_q5": f"""
+            SELECT n_name, round(rev, {ROUND}) AS revenue FROM (
+              SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS rev
+              FROM customer
+              JOIN orders   ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+              JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              JOIN nation   ON s_nationkey = n_nationkey
+              JOIN region   ON n_regionkey = r_regionkey
+              WHERE r_name = 'ASIA'
+                AND o_orderdate >= TIMESTAMP '1994-01-01'
+                AND o_orderdate <  TIMESTAMP '1996-01-01'
+              GROUP BY n_name ORDER BY rev DESC, n_name
+            ) t
+        """,
+        "events_json": f"""
+            SELECT event_type,
+                   count(*) AS n,
+                   sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+                   round(avg(CAST(json_extract_string(props, '$.k') AS INT)), {ROUND}) AS avg_k
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
         "sessionize": f"""
             WITH e AS (SELECT user_id, value, epoch_us(ts) AS tus FROM events),
             f AS (
@@ -920,6 +986,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_tumbling": q_events_tumbling,
         "sessionize": q_sessionize,
         "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
+        "events_json": q_events_json,
         "autotune_ivf": q_autotune,
         "multimodal_pipeline": q_multimodal_pipeline,
     }

@@ -17,3 +17,32 @@ __all__ = [
     "vector_norm",
     "vector_dims",
 ]
+
+from lanterndb_spark.functions.bloom import (
+    add_posting_blooms,
+    array_to_bloom,
+    bloom_build,
+    might_contain,
+)
+from lanterndb_spark.functions.text import (
+    STOPWORDS,
+    bpe_token_estimate,
+    doc_fingerprint,
+    get_user_stopwords,
+    lang_id,
+    porter_stem,
+    quality_score,
+    set_user_stopwords,
+    stem_array,
+    token_count,
+    tokenize,
+    tokenize_py,
+)
+
+__all__ += [
+    "bloom_build", "might_contain", "array_to_bloom", "add_posting_blooms",
+    "tokenize", "tokenize_py", "stem_array", "porter_stem",
+    "set_user_stopwords", "get_user_stopwords", "STOPWORDS",
+    "lang_id", "token_count", "bpe_token_estimate", "quality_score",
+    "doc_fingerprint",
+]
