@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 MAX_CLUSTERS = 256  # codes must fit one byte (pqvec.c:36-47, pqtable.c:85-87)

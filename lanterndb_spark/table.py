@@ -129,6 +129,10 @@ class LanternTable:
         return self
 
     def create_bm25(self, text_col: str, **params) -> "LanternTable":
+        """Snapshot of the inverted index at call time — like the
+        reference's create_bm25_table, inserts after this need a rebuild
+        (or consolidate_postings over incremental batches) to be
+        searchable; deleted rows simply score and get filtered."""
         from lanterndb_spark.operators.bm25 import build_postings, corpus_stats
 
         docs = self.df
