@@ -187,6 +187,7 @@ def ivf_search_batch(
     nprobe: int = 4,
     metric: str = "l2sq",
     id_col: str | None = None,
+    impl: str = "auto",
 ) -> DataFrame:
     """ANN top-k for a whole query batch in ONE distributed job.
 
@@ -222,13 +223,53 @@ def ivf_search_batch(
     # union of probed clusters does (PartitionFilters in the scan), so a
     # batch touching p clusters reads p/nlist of the data
     probed_clusters = sorted({int(c) for qi in range(len(queries)) for c in probe_ids[qi]})
-    data = index.assigned.filter(F.col("cluster_id").isin(probed_clusters))
-    pairs = widen_partitions(data).join(F.broadcast(probes), on="cluster_id")
+    data = widen_partitions(index.assigned.filter(F.col("cluster_id").isin(probed_clusters)))
+    order_tail = [F.col(id_col).asc()] if id_col else []
+
+    if impl == "auto":
+        # arrow scores every kept row against ALL queries; worth it when
+        # the wasted factor (~nlist/nprobe) stays within the ~10-20×
+        # per-op advantage of vectorized over interpreted scoring
+        impl = (
+            "arrow"
+            if len(queries) >= 4 and metric == "l2sq" and nprobe * 8 >= index.nlist
+            else "expr"
+        )
+
+    if impl == "arrow":
+        # score the pruned union against ALL queries with one matmul per
+        # Arrow batch (same economics as knn_join's arrow path), then keep
+        # only (q_id, cluster) pairs that actually probe — the extra
+        # scored pairs cost vectorized flops, the avoided path costs
+        # nq interpreted folds per row
+        bc = spark.sparkContext.broadcast(qarr)
+
+        @F.pandas_udf("array<double>")
+        def dist_block(s: pd.Series) -> pd.Series:
+            qm = bc.value
+            x = np.asarray(s.tolist(), dtype=np.float64)
+            d = (x**2).sum(1)[:, None] - 2.0 * x @ qm.T + (qm**2).sum(1)[None, :]
+            return pd.Series(list(d))
+
+        probe_pairs = spark.createDataFrame(
+            [(int(qi), int(c)) for qi in range(len(queries)) for c in probe_ids[qi]],
+            "q_id int, cluster_id int",
+        )
+        scored = data.withColumn("__ds", dist_block(F.col(index.vec_col)))
+        ex = scored.select(
+            "*", F.posexplode("__ds").alias("q_id", "dist")
+        ).drop("__ds")
+        ex = ex.join(F.broadcast(probe_pairs), on=["q_id", "cluster_id"], how="left_semi")
+        w = Window.partitionBy("q_id").orderBy(F.col("dist").asc(), *order_tail)
+        return (
+            ex.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+
+    pairs = data.join(F.broadcast(probes), on="cluster_id")
     pairs = pairs.withColumn("dist", distance(metric, index.vec_col, F.col("__qv")))
-    order = [F.col("dist").asc()]
-    if id_col:
-        order.append(F.col(id_col).asc())
-    w = Window.partitionBy("q_id").orderBy(*order)
+    w = Window.partitionBy("q_id").orderBy(F.col("dist").asc(), *order_tail)
     return (
         pairs.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)

@@ -146,3 +146,14 @@ def test_autotune_srp_grid(emb):
     by = {(r.params["nbits"], r.params["oversample"]): r.recall for r in results}
     assert by[(128, 40)] >= by[(64, 5)]
     assert best is None or best.recall >= 0.5
+
+
+def test_ivf_batch_arrow_matches_expr(emb, index):
+    from lanterndb_spark.operators.ivf import ivf_search_batch
+
+    qs = [qvec(emb, i) for i in (3, 11, 17, 29, 41)]
+    a = ivf_search_batch(index, qs, k=5, nprobe=4, id_col="vec_id", impl="expr").collect()
+    b = ivf_search_batch(index, qs, k=5, nprobe=4, id_col="vec_id", impl="arrow").collect()
+    ka = sorted((r["q_id"], r["vec_id"]) for r in a)
+    kb = sorted((r["q_id"], r["vec_id"]) for r in b)
+    assert ka == kb
