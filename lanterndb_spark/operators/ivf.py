@@ -71,6 +71,11 @@ def build_ivf(
         .limit(sample_limit)
         .collect()
     )
+    if not rows:
+        # empty build (ldb_ambuildunlogged analogue, build.c:653-727):
+        # a valid zero-vector index; searches return empty
+        empty = df.withColumn(cluster_col, F.lit(0).cast("int"))
+        return IvfIndex(empty, np.zeros((0, 0)), vec_col)
     x = np.asarray([r["v"] for r in rows], dtype=np.float64)
     centroids = _kmeans_numpy(x, nlist, seed=seed, max_iters=max_iter).astype(np.float64)
     assigned = df.withColumn(
@@ -171,6 +176,11 @@ def ivf_search(
 
     The cluster filter is a plain ``isin`` → Catalyst pushes it to the
     scan (partition pruning when saved partitioned by cluster_id)."""
+    if index.nlist == 0:  # empty index → empty result
+        return knn(
+            index.assigned.filter(F.lit(False)), index.vec_col, query,
+            k=k, metric=metric, id_col=id_col,
+        )
     q = np.asarray(query, dtype=np.float64)
     d = ((index.centroids - q[None, :]) ** 2).sum(axis=1)
     probes = [int(i) for i in np.argsort(d)[:nprobe]]
@@ -230,9 +240,12 @@ def ivf_search_batch(
         # arrow scores every kept row against ALL queries; worth it when
         # the wasted factor (~nlist/nprobe) stays within the ~10-20×
         # per-op advantage of vectorized over interpreted scoring
+        # ≥16 queries: below that the Arrow batch setup outweighs the
+        # matmul win (measured at bench scale); the expr path also keeps
+        # tiny-table latency flat
         impl = (
             "arrow"
-            if len(queries) >= 4 and metric == "l2sq" and nprobe * 8 >= index.nlist
+            if len(queries) >= 16 and metric == "l2sq" and nprobe * 8 >= index.nlist
             else "expr"
         )
 

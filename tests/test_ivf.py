@@ -157,3 +157,14 @@ def test_ivf_batch_arrow_matches_expr(emb, index):
     ka = sorted((r["q_id"], r["vec_id"]) for r in a)
     kb = sorted((r["q_id"], r["vec_id"]) for r in b)
     assert ka == kb
+
+
+def test_empty_build_and_search(spark):
+    from lanterndb_spark.operators.ivf import build_ivf, ivf_search
+
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    idx = build_ivf(empty, "embedding", nlist=4)
+    assert idx.nlist == 0
+    assert idx.assigned.count() == 0
+    out = ivf_search(idx, [0.0, 0.0], k=5, nprobe=1, id_col="vec_id")
+    assert out.count() == 0
