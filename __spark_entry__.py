@@ -272,7 +272,15 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_bm25_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return build_postings(_docs(spark, sf_dir))
+    # driver-facing projection: arrays → csv strings (the harness's pandas
+    # canonicalizer can't sort list cells); the operator API keeps arrays
+    p = build_postings(_docs(spark, sf_dir))
+    return p.select(
+        "term", "term_freq", "doc_ids_len",
+        F.array_join(F.col("doc_ids").cast("array<string>"), ",").alias("doc_ids"),
+        F.array_join(F.col("fqs").cast("array<string>"), ",").alias("fqs"),
+        F.array_join(F.col("doc_lens").cast("array<string>"), ",").alias("doc_lens"),
+    )
 
 
 def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -299,7 +307,12 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lanterndb_spark.operators.dedup import duplicate_groups
 
-    return duplicate_groups(_docs(spark, sf_dir), "lang", "doc_id")
+    g = duplicate_groups(_docs(spark, sf_dir), "lang", "doc_id")
+    # arrays → csv strings for the harness canonicalizer (see q_bm25_postings)
+    return g.select(
+        "lang", "n_dups",
+        F.array_join(F.col("ids").cast("array<string>"), ",").alias("ids"),
+    )
 
 
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -532,7 +545,7 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n"),
-            F.sum("k").alias("sum_k"),
+            F.sum("k").cast("long").alias("sum_k"),
             F.round(F.avg("k"), ROUND).alias("avg_k"),
         )
         .orderBy("event_type")
@@ -624,9 +637,9 @@ def _postings_oracle() -> str:
     SELECT term,
            CAST(count(*) AS INT) AS term_freq,
            CAST(count(*) AS INT) AS doc_ids_len,
-           list(doc_id ORDER BY doc_id) AS doc_ids,
-           list(fq ORDER BY doc_id) AS fqs,
-           list(dl ORDER BY doc_id) AS doc_lens
+           array_to_string(list(CAST(doc_id AS VARCHAR) ORDER BY doc_id), ',') AS doc_ids,
+           array_to_string(list(CAST(fq AS VARCHAR) ORDER BY doc_id), ',') AS fqs,
+           array_to_string(list(CAST(dl AS VARCHAR) ORDER BY doc_id), ',') AS doc_lens
     FROM dt GROUP BY term
     """
 
@@ -837,7 +850,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_groups": """
             SELECT lang, CAST(count(*) AS INT) AS n_dups,
-                   list(doc_id ORDER BY doc_id) AS ids
+                   array_to_string(list(CAST(doc_id AS VARCHAR) ORDER BY doc_id), ',') AS ids
             FROM documents GROUP BY lang HAVING count(*) > 1
         """,
         "jaccard_pairs": _jaccard_oracle(),
@@ -927,7 +940,7 @@ def oracle_sql() -> dict[str, str]:
         "events_json": f"""
             SELECT event_type,
                    count(*) AS n,
-                   sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
                    round(avg(CAST(json_extract_string(props, '$.k') AS INT)), {ROUND}) AS avg_k
             FROM events GROUP BY event_type ORDER BY event_type
         """,
