@@ -224,6 +224,85 @@ def q_srp_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_out(out.drop(*idx.sig_cols), ["vec_id", "label"], "dist")
 
 
+def q_ivf_exact_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """With nprobe == nlist, IVF search degrades to exact knn — the same
+    exact-equivalence oracle the reference uses for its ANN index
+    (test/sql/hnsw_correct.sql:17-48). Oracle = plain DuckDB knn."""
+    from lanterndb_spark.operators.ivf import build_ivf, ivf_search
+
+    emb = _emb(spark, sf_dir)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    index = build_ivf(emb, "embedding", nlist=8, seed=42)
+    out = ivf_search(index, qv, k=10, nprobe=8, id_col="vec_id")
+    return _round_out(out.drop("cluster_id"), ["vec_id", "label"], "dist")
+
+
+def q_srp_exact_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP with full oversample (candidates ⊇ whole table) must equal the
+    exact cosine knn — same equivalence pattern as q_ivf_exact_equiv."""
+    from lanterndb_spark.operators.lsh import build_srp, srp_search
+
+    emb = _emb(spark, sf_dir)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    idx = build_srp(emb, "embedding", nbits=64, seed=42)
+    k = 10
+    oversample = (emb.count() + k - 1) // k  # k·oversample ≥ n → exact
+    out = srp_search(idx, qv, k=k, oversample=oversample, metric="cos", id_col="vec_id")
+    return _round_out(out.drop(*idx.sig_cols), ["vec_id", "label"], "dist")
+
+
+def q_pq_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ invariants evaluated IN the query so the driver hash-checks them:
+
+    - encoder optimality: l2sq(v, dequantize(quantize(v))) ≤ l2sq(v,
+      decode(all-zero codes)) for every row — true for any argmin encoder,
+      no data-dependent bound needed;
+    - ADC consistency: adc_knn over codes == exact knn over the
+      dequantized vectors (ADC *is* l2sq(q, dequantize(code)), scan.c:75-81).
+
+    Oracle side only recomputes count(*); the booleans/match-count are
+    expected constants, so any quantizer regression flips the value hash."""
+    from lanterndb_spark.functions.distance import distance
+    from lanterndb_spark.operators.pq import (
+        _codebook_arrays,
+        adc_knn,
+        dequantize,
+        quantize,
+        train_codebook,
+    )
+
+    emb = _emb(spark, sf_dir)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    cb = train_codebook(emb, "embedding", splits=8, clusters=16, seed=42)
+    coded = quantize(emb, "embedding", cb)
+    deq = dequantize(coded, "embedding_pq", cb)
+
+    import numpy as np
+
+    zero_vec = [float(x) for x in np.concatenate([b[0] for b in _codebook_arrays(cb)])]
+    errs = deq.select(
+        distance("l2sq", "embedding", F.col("dequantized")).alias("err"),
+        distance("l2sq", "embedding", F.array(*[F.lit(x) for x in zero_vec])).alias("err0"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.min(F.col("err0") - F.col("err")).alias("min_slack"),
+        F.max("err").alias("max_err"),
+    ).first()
+    roundtrip_ok = bool(errs["min_slack"] >= -1e-9 and np.isfinite(errs["max_err"]))
+
+    a = adc_knn(coded, "embedding_pq", qv, cb, k=10, id_col="vec_id").select("vec_id", "dist").collect()
+    b = knn(deq, "dequantized", qv, k=10, metric="l2sq", id_col="vec_id").select("vec_id", "dist").collect()
+    a_ids, b_ids = [r["vec_id"] for r in a], [r["vec_id"] for r in b]
+    n_match = sum(1 for x, y in zip(a_ids, b_ids) if x == y)
+    dist_close = bool(
+        max(abs(x["dist"] - y["dist"]) for x, y in zip(a, b)) < 1e-6
+    ) if a and b else False
+    return spark.createDataFrame(
+        [(int(errs["n"]), roundtrip_ok, n_match, dist_close)],
+        "n_vectors bigint, roundtrip_ok boolean, adc_matches int, adc_dist_close boolean",
+    )
+
+
 def q_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ad-hoc document scoring against corpus stats (bm25_agg.rs:61-122)
     from lanterndb_spark.operators.bm25 import bm25_score, corpus_stats
@@ -841,6 +920,20 @@ def oracle_sql() -> dict[str, str]:
         "bm25_postings": _postings_oracle(),
         "bm25_score": _bm25_score_oracle(),
         "sq8_knn": _sq8_oracle(),
+        # ANN exact-equivalence rows: at nprobe=nlist / full oversample the
+        # approximate operators must reproduce the exact knn, which IS
+        # DuckDB-expressible (reference: test/sql/hnsw_correct.sql:17-48)
+        "ivf_exact_equiv": _knn_oracle(0, duck_l2sq),
+        "srp_exact_equiv": _knn_oracle(0, duck_cos),
+        # invariants computed Spark-side; oracle pins the expected values
+        # (count from data, booleans/match-count as constants)
+        "pq_roundtrip": """
+            SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+                   true AS roundtrip_ok,
+                   CAST(10 AS INT) AS adc_matches,
+                   true AS adc_dist_close
+            FROM embeddings
+        """,
         "text_metrics": _text_metrics_oracle(),
         "dedup_exact": """
             SELECT d.doc_id, d.lang, d.source
@@ -983,6 +1076,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_hot_terms": q_bloom_hot_terms,
         "text_metrics": q_text_metrics,
         "ivf_knn": q_ivf_knn,
+        "ivf_exact_equiv": q_ivf_exact_equiv,
+        "srp_exact_equiv": q_srp_exact_equiv,
+        "pq_roundtrip": q_pq_roundtrip,
         "ivfpq_knn": q_ivfpq_knn,
         "pq_adc_knn": q_pq_adc_knn,
         "pq_codebook": q_pq_codebook,
