@@ -45,12 +45,23 @@ def build_postings(
     terms_col: str | None = None,
     stem: bool = False,
     stopwords: list[str] | None = STOPWORDS,
+    salt: int = 16,
+    max_term_freq: int | None = None,
 ) -> DataFrame:
     """Build the inverted index (the ``<tbl>_bm25`` analogue).
 
     Returns columns: term, term_freq, doc_ids_len, doc_ids, fqs, doc_lens —
     arrays aligned and sorted by doc_id (invariant: bm25_agg.rs:713-719).
     Pass ``terms_col`` to index a pre-tokenized array column instead.
+
+    The per-term posting arrays are built with a two-stage salted
+    collect (plans.shape.salted_collect_list): collect_list gets no
+    map-side combine, so without salting a hot term (stop-word-like, in
+    a stopword-light corpus) funnels its whole posting list through one
+    reducer — the build's skew killer at 100 TB. ``max_term_freq`` drops
+    terms whose posting list exceeds it, mirroring the reference's
+    hot-term threshold GUC (lantern_extras/src/lib.rs:46,141-150) —
+    such terms carry ~zero idf anyway.
     """
     # project terms ONCE on a widened skinny projection, then size+explode
     # reference the projected column — otherwise tokenize runs twice per row
@@ -71,21 +82,23 @@ def build_postings(
         F.count("*").cast("int").alias("fq"),
         F.first("doc_len").cast("int").alias("doc_len"),
     )
-    return (
-        per_doc_term.groupBy("term")
-        .agg(
-            F.count("*").cast("int").alias("term_freq"),
-            F.sort_array(F.collect_list(F.struct("doc_id", "fq", "doc_len"))).alias("z"),
-        )
-        .select(
-            "term",
-            "term_freq",
-            F.col("term_freq").alias("doc_ids_len"),
-            F.col("z.doc_id").alias("doc_ids"),
-            F.col("z.fq").alias("fqs"),
-            F.col("z.doc_len").alias("doc_lens"),
-        )
+    from lanterndb_spark.plans.shape import salted_collect_list
+
+    collected = salted_collect_list(
+        per_doc_term, ["term"], F.struct("doc_id", "fq", "doc_len"),
+        alias="z", salt=salt,
     )
+    out = collected.select(
+        "term",
+        F.size("z").cast("int").alias("term_freq"),
+        F.size("z").cast("int").alias("doc_ids_len"),
+        F.col("z.doc_id").alias("doc_ids"),
+        F.col("z.fq").alias("fqs"),
+        F.col("z.doc_len").alias("doc_lens"),
+    )
+    if max_term_freq is not None:
+        out = out.filter(F.col("term_freq") <= max_term_freq)
+    return out
 
 
 def corpus_stats(

@@ -27,7 +27,11 @@ from pyspark.sql import functions as F
 
 from lanterndb_spark.functions.distance import cos_dist
 from lanterndb_spark.functions.text import tokenize
-from lanterndb_spark.plans.shape import explode_nonempty, widen_partitions
+from lanterndb_spark.plans.shape import (
+    attach_persisted,
+    explode_nonempty,
+    widen_partitions,
+)
 
 
 # ------------------------------------------------------------ exact
@@ -107,11 +111,20 @@ def jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    max_posting: int | None = 10_000,
 ) -> DataFrame:
     """All pairs with Jaccard(shingles_a, shingles_b) >= threshold, via
     shingle inverted-index self-join (explode → join on shingle → count
     common → |A|+|B|-common). No cross join: cost is bounded by posting
-    list sizes, and hot shingles can be dropped like BM25 drops hot terms."""
+    list sizes.
+
+    ``max_posting`` bounds the self-join fan-out: a shingle shared by p
+    docs contributes p² candidate rows, so one boilerplate shingle shared
+    by 10⁶ docs alone would emit 10¹² rows. Shingles whose posting list
+    exceeds the cap are dropped from the JOIN ONLY (set sizes keep them),
+    mirroring BM25's hot-term threshold — for pairs above a real near-dup
+    threshold the loss is a slight Jaccard underestimate, never a false
+    positive. None disables the cap (exact oracle mode)."""
     # persist: the shingle expression is referenced by BOTH sides of the
     # self-join below; higher-order-function exprs don't enter whole-stage
     # codegen, so re-evaluating them per branch is the dominant cost. At
@@ -124,6 +137,16 @@ def jaccard_pairs(
     )
     sizes = sh.select("id", "sz")
     ex = explode_nonempty(sh, "sh", "g", "id")
+    if max_posting is not None:
+        # hot shingles are few by definition → broadcast anti-join; the
+        # posting count is a map-side-combined groupBy (cheap at scale)
+        hot = (
+            ex.groupBy("g")
+            .agg(F.count("*").alias("__pc"))
+            .filter(F.col("__pc") > max_posting)
+            .select("g")
+        )
+        ex = ex.join(F.broadcast(hot), on="g", how="left_anti")
     a, b = ex.alias("a"), ex.alias("b")
     common = (
         a.join(b, on="g")
@@ -142,7 +165,7 @@ def jaccard_pairs(
         .filter(F.col("jaccard") >= F.lit(float(threshold)))
         .select("id_a", "id_b", "jaccard")
     )
-    return out
+    return attach_persisted(out, sh)
 
 
 # --------------------------------------------------------- MinHash LSH
@@ -197,6 +220,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     threshold: float = 0.5,
     verify: bool | str = True,
+    auto_estimate_threshold: int = 200_000,
 ) -> DataFrame:
     """Near-dup pairs via banded MinHash LSH.
 
@@ -211,6 +235,10 @@ def minhash_lsh_pairs(
       hand from banding), stderr ≈ 1/√num_hashes (~0.125 at 64). The
       scale mode when the verify join dominates (a corpus with tens of
       millions of true near-dup pairs).
+    - ``verify="auto"``: count candidates (one cheap job over the already
+      persisted banding output) and pick exact below
+      ``auto_estimate_threshold`` pairs, estimate above — the crossover is
+      where the pairs×shingles verify join starts to dominate the build.
     - ``verify=False``: raw candidates.
     """
     if num_hashes % bands:
@@ -242,7 +270,10 @@ def minhash_lsh_pairs(
         .distinct()
     )
     if not verify:
-        return cand
+        return attach_persisted(cand, wide)
+    if verify == "auto":
+        cand = cand.persist()
+        verify = "exact" if cand.count() <= auto_estimate_threshold else "estimate"
     if verify == "estimate":
         sig = wide.select(
             "id", F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("sig")
@@ -263,7 +294,7 @@ def minhash_lsh_pairs(
             .filter(F.col("jaccard") >= F.lit(float(threshold)))
             .select("id_a", "id_b", "jaccard")
         )
-        return out
+        return attach_persisted(out, wide, cand)
     sh = shingle_table(df, id_col, text_col, n).persist()
     out = (
         cand.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
@@ -276,7 +307,7 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= F.lit(float(threshold)))
         .select("id_a", "id_b", "jaccard")
     )
-    return out
+    return attach_persisted(out, wide, cand, sh)
 
 
 # ------------------------------------------------------------ SimHash
@@ -352,7 +383,7 @@ def simhash_pairs(
         ).alias("s"),
     ).select("id", "fp", "s.chunk", "s.cv")
     a, b = chunked.alias("a"), chunked.alias("b")
-    return (
+    out = (
         a.join(b, on=["chunk", "cv"])
         .filter(F.col("a.id") < F.col("b.id"))
         .select(
@@ -363,6 +394,7 @@ def simhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+    return attach_persisted(out, fp)
 
 
 # ------------------------------------------- embedding cosine near-dup

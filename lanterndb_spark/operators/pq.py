@@ -98,8 +98,10 @@ def train_codebook(
 
     sample = df.select(F.col(vec_col).alias("v"))
     if sample_limit:
-        frac_df = sample.limit(sample_limit)
-        sample = frac_df
+        # seeded random sample (same idiom as build_ivf): a bare limit()
+        # takes the head of the first partitions — a biased training set
+        # when the data is ordered or clustered on disk
+        sample = sample.orderBy(F.rand(seed)).limit(sample_limit)
 
     # explode each vector into its subvectors: (subvector_id, subvec)
     sub_exprs = [

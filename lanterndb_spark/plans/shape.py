@@ -43,13 +43,13 @@ def widen_partitions(df: DataFrame, target: int | None = None) -> DataFrame:
 def salted_collect_list(
     df: DataFrame,
     keys: list[str],
-    col: str,
+    col: str | Column,
     alias: str = "items",
     salt: int = 16,
     sort: bool = True,
 ) -> DataFrame:
     """Two-stage collect_list for skewed keys: collect per (keys, salt)
-    → flatten per keys.
+    → flatten per keys. ``col`` may be any expression (e.g. a struct).
 
     Algebraic aggs (sum/min/max/count) don't need this — Spark's partial
     aggregation combines them map-side. collect_list is the exception:
@@ -60,6 +60,7 @@ def salted_collect_list(
     `salt` pre-built arrays instead of millions of rows. AQE's skew
     handling only splits joins, not aggregations — this is the manual
     equivalent for the agg side."""
+    col = F.col(col) if isinstance(col, str) else col
     salted = df.withColumn("__salt", F.pmod(F.hash(col), F.lit(salt)))
     partial = salted.groupBy(*keys, "__salt").agg(
         F.collect_list(col).alias("__part")
@@ -70,6 +71,23 @@ def salted_collect_list(
     if sort:
         out = out.withColumn(alias, F.sort_array(F.col(alias)))
     return out
+
+
+def attach_persisted(out: DataFrame, *intermediates: DataFrame) -> DataFrame:
+    """Record persisted intermediates on a result DataFrame so callers can
+    free executor storage once the result is materialized (long sessions
+    calling pair-operators repeatedly would otherwise accumulate cached
+    shingle/signature tables). See :func:`release`."""
+    out.__dict__["_lantern_persisted"] = list(intermediates)
+    return out
+
+
+def release(df: DataFrame) -> None:
+    """Unpersist intermediates attached by :func:`attach_persisted`.
+    Call AFTER materializing ``df`` (collect/write); unpersisting earlier
+    would force recomputation of the self-join inputs the cache exists for."""
+    for p in df.__dict__.pop("_lantern_persisted", []):
+        p.unpersist()
 
 
 def explode_nonempty(df: DataFrame, arr, alias: str, *keep) -> DataFrame:

@@ -54,13 +54,10 @@ class LanternTable:
         return out
 
     def insert(self, delta: DataFrame) -> "LanternTable":
-        """Append rows (aminsert analogue). ANN assignments for indexed
-        columns are computed for the delta so index search stays exact."""
-        for vec_col, (kind, index) in self._indexes.items():
-            if kind == "ivf":
-                from lanterndb_spark.operators.ivf import ivf_assign
-
-                delta = ivf_assign(index, delta)
+        """Append rows (aminsert analogue). Deltas are stored RAW:
+        index-internal columns (cluster_id, sig_*) are computed on the
+        index-side union at query/compact time, so the user-visible
+        ``df`` schema never grows index columns."""
         self._deltas.append(delta)
         return self
 
@@ -184,9 +181,21 @@ class LanternTable:
                 base_index, query, k=k, metric=metric, id_col=self.id_col,
                 pred=pred, **search_params,
             )
-        from lanterndb_spark.operators.lsh import srp_search
+        from lanterndb_spark.operators.lsh import SrpIndex, srp_search, srp_sketch
 
-        return srp_search(index, query, k=k, metric=metric, id_col=self.id_col, **search_params)
+        # same delta/tombstone visibility contract as the ivf path above
+        base_index = index
+        if self._deltas:
+            sketched = maintenance.with_deltas(
+                index.sketched, *[srp_sketch(index, d) for d in self._deltas]
+            )
+            base_index = SrpIndex(sketched, index.planes, vec_col, index.sig_cols)
+        if self._tombstones:
+            sketched = maintenance.apply_tombstones(
+                base_index.sketched, self._tombstones, self.id_col
+            )
+            base_index = SrpIndex(sketched, index.planes, vec_col, index.sig_cols)
+        return srp_search(base_index, query, k=k, metric=metric, id_col=self.id_col, **search_params)
 
     def search_bm25(self, query: str, text_col: str = "text", limit: int = 10, **kw) -> DataFrame:
         from lanterndb_spark.operators.bm25 import search_bm25

@@ -140,3 +140,64 @@ def test_minhash_estimate_verify_mode(tables):
     # overlap should be large (both filter at the same threshold)
     inter = len(exact & est)
     assert inter >= 0.7 * max(len(exact), 1)
+
+
+def test_jaccard_hot_posting_cap(dup_docs):
+    # uncapped == huge-cap (no shingle near the cap on this corpus)
+    base = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_pairs(dup_docs, "doc_id", "text", threshold=0.5,
+                               max_posting=None).collect()
+    }
+    capped_loose = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_pairs(dup_docs, "doc_id", "text", threshold=0.5,
+                               max_posting=10_000).collect()
+    }
+    assert capped_loose == base
+    # a brutal cap only ever REMOVES pairs (scores can drop, never rise)
+    capped_tight = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_pairs(dup_docs, "doc_id", "text", threshold=0.5,
+                               max_posting=1).collect()
+    }
+    assert capped_tight <= base
+
+
+def test_minhash_auto_verify_mode(dup_docs):
+    exact = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 6))
+        for r in minhash_lsh_pairs(dup_docs, "doc_id", "text",
+                                   threshold=0.4, verify=True).collect()
+    }
+    # plenty of headroom → auto picks the exact verify join
+    auto_small = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 6))
+        for r in minhash_lsh_pairs(dup_docs, "doc_id", "text",
+                                   threshold=0.4, verify="auto").collect()
+    }
+    assert auto_small == exact
+    # zero threshold → auto must flip to the estimate mode
+    est = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 6))
+        for r in minhash_lsh_pairs(dup_docs, "doc_id", "text",
+                                   threshold=0.4, verify="estimate").collect()
+    }
+    auto_forced = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 6))
+        for r in minhash_lsh_pairs(dup_docs, "doc_id", "text", threshold=0.4,
+                                   verify="auto", auto_estimate_threshold=0).collect()
+    }
+    assert auto_forced == est
+
+
+def test_release_unpersists_intermediates(dup_docs):
+    from lanterndb_spark.plans.shape import release
+
+    out = jaccard_pairs(dup_docs, "doc_id", "text", threshold=0.5)
+    out.collect()
+    cached = out.__dict__["_lantern_persisted"]
+    assert cached and all(df.storageLevel.useMemory for df in cached)
+    release(out)
+    assert all(not df.storageLevel.useMemory for df in cached)
+    assert "_lantern_persisted" not in out.__dict__

@@ -144,3 +144,15 @@ def test_ivf_batch_search_prunes_partitions(emb_parquet, spark, tmp_path):
     scan = plan[plan.index("FileScan") :]
     assert "PartitionFilters" in scan
     assert "cluster_id" in scan.split("PartitionFilters")[1][:300]
+
+
+def test_postings_build_is_salted_two_stage_agg(spark):
+    """The postings collect_list must be the two-stage salted shape:
+    collect per (term, salt) then flatten per term — otherwise one hot
+    term funnels its whole posting list through a single reducer."""
+    from lanterndb_spark.operators.bm25 import build_postings
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(build_postings(docs))
+    assert "__salt" in plan
+    assert plan.count("ObjectHashAggregate") + plan.count("SortAggregate") >= 4

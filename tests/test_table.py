@@ -65,3 +65,25 @@ def test_validate_reports_recall(emb):
     # full probe in auto mode defaults nprobe=4 → exact-equivalent? default
     # nprobe is ivf_search's default (4 == nlist here) so recall is 1
     assert rec == pytest.approx(1.0)
+
+
+def test_insert_does_not_leak_index_columns(emb):
+    t = LanternTable(emb, "vec_id").create_index("embedding", kind="ivf", nlist=4, seed=42)
+    dup = emb.filter(F.col("vec_id") == 0).withColumn("vec_id", F.lit(99999).cast("bigint"))
+    t.insert(dup)
+    assert t.df.columns == emb.columns  # no cluster_id in the user schema
+    t.compact()
+    assert t.df.columns == emb.columns  # compact must not bake it in either
+
+
+def test_srp_index_sees_deltas_and_tombstones(emb):
+    t = LanternTable(emb, "vec_id").create_index("embedding", kind="srp", nbits=64, seed=42)
+    q = qvec(emb, 0)
+    t.delete([0])
+    n = emb.count()
+    top = t.knn("embedding", q, k=3, oversample=max(1, n // 3 + 1)).collect()
+    assert all(r["vec_id"] != 0 for r in top)
+    dup = emb.filter(F.col("vec_id") == 0).withColumn("vec_id", F.lit(77777).cast("bigint"))
+    t.insert(dup)
+    top2 = t.knn("embedding", q, k=3, oversample=max(1, n // 3 + 1)).collect()
+    assert top2[0]["vec_id"] == 77777
