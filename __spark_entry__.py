@@ -350,6 +350,15 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_topk_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the reference stems by default (text_to_stem_array, stemmers.rs:96-146);
+    # this exercises the stem=True path end-to-end against a SQL oracle that
+    # carries the token→stem map as an embedded VALUES table
+    return search_bm25(
+        _docs(spark, sf_dir), BM25_QUERY, limit=10, round_scores=ROUND, stem=True
+    )
+
+
 def q_bm25_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     # driver-facing projection: arrays → csv strings (the harness's pandas
     # canonicalizer can't sort list cells); the operator API keeps arrays
@@ -706,6 +715,64 @@ def _bm25_oracle() -> str:
     """
 
 
+def _stem_map_values() -> str:
+    """(token, porter_stem(token)) VALUES rows covering the corpus
+    vocabulary — lets a pure-SQL oracle reproduce the pandas-UDF stemmer.
+
+    The stemmer itself is shared between both sides (like the K1/B
+    constants); the oracle still independently re-derives tokenization,
+    postings, idf/tf math, and ranking."""
+    import os
+
+    import duckdb
+
+    from lanterndb_spark.functions.text import porter_stem, tokenize_py
+
+    toks: set[str] = set()
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = f"/root/testdata/{sf}/documents.parquet"
+        if os.path.exists(path):
+            for (t,) in duckdb.sql(f"SELECT text FROM '{path}'").fetchall():
+                toks.update(tokenize_py(t, stopwords=None))
+    esc = lambda s: s.replace("'", "''")
+    return ", ".join(f"('{esc(t)}', '{esc(porter_stem(t))}')" for t in sorted(toks))
+
+
+def _bm25_stemmed_oracle() -> str:
+    from lanterndb_spark.functions.text import tokenize_py
+    from lanterndb_spark.operators.bm25 import B, K1
+
+    q_terms = sorted(set(tokenize_py(BM25_QUERY, stem=True)))
+    raw = duck_tokens("text")  # stopwords drop AFTER stemming (stemmers.rs)
+    sw = duck_sql_list(STOPWORDS)
+    k1p1, k1, one_b, b = repr(K1 + 1.0), repr(K1), repr(1.0 - B), repr(B)
+    return f"""
+    WITH sm(tok, st) AS (VALUES {_stem_map_values()}),
+    rt AS (SELECT doc_id, unnest({raw}) AS tok FROM documents),
+    stmd AS (SELECT doc_id, coalesce(sm.st, rt.tok) AS term
+             FROM rt LEFT JOIN sm ON sm.tok = rt.tok),
+    filt AS (SELECT doc_id, term FROM stmd WHERE term NOT IN {sw}),
+    dls AS (SELECT d.doc_id, CAST(coalesce(f.c, 0) AS INT) AS dl
+            FROM documents d LEFT JOIN
+              (SELECT doc_id, count(*) AS c FROM filt GROUP BY doc_id) f USING (doc_id)),
+    st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dls),
+    dt AS (SELECT doc_id, term, CAST(count(*) AS INT) AS fq FROM filt GROUP BY doc_id, term),
+    tf AS (SELECT term, CAST(count(*) AS INT) AS tfreq FROM dt GROUP BY term),
+    sc AS (
+      SELECT dt.doc_id,
+        ln((st.n - tf.tfreq + 0.5) / (tf.tfreq + 0.5) + 1.0)
+          * (CAST(dt.fq AS DOUBLE) * {k1p1})
+          / (CAST(dt.fq AS DOUBLE) + {k1} * ({one_b} + {b} * CAST(dls.dl AS DOUBLE) / st.avgdl)) AS s
+      FROM dt JOIN tf USING (term) JOIN dls USING (doc_id) CROSS JOIN st
+      WHERE dt.term IN {duck_sql_list(q_terms)}
+    )
+    SELECT doc_id, bm25 FROM (
+      SELECT doc_id, round(sum(s), {ROUND}) AS bm25 FROM sc GROUP BY doc_id
+      ORDER BY bm25 DESC, doc_id LIMIT 10
+    ) t
+    """
+
+
 def _postings_oracle() -> str:
     toks = duck_tokens("text", STOPWORDS)
     return f"""
@@ -917,6 +984,7 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_exact": hybrid_exact,
         "hybrid_candidate": hybrid_candidate,
         "bm25_topk": _bm25_oracle(),
+        "bm25_topk_stemmed": _bm25_stemmed_oracle(),
         "bm25_postings": _postings_oracle(),
         "bm25_score": _bm25_score_oracle(),
         "sq8_knn": _sq8_oracle(),
@@ -1069,6 +1137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_exact": q_hybrid_exact,
         "hybrid_candidate": q_hybrid_candidate,
         "bm25_topk": q_bm25_topk,
+        "bm25_topk_stemmed": q_bm25_topk_stemmed,
         "bm25_postings": q_bm25_postings,
         "bm25_score": q_bm25_score,
         "sq8_knn": q_sq8_knn,

@@ -9,7 +9,27 @@ The tokenize/stopword stages are pure Catalyst expressions (JVM-side).
 Stemming is the one genuinely-Python stage: an Arrow-batched pandas UDF
 running a self-contained Porter stemmer (public-domain algorithm, Porter
 1980) — close kin of the reference's snowball English stemmer and matching
-it on the reference's own golden pairs ('lazy'→'lazi', 'jumps'→'jump').
+it on the reference's own golden pairs ('lazy'→'lazi', 'jumps'→'jump',
+stemmers.rs:148-166, all pinned in tests/test_text.py).
+
+Known Porter-1980 vs snowball-English (Porter2) divergences — words where
+this stemmer differs from the reference's rust-stemmers output (pinned in
+test_porter_snowball_divergences so any drift is visible):
+
+    word        porter (ours)   snowball (reference)
+    fairly      fairli          fair
+    generously  gener           generous
+    ties        ti              tie
+    lying       ly              lie
+    dying       dy              die
+    proceed     proce           proceed
+    exceed      exce            succeed-family kept whole
+    news        new             news  (Porter2 exception list)
+
+Both sides are internally consistent (same stem for query and document),
+so BM25 retrieval quality is equivalent; only the literal stem strings
+differ. Porting the full snowball exception tables was judged not worth
+the parity delta — the divergence is documented instead.
 """
 
 from __future__ import annotations

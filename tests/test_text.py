@@ -87,3 +87,22 @@ def test_fingerprint_order_sensitive(spark):
     df = spark.createDataFrame([("alpha beta",), ("beta alpha",)], "t string")
     fps = [r["fp"] for r in df.select(doc_fingerprint("t").alias("fp")).collect()]
     assert fps[0] != fps[1]
+
+
+def test_porter_snowball_divergences():
+    """Pin the documented Porter-1980 outputs for words where the
+    reference's snowball English stemmer differs (see functions/text.py
+    module docstring). If the stemmer implementation drifts, this fails
+    and the divergence table must be re-audited."""
+    pinned = {
+        "fairly": "fairli",
+        "generously": "gener",
+        "ties": "ti",
+        "lying": "ly",
+        "dying": "dy",
+        "proceed": "proce",
+        "exceed": "exce",
+        "news": "new",
+    }
+    for word, expect in pinned.items():
+        assert porter_stem(word) == expect, (word, porter_stem(word), expect)
