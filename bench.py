@@ -5,6 +5,14 @@
 Prints ONE JSON line:
 {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
+Methodology (round 2+): each query runs once UNMEASURED (JVM/codegen JIT,
+shuffle-file warmup — first-run JIT dominated the round-1 numbers at this
+SF), then ``BENCH_RUNS`` measured repetitions; ``queries`` reports the
+per-query MEDIAN and ``value`` their sum. The cold first-run times are
+kept in ``cold_queries`` for continuity with BENCH_r01.json, and when a
+BENCH_r01.json is present its per-query deltas are emitted under
+``delta_vs_r01`` so regressions are visible round-over-round.
+
 Measured queries mirror BASELINE.md's plan:
   q_knn        exact knn top-10 (l2sq) over embeddings
   q_hybrid     weighted 2-column hybrid search (union+dedup+re-rank)
@@ -12,7 +20,9 @@ Measured queries mirror BASELINE.md's plan:
   q_bm25       BM25 top-10 search (prebuilt postings)
   q_pq         PQ codebook train (8x16 on sample) + full-table encode
   q_ivf        IVF build (nlist=16) + 10 ANN queries nprobe=10
-  q_minhash    MinHash-LSH near-dup pairs over documents
+  q_minhash    MinHash-LSH near-dup pairs over documents (exact verify)
+  q_knn_join   32-query lateral knn join
+  q_sessionize gap-based sessionization over events
   q_tpch_q1    relational agg spine over lineitem
   recall_at_10 IVF recall vs exact (quality metric, target >= 0.9)
 """
@@ -21,6 +31,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -29,6 +40,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F
 
 from lanterndb_spark.session import get_spark, load_tables
+
+RUNS = int(os.environ.get("BENCH_RUNS", "3"))
 
 
 def timed(fn):
@@ -45,105 +58,111 @@ def main():
     emb, docs, li = t["embeddings"], t["documents"], t["lineitem"]
     emb.cache().count(); docs.cache().count(); li.cache().count()
 
+    from lanterndb_spark.operators.autotune import recall_at_k, sample_queries
     from lanterndb_spark.operators.bm25 import build_postings, corpus_stats, search_bm25
     from lanterndb_spark.operators.dedup import minhash_lsh_pairs
     from lanterndb_spark.operators.hybrid import weighted_vector_search
     from lanterndb_spark.operators.ivf import build_ivf, ivf_search_batch
-    from lanterndb_spark.operators.knn import knn
+    from lanterndb_spark.operators.knn import knn, knn_join
     from lanterndb_spark.operators.pq import quantize, train_codebook
-    from lanterndb_spark.operators.autotune import recall_at_k, sample_queries
+    from lanterndb_spark.plans.shape import release
+    from lanterndb_spark.streaming.sessions import sessionize_batch
 
     qv = [float(x) for x in emb.first()["embedding"]]
-    queries: dict[str, float] = {}
+    state: dict = {}
 
-    queries["q_knn"] = timed(
-        lambda: knn(emb, "embedding", qv, k=10, id_col="vec_id").collect()
-    )
+    def q_knn():
+        knn(emb, "embedding", qv, k=10, id_col="vec_id").collect()
 
     hybrid_df = emb.select(
         F.col("vec_id").alias("id"),
         F.col("embedding").alias("v1"),
         F.reverse("embedding").alias("v2"),
     )
-    queries["q_hybrid"] = timed(
-        lambda: weighted_vector_search(
+
+    def q_hybrid():
+        weighted_vector_search(
             hybrid_df, [(1.0, "v1", qv), (0.5, "v2", list(reversed(qv)))],
             ef=100, limit=20,
         ).collect()
-    )
 
-    postings_stats = {}
-
-    def build_p():
+    def q_bm25_build():
+        if "p" in state:
+            state["p"].unpersist()
         p = build_postings(docs).cache()
         p.count()
-        postings_stats["p"] = p
-        postings_stats["st"] = corpus_stats(docs)
+        state["p"] = p
+        state["st"] = corpus_stats(docs)
 
-    queries["q_bm25_build"] = timed(build_p)
-    queries["q_bm25"] = timed(
-        lambda: search_bm25(
+    def q_bm25():
+        search_bm25(
             docs, "spark window merge", limit=10,
-            postings=postings_stats["p"], stats=postings_stats["st"],
+            postings=state["p"], stats=state["st"],
         ).collect()
-    )
 
-    def pq_job():
+    def q_pq():
         cb = train_codebook(emb, "embedding", splits=8, clusters=16, seed=42)
-        quantize(emb, "embedding", cb).select(F.sum(F.element_at("embedding_pq", 1))).collect()
+        quantize(emb, "embedding", cb).select(
+            F.sum(F.element_at("embedding_pq", 1))
+        ).collect()
 
-    queries["q_pq"] = timed(pq_job)
-
-    ivf_state = {}
-
-    def ivf_job():
+    def q_ivf():
+        if "idx" in state:
+            state["idx"].assigned.unpersist()
         idx = build_ivf(emb, "embedding", nlist=16, seed=42)
         idx.assigned.cache().count()
-        ivf_state["idx"] = idx
+        state["idx"] = idx
         qs = sample_queries(emb, "embedding", n=10, seed=7)
-        ivf_state["qs"] = qs
+        state["qs"] = qs
         ivf_search_batch(idx, qs, k=10, nprobe=10, id_col="vec_id").collect()
 
-    queries["q_ivf"] = timed(ivf_job)
-
-    queries["q_minhash"] = timed(
-        lambda: minhash_lsh_pairs(
+    def q_minhash():
+        out = minhash_lsh_pairs(
             docs, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5
-        ).count()
-    )
+        )
+        out.count()
+        release(out)  # repeated runs must not accumulate cached signatures
 
-    def knn_join_job():
-        from lanterndb_spark.operators.knn import knn_join
-
+    def q_knn_join():
         qdf = emb.limit(32).select(
             F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
         )
         knn_join(emb, "embedding", qdf, "qv", k=10, id_col="vec_id").collect()
 
-    queries["q_knn_join"] = timed(knn_join_job)
+    def q_sessionize():
+        sessionize_batch(t["events"], gap="30 minutes").count()
 
-    def sessionize_job():
-        from lanterndb_spark.streaming.sessions import sessionize_batch
-
-        ev = t["events"]
-        sessionize_batch(ev, gap="30 minutes").count()
-
-    queries["q_sessionize"] = timed(sessionize_job)
-
-    queries["q_tpch_q1"] = timed(
-        lambda: li.groupBy("l_returnflag", "l_linestatus")
-        .agg(
+    def q_tpch_q1():
+        li.groupBy("l_returnflag", "l_linestatus").agg(
             F.sum("l_quantity"), F.sum("l_extendedprice"),
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
             F.avg("l_quantity"), F.count("*"),
-        )
-        .collect()
-    )
+        ).collect()
+
+    jobs = [
+        ("q_knn", q_knn),
+        ("q_hybrid", q_hybrid),
+        ("q_bm25_build", q_bm25_build),
+        ("q_bm25", q_bm25),
+        ("q_pq", q_pq),
+        ("q_ivf", q_ivf),
+        ("q_minhash", q_minhash),
+        ("q_knn_join", q_knn_join),
+        ("q_sessionize", q_sessionize),
+        ("q_tpch_q1", q_tpch_q1),
+    ]
+
+    cold: dict[str, float] = {}
+    queries: dict[str, float] = {}
+    for name, fn in jobs:
+        cold[name] = timed(fn)  # warmup (first-run JIT) — reported separately
+        samples = [timed(fn) for _ in range(RUNS)]
+        queries[name] = round(statistics.median(samples), 3)
 
     # quality metric: IVF recall@10 vs exact on 10 sampled queries (batch)
     from lanterndb_spark.operators.autotune import _collect_by_query, exact_topk_batch
 
-    idx, qs = ivf_state["idx"], ivf_state["qs"]
+    idx, qs = state["idx"], state["qs"]
     truth = exact_topk_batch(emb, "embedding", qs, k=10, id_col="vec_id")
     got = _collect_by_query(
         ivf_search_batch(idx, qs, k=10, nprobe=10, id_col="vec_id"), "vec_id"
@@ -151,19 +170,31 @@ def main():
     recs = [recall_at_k(got.get(i, []), truth.get(i, [])) for i in range(len(qs))]
     recall = round(sum(recs) / len(recs), 4)
 
-    total = round(sum(queries.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": queries,
-                "recall_at_10": recall,
-                "sf": sf_dir,
+    out = {
+        "metric": "headline_suite_wall_clock_warm_median",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "cold_total": round(sum(cold.values()), 3),
+        "cold_queries": cold,
+        "runs": RUNS,
+        "stat": "median",
+        "recall_at_10": recall,
+        "sf": sf_dir,
+    }
+    prev_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r01.json")
+    if os.path.exists(prev_path):
+        try:
+            with open(prev_path) as f:
+                doc = json.load(f)
+            # the driver wraps the bench's JSON line under "parsed"
+            prev = doc.get("parsed", doc).get("queries", {})
+            out["delta_vs_r01"] = {
+                k: round(queries[k] - prev[k], 3) for k in queries if k in prev
             }
-        )
-    )
+        except (OSError, ValueError, KeyError):
+            pass
+    print(json.dumps(out))
     spark.stop()
 
 
