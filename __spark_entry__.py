@@ -251,6 +251,24 @@ def q_srp_exact_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_out(out.drop(*idx.sig_cols), ["vec_id", "label"], "dist")
 
 
+def q_ivfpq_exact_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ with nprobe=nlist and refine spanning the whole table: the
+    ADC coarse pass keeps every row and the exact re-rank must reproduce
+    the exact knn — end-to-end oracle over the composite index path."""
+    from lanterndb_spark.operators.ivf import IvfIndex, build_ivf, ivfpq_search
+    from lanterndb_spark.operators.pq import quantize, train_codebook
+
+    emb = _emb(spark, sf_dir)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    k = 10
+    refine = (emb.count() + k - 1) // k  # k·refine ≥ n → exact re-rank
+    cb = train_codebook(emb, "embedding", splits=8, clusters=16, seed=42)
+    idx = build_ivf(emb, "embedding", nlist=8, seed=42)
+    coded = IvfIndex(quantize(idx.assigned, "embedding", cb), idx.centroids, "embedding")
+    out = ivfpq_search(coded, cb, qv, k=k, nprobe=8, refine=refine, id_col="vec_id")
+    return _round_out(out.drop("cluster_id", "embedding_pq"), ["vec_id", "label"], "dist")
+
+
 def q_pq_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ invariants evaluated IN the query so the driver hash-checks them:
 
@@ -446,6 +464,97 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(_docs(spark, sf_dir), "doc_id", "text", max_hamming=12)
 
 
+def q_dedup_sketch_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-collision invariants, hash-checked by the driver: duplicate
+    20 documents under shifted ids — SimHash MUST collide at hamming 0 and
+    MinHash-LSH MUST emit the pair at estimated Jaccard 1.0 for every
+    constructed twin (identical text ⇒ identical token multiset ⇒ identical
+    sketch). Catches any regression in tokenize/shingle/signature/banding
+    without needing DuckDB to reproduce Spark's murmur3."""
+    from lanterndb_spark.operators.dedup import minhash_lsh_pairs, simhash_pairs
+
+    docs = _docs(spark, sf_dir)
+    base = (
+        docs.select("doc_id", "text", tokenize("text", stopwords=None).alias("tk"))
+        .filter(F.size("tk") > 0)
+        .select("doc_id", "text")
+    )
+    SHIFT = 1_000_000
+    first = base.orderBy("doc_id").limit(20)
+    twin = first.withColumn("doc_id", F.col("doc_id") + F.lit(SHIFT))
+    corpus = base.unionByName(twin)
+    expected = first.select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + F.lit(SHIFT)).alias("id_b")
+    )
+    n_twins = expected.count()
+    sp = simhash_pairs(corpus, "doc_id", "text", max_hamming=0).select("id_a", "id_b")
+    missing_sim = expected.join(sp, on=["id_a", "id_b"], how="left_anti").count()
+    mp = minhash_lsh_pairs(corpus, "doc_id", "text", threshold=1.0).select("id_a", "id_b")
+    missing_min = expected.join(mp, on=["id_a", "id_b"], how="left_anti").count()
+    return spark.createDataFrame(
+        [(n_twins, missing_sim == 0, missing_min == 0)],
+        "n_twins bigint, simhash_collides boolean, minhash_finds boolean",
+    )
+
+
+def q_embed_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding pipeline invariants in-query: every doc embeds to the
+    configured dim with a nonzero norm, and the runtime is deterministic
+    (two independent embed() plans agree bit-for-bit)."""
+    from lanterndb_spark.operators.embed import embed
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    e1 = embed(docs, "text", model="hash/debug-64")
+    e2 = embed(docs, "text", model="hash/debug-64").select(
+        "doc_id", F.col("embedding").alias("embedding2")
+    )
+    joined = e1.join(e2, on="doc_id")
+    row = joined.agg(
+        F.count("*").alias("n"),
+        F.min(F.size("embedding") == 64).alias("dims_ok"),
+        F.min(
+            F.aggregate(
+                F.col("embedding").cast("array<double>"),
+                F.lit(0.0), lambda a, x: a + x * x,
+            )
+            > 0
+        ).alias("norm_ok"),
+        F.min(
+            F.aggregate(
+                F.zip_with("embedding", "embedding2", lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0).cast("float"), lambda a, x: a + x,
+            )
+            == 0
+        ).alias("deterministic"),
+    ).first()
+    return spark.createDataFrame(
+        [(int(row["n"]), bool(row["dims_ok"]), bool(row["norm_ok"]), bool(row["deterministic"]))],
+        "n_docs bigint, dims_ok boolean, norm_ok boolean, deterministic boolean",
+    )
+
+
+def q_autotune_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autotune contract, hash-checked: the full-probe config (nprobe =
+    nlist) must measure recall exactly 1.0 — it IS the exact search — and
+    the chosen best config must meet the target the caller set."""
+    from lanterndb_spark.operators.autotune import autotune_ivf
+
+    emb = _emb(spark, sf_dir)
+    best, results = autotune_ivf(
+        emb, "embedding", "vec_id", k=10,
+        nlist_grid=(4,), nprobe_grid=(1, 4), n_queries=5, target_recall=0.5,
+    )
+    full = [r for r in results if r.params["nprobe"] >= r.params["nlist"]]
+    return spark.createDataFrame(
+        [(
+            len(results),
+            bool(full) and all(abs(r.recall - 1.0) < 1e-12 for r in full),
+            best is not None and best.recall >= 0.5,
+        )],
+        "n_grid int, full_probe_recall_one boolean, best_meets_target boolean",
+    )
+
+
 def q_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embed documents (deterministic hash runtime) then semantic top-k —
     the create-embeddings → knn pipeline in one query. Rows-only: the
@@ -543,6 +652,42 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("pixels").alias("n_pixels"),
         F.col("media_meta.kind").alias("kind"),
         F.round("dist", ROUND).alias("dist"),
+    )
+
+
+def q_multimodal_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing invariants, hash-checked: the fake decode emits
+    width×height pixels, the visual embedding has the configured dim, and
+    the self-query is its own nearest neighbor at distance ~0 (the decode/
+    embed stages are deterministic in the bytes)."""
+    from lanterndb_spark.functions.multimodal import (
+        attach_media_meta,
+        decode_image,
+        image_embedding,
+    )
+    from lanterndb_spark.operators.knn import knn
+
+    docs = _docs(spark, sf_dir).limit(200)
+    media = docs.select("doc_id", F.encode("text", "utf-8").alias("img_bytes"))
+    media = attach_media_meta(media, "img_bytes", kind="image", mime="image/fake")
+    decoded = decode_image(media, "img_bytes", width=8, height=8, fake=True)
+    embedded = image_embedding(decoded, "img_bytes", dim=64, fake=True).persist()
+    stats = embedded.agg(
+        F.count("*").alias("n"),
+        F.min(F.size("pixels") == 8 * 8 * 3).alias("pixels_ok"),  # flat RGB
+        F.min(F.size("embedding") == 64).alias("emb_ok"),
+        F.min("doc_id").alias("qid"),
+    ).first()
+    qv = [
+        float(x)
+        for x in embedded.filter(F.col("doc_id") == stats["qid"]).first()["embedding"]
+    ]
+    top = knn(embedded, "embedding", qv, k=1, metric="cos", id_col="doc_id").first()
+    embedded.unpersist()
+    top_is_self = top["doc_id"] == stats["qid"] and abs(top["dist"]) < 1e-6
+    return spark.createDataFrame(
+        [(int(stats["n"]), bool(stats["pixels_ok"]), bool(stats["emb_ok"]), bool(top_is_self))],
+        "n_media bigint, pixels_ok boolean, emb_ok boolean, top_is_self boolean",
     )
 
 
@@ -993,6 +1138,34 @@ def oracle_sql() -> dict[str, str]:
         # DuckDB-expressible (reference: test/sql/hnsw_correct.sql:17-48)
         "ivf_exact_equiv": _knn_oracle(0, duck_l2sq),
         "srp_exact_equiv": _knn_oracle(0, duck_cos),
+        "ivfpq_exact_equiv": _knn_oracle(0, duck_l2sq),
+        "bloom_hot_terms": f"""
+            WITH toks AS (SELECT doc_id, {duck_tokens("text", STOPWORDS)} AS terms FROM documents),
+            ex AS (SELECT doc_id, unnest(terms) AS term FROM toks),
+            dt AS (SELECT doc_id, term FROM ex GROUP BY doc_id, term)
+            SELECT term, CAST(count(*) AS INT) AS doc_ids_len, true AS all_members_hit
+            FROM dt GROUP BY term HAVING count(*) > 50
+        """,
+        "dedup_sketch_invariants": f"""
+            SELECT CAST(least(20, count(*)) AS BIGINT) AS n_twins,
+                   true AS simhash_collides, true AS minhash_finds
+            FROM documents
+            WHERE len({duck_tokens("text")}) > 0
+        """,
+        "embed_invariants": """
+            SELECT CAST(count(*) AS BIGINT) AS n_docs, true AS dims_ok,
+                   true AS norm_ok, true AS deterministic
+            FROM documents
+        """,
+        "autotune_invariants": """
+            SELECT CAST(2 AS INT) AS n_grid, true AS full_probe_recall_one,
+                   true AS best_meets_target
+        """,
+        "multimodal_invariants": """
+            SELECT CAST(least(200, count(*)) AS BIGINT) AS n_media,
+                   true AS pixels_ok, true AS emb_ok, true AS top_is_self
+            FROM documents
+        """,
         # invariants computed Spark-side; oracle pins the expected values
         # (count from data, booleans/match-count as constants)
         "pq_roundtrip": """
@@ -1147,7 +1320,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_knn": q_ivf_knn,
         "ivf_exact_equiv": q_ivf_exact_equiv,
         "srp_exact_equiv": q_srp_exact_equiv,
+        "ivfpq_exact_equiv": q_ivfpq_exact_equiv,
         "pq_roundtrip": q_pq_roundtrip,
+        "dedup_sketch_invariants": q_dedup_sketch_invariants,
+        "embed_invariants": q_embed_invariants,
+        "autotune_invariants": q_autotune_invariants,
+        "multimodal_invariants": q_multimodal_invariants,
         "ivfpq_knn": q_ivfpq_knn,
         "pq_adc_knn": q_pq_adc_knn,
         "pq_codebook": q_pq_codebook,

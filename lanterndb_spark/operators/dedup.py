@@ -472,9 +472,10 @@ def embedding_near_dup_pairs(
     id_col: str,
     vec_col: str,
     max_cos_dist: float = 0.05,
-    method: str = "brute",
+    method: str = "auto",
     n_planes: int = 8,
     seed: int = 42,
+    auto_brute_limit: int = 100_000,
 ) -> DataFrame:
     """Semantic near-dup pairs: cos_dist(a,b) <= max_cos_dist.
 
@@ -483,8 +484,14 @@ def embedding_near_dup_pairs(
     method='lsh': random-hyperplane signatures bucket the join (pairs
     agreeing on all sign bits); loses recall near bucket boundaries but
     prunes the quadratic blowup — the 100 TB path.
+    method='auto' (default): brute below ``auto_brute_limit`` rows
+    (limit-capped count — never a full count job), lsh above, so callers
+    who never chose get the scale-safe path when it matters.
     """
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if method == "auto":
+        small = base.limit(auto_brute_limit + 1).count() <= auto_brute_limit
+        method = "brute" if small else "lsh"
     if method == "lsh":
         import numpy as np
 

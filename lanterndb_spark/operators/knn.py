@@ -126,7 +126,9 @@ def knn_join(
     order_tail = [F.col(id_col).asc()] if id_col else []
 
     if impl == "auto":
-        nq = queries.count()
+        # only "≥4 queries?" matters — limit(4).count() stops the scan at 4
+        # rows instead of counting a possibly-large query table
+        nq = queries.limit(4).count()
         impl = "arrow" if nq >= 4 and metric in ("l2sq", "cos", "inner") else "expr"
 
     if impl == "expr":
