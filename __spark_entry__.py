@@ -871,7 +871,7 @@ def _stem_map_values() -> str:
 
     import duckdb
 
-    from lanterndb_spark.functions.text import porter_stem, tokenize_py
+    from lanterndb_spark.functions.text import stem_word, tokenize_py
 
     toks: set[str] = set()
     for sf in ("sf0.001", "sf0.01", "sf0.1"):
@@ -880,7 +880,7 @@ def _stem_map_values() -> str:
             for (t,) in duckdb.sql(f"SELECT text FROM '{path}'").fetchall():
                 toks.update(tokenize_py(t, stopwords=None))
     esc = lambda s: s.replace("'", "''")
-    return ", ".join(f"('{esc(t)}', '{esc(porter_stem(t))}')" for t in sorted(toks))
+    return ", ".join(f"('{esc(t)}', '{esc(stem_word(t))}')" for t in sorted(toks))
 
 
 def _bm25_stemmed_oracle() -> str:

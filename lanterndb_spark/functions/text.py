@@ -7,29 +7,27 @@ reproduced verbatim (stemmers.rs:99-103).
 
 The tokenize/stopword stages are pure Catalyst expressions (JVM-side).
 Stemming is the one genuinely-Python stage: an Arrow-batched pandas UDF
-running a self-contained Porter stemmer (public-domain algorithm, Porter
-1980) — close kin of the reference's snowball English stemmer and matching
-it on the reference's own golden pairs ('lazy'→'lazi', 'jumps'→'jump',
-stemmers.rs:148-166, all pinned in tests/test_text.py).
+with two engines, selected like the reference's ``engine`` parameter
+(stemmer_api.sql:121-137):
 
-Known Porter-1980 vs snowball-English (Porter2) divergences — words where
-this stemmer differs from the reference's rust-stemmers output (pinned in
-test_porter_snowball_divergences so any drift is visible):
+- ``snowball`` (default): Porter2 / snowball "english" implemented from
+  the published algorithm — the same algorithm rust-stemmers'
+  ``Algorithm::English`` runs (stemmers.rs:76-77), so stems match the
+  reference including its exception words (news, proceed, dying, ...).
+- ``porter``: the original 1980 algorithm, kept for corpora indexed with
+  classic Porter.
 
-    word        porter (ours)   snowball (reference)
+Known Porter-1980 vs snowball divergences (both pinned in
+tests/test_text.py so either engine drifting is visible):
+
+    word        porter          snowball (= reference)
     fairly      fairli          fair
     generously  gener           generous
     ties        ti              tie
     lying       ly              lie
     dying       dy              die
     proceed     proce           proceed
-    exceed      exce            succeed-family kept whole
-    news        new             news  (Porter2 exception list)
-
-Both sides are internally consistent (same stem for query and document),
-so BM25 retrieval quality is equivalent; only the literal stem strings
-differ. Porting the full snowball exception tables was judged not worth
-the parity delta — the divergence is documented instead.
+    news        new             news
 """
 
 from __future__ import annotations
@@ -70,11 +68,12 @@ def _c(col) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
-def tokenize(col, stopwords: list[str] | None = STOPWORDS, stem: bool = False) -> Column:
+def tokenize(col, stopwords: list[str] | None = STOPWORDS, stem: bool | str = False) -> Column:
     """lowercase → strip non-alphanumerics → split → [stem] → drop stopwords.
 
     With ``stem=False`` the whole expression is JVM-side and mirrorable in a
-    SQL oracle; ``stem=True`` adds the Porter pandas UDF.
+    SQL oracle; ``stem=True`` adds the snowball (Porter2) pandas UDF — the
+    reference's default engine — and ``stem="porter"`` the 1980 algorithm.
     """
     # \p{L}\p{N} == the reference's unicode is_alphanumeric (stemmers.rs:107);
     # supported identically by Java regex and DuckDB's RE2
@@ -82,19 +81,19 @@ def tokenize(col, stopwords: list[str] | None = STOPWORDS, stem: bool = False) -
         F.split(F.regexp_replace(F.lower(_c(col)), r"[^\p{L}\p{N}]+", " "), " "), ""
     )
     if stem:
-        toks = stem_array(toks)
+        toks = stem_array(toks, engine="snowball" if stem is True else stem)
     if stopwords:
         toks = F.filter(toks, lambda t: ~t.isin(*stopwords))
     return toks
 
 
-def tokenize_py(text: str, stopwords: list[str] | None = STOPWORDS, stem: bool = False) -> list[str]:
+def tokenize_py(text: str, stopwords: list[str] | None = STOPWORDS, stem: bool | str = False) -> list[str]:
     """Python twin of :func:`tokenize` for query strings (must stay in
     lockstep so query terms hit the same postings keys)."""
     # [\W_] ≈ [^\p{L}\p{N}] (python re lacks \p classes; \W is unicode-aware)
     toks = [t for t in re.sub(r"[\W_]+", " ", text.lower()).split() if t]
     if stem:
-        toks = [porter_stem(t) for t in toks]
+        toks = [stem_word(t, "snowball" if stem is True else stem) for t in toks]
     if stopwords:
         sw = set(stopwords)
         toks = [t for t in toks if t not in sw]
@@ -222,14 +221,218 @@ def porter_stem(w: str) -> str:
     return w
 
 
-@F.pandas_udf(ArrayType(StringType()))
-def _stem_array_udf(s: pd.Series) -> pd.Series:
-    return s.map(lambda toks: None if toks is None else [porter_stem(t) for t in toks])
+# ------------------------------------------- snowball English (Porter2)
+# The reference's default engine is rust-stemmers' Algorithm::English —
+# the snowball "english" stemmer (Porter2, public spec at
+# snowballstem.org/algorithms/english/stemmer.html). Implemented from the
+# published algorithm description; `porter_stem` above remains as the
+# 1980-algorithm engine.
+
+_SB_DOUBLES = ("bb", "dd", "ff", "gg", "mm", "nn", "pp", "rr", "tt")
+_SB_LI_END = "cdeghkmnrt"
+_SB_EXCEPTIONS = {
+    "skis": "ski", "skies": "sky", "dying": "die", "lying": "lie",
+    "tying": "tie", "idly": "idl", "gently": "gentl", "ugly": "ugli",
+    "early": "earli", "only": "onli", "singly": "singl",
+    "sky": "sky", "news": "news", "howe": "howe", "atlas": "atlas",
+    "cosmos": "cosmos", "bias": "bias", "andes": "andes",
+}
+_SB_EXCEPTIONS_1A = {
+    "inning", "outing", "canning", "herring", "earring",
+    "proceed", "exceed", "succeed",
+}
+_SB_STEP2 = [  # longest-first; (suffix, replacement)
+    ("ization", "ize"), ("ational", "ate"), ("fulness", "ful"),
+    ("ousness", "ous"), ("iveness", "ive"), ("tional", "tion"),
+    ("biliti", "ble"), ("lessli", "less"), ("entli", "ent"),
+    ("ation", "ate"), ("alism", "al"), ("aliti", "al"), ("ousli", "ous"),
+    ("iviti", "ive"), ("fulli", "ful"), ("enci", "ence"), ("anci", "ance"),
+    ("abli", "able"), ("izer", "ize"), ("ator", "ate"), ("alli", "al"),
+    ("ogi", "og"), ("bli", "ble"), ("li", ""),
+]
+_SB_STEP3 = [
+    ("ational", "ate"), ("tional", "tion"), ("alize", "al"),
+    ("icate", "ic"), ("iciti", "ic"), ("ative", ""), ("ical", "ic"),
+    ("ness", ""), ("ful", ""),
+]
+_SB_STEP4 = [
+    "ement", "ance", "ence", "able", "ible", "ment", "ant", "ent",
+    "ism", "ate", "iti", "ous", "ive", "ize", "ion", "al", "er", "ic",
+]
 
 
-def stem_array(col) -> Column:
-    """Porter-stem every element of an array<string> column (Arrow-batched)."""
-    return _stem_array_udf(_c(col))
+def _sb_v(w: str, i: int) -> bool:
+    return w[i] in "aeiouy"  # marked consonant-y is 'Y', excluded
+
+
+def _sb_r1(w: str) -> int:
+    for pre in ("gener", "commun", "arsen"):
+        if w.startswith(pre):
+            return len(pre)
+    for i in range(1, len(w)):
+        if not _sb_v(w, i) and _sb_v(w, i - 1):
+            return i + 1
+    return len(w)
+
+
+def _sb_r2(w: str) -> int:
+    r1 = _sb_r1(w)
+    for i in range(r1 + 1, len(w)):
+        if not _sb_v(w, i) and _sb_v(w, i - 1):
+            return i + 1
+    return len(w)
+
+
+def _sb_in_r1(w: str, suf: str) -> bool:
+    return len(w) - len(suf) >= _sb_r1(w)
+
+
+def _sb_in_r2(w: str, suf: str) -> bool:
+    return len(w) - len(suf) >= _sb_r2(w)
+
+
+def _sb_ends_short(w: str) -> bool:
+    n = len(w)
+    if n == 2:
+        return _sb_v(w, 0) and not _sb_v(w, 1)
+    return (
+        n >= 3
+        and not _sb_v(w, n - 3)
+        and _sb_v(w, n - 2)
+        and not _sb_v(w, n - 1)
+        and w[n - 1] not in "wxY"
+    )
+
+
+def _sb_is_short(w: str) -> bool:
+    return _sb_ends_short(w) and _sb_r1(w) >= len(w)
+
+
+def snowball_stem(w: str) -> str:
+    """Snowball English stemmer (Porter2) from the published algorithm,
+    matching the reference's rust-stemmers Algorithm::English engine
+    (lantern_extras/src/stemmers.rs:76-77,96-118)."""
+    if w.startswith("'"):
+        w = w[1:]
+    if len(w) <= 2:
+        return w
+    if w in _SB_EXCEPTIONS:
+        return _SB_EXCEPTIONS[w]
+    # mark consonant-y: initial y, or y after a vowel
+    chars: list[str] = []
+    for i, ch in enumerate(w):
+        if ch == "y" and (i == 0 or chars[-1] in "aeiou"):
+            chars.append("Y")
+        else:
+            chars.append(ch)
+    w = "".join(chars)
+    # step 0: strip apostrophe suffixes
+    for suf in ("'s'", "'s", "'"):
+        if w.endswith(suf):
+            w = w[: -len(suf)]
+            break
+    # step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith(("ied", "ies")):
+        w = w[:-2] if len(w) > 4 else w[:-1]
+    elif w.endswith(("us", "ss")):
+        pass
+    elif w.endswith("s") and any(_sb_v(w, i) for i in range(len(w) - 2)):
+        w = w[:-1]
+    if w in _SB_EXCEPTIONS_1A:
+        return w
+    # step 1b (longest of eedly eed edly ed ingly ing)
+    if w.endswith(("eedly", "eed")):
+        suf = "eedly" if w.endswith("eedly") else "eed"
+        if _sb_in_r1(w, suf):
+            w = w[: -len(suf)] + "ee"
+    else:
+        for suf in ("ingly", "edly", "ing", "ed"):
+            if w.endswith(suf):
+                stem = w[: -len(suf)]
+                if any(_sb_v(stem, i) for i in range(len(stem))):
+                    w = stem
+                    if w.endswith(("at", "bl", "iz")):
+                        w += "e"
+                    elif w.endswith(_SB_DOUBLES):
+                        w = w[:-1]
+                    elif _sb_is_short(w):
+                        w += "e"
+                break
+    # step 1c: y/Y -> i after a non-vowel that isn't the first letter
+    if len(w) > 2 and w[-1] in "yY" and not _sb_v(w, len(w) - 2):
+        w = w[:-1] + "i"
+    # step 2 (longest match, then R1 test; no fallback to shorter suffixes)
+    for suf, rep in _SB_STEP2:
+        if w.endswith(suf):
+            if _sb_in_r1(w, suf):
+                if suf == "ogi":
+                    if w.endswith("logi"):
+                        w = w[:-1]
+                elif suf == "li":
+                    if len(w) > 2 and w[-3] in _SB_LI_END:
+                        w = w[:-2]
+                else:
+                    w = w[: -len(suf)] + rep
+            break
+    # step 3
+    for suf, rep in _SB_STEP3:
+        if w.endswith(suf):
+            if _sb_in_r1(w, suf):
+                if suf == "ative":
+                    if _sb_in_r2(w, suf):
+                        w = w[:-5]
+                else:
+                    w = w[: -len(suf)] + rep
+            break
+    # step 4
+    for suf in _SB_STEP4:
+        if w.endswith(suf):
+            if _sb_in_r2(w, suf):
+                if suf == "ion":
+                    if len(w) > 3 and w[-4] in "st":
+                        w = w[:-3]
+                else:
+                    w = w[: -len(suf)]
+            break
+    # step 5
+    if w.endswith("e"):
+        if _sb_in_r2(w, "e") or (
+            _sb_in_r1(w, "e") and not _sb_ends_short(w[:-1])
+        ):
+            w = w[:-1]
+    elif w.endswith("ll") and _sb_in_r2(w, "l"):
+        w = w[:-1]
+    return w.replace("Y", "y")
+
+
+_STEM_ENGINES = {"porter": porter_stem, "snowball": snowball_stem}
+
+
+def stem_word(w: str, engine: str = "snowball") -> str:
+    return _STEM_ENGINES[engine](w)
+
+
+def _make_stem_udf(engine: str):
+    fn = _STEM_ENGINES[engine]
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def _udf(s: pd.Series) -> pd.Series:
+        return s.map(lambda toks: None if toks is None else [fn(t) for t in toks])
+
+    return _udf
+
+
+_STEM_UDFS: dict = {}
+
+
+def stem_array(col, engine: str = "snowball") -> Column:
+    """Stem every element of an array<string> column (Arrow-batched).
+    ``engine``: 'snowball' (Porter2 — the reference default) or 'porter'."""
+    if engine not in _STEM_UDFS:
+        _STEM_UDFS[engine] = _make_stem_udf(engine)
+    return _STEM_UDFS[engine](_c(col))
 
 
 # ------------------------------------------------------- text analysis

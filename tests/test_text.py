@@ -106,3 +106,48 @@ def test_porter_snowball_divergences():
     }
     for word, expect in pinned.items():
         assert porter_stem(word) == expect, (word, porter_stem(word), expect)
+
+
+def test_snowball_matches_reference_goldens():
+    # the reference's rust-stemmers goldens (stemmers.rs:154-166,256-267)
+    from lanterndb_spark.functions.text import snowball_stem
+
+    golden = ["quick", "brown", "fox", "jump", "over", "lazi", "dog"]
+    words = ["quick", "brown", "fox", "jumps", "over", "lazy", "dog"]
+    assert [snowball_stem(w) for w in words] == golden
+
+
+def test_snowball_diverges_from_porter_like_the_reference():
+    """The words where Porter-1980 and snowball differ must now produce
+    the snowball (= reference) output under the default engine."""
+    from lanterndb_spark.functions.text import snowball_stem, tokenize_py
+
+    expected = {
+        "fairly": "fair",
+        "generously": "generous",
+        "ties": "tie",
+        "lying": "lie",
+        "dying": "die",
+        "proceed": "proceed",
+        "exceed": "exceed",
+        "succeed": "succeed",
+        "news": "news",
+        "skies": "sky",
+        "rational": "ration",
+        "conditional": "condit",
+        "communication": "communic",
+    }
+    for w, e in expected.items():
+        assert snowball_stem(w) == e, (w, snowball_stem(w), e)
+    # default engine routing: stem=True == snowball, stem="porter" == 1980
+    assert tokenize_py("ties fairly", stopwords=None, stem=True) == ["tie", "fair"]
+    assert tokenize_py("ties fairly", stopwords=None, stem="porter") == ["ti", "fairli"]
+
+
+def test_snowball_spark_engine_parity(spark):
+    from lanterndb_spark.functions.text import snowball_stem, tokenize
+
+    words = "the quick brown fox jumps over the lazy dog generously lying"
+    df = spark.createDataFrame([(words,)], "t string")
+    got = df.select(tokenize("t", stopwords=None, stem=True).alias("x")).first()["x"]
+    assert got == [snowball_stem(w) for w in words.split()]
