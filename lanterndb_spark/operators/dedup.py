@@ -122,9 +122,15 @@ def jaccard_pairs(
     docs contributes p² candidate rows, so one boilerplate shingle shared
     by 10⁶ docs alone would emit 10¹² rows. Shingles whose posting list
     exceeds the cap are dropped from the JOIN ONLY (set sizes keep them),
-    mirroring BM25's hot-term threshold — for pairs above a real near-dup
-    threshold the loss is a slight Jaccard underestimate, never a false
-    positive. None disables the cap (exact oracle mode)."""
+    mirroring BM25's hot-term threshold. The cap is precision-preserving
+    (scores only drop, never rise) but NOT recall-preserving: a pair
+    whose overlap is concentrated in hot shingles can fall below the
+    threshold entirely (measured on a synthetic boilerplate-heavy corpus
+    in tools/scale_smoke.py — capped exact found 0 of the pairs
+    MinHash-LSH verified). On corpora where near-dups share mostly
+    ultra-common shingles, use minhash_lsh_pairs (banding doesn't care
+    about per-shingle frequency). None disables the cap (exact oracle
+    mode)."""
     # persist: the shingle expression is referenced by BOTH sides of the
     # self-join below; higher-order-function exprs don't enter whole-stage
     # codegen, so re-evaluating them per branch is the dominant cost. At

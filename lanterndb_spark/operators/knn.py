@@ -146,33 +146,64 @@ def knn_join(
     qrows = queries.select(q_id_col, q_vec_col).collect()
     qids = [r[0] for r in qrows]
     qmat = np.asarray([list(r[1]) for r in qrows], dtype=np.float64)
-    bc = data.sparkSession.sparkContext.broadcast(qmat)
+    data_w = widen_partitions(data)
+    bc = data_w.sparkSession.sparkContext.broadcast((qids, qmat))
+    q_id_type = queries.schema[q_id_col].dataType.simpleString()
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in data_w.schema.fields]
+        + [f"{q_id_col} {q_id_type}", f"{dist_col} double"]
+    )
 
-    @F.pandas_udf("array<double>")
-    def dist_block(s: pd.Series) -> pd.Series:
-        q = bc.value
-        x = np.asarray(s.tolist(), dtype=np.float64)
-        if metric == "l2sq":
-            d = (x**2).sum(1)[:, None] - 2.0 * x @ q.T + (q**2).sum(1)[None, :]
-        elif metric == "inner":
-            d = -(x @ q.T)
-        else:  # cos
-            xn = np.linalg.norm(x, axis=1, keepdims=True)
-            qn = np.linalg.norm(q, axis=1, keepdims=True)
-            denom = xn @ qn.T
-            with np.errstate(divide="ignore", invalid="ignore"):
-                d = 1.0 - (x @ q.T) / denom
-            d[denom == 0] = np.nan
-        return pd.Series(list(d))
+    def topk_block(batches):
+        # Per-Arrow-batch matmul + per-query top-k INSIDE Python: each
+        # batch emits ≤ nq·(k + ties) rows instead of n·nq exploded rows,
+        # so the downstream window/shuffle sees k·nq·partitions rows, not
+        # the full distance matrix. Ties at the k-th distance are kept
+        # (threshold-inclusive) and resolved by the final (dist, id)
+        # window, preserving exact tie-break semantics.
+        ids, q = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            if metric == "l2sq":
+                d = (x**2).sum(1)[:, None] - 2.0 * x @ q.T + (q**2).sum(1)[None, :]
+            elif metric == "inner":
+                d = -(x @ q.T)
+            else:  # cos
+                xn = np.linalg.norm(x, axis=1, keepdims=True)
+                qn = np.linalg.norm(q, axis=1, keepdims=True)
+                denom = xn @ qn.T
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    d = 1.0 - (x @ q.T) / denom
+                d[denom == 0] = np.nan
+            n = len(pdf)
+            take_idx, take_q, take_d = [], [], []
+            for j in range(len(ids)):
+                dj = d[:, j]
+                if k >= n:
+                    sel = np.arange(n)
+                else:
+                    thresh = np.partition(dj, k - 1)[k - 1]
+                    # NaN thresh → fewer than k finite dists: keep all,
+                    # the final window orders NaN last like Spark does
+                    sel = (
+                        np.arange(n) if np.isnan(thresh)
+                        else np.flatnonzero(dj <= thresh)
+                    )
+                take_idx.append(sel)
+                take_q.append(np.full(len(sel), j))
+                take_d.append(dj[sel])
+            rows = np.concatenate(take_idx)
+            out = pdf.iloc[rows].copy()
+            out[q_id_col] = [ids[j] for j in np.concatenate(take_q)]
+            out[dist_col] = np.concatenate(take_d)
+            yield out
 
-    scored = widen_partitions(data).withColumn("__ds", dist_block(F.col(vec_col)))
-    qid_lookup = F.array(*[F.lit(q) for q in qids])
-    ex = scored.select(
-        "*", F.posexplode("__ds").alias("__qi", dist_col)
-    ).withColumn(q_id_col, F.element_at(qid_lookup, F.col("__qi") + 1)).drop("__ds", "__qi")
+    pruned = data_w.mapInPandas(topk_block, out_schema)
     w = Window.partitionBy(q_id_col).orderBy(F.col(dist_col).asc(), *order_tail)
     return (
-        ex.withColumn("__rn", F.row_number().over(w))
+        pruned.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )

@@ -1,0 +1,181 @@
+#!/usr/bin/env python
+"""Scale smoke: run the headline operators on synthetic data 1-2 orders
+of magnitude beyond the driver SF, and record wall-clock + the plan
+properties that must hold for the 100 TB posture.
+
+The testdata tops out at 2k vectors / 5k docs; pathologies that matter at
+cluster scale (skew, quadratic fan-out, codegen cliffs, per-row Python)
+only show up with more rows. This generates:
+
+- embeddings: N_VEC rows x DIM float32 (seeded gaussian, JVM-side rand)
+- documents: N_DOC rows of zipf-ish token text with planted near-dups
+  and a deliberately hot token (~40% of docs) to exercise the salted
+  postings build and the jaccard hot-shingle cap
+
+under spark-warehouse/scale_smoke/ (inside the repo; .gitignored), then
+times each operator end-to-end. Results go to stdout as one JSON line —
+paste the numbers into DESIGN.md when they move.
+
+Usage: python tools/scale_smoke.py [--vec N] [--doc N]  (defaults 200k/50k)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from lanterndb_spark.session import get_spark
+
+WAREHOUSE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "spark-warehouse", "scale_smoke",
+)
+
+# ~100-word vocabulary; token 'hot' is planted into ~40% of docs below to
+# make a skewed posting list on purpose
+VOCAB = [f"tok{i}" for i in range(100)] + ["hot"]
+
+
+def gen(spark, n_vec: int, n_doc: int, dim: int = 64, force: bool = False):
+    vec_path = os.path.join(WAREHOUSE, f"emb_{n_vec}_{dim}")
+    doc_path = os.path.join(WAREHOUSE, f"doc_{n_doc}")
+    if force or not os.path.exists(vec_path):
+        (
+            spark.range(n_vec).withColumnRenamed("id", "vec_id")
+            .withColumn(
+                "embedding",
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(dim)),
+                    lambda i: F.randn(42) .cast("float"),
+                ),
+            )
+            .withColumn("label", F.pmod(F.col("vec_id"), F.lit(7)).cast("int"))
+            .repartition(32)
+            .write.mode("overwrite").parquet(vec_path)
+        )
+    if force or not os.path.exists(doc_path):
+        # 20-40 tokens per doc, zipf-ish draw (squared uniform → the low
+        # vocab ids dominate, so near-dup pairs arise naturally and most
+        # shingles are hot); 40% of docs get the 'hot' token on top
+        base = (
+            spark.range(n_doc).withColumnRenamed("id", "doc_id")
+            .withColumn(
+                "text",
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.sequence(
+                            F.lit(1),
+                            (F.lit(20) + F.pmod(F.xxhash64("doc_id"), F.lit(21))).cast("int"),
+                        ),
+                        # zipf-ish: square the uniform draw to skew low ids
+                        lambda i: F.element_at(
+                            F.array(*[F.lit(v) for v in VOCAB]),
+                            (
+                                F.pow(F.rand(7), F.lit(2.0)) * F.lit(len(VOCAB) - 1)
+                            ).cast("int") + 1,
+                        ),
+                    ),
+                ),
+            )
+            .withColumn(
+                "text",
+                F.when(
+                    F.pmod(F.xxhash64("doc_id", F.lit(1)), F.lit(5)) < 2,
+                    F.concat_ws(" ", "text", F.lit("hot")),
+                ).otherwise(F.col("text")),
+            )
+        )
+        base.repartition(32).write.mode("overwrite").parquet(doc_path)
+    return spark.read.parquet(vec_path), spark.read.parquet(doc_path)
+
+
+def timed(label, fn, out):
+    t0 = time.monotonic()
+    n = fn()
+    dt = round(time.monotonic() - t0, 2)
+    out[label] = dt
+    print(f"  {label}: {dt}s" + (f" ({n} rows)" if isinstance(n, int) else ""), file=sys.stderr)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--vec", type=int, default=200_000)
+    ap.add_argument("--doc", type=int, default=50_000)
+    ap.add_argument("--force", action="store_true")
+    args = ap.parse_args()
+
+    spark = get_spark(app_name="scale-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+    emb, docs = gen(spark, args.vec, args.doc, force=args.force)
+    emb.cache().count(); docs.cache().count()
+
+    from lanterndb_spark.operators.bm25 import build_postings, search_bm25
+    from lanterndb_spark.operators.dedup import jaccard_pairs, minhash_lsh_pairs
+    from lanterndb_spark.operators.ivf import build_ivf, ivf_search
+    from lanterndb_spark.operators.knn import knn, knn_join
+    from lanterndb_spark.operators.pq import quantize, train_codebook
+    from lanterndb_spark.plans.shape import release
+
+    qv = [float(x) for x in emb.first()["embedding"]]
+    out: dict = {}
+
+    timed("knn_200k", lambda: len(knn(emb, "embedding", qv, k=10, id_col="vec_id").collect()), out)
+
+    def ivf_job():
+        idx = build_ivf(emb, "embedding", nlist=64, seed=42)
+        idx.assigned.cache().count()
+        r = len(ivf_search(idx, qv, k=10, nprobe=8, id_col="vec_id").collect())
+        idx.assigned.unpersist()
+        return r
+
+    timed("ivf_build_search", ivf_job, out)
+
+    def knn_join_job():
+        qdf = emb.limit(64).select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"))
+        return len(knn_join(emb, "embedding", qdf, "qv", k=10, id_col="vec_id").collect())
+
+    timed("knn_join_64q", knn_join_job, out)
+
+    def pq_job():
+        cb = train_codebook(emb, "embedding", splits=8, clusters=16, seed=42)
+        return quantize(emb, "embedding", cb).count()
+
+    timed("pq_train_encode", pq_job, out)
+
+    timed("bm25_build_hot", lambda: build_postings(docs).count(), out)
+    timed(
+        "bm25_search", lambda: len(search_bm25(docs, "tok3 tok17 hot", limit=10).collect()), out
+    )
+
+    def minhash_job():
+        p = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5, verify="auto")
+        n = p.count()
+        release(p)
+        return n
+
+    timed("minhash_auto_50k", minhash_job, out)
+
+    def jaccard_job():
+        # hot token shared by 40% of docs -> without the cap this join
+        # would fan out ~ (0.4*n_doc)^2 rows from that one posting
+        p = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5, max_posting=1000)
+        n = p.count()
+        release(p)
+        return n
+
+    timed("jaccard_capped_50k", jaccard_job, out)
+
+    print(json.dumps({"n_vec": args.vec, "n_doc": args.doc, "timings": out}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
