@@ -249,33 +249,59 @@ def ivf_search_batch(
             else "expr"
         )
 
+    if impl == "arrow" and metric != "l2sq":
+        raise ValueError("impl='arrow' batch scoring implements l2sq only")
     if impl == "arrow":
-        # score the pruned union against ALL queries with one matmul per
-        # Arrow batch (same economics as knn_join's arrow path), then keep
-        # only (q_id, cluster) pairs that actually probe — the extra
-        # scored pairs cost vectorized flops, the avoided path costs
-        # nq interpreted folds per row
-        bc = spark.sparkContext.broadcast(qarr)
-
-        @F.pandas_udf("array<double>")
-        def dist_block(s: pd.Series) -> pd.Series:
-            qm = bc.value
-            x = np.asarray(s.tolist(), dtype=np.float64)
-            d = (x**2).sum(1)[:, None] - 2.0 * x @ qm.T + (qm**2).sum(1)[None, :]
-            return pd.Series(list(d))
-
-        probe_pairs = spark.createDataFrame(
-            [(int(qi), int(c)) for qi in range(len(queries)) for c in probe_ids[qi]],
-            "q_id int, cluster_id int",
+        # one matmul per Arrow batch scores the pruned union against ALL
+        # queries, and the per-query top-k happens INSIDE the batch (same
+        # shape as knn_join's batch path): each batch emits ≤ nq·(k+ties)
+        # rows — not the n_kept×nq exploded matrix — restricted to rows
+        # whose cluster the query actually probes. The final (dist, id)
+        # window over ~k·nq·partitions rows resolves ties exactly.
+        nlist, nq = index.nlist, len(queries)
+        allowed = np.zeros((nlist, nq), dtype=bool)
+        for qi in range(nq):
+            allowed[probe_ids[qi], qi] = True
+        bc = spark.sparkContext.broadcast((qarr, allowed))
+        vec_col = index.vec_col
+        out_schema = ", ".join(
+            [f"{f.name} {f.dataType.simpleString()}" for f in data.schema.fields]
+            + ["q_id int", "dist double"]
         )
-        scored = data.withColumn("__ds", dist_block(F.col(index.vec_col)))
-        ex = scored.select(
-            "*", F.posexplode("__ds").alias("q_id", "dist")
-        ).drop("__ds")
-        ex = ex.join(F.broadcast(probe_pairs), on=["q_id", "cluster_id"], how="left_semi")
+
+        def topk_block(batches):
+            qm, allow = bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+                d = (x**2).sum(1)[:, None] - 2.0 * x @ qm.T + (qm**2).sum(1)[None, :]
+                eligible = allow[pdf["cluster_id"].to_numpy()]  # (n, nq)
+                take_idx, take_q, take_d = [], [], []
+                for j in range(qm.shape[0]):
+                    rows_j = np.flatnonzero(eligible[:, j])
+                    if not len(rows_j):
+                        continue
+                    dj = d[rows_j, j]
+                    if k < len(dj):
+                        thresh = np.partition(dj, k - 1)[k - 1]
+                        keep = dj <= thresh
+                        rows_j, dj = rows_j[keep], dj[keep]
+                    take_idx.append(rows_j)
+                    take_q.append(np.full(len(rows_j), j))
+                    take_d.append(dj)
+                if not take_idx:
+                    continue
+                rows = np.concatenate(take_idx)
+                out = pdf.iloc[rows].copy()
+                out["q_id"] = np.concatenate(take_q)
+                out["dist"] = np.concatenate(take_d)
+                yield out
+
+        pruned = data.mapInPandas(topk_block, out_schema)
         w = Window.partitionBy("q_id").orderBy(F.col("dist").asc(), *order_tail)
         return (
-            ex.withColumn("__rn", F.row_number().over(w))
+            pruned.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= k)
             .drop("__rn")
         )
