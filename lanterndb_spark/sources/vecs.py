@@ -51,7 +51,15 @@ def _read_vecs(spark: SparkSession, path: str, kind: str) -> DataFrame:
     def decode_files(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for _, row in pdf.iterrows():
-                vecs = _decode(row["content"], dtype)
+                content = bytes(row["content"])
+                # gzip transport like the reference's get_vectors
+                # (dotvecs.rs:140-207) — detected by magic, not extension,
+                # so .fvecs.gz and mislabeled files both work
+                if content[:2] == b"\x1f\x8b":
+                    import gzip
+
+                    content = gzip.decompress(content)
+                vecs = _decode(content, dtype)
                 yield pd.DataFrame(
                     {
                         "path": row["path"],

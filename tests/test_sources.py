@@ -46,3 +46,21 @@ def test_write_fvecs_roundtrip(spark, tables, tmp_path):
     back = read_fvecs(spark, p)
     assert back.count() == 5
     assert len(back.first()["v"]) == 64
+
+
+def test_fvecs_gzip_roundtrip(spark, tmp_path):
+    # gzip transport parity with the reference's get_vectors loader
+    import gzip
+
+    from lanterndb_spark.sources.vecs import read_fvecs, write_fvecs
+
+    df = spark.createDataFrame(
+        [(i, [float(i), float(i) + 0.5]) for i in range(7)], "id int, v array<float>"
+    )
+    raw = tmp_path / "t.fvecs"
+    write_fvecs(df, "v", str(raw))
+    gz = tmp_path / "t.fvecs.gz"
+    gz.write_bytes(gzip.compress(raw.read_bytes()))
+    plain = {tuple(r["v"]) for r in read_fvecs(spark, str(raw)).collect()}
+    gzipped = {tuple(r["v"]) for r in read_fvecs(spark, str(gz)).collect()}
+    assert gzipped == plain and len(plain) == 7
