@@ -321,6 +321,28 @@ def q_pq_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's SQL surface end-to-end: register the SQL-callable
+    functions and run the knn query as a spark.sql string, like a psql
+    user would (lantern.sql operator classes). Oracle = the same DuckDB
+    knn as the DataFrame path."""
+    from lanterndb_spark.functions.sqlreg import register_sql_functions
+
+    register_sql_functions(spark)
+    _emb(spark, sf_dir).createOrReplaceTempView("embeddings_v")
+    return spark.sql(f"""
+        SELECT vec_id, label, round(d, {ROUND}) AS dist FROM (
+          SELECT vec_id, label,
+                 l2sq_dist(
+                   embedding,
+                   (SELECT embedding FROM embeddings_v WHERE vec_id = 0)
+                 ) AS d
+          FROM embeddings_v
+          ORDER BY d ASC, vec_id ASC LIMIT 10
+        )
+    """)
+
+
 def q_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ad-hoc document scoring against corpus stats (bm25_agg.rs:61-122)
     from lanterndb_spark.operators.bm25 import bm25_score, corpus_stats
@@ -1113,6 +1135,7 @@ def oracle_sql() -> dict[str, str]:
     """
     return {
         "knn_l2sq": _knn_oracle(0, duck_l2sq),
+        "sql_knn": _knn_oracle(0, duck_l2sq),
         "knn_cos": _knn_oracle(7, duck_cos),
         "knn_filtered": _knn_oracle(0, duck_l2sq, where="WHERE label = 3"),
         "knn_hamming": hamming,
@@ -1303,6 +1326,7 @@ def oracle_sql() -> dict[str, str]:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_l2sq": q_knn_l2sq,
+        "sql_knn": q_sql_knn,
         "knn_cos": q_knn_cos,
         "knn_filtered": q_knn_filtered,
         "knn_hamming": q_knn_hamming,

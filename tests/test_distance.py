@@ -69,3 +69,46 @@ def test_small_world_distances(small_world):
     }
     for key, d in got.items():
         assert d == pytest.approx(key.count("1"))
+
+
+def test_sql_registered_functions_match_expressions(spark, tables):
+    """SQL-callable names (sqlreg) must agree with the Catalyst
+    expressions (functions.distance) on real vectors."""
+    from pyspark.sql import functions as F
+
+    from lanterndb_spark.functions.distance import distance
+    from lanterndb_spark.functions.sqlreg import register_sql_functions
+
+    register_sql_functions(spark)
+    emb = tables["embeddings"].limit(50)
+    emb.createOrReplaceTempView("sqlreg_t")
+    q = emb.select(F.col("embedding").alias("qv")).limit(1)
+    df = emb.crossJoin(F.broadcast(q))
+    for sql_name, metric in [("l2sq_dist", "l2sq"), ("cos_dist", "cos"), ("inner_product", "inner")]:
+        got = spark.sql(
+            f"SELECT vec_id, {sql_name}(embedding, (SELECT first(embedding) FROM sqlreg_t)) AS d "
+            "FROM sqlreg_t"
+        ).collect()
+        want = {
+            r["vec_id"]: r["d"]
+            for r in df.select("vec_id", distance(metric, "embedding", F.col("qv")).alias("d")).collect()
+        }
+        for r in got:
+            assert abs(r["d"] - want[r["vec_id"]]) < 1e-9, (sql_name, r["vec_id"])
+
+
+def test_sql_hamming_and_stem(spark):
+    from lanterndb_spark.functions.sqlreg import register_sql_functions
+    from lanterndb_spark.functions.text import tokenize_py
+
+    register_sql_functions(spark)
+    df = spark.createDataFrame(
+        [([0b1010, 3], [0b0110, 1], "The quick brown fox jumps over the lazy dog")],
+        "a array<int>, b array<int>, t string",
+    )
+    df.createOrReplaceTempView("sqlreg_h")
+    row = spark.sql(
+        "SELECT hamming_dist(a, b) AS h, text_to_stem_array(t) AS st FROM sqlreg_h"
+    ).first()
+    assert row["h"] == 3  # 1010^0110=1100 (2 bits) + 3^1=10 (1 bit)
+    assert row["st"] == tokenize_py("The quick brown fox jumps over the lazy dog", stem=True)
