@@ -648,6 +648,52 @@ def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: each click event picks up the latest purchase
+    by the same user at-or-before it, within 24h. Oracle = DuckDB's
+    native ASOF LEFT JOIN (an independent implementation of the same
+    semantics). Right side pre-aggregated to unique (user_id, ts) so the
+    match is well-defined on both engines."""
+    from lanterndb_spark.operators.temporal import asof_join
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pval"))
+    )
+    out = asof_join(clicks, purch, on="ts", by="user_id", tolerance=86400.0)
+    return out.select(
+        "event_id", "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros("ts_right").alias("purchase_ts_us"),
+        F.round("pval", ROUND).alias("purchase_value"),
+    )
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval containment join: all events inside 10-minute incident
+    windows anchored at the 20 earliest error events. The operator
+    bucket-joins (hash join on time bin), never a nested loop; oracle is
+    DuckDB's inequality join over the same windows."""
+    from lanterndb_spark.operators.temporal import range_join
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    windows = (
+        ev.filter(F.col("event_type") == "error")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .limit(20)
+        .select(
+            F.col("event_id").alias("wid"),
+            F.col("ts").alias("lo"),
+            (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("hi"),
+        )
+    )
+    out = range_join(ev.select("event_id", "ts"), windows, "ts", "lo", "hi")
+    return out.select("wid", "event_id", F.unix_micros("ts").alias("ts_us"))
+
+
 def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # binary media column → metadata → fake decode → visual embedding →
     # knn over the image embeddings (rows-only: decode stub is seeded rng;
@@ -1301,6 +1347,31 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(CAST(json_extract_string(props, '$.k') AS INT)), {ROUND}) AS avg_k
             FROM events GROUP BY event_type ORDER BY event_type
         """,
+        "asof_join": f"""
+            WITH purch AS (
+              SELECT user_id, ts, max(value) AS pval
+              FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+            ),
+            clicks AS (
+              SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+            )
+            SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+                   CASE WHEN c.ts - p.ts <= INTERVAL '24 hours'
+                        THEN epoch_us(p.ts) END AS purchase_ts_us,
+                   CASE WHEN c.ts - p.ts <= INTERVAL '24 hours'
+                        THEN round(p.pval, {ROUND}) END AS purchase_value
+            FROM clicks c ASOF LEFT JOIN purch p
+              ON c.user_id = p.user_id AND c.ts >= p.ts
+        """,
+        "range_join": """
+            WITH w AS (
+              SELECT event_id AS wid, ts AS lo, ts + INTERVAL '10 minutes' AS hi
+              FROM events WHERE event_type = 'error'
+              ORDER BY ts, event_id LIMIT 20
+            )
+            SELECT w.wid, e.event_id, epoch_us(e.ts) AS ts_us
+            FROM events e JOIN w ON e.ts BETWEEN w.lo AND w.hi
+        """,
         "sessionize": f"""
             WITH e AS (SELECT user_id, value, epoch_us(ts) AS tus FROM events),
             f AS (
@@ -1364,6 +1435,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "window_rownum": q_window_rownum,
         "events_tumbling": q_events_tumbling,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "sessionize": q_sessionize,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
