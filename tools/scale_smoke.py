@@ -97,6 +97,37 @@ def gen(spark, n_vec: int, n_doc: int, dim: int = 64, force: bool = False):
     return spark.read.parquet(vec_path), spark.read.parquet(doc_path)
 
 
+def gen_events(spark, n_evt: int, n_user: int = 10_000, force: bool = False):
+    """Synthetic clickstream: n_evt rows over n_user users across 30 days,
+    hash-scattered timestamps (unsorted on disk, like real ingest)."""
+    path = os.path.join(WAREHOUSE, f"evt_{n_evt}")
+    if force or not os.path.exists(path):
+        month_us = 30 * 24 * 3600 * 1_000_000
+        (
+            spark.range(n_evt).withColumnRenamed("id", "event_id")
+            .withColumn("user_id", F.pmod(F.xxhash64("event_id"), F.lit(n_user)))
+            .withColumn(
+                "ts",
+                F.timestamp_micros(
+                    F.lit(1_704_067_200_000_000)  # 2024-01-01
+                    + F.pmod(F.xxhash64("event_id", F.lit(2)), F.lit(month_us))
+                ),
+            )
+            .withColumn(
+                "event_type",
+                F.element_at(
+                    F.array(F.lit("click"), F.lit("view"), F.lit("purchase"),
+                            F.lit("error"), F.lit("signup")),
+                    F.pmod(F.xxhash64("event_id", F.lit(3)), F.lit(5)).cast("int") + 1,
+                ),
+            )
+            .withColumn("value", (F.pmod(F.xxhash64("event_id", F.lit(4)), F.lit(10_000)) / 100.0))
+            .repartition(32)
+            .write.mode("overwrite").parquet(path)
+        )
+    return spark.read.parquet(path)
+
+
 def timed(label, fn, out):
     t0 = time.monotonic()
     n = fn()
@@ -109,13 +140,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--vec", type=int, default=200_000)
     ap.add_argument("--doc", type=int, default=50_000)
+    ap.add_argument("--evt", type=int, default=2_000_000)
     ap.add_argument("--force", action="store_true")
     args = ap.parse_args()
 
     spark = get_spark(app_name="scale-smoke")
     spark.sparkContext.setLogLevel("ERROR")
     emb, docs = gen(spark, args.vec, args.doc, force=args.force)
-    emb.cache().count(); docs.cache().count()
+    events = gen_events(spark, args.evt, force=args.force)
+    emb.cache().count(); docs.cache().count(); events.cache().count()
 
     from lanterndb_spark.operators.bm25 import build_postings, search_bm25
     from lanterndb_spark.operators.dedup import jaccard_pairs, minhash_lsh_pairs
@@ -173,7 +206,34 @@ def main():
 
     timed("jaccard_capped_50k", jaccard_job, out)
 
-    print(json.dumps({"n_vec": args.vec, "n_doc": args.doc, "timings": out}))
+    from lanterndb_spark.operators.temporal import asof_join, range_join
+
+    def asof_job():
+        # ~400k clicks pick up the latest of ~400k purchases per user:
+        # one |L|+|R| shuffle on user_id, window state = one struct
+        clicks = events.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts")
+        purch = events.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "value")
+        return asof_join(clicks, purch, on="ts", by="user_id",
+                         tolerance=86400.0).count()
+
+    timed(f"asof_{args.evt // 1000}k_evt", asof_job, out)
+
+    def range_job():
+        # 200 ten-minute windows against every event: bucketed hash join,
+        # NOT a nested loop — candidate rows ≈ points + 2 bins/window
+        windows = (events.filter(F.col("event_type") == "error")
+                   .orderBy(F.col("ts").asc(), F.col("event_id").asc()).limit(200)
+                   .select(F.col("event_id").alias("wid"), F.col("ts").alias("lo"),
+                           (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("hi")))
+        return range_join(events.select("event_id", "ts"), windows,
+                          "ts", "lo", "hi").count()
+
+    timed(f"range_join_{args.evt // 1000}k_evt", range_job, out)
+
+    print(json.dumps({"n_vec": args.vec, "n_doc": args.doc, "n_evt": args.evt,
+                      "timings": out}))
     spark.stop()
 
 
