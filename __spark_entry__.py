@@ -694,6 +694,35 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("wid", "event_id", F.unix_micros("ts").alias("ts_us"))
 
 
+def q_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: 15-minute windows around the earliest 30
+    click events × the same around the earliest 30 error events, pairs
+    that overlap in time. Bucketed equi-join with a meet-once guard;
+    oracle is DuckDB's inequality join on the overlap predicate."""
+    from lanterndb_spark.operators.temporal import overlap_join
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+
+    def win(et: str, alias: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == et)
+            .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+            .limit(30)
+            .select(
+                F.col("event_id").alias(alias),
+                F.col("ts").alias("lo"),
+                (F.col("ts") + F.expr("INTERVAL 15 MINUTES")).alias("hi"),
+            )
+        )
+
+    out = overlap_join(win("click", "cid"), win("error", "eid"), ("lo", "hi"), ("lo", "hi"))
+    return out.select(
+        "cid", "eid",
+        F.unix_micros("lo").alias("c_lo_us"),
+        F.unix_micros("lo_right").alias("e_lo_us"),
+    )
+
+
 def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # binary media column → metadata → fake decode → visual embedding →
     # knn over the image embeddings (rows-only: decode stub is seeded rng;
@@ -1372,6 +1401,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT w.wid, e.event_id, epoch_us(e.ts) AS ts_us
             FROM events e JOIN w ON e.ts BETWEEN w.lo AND w.hi
         """,
+        "overlap_join": """
+            WITH c AS (
+              SELECT event_id AS cid, ts AS lo, ts + INTERVAL '15 minutes' AS hi
+              FROM events WHERE event_type = 'click' ORDER BY ts, event_id LIMIT 30
+            ),
+            e AS (
+              SELECT event_id AS eid, ts AS lo, ts + INTERVAL '15 minutes' AS hi
+              FROM events WHERE event_type = 'error' ORDER BY ts, event_id LIMIT 30
+            )
+            SELECT c.cid, e.eid, epoch_us(c.lo) AS c_lo_us, epoch_us(e.lo) AS e_lo_us
+            FROM c JOIN e ON greatest(c.lo, e.lo) <= least(c.hi, e.hi)
+        """,
         "sessionize": f"""
             WITH e AS (SELECT user_id, value, epoch_us(ts) AS tus FROM events),
             f AS (
@@ -1437,6 +1478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_tumbling": q_events_tumbling,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
+        "overlap_join": q_overlap_join,
         "sessionize": q_sessionize,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,

@@ -193,3 +193,71 @@ def range_join(
         *[pt[c] for c in points.columns],
         *[iv[iv_names[c]] for c in iv_names],
     )
+
+
+def overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_bounds: tuple[str, str],
+    right_bounds: tuple[str, str],
+    by: list[str] | str | None = None,
+    bucket: float | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Inner join of interval rows to interval rows that overlap them:
+    ``max(lo_l, lo_r) <= min(hi_l, hi_r)`` (closed ends), plus equal
+    ``by`` keys — completing the temporal family (point-in-time →
+    ``asof_join``, point-in-interval → ``range_join``, interval-overlap →
+    here) with the same bucketed equi-join shape instead of a nested loop.
+
+    Both sides explode onto fixed-width bins; a candidate pair meets in
+    every bin both cover, so the exact predicate is paired with a
+    meet-once guard — the pair is kept only in the FIRST overlapping bin,
+    ``floor(max(lo_l, lo_r)/bucket)`` — which makes results exactly-once
+    without a distinct shuffle. Default bucket = max interval length over
+    both sides (≤2 bins per row).
+    """
+    by = [by] if isinstance(by, str) else (by or [])
+    l_lo, l_hi = left_bounds
+    r_lo, r_hi = right_bounds
+
+    if bucket is None:
+        m_l = left.select(F.max(_as_double(F.col(l_hi), "") -
+                                _as_double(F.col(l_lo), "")).alias("m")).first()["m"]
+        m_r = right.select(F.max(_as_double(F.col(r_hi), "") -
+                                 _as_double(F.col(r_lo), "")).alias("m")).first()["m"]
+        bucket = float(max(m_l or 0.0, m_r or 0.0)) or 1.0
+    if bucket <= 0:
+        raise ValueError(f"bucket must be positive: {bucket}")
+
+    r_names = {c: (c + suffix if c in left.columns else c)
+               for c in right.columns if c not in by}
+
+    def binned(df, lo, hi, rename):
+        lo_c = _as_double(F.col(lo), "")
+        hi_c = _as_double(F.col(hi), "")
+        cols = ([F.col(c) for c in by] +
+                [F.col(c).alias(rename.get(c, c)) for c in df.columns if c not in by])
+        return df.select(
+            *cols,
+            F.explode(F.sequence(F.floor(lo_c / bucket),
+                                 F.floor(hi_c / bucket))).alias("__bin"),
+        )
+
+    lhs = binned(left, l_lo, l_hi, {})
+    rhs = binned(right, r_lo, r_hi, r_names)
+
+    llo = _as_double(lhs[l_lo], "")
+    lhi = _as_double(lhs[l_hi], "")
+    rlo = _as_double(rhs[r_names[r_lo]], "")
+    rhi = _as_double(rhs[r_names[r_hi]], "")
+    start = F.greatest(llo, rlo)
+    cond = [lhs["__bin"] == rhs["__bin"],
+            *[lhs[c] == rhs[c] for c in by],
+            start <= F.least(lhi, rhi),
+            F.floor(start / bucket) == lhs["__bin"]]  # meet-once guard
+    joined = lhs.join(rhs, cond, "inner")
+    return joined.select(
+        *[lhs[c] for c in left.columns],
+        *[rhs[r_names[c]] for c in r_names],
+    )

@@ -7,7 +7,7 @@ import random
 import pytest
 from pyspark.sql import functions as F
 
-from lanterndb_spark.operators.temporal import asof_join, range_join
+from lanterndb_spark.operators.temporal import asof_join, overlap_join, range_join
 
 
 def _brute_asof(left, right, direction, tolerance=None):
@@ -112,6 +112,37 @@ def test_range_join_matches_bruteforce_and_plan(spark):
         got = {(r["pid"], r["ivid"]) for r in out.collect()}
         assert got == want, by
         assert len(got) == out.count()  # no duplicate pairs
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+
+def test_overlap_join_matches_bruteforce_and_plan(spark):
+    rng = random.Random(11)
+
+    def mk(n, base_id):
+        out = []
+        for i in range(n):
+            lo = float(rng.randrange(500))
+            out.append((rng.randrange(3), lo, lo + rng.randrange(0, 80), base_id + i))
+        return out
+
+    a, b = mk(60, 0), mk(45, 100)
+    adf = spark.createDataFrame(a, "k long, lo double, hi double, aid long")
+    bdf = spark.createDataFrame(b, "k long, lo double, hi double, bid long")
+
+    for by, bucket in [("k", None), (None, 37.0)]:
+        out = overlap_join(adf, bdf, ("lo", "hi"), ("lo", "hi"), by=by, bucket=bucket)
+        want_cols = {"k", "lo", "hi", "aid", "lo_right", "hi_right", "bid"}
+        if by is None:
+            want_cols.add("k_right")  # right key is payload when not a join key
+        assert set(out.columns) == want_cols
+        want = {(x[3], y[3]) for x in a for y in b
+                if (by is None or x[0] == y[0])
+                and max(x[1], y[1]) <= min(x[2], y[2])}
+        got = [(r["aid"], r["bid"]) for r in out.collect()]
+        assert set(got) == want, by
+        assert len(got) == len(want)  # exactly-once, no dup pairs
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastNestedLoopJoin" not in plan
         assert "CartesianProduct" not in plan
