@@ -23,6 +23,7 @@ Measured queries mirror BASELINE.md's plan:
   q_minhash    MinHash-LSH near-dup pairs over documents (exact verify)
   q_knn_join   32-query lateral knn join
   q_sessionize gap-based sessionization over events
+  q_asof       as-of join: clicks pick up latest purchase per user
   q_tpch_q1    relational agg spine over lineitem
   recall_at_10 IVF recall vs exact (quality metric, target >= 0.9)
 """
@@ -132,6 +133,17 @@ def main():
     def q_sessionize():
         sessionize_batch(t["events"], gap="30 minutes").count()
 
+    def q_asof():
+        from lanterndb_spark.operators.temporal import asof_join
+
+        ev = t["events"]
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts")
+        purch = ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "value")
+        asof_join(clicks, purch, on="ts", by="user_id",
+                  tolerance=86400.0).count()
+
     def q_tpch_q1():
         li.groupBy("l_returnflag", "l_linestatus").agg(
             F.sum("l_quantity"), F.sum("l_extendedprice"),
@@ -149,6 +161,7 @@ def main():
         ("q_minhash", q_minhash),
         ("q_knn_join", q_knn_join),
         ("q_sessionize", q_sessionize),
+        ("q_asof", q_asof),
         ("q_tpch_q1", q_tpch_q1),
     ]
 
@@ -182,17 +195,26 @@ def main():
         "recall_at_10": recall,
         "sf": sf_dir,
     }
-    prev_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r01.json")
-    if os.path.exists(prev_path):
+    # regression visibility: compare against the LATEST recorded round
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
+    )
+    if rounds:
         try:
-            with open(prev_path) as f:
+            with open(rounds[-1]) as f:
                 doc = json.load(f)
             # the driver wraps the bench's JSON line under "parsed"
             prev = doc.get("parsed", doc).get("queries", {})
-            out["delta_vs_r01"] = {
+            out["delta_vs_prev"] = {
                 k: round(queries[k] - prev[k], 3) for k in queries if k in prev
             }
-        except (OSError, ValueError, KeyError):
+            out["prev_round"] = os.path.basename(rounds[-1])
+        except (OSError, ValueError, KeyError, AttributeError):
             pass
     print(json.dumps(out))
     spark.stop()
