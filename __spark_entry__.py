@@ -866,6 +866,52 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("n_name", F.round("revenue", ROUND).alias("revenue"))
 
 
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: single-table filter + global agg. All four predicates
+    and the 2-column projection reach the parquet scan (PushedFilters /
+    ReadSchema — asserted in test_plans.py); the agg is partial map-side, so
+    the shuffle carries one row per partition. DECIMAL sum for oracle parity
+    (q_tpch_q1 pattern). Dates shifted to this dataset's 1995-2001 range."""
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    rev = (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(24,6)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(rev).alias("rev"))
+        .select(F.round(F.col("rev").cast("double"), ROUND).alias("revenue"))
+    )
+
+
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS subquery -> LEFT SEMI join, then group-count.
+    The classic predicate (l_commitdate < l_receiptdate) needs columns this
+    dataset lacks, so the semi-join filter is "shipped >30 days after order"
+    — same plan: quarter of orders semi-joined against lineitem on the order
+    key with an extra non-equi condition, priorities counted. The orders side
+    is the small filtered side; lineitem is never widened past two columns."""
+    t = load_tables(spark, sf_dir, ["orders", "lineitem"])
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= "1996-07-01") & (F.col("o_orderdate") < "1996-10-01")
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = t["lineitem"].select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
 def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     # semi-structured props: JSON extraction + agg (get_json_object path)
     ev = load_tables(spark, sf_dir, ["events"])["events"]
@@ -1369,6 +1415,26 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY n_name ORDER BY rev DESC, n_name
             ) t
         """,
+        "tpch_q6": f"""
+            SELECT round(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(24,6))) AS DOUBLE), {ROUND}) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "tpch_q4": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders o
+            WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+              AND o_orderdate <  TIMESTAMP '1996-10-01'
+              AND EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+              )
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
         "events_json": f"""
             SELECT event_type,
                    count(*) AS n,
@@ -1482,6 +1548,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q4": q_tpch_q4,
         "events_json": q_events_json,
         "autotune_ivf": q_autotune,
         "multimodal_pipeline": q_multimodal_pipeline,

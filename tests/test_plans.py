@@ -156,3 +156,33 @@ def test_postings_build_is_salted_two_stage_agg(spark):
     plan = _plan(build_postings(docs))
     assert "__salt" in plan
     assert plan.count("ObjectHashAggregate") + plan.count("SortAggregate") >= 4
+
+
+def test_tpch_q6_pushes_all_predicates_to_scan(spark):
+    """Q6's four predicates and 4-column projection must reach the parquet
+    scan — a Q6 that filters post-scan reads the whole fact table at 100 TB."""
+    import __spark_entry__ as e
+
+    df = e.q_tpch_q6(spark, SF_DIR)
+    # toString() truncates PushedFilters; the formatted explain prints it whole
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    pushed = plan.split("PushedFilters:")[1].split("\n")[0]
+    for frag in ["GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+                 "GreaterThanOrEqual(l_discount", "LessThan(l_quantity"]:
+        assert frag in pushed, frag
+    read = plan.split("ReadSchema:")[1].split("\n")[0]
+    for col in ["l_returnflag", "l_orderkey", "l_tax"]:
+        assert col not in read, col
+
+
+def test_tpch_q4_is_semi_join(spark):
+    """The EXISTS must compile to a LeftSemi join (no row multiplication
+    from duplicate lineitems) with lineitem pruned to two columns."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_tpch_q4(spark, SF_DIR))
+    assert "LeftSemi" in plan
+    li_scan = [s for s in plan.split("FileScan") if "lineitem" in s[:400]]
+    assert li_scan and "l_extendedprice" not in li_scan[0].split("ReadSchema")[1][:200]
