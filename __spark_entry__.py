@@ -928,6 +928,66 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-HLL distinct counts with in-query invariants (the
+    bloom_hot_terms pattern): n_exact is oracle-checked against DuckDB;
+    hll_ok pins the estimate inside its error bound; merge_ok pins the
+    rollup path — union of per-day sketches stays within sketch error of
+    the exact count (union is a register-max merge, but sparse->dense
+    promotion can shift the estimator a hair, so the bound is the honest
+    invariant). That bound holding is what makes pre-aggregated rollups
+    safe at 100 TB."""
+    from lanterndb_spark.functions.sketches import (
+        hll_distinct, hll_rollup, hll_sketches,
+    )
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    direct = hll_distinct(ev, "event_type", "user_id").select(
+        "event_type", F.col("n_distinct_est").alias("est_direct")
+    )
+    fine = hll_sketches(
+        ev.withColumn("day", F.to_date("ts")), ["event_type", "day"], "user_id"
+    )
+    rolled = hll_rollup(fine, "event_type").select(
+        "event_type", F.col("n_distinct_est").alias("est_rolled")
+    )
+    out = exact.join(direct, "event_type").join(rolled, "event_type")
+    return out.select(
+        "event_type",
+        "n_exact",
+        (F.abs(F.col("est_direct") - F.col("n_exact")) / F.col("n_exact") <= 0.05).alias("hll_ok"),
+        (F.abs(F.col("est_rolled") - F.col("n_exact")) / F.col("n_exact") <= 0.05).alias("merge_ok"),
+    ).orderBy("event_type")
+
+
+def q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles per event_type: exact_p50 (sort-based percentile) is
+    oracle-checked against DuckDB quantile_cont; rank_ok pins the
+    Greenwald-Khanna approx median to rank 0.5 +/- 1/accuracy (+ tie
+    slack), evaluated in-query by re-ranking the approx value."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    acc = 10_000
+    q = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, acc).alias("ap"),
+        F.expr("percentile(value, 0.5)").alias("ep"),
+    )
+    ranked = (
+        ev.join(F.broadcast(q), "event_type")
+        .groupBy("event_type", "ap", "ep")
+        .agg(
+            (F.sum((F.col("value") <= F.col("ap")).cast("int")) / F.count("*")).alias("rnk")
+        )
+    )
+    return ranked.select(
+        "event_type",
+        F.round("ep", ROUND).alias("exact_p50"),
+        ((F.col("rnk") >= 0.5 - 1.0 / acc - 0.01) & (F.col("rnk") <= 0.5 + 1.0 / acc + 0.01)).alias("rank_ok"),
+    ).orderBy("event_type")
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # gap-based sessionization (batch twin of streaming.sessions)
     from lanterndb_spark.streaming.sessions import sessionize_batch
@@ -1415,6 +1475,17 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY n_name ORDER BY rev DESC, n_name
             ) t
         """,
+        "sketch_distinct": """
+            SELECT event_type, count(DISTINCT user_id) AS n_exact,
+                   TRUE AS hll_ok, TRUE AS merge_ok
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "sketch_quantiles": f"""
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), {ROUND}) AS exact_p50,
+                   TRUE AS rank_ok
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
         "tpch_q6": f"""
             SELECT round(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(24,6))) AS DOUBLE), {ROUND}) AS revenue
             FROM lineitem
@@ -1550,6 +1621,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
         "tpch_q4": q_tpch_q4,
+        "sketch_distinct": q_sketch_distinct,
+        "sketch_quantiles": q_sketch_quantiles,
         "events_json": q_events_json,
         "autotune_ivf": q_autotune,
         "multimodal_pipeline": q_multimodal_pipeline,

@@ -46,3 +46,18 @@ __all__ += [
     "lang_id", "token_count", "bpe_token_estimate", "quality_score",
     "doc_fingerprint",
 ]
+
+from lanterndb_spark.functions.sketches import (
+    approx_quantiles,
+    cms_build,
+    cms_estimate,
+    heavy_hitters,
+    hll_distinct,
+    hll_rollup,
+    hll_sketches,
+)
+
+__all__ += [
+    "hll_sketches", "hll_rollup", "hll_distinct",
+    "approx_quantiles", "cms_build", "cms_estimate", "heavy_hitters",
+]
