@@ -928,6 +928,20 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_para_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide paragraph/chunk dedup (operators/paragraphs.py): the
+    CCNet-style cleanup pass. Flat synthetic docs -> 16-token chunks;
+    first occurrence of each normalized chunk survives, docs reassemble
+    from survivors. Fully oracle-checked including the cleaned text."""
+    from lanterndb_spark.operators.paragraphs import remove_duplicate_paragraphs
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    out = remove_duplicate_paragraphs(docs, chunk_tokens=16, sep=" ")
+    return out.select(
+        "doc_id", "clean_text", "n_paras", "n_kept"
+    ).orderBy("doc_id")
+
+
 def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-HLL distinct counts with in-query invariants (the
     bloom_hot_terms pattern): n_exact is oracle-checked against DuckDB;
@@ -1475,6 +1489,30 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY n_name ORDER BY rev DESC, n_name
             ) t
         """,
+        "para_dedup": r"""
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ),
+            j AS (SELECT i FROM generate_series(0, 99999) t(i)),
+            chunks AS (
+              SELECT doc_id, i AS idx,
+                     array_to_string(w[(i*16+1):(i*16+16)], ' ') AS para
+              FROM toks JOIN j ON i*16 < len(w)
+            ),
+            tagged AS (
+              SELECT doc_id, idx, para,
+                     row_number() OVER (
+                       PARTITION BY trim(regexp_replace(lower(para), '\s+', ' ', 'g'))
+                       ORDER BY doc_id, idx
+                     ) = 1 AS is_kept
+              FROM chunks
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(CASE WHEN is_kept THEN para END, ' ' ORDER BY idx), '') AS clean_text,
+                   count(*) AS n_paras,
+                   CAST(sum(CASE WHEN is_kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+            FROM tagged GROUP BY doc_id ORDER BY doc_id
+        """,
         "sketch_distinct": """
             SELECT event_type, count(DISTINCT user_id) AS n_exact,
                    TRUE AS hll_ok, TRUE AS merge_ok
@@ -1623,6 +1661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q4": q_tpch_q4,
         "sketch_distinct": q_sketch_distinct,
         "sketch_quantiles": q_sketch_quantiles,
+        "para_dedup": q_para_dedup,
         "events_json": q_events_json,
         "autotune_ivf": q_autotune,
         "multimodal_pipeline": q_multimodal_pipeline,

@@ -99,3 +99,10 @@ def explode_nonempty(df: DataFrame, arr, alias: str, *keep) -> DataFrame:
     arr = F.col(arr) if isinstance(arr, str) else arr
     out = df.select(*keep, F.explode_outer(arr).alias(alias))
     return out.filter(F.col(alias).isNotNull())
+
+def posexplode_nonempty(df: DataFrame, arr, pos_alias: str, alias: str, *keep) -> DataFrame:
+    """``posexplode`` twin of :func:`explode_nonempty` — same
+    InferFiltersFromGenerate dodge, keeping the element index."""
+    arr = F.col(arr) if isinstance(arr, str) else arr
+    out = df.select(*keep, F.posexplode_outer(arr).alias(pos_alias, alias))
+    return out.filter(F.col(alias).isNotNull())
