@@ -928,6 +928,23 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-doc repetition panel (functions/text.py repetition_signals):
+    the Gopher/C4 quality filters — duplicate-word, duplicate-bigram and
+    top-bigram fractions, all pure column HOFs (no explode, no shuffle
+    beyond the final sort)."""
+    from lanterndb_spark.functions.text import dup_ngram_fraction, top_ngram_fraction
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    txt = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.round(dup_ngram_fraction(txt, 1), ROUND).alias("dup_word_frac"),
+        F.round(dup_ngram_fraction(txt, 2), ROUND).alias("dup_bigram_frac"),
+        F.round(top_ngram_fraction(txt, 2), ROUND).alias("top_bigram_frac"),
+    ).orderBy("doc_id")
+
+
 def q_para_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide paragraph/chunk dedup (operators/paragraphs.py): the
     CCNet-style cleanup pass. Flat synthetic docs -> 16-token chunks;
@@ -1489,6 +1506,31 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY n_name ORDER BY rev DESC, n_name
             ) t
         """,
+        "text_repetition": f"""
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ),
+            words AS (
+              SELECT doc_id, len(w) AS t, len(list_distinct(w)) AS d FROM toks
+            ),
+            j AS (SELECT i FROM generate_series(1, 99999) t(i)),
+            gcnt AS (
+              SELECT doc_id, g, count(*) AS c FROM (
+                SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+                FROM toks JOIN j ON i + 1 <= len(w)
+              ) GROUP BY doc_id, g
+            ),
+            gagg AS (
+              SELECT doc_id, sum(c) AS tg, count(*) AS dg, max(c) AS mg
+              FROM gcnt GROUP BY doc_id
+            )
+            SELECT w.doc_id,
+                   round(CASE WHEN w.t > 0 THEN (w.t - w.d) / CAST(w.t AS DOUBLE) ELSE 0 END, {ROUND}) AS dup_word_frac,
+                   round(coalesce((g.tg - g.dg) / CAST(g.tg AS DOUBLE), 0), {ROUND}) AS dup_bigram_frac,
+                   round(coalesce(g.mg / CAST(g.tg AS DOUBLE), 0), {ROUND}) AS top_bigram_frac
+            FROM words w LEFT JOIN gagg g ON w.doc_id = g.doc_id
+            ORDER BY w.doc_id
+        """,
         "para_dedup": r"""
             WITH toks AS (
               SELECT doc_id, string_split(text, ' ') AS w FROM documents
@@ -1662,6 +1704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_distinct": q_sketch_distinct,
         "sketch_quantiles": q_sketch_quantiles,
         "para_dedup": q_para_dedup,
+        "text_repetition": q_text_repetition,
         "events_json": q_events_json,
         "autotune_ivf": q_autotune,
         "multimodal_pipeline": q_multimodal_pipeline,

@@ -28,6 +28,10 @@ from lanterndb_spark.functions.text import (
     STOPWORDS,
     bpe_token_estimate,
     doc_fingerprint,
+    dup_ngram_fraction,
+    repetition_signals,
+    top_ngram_fraction,
+    word_ngrams,
     get_user_stopwords,
     lang_id,
     porter_stem,
@@ -44,7 +48,8 @@ __all__ += [
     "tokenize", "tokenize_py", "stem_array", "porter_stem",
     "set_user_stopwords", "get_user_stopwords", "STOPWORDS",
     "lang_id", "token_count", "bpe_token_estimate", "quality_score",
-    "doc_fingerprint",
+    "doc_fingerprint", "word_ngrams", "dup_ngram_fraction",
+    "top_ngram_fraction", "repetition_signals",
 ]
 
 from lanterndb_spark.functions.sketches import (

@@ -512,3 +512,58 @@ def doc_fingerprint(col) -> Column:
         F.lit(0).cast("bigint"),
         lambda acc, t: (acc * F.lit(FP_BASE) + tok_h(t)) % F.lit(FP_MOD),
     )
+
+
+def _ws_tokens(col) -> Column:
+    """Whitespace token array (token_count's base, kept as an array)."""
+    return F.array_remove(F.split(_c(col), "\\s+"), "")
+
+
+def word_ngrams(col, n: int = 2) -> Column:
+    """Whitespace-word n-grams as space-joined strings, [] when the text
+    has fewer than ``n`` words. Pure column expression — no explode, so
+    no generator-filter re-evaluation (plans/shape.py pathology 1)."""
+    toks = _ws_tokens(col)
+    total = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), total - F.lit(n) + 1),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    empty = F.array().cast("array<string>")
+    # sequence(1, k) is DESCENDING for k < 1 — guard, don't trust it
+    return F.when(total >= n, grams).otherwise(empty)
+
+
+def dup_ngram_fraction(col, n: int = 1) -> Column:
+    """Fraction of word n-grams that are repeats of an earlier one:
+    ``1 - distinct/total`` (0.0 for empty). The Gopher/C4 repetition
+    signal; n=1 is the duplicate-word fraction."""
+    grams = _ws_tokens(col) if n == 1 else word_ngrams(col, n)
+    t = F.size(grams)
+    dups = (t - F.size(F.array_distinct(grams))).cast("double")
+    return F.when(t > 0, dups / t).otherwise(F.lit(0.0))
+
+
+def top_ngram_fraction(col, n: int = 2) -> Column:
+    """Fraction of the text's n-grams taken by the single most frequent
+    one — high values flag boilerplate/templated text. O(distinct·total)
+    per row, bounded by document length, zero shuffles."""
+    grams = _ws_tokens(col) if n == 1 else word_ngrams(col, n)
+    t = F.size(grams)
+    counts = F.transform(
+        F.array_distinct(grams),
+        lambda g: F.size(F.filter(grams, lambda x: x == g)),
+    )
+    return F.when(
+        t > 0, F.array_max(counts).cast("double") / t
+    ).otherwise(F.lit(0.0))
+
+
+def repetition_signals(col) -> list[Column]:
+    """The standard intra-doc repetition panel (aliased, ready for
+    ``select``): duplicate-word, duplicate-bigram, top-bigram fractions."""
+    return [
+        dup_ngram_fraction(col, 1).alias("dup_word_frac"),
+        dup_ngram_fraction(col, 2).alias("dup_bigram_frac"),
+        top_ngram_fraction(col, 2).alias("top_bigram_frac"),
+    ]

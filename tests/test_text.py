@@ -151,3 +151,43 @@ def test_snowball_spark_engine_parity(spark):
     df = spark.createDataFrame([(words,)], "t string")
     got = df.select(tokenize("t", stopwords=None, stem=True).alias("x")).first()["x"]
     assert got == [snowball_stem(w) for w in words.split()]
+
+
+def test_repetition_signals_hand_computed(spark):
+    from lanterndb_spark.functions.text import (
+        dup_ngram_fraction, top_ngram_fraction, word_ngrams,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "all words unique here now"), (3, "x"), (4, "")],
+        "id long, t string",
+    )
+    out = {r["id"]: r for r in df.select(
+        "id",
+        dup_ngram_fraction(F.col("t"), 1).alias("dw"),
+        dup_ngram_fraction(F.col("t"), 2).alias("db"),
+        top_ngram_fraction(F.col("t"), 2).alias("tb"),
+        word_ngrams(F.col("t"), 3).alias("g3"),
+    ).collect()}
+    assert abs(out[1]["dw"] - 4 / 6) < 1e-12   # 6 words, 2 distinct
+    assert abs(out[1]["db"] - 3 / 5) < 1e-12   # 5 bigrams, 2 distinct
+    assert abs(out[1]["tb"] - 3 / 5) < 1e-12   # "a b" x3 of 5
+    assert out[1]["g3"] == ["a b a", "b a b", "a b a", "b a b"]
+    assert out[2]["dw"] == 0.0 and abs(out[2]["tb"] - 0.25) < 1e-12
+    # fewer words than n -> empty grams, zero fractions (sequence guard)
+    assert out[3]["g3"] == [] and out[3]["db"] == 0.0
+    assert out[4]["dw"] == 0.0 and out[4]["tb"] == 0.0
+
+
+def test_repetition_signals_no_explode_no_shuffle(spark):
+    """The panel must stay a projection: no Generate (explode) node and
+    no Exchange — per-row HOFs only."""
+    from lanterndb_spark.functions.text import repetition_signals
+
+    df = spark.createDataFrame([(1, "a b c a")], "id long, t string")
+    plan = (
+        df.select("id", *repetition_signals(F.col("t")))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Generate" not in plan
+    assert "Exchange" not in plan
