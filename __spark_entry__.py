@@ -928,6 +928,29 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible train/val/test assignment (operators/sampling.py):
+    md5-bucket hash ranges, a pure projection (no shuffle) whose exact
+    assignment DuckDB recomputes independently — engine-independence IS
+    the correctness claim."""
+    from lanterndb_spark.operators.sampling import hash_split
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    out = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return out.select("doc_id", "split").orderBy("doc_id")
+
+
+def q_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style per-source quota (operators/sampling.py cap_per_group):
+    keep the first 20 docs per source. WindowGroupLimit pre-filters
+    map-side (test_plans/test_sampling assert the plan)."""
+    from lanterndb_spark.operators.sampling import cap_per_group
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    out = cap_per_group(docs, "source", "doc_id", 20)
+    return out.select("doc_id", "source").orderBy("doc_id")
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-doc repetition panel (functions/text.py repetition_signals):
     the Gopher/C4 quality filters — duplicate-word, duplicate-bigram and
@@ -1506,6 +1529,24 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY n_name ORDER BY rev DESC, n_name
             ) t
         """,
+        "hash_split": """
+            SELECT doc_id,
+                   CASE WHEN b < 800000 THEN 'train'
+                        WHEN b < 900000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 AS b
+              FROM documents
+            ) ORDER BY doc_id
+        """,
+        "cap_per_group": """
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+              FROM documents
+            ) WHERE rn <= 20 ORDER BY doc_id
+        """,
         "text_repetition": f"""
             WITH toks AS (
               SELECT doc_id, string_split(text, ' ') AS w FROM documents
@@ -1705,6 +1746,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_quantiles": q_sketch_quantiles,
         "para_dedup": q_para_dedup,
         "text_repetition": q_text_repetition,
+        "hash_split": q_hash_split,
+        "cap_per_group": q_cap_per_group,
         "events_json": q_events_json,
         "autotune_ivf": q_autotune,
         "multimodal_pipeline": q_multimodal_pipeline,

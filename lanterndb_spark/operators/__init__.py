@@ -16,8 +16,21 @@ from lanterndb_spark.operators.dedup import (
 from lanterndb_spark.operators.embed import embed, complete
 from lanterndb_spark.operators.autotune import autotune_ivf, validate_ann
 from lanterndb_spark.operators.maintenance import apply_tombstones, with_deltas, compact
+from lanterndb_spark.operators.paragraphs import (
+    remove_duplicate_paragraphs,
+    split_paragraphs,
+    tag_duplicate_paragraphs,
+)
+from lanterndb_spark.operators.sampling import (
+    cap_per_group,
+    hash_bucket,
+    hash_split,
+    stratified_sample,
+)
 
 __all__ = [
+    "split_paragraphs", "tag_duplicate_paragraphs", "remove_duplicate_paragraphs",
+    "hash_bucket", "hash_split", "stratified_sample", "cap_per_group",
     "knn", "knn_join", "weighted_vector_search",
     "build_ivf", "ivf_search", "ivf_search_batch", "ivfpq_search",
     "build_srp", "srp_search", "srp_search_batch",

@@ -1,0 +1,122 @@
+"""Deterministic sampling & corpus balancing — reproducible splits at scale.
+
+Training pipelines need sampling that is (a) reproducible run-to-run,
+(b) stable under repartitioning, and (c) auditable by another engine.
+``df.sample()`` is none of these (seed + partition layout dependent), so
+everything here derives from a content hash of a key column:
+
+- ``hash_bucket``: md5-prefix bucket — chosen over xxhash64 precisely
+  because md5 is universal, so the SAME assignment is computable in
+  DuckDB/Postgres/pandas for audit (the driver oracle does exactly
+  that). A PROJECTION: no shuffle, no state — at 100 TB the split adds
+  zero cost to the scan it rides on.
+- ``hash_split``: named train/val/test assignment from cumulative
+  fraction ranges over the bucket.
+- ``stratified_sample``: per-stratum fraction via per-stratum hash
+  threshold — still a projection (thresholds fold into one CASE chain).
+- ``cap_per_group``: at most ``quota`` rows per group (C4-style
+  per-domain caps). One shuffle on the group key; the rank filter is
+  Spark's WindowGroupLimit, so each map task keeps only ``quota`` rows
+  per group before the exchange — a hot domain ships quota rows per
+  map task, not its whole posting.
+
+The reference has no sampling surface; its closest kin is index-build
+row sampling (ORDER BY random() in lantern/src/hnsw/build.c's sampling
+query), which is exactly the non-reproducible idiom this module avoids.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+BUCKETS = 1_000_000  # hash-range granularity: fractions resolve to 1e-6
+
+
+def _c(col) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def hash_bucket(col, n_buckets: int = BUCKETS, salt: str = "") -> Column:
+    """Deterministic bucket in [0, n_buckets) from md5 of the key (+salt).
+
+    First 8 hex chars -> 32-bit int -> mod. Uniform for any key type
+    (cast through string), identical in any engine with md5().
+    """
+    h = F.md5(F.concat(_c(col).cast("string"), F.lit(salt)))
+    return (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % F.lit(int(n_buckets))
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    fractions: Mapping[str, float] | None = None,
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row a named split by cumulative hash-range.
+
+    ``fractions`` maps name -> fraction (must sum to <= 1; remainder, if
+    any, falls into the LAST split). Assignment depends only on
+    (key, salt), never on partitioning or row order — re-running on a
+    reshuffled copy of the data gives byte-identical splits.
+    """
+    fractions = dict(fractions or {"train": 0.98, "val": 0.01, "test": 0.01})
+    b = hash_bucket(key_col, BUCKETS, salt)
+    names = list(fractions)
+    edges: list[tuple[str, int]] = []
+    acc = 0.0
+    for name in names:
+        acc += fractions[name]
+        edges.append((name, int(round(acc * BUCKETS))))
+    case = None
+    for name, hi in edges:
+        cond = b < hi
+        case = F.when(cond, F.lit(name)) if case is None else case.when(cond, F.lit(name))
+    case = case.otherwise(F.lit(names[-1]))
+    return df.withColumn(split_col, case)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: Mapping[str, float],
+    key_col: str,
+    salt: str = "",
+    default: float = 0.0,
+) -> DataFrame:
+    """Keep a deterministic per-stratum fraction of rows (strata missing
+    from ``fractions`` keep ``default``). Pure filter projection."""
+    b = hash_bucket(key_col, BUCKETS, salt)
+    thr = None
+    for stratum, frac in sorted(fractions.items()):
+        cond = _c(strata_col) == stratum
+        lim = F.lit(int(round(frac * BUCKETS)))
+        thr = F.when(cond, lim) if thr is None else thr.when(cond, lim)
+    thr = thr.otherwise(F.lit(int(round(default * BUCKETS)))) if thr is not None else F.lit(int(round(default * BUCKETS)))
+    return df.filter(b < thr)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str] | str,
+    order_cols: Sequence[str] | str,
+    quota: int,
+) -> DataFrame:
+    """At most ``quota`` rows per group, deterministically the first by
+    ``order_cols``. Compiles to WindowGroupLimit: map-side per-group
+    top-``quota`` heaps run BEFORE the shuffle (asserted in
+    test_plans.py), so hot groups never funnel whole through a reducer."""
+    gc = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    oc = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+    w = Window.partitionBy(*gc).orderBy(*[F.col(c).asc() for c in oc])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= int(quota))
+        .drop("__rn")
+    )

@@ -1,0 +1,100 @@
+"""Deterministic sampling: reproducibility, fraction accuracy, plan shape."""
+
+from pyspark.sql import functions as F
+
+from lanterndb_spark.operators.sampling import (
+    cap_per_group,
+    hash_bucket,
+    hash_split,
+    stratified_sample,
+)
+
+
+def test_split_is_deterministic_and_partition_independent(spark):
+    df = spark.range(10_000).withColumnRenamed("id", "k")
+    a = {r["k"]: r["split"] for r in hash_split(df, "k").collect()}
+    b = {
+        r["k"]: r["split"]
+        for r in hash_split(df.repartition(13, "k").sortWithinPartitions(F.desc("k")), "k").collect()
+    }
+    assert a == b
+
+
+def test_split_fractions_land(spark):
+    df = spark.range(50_000).withColumnRenamed("id", "k")
+    got = {
+        r["split"]: r["n"]
+        for r in hash_split(df, "k", {"train": 0.8, "val": 0.1, "test": 0.1})
+        .groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(got) == {"train", "val", "test"}
+    assert abs(got["train"] / 50_000 - 0.8) < 0.01
+    assert abs(got["val"] / 50_000 - 0.1) < 0.005
+    # every row lands in exactly one split
+    assert sum(got.values()) == 50_000
+
+
+def test_salt_changes_assignment(spark):
+    df = spark.range(2_000).withColumnRenamed("id", "k")
+    a = {r["k"]: r["split"] for r in hash_split(df, "k", salt="s1").collect()}
+    b = {r["k"]: r["split"] for r in hash_split(df, "k", salt="s2").collect()}
+    assert a != b
+
+
+def test_split_is_pure_projection(spark):
+    df = spark.range(100).withColumnRenamed("id", "k")
+    plan = hash_split(df, "k")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_stratified_fractions(spark, tables):
+    docs = tables["documents"]
+    out = stratified_sample(docs, "lang", {"en": 1.0, "de": 0.0}, "doc_id")
+    langs = {r["lang"] for r in out.select("lang").distinct().collect()}
+    assert "de" not in langs
+    n_en = docs.filter(F.col("lang") == "en").count()
+    assert out.filter(F.col("lang") == "en").count() == n_en
+
+
+def test_cap_per_group_keeps_first_by_order(spark, tables):
+    docs = tables["documents"]
+    capped = cap_per_group(docs, "source", "doc_id", 5)
+    per = capped.groupBy("source").agg(
+        F.count("*").alias("n"), F.max("doc_id").alias("mx")
+    ).collect()
+    firsts = {
+        r["source"]: r["ids"]
+        for r in docs.groupBy("source")
+        .agg(F.slice(F.array_sort(F.collect_list("doc_id")), 1, 5).alias("ids"))
+        .collect()
+    }
+    kept = {
+        r["source"]: sorted(x["doc_id"] for x in capped.filter(F.col("source") == r["source"]).select("doc_id").collect())
+        for r in per
+    }
+    for src, n_kept in ((r["source"], r["n"]) for r in per):
+        assert n_kept <= 5
+        assert kept[src] == firsts[src]
+
+
+def test_cap_per_group_is_window_group_limit(spark, tables):
+    plan = (
+        cap_per_group(tables["documents"], "source", "doc_id", 5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan
+
+
+def test_bucket_matches_duckdb(spark):
+    """Engine-independence is the point: DuckDB computes the same buckets."""
+    import duckdb
+
+    ks = [str(i) for i in range(200)]
+    df = spark.createDataFrame([(k,) for k in ks], "k string")
+    got = {r["k"]: r["b"] for r in df.select("k", hash_bucket("k", 1000).alias("b")).collect()}
+    con = duckdb.connect()
+    for k in ks:
+        want = con.execute(
+            "SELECT CAST(('0x' || substr(md5(?),1,8)) AS BIGINT) % 1000", [k]
+        ).fetchone()[0]
+        assert got[k] == want
