@@ -928,6 +928,80 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data gauntlet (operators/curate.py):
+    too_short -> low_quality -> repetitive -> duplicate -> kept+split,
+    one shuffle total. Every per-doc verdict (including which rule
+    fired and the split assignment) is recomputed from scratch by the
+    DuckDB oracle."""
+    from lanterndb_spark.operators.curate import curate
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return curate(docs).orderBy("doc_id")
+
+
+def _curate_oracle() -> str:
+    """DuckDB twin of operators/curate.curate with default thresholds —
+    quality fragment from _text_metrics_oracle, bigram fragment from the
+    text_repetition oracle, split bucket from the hash_split oracle."""
+    tk = duck_tokens("text")
+    sw = duck_sql_list(STOPWORDS)
+    return f"""
+    WITH base AS (
+      SELECT doc_id, text, {tk} AS tk,
+             string_split(text, ' ') AS w,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+      FROM documents
+    ),
+    sig AS (
+      SELECT doc_id, norm,
+        len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_tokens,
+        round((least(CAST(len(tk) AS DOUBLE) / 20.0, 1.0)
+             + CAST(length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+               / CAST(greatest(length(text), 1) AS DOUBLE)
+             + least(CAST(len(list_filter(tk, t -> t IN {sw})) AS DOUBLE) * 5.0
+               / CAST(greatest(len(tk), 1) AS DOUBLE), 1.0)) / 3.0, {ROUND}) AS q
+      FROM base
+    ),
+    j AS (SELECT i FROM generate_series(1, 99999) t(i)),
+    gcnt AS (
+      SELECT doc_id, g, count(*) AS c FROM (
+        SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+        FROM base JOIN j ON i + 1 <= len(w)
+      ) GROUP BY doc_id, g
+    ),
+    rep AS (
+      SELECT doc_id,
+             round(coalesce((sum(c) - count(*)) / CAST(sum(c) AS DOUBLE), 0), {ROUND}) AS r
+      FROM gcnt GROUP BY doc_id
+    ),
+    firsts AS (
+      SELECT doc_id,
+             row_number() OVER (PARTITION BY norm ORDER BY doc_id) = 1 AS is_first
+      FROM base
+    ),
+    verdict AS (
+      SELECT s.doc_id, s.n_tokens,
+        CASE WHEN s.n_tokens < 10 THEN 'too_short'
+             WHEN s.q < 0.5 THEN 'low_quality'
+             WHEN coalesce(rep.r, 0) > 0.3 THEN 'repetitive'
+             WHEN NOT f.is_first THEN 'duplicate'
+             ELSE 'kept' END AS reason,
+        CAST(('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 AS b
+      FROM sig s
+      LEFT JOIN rep ON s.doc_id = rep.doc_id
+      JOIN firsts f ON s.doc_id = f.doc_id
+    )
+    SELECT doc_id, reason = 'kept' AS kept, reason,
+           CASE WHEN reason <> 'kept' THEN '-'
+                WHEN b < 800000 THEN 'train'
+                WHEN b < 900000 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(n_tokens AS INT) AS n_tokens
+    FROM verdict ORDER BY doc_id
+    """
+
+
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproducible train/val/test assignment (operators/sampling.py):
     md5-bucket hash ranges, a pure projection (no shuffle) whose exact
@@ -1529,6 +1603,7 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY n_name ORDER BY rev DESC, n_name
             ) t
         """,
+        "curate": _curate_oracle(),
         "hash_split": """
             SELECT doc_id,
                    CASE WHEN b < 800000 THEN 'train'
@@ -1748,6 +1823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "hash_split": q_hash_split,
         "cap_per_group": q_cap_per_group,
+        "curate": q_curate,
         "events_json": q_events_json,
         "autotune_ivf": q_autotune,
         "multimodal_pipeline": q_multimodal_pipeline,

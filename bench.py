@@ -24,6 +24,7 @@ Measured queries mirror BASELINE.md's plan:
   q_knn_join   32-query lateral knn join
   q_sessionize gap-based sessionization over events
   q_asof       as-of join: clicks pick up latest purchase per user
+  q_para       corpus-wide paragraph/chunk dedup over documents
   q_tpch_q1    relational agg spine over lineitem
   recall_at_10 IVF recall vs exact (quality metric, target >= 0.9)
 """
@@ -144,6 +145,11 @@ def main():
         asof_join(clicks, purch, on="ts", by="user_id",
                   tolerance=86400.0).count()
 
+    def q_para():
+        from lanterndb_spark.operators.paragraphs import remove_duplicate_paragraphs
+
+        remove_duplicate_paragraphs(docs, chunk_tokens=16, sep=" ").count()
+
     def q_tpch_q1():
         li.groupBy("l_returnflag", "l_linestatus").agg(
             F.sum("l_quantity"), F.sum("l_extendedprice"),
@@ -162,6 +168,7 @@ def main():
         ("q_knn_join", q_knn_join),
         ("q_sessionize", q_sessionize),
         ("q_asof", q_asof),
+        ("q_para", q_para),
         ("q_tpch_q1", q_tpch_q1),
     ]
 

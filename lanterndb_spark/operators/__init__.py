@@ -21,6 +21,7 @@ from lanterndb_spark.operators.paragraphs import (
     split_paragraphs,
     tag_duplicate_paragraphs,
 )
+from lanterndb_spark.operators.curate import curate
 from lanterndb_spark.operators.sampling import (
     cap_per_group,
     hash_bucket,
@@ -30,7 +31,7 @@ from lanterndb_spark.operators.sampling import (
 
 __all__ = [
     "split_paragraphs", "tag_duplicate_paragraphs", "remove_duplicate_paragraphs",
-    "hash_bucket", "hash_split", "stratified_sample", "cap_per_group",
+    "hash_bucket", "hash_split", "stratified_sample", "cap_per_group", "curate",
     "knn", "knn_join", "weighted_vector_search",
     "build_ivf", "ivf_search", "ivf_search_batch", "ivfpq_search",
     "build_srp", "srp_search", "srp_search_batch",

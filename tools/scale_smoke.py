@@ -232,6 +232,46 @@ def main():
 
     timed(f"range_join_{args.evt // 1000}k_evt", range_job, out)
 
+    def para_job():
+        # 50k docs -> ~125k 16-token chunks -> global hash dedup + reassembly
+        from lanterndb_spark.operators.paragraphs import remove_duplicate_paragraphs
+
+        return remove_duplicate_paragraphs(docs, chunk_tokens=16, sep=" ").count()
+
+    timed(f"para_dedup_{args.doc // 1000}k_doc", para_job, out)
+
+    def sketch_job():
+        # per (type, day) HLL states over the event stream, rolled to type
+        from lanterndb_spark.functions.sketches import hll_rollup, hll_sketches
+
+        fine = hll_sketches(
+            events.withColumn("day", F.to_date("ts")), ["event_type", "day"], "user_id"
+        )
+        return hll_rollup(fine, "event_type").count()
+
+    timed(f"hll_rollup_{args.evt // 1000}k_evt", sketch_job, out)
+
+    def repetition_job():
+        from lanterndb_spark.functions.text import repetition_signals
+
+        return docs.select("doc_id", *repetition_signals(F.col("text"))).agg(
+            F.avg("dup_bigram_frac")
+        ).count()
+
+    timed(f"repetition_{args.doc // 1000}k_doc", repetition_job, out)
+
+    def split_cap_job():
+        from lanterndb_spark.operators.sampling import cap_per_group, hash_split
+
+        s = hash_split(docs, "doc_id").groupBy("split").count().count()
+        c = cap_per_group(
+            docs.withColumn("src", F.pmod(F.xxhash64("doc_id", F.lit(9)), F.lit(50))),
+            "src", "doc_id", 100,
+        ).count()
+        return s + c
+
+    timed(f"split_cap_{args.doc // 1000}k_doc", split_cap_job, out)
+
     print(json.dumps({"n_vec": args.vec, "n_doc": args.doc, "n_evt": args.evt,
                       "timings": out}))
     spark.stop()
