@@ -1116,6 +1116,69 @@ def q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def q_events_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props via Spark 4 VARIANT (parse once into the
+    binary encoding, then typed variant_get extraction) — the scale
+    answer to repeated get_json_object parses. Same answer as
+    events_json's string-path extraction, checked against the same
+    DuckDB JSON oracle."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    v = F.try_parse_json("props")
+    k = F.variant_get(v, "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View->purchase conversion funnel by first-view cohort day: the
+    per-user 'first view' window and the per-user agg share the user_id
+    partitioning (one fact-sized exchange; the only other exchange is
+    the per-day rollup over already-reduced rows). Converted = first
+    purchase at/after first view within 24h."""
+    from pyspark.sql.window import Window
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    w = Window.partitionBy("user_id")
+    first_view = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    tagged = ev.select("user_id", "event_type", "ts", first_view.alias("fv"))
+    per_user = (
+        tagged.filter(F.col("fv").isNotNull())
+        .groupBy("user_id", "fv")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") >= F.col("fv")),
+                    F.col("ts"),
+                )
+            ).alias("fp")
+        )
+    )
+    conv = F.col("fp").isNotNull() & (
+        F.col("fp").cast("double") - F.col("fv").cast("double") <= 86400.0
+    )
+    return (
+        per_user.select(F.to_date("fv").alias("cohort_day"), conv.alias("c"))
+        .groupBy("cohort_day")
+        .agg(
+            F.count("*").alias("n_view_users"),
+            F.sum(F.col("c").cast("long")).alias("n_converted"),
+            F.round(F.avg(F.col("c").cast("double")), ROUND).alias("conv_rate"),
+        )
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            "n_view_users", "n_converted", "conv_rate",
+        )
+        .orderBy("cohort_day")
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # gap-based sessionization (batch twin of streaming.sessions)
     from lanterndb_spark.streaming.sessions import sessionize_batch
@@ -1603,6 +1666,29 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY n_name ORDER BY rev DESC, n_name
             ) t
         """,
+        "events_variant": """
+            SELECT event_type, count(*) AS n,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "funnel": f"""
+            WITH tagged AS (
+              SELECT user_id, event_type, ts,
+                     min(CASE WHEN event_type = 'view' THEN ts END)
+                       OVER (PARTITION BY user_id) AS fv
+              FROM events
+            ),
+            per_user AS (
+              SELECT user_id, fv,
+                     min(CASE WHEN event_type = 'purchase' AND ts >= fv THEN ts END) AS fp
+              FROM tagged WHERE fv IS NOT NULL GROUP BY user_id, fv
+            )
+            SELECT strftime(CAST(fv AS DATE), '%Y-%m-%d') AS cohort_day,
+                   count(*) AS n_view_users,
+                   CAST(sum(CASE WHEN fp IS NOT NULL AND epoch(fp) - epoch(fv) <= 86400 THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+                   round(avg(CASE WHEN fp IS NOT NULL AND epoch(fp) - epoch(fv) <= 86400 THEN 1.0 ELSE 0.0 END), {ROUND}) AS conv_rate
+            FROM per_user GROUP BY 1 ORDER BY 1
+        """,
         "curate": _curate_oracle(),
         "hash_split": """
             SELECT doc_id,
@@ -1824,6 +1910,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "cap_per_group": q_cap_per_group,
         "curate": q_curate,
+        "events_variant": q_events_variant,
+        "funnel": q_funnel,
         "events_json": q_events_json,
         "autotune_ivf": q_autotune,
         "multimodal_pipeline": q_multimodal_pipeline,
