@@ -1056,6 +1056,79 @@ def q_para_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/contamination.py): docs with
+    doc_id % 19 == 0 play the eval benchmark, the rest the training
+    corpus; a corpus doc is contaminated if it shares any normalized
+    5-gram with the benchmark. Eval grams broadcast; only matching rows
+    shuffle. The DuckDB oracle recomputes every count from scratch."""
+    from lanterndb_spark.operators.contamination import decontaminate
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    bench = docs.filter(F.col("doc_id") % 19 == 0)
+    corpus = docs.filter(F.col("doc_id") % 19 != 0)
+    return decontaminate(corpus, bench, n=5).orderBy("doc_id")
+
+
+def _decontaminate_oracle() -> str:
+    tk = duck_tokens("text")
+    return f"""
+    WITH tk AS (SELECT doc_id, {tk} AS tk FROM documents),
+    j AS (SELECT i FROM generate_series(1, 99999) t(i)),
+    dg AS (
+      SELECT DISTINCT doc_id, array_to_string(tk[i:i+4], ' ') AS gram
+      FROM tk JOIN j ON i + 4 <= len(tk)
+    ),
+    ev AS (SELECT DISTINCT gram FROM dg WHERE doc_id % 19 = 0),
+    ng AS (SELECT doc_id, CAST(count(*) AS INT) AS n_grams FROM dg GROUP BY doc_id),
+    h AS (
+      SELECT dg.doc_id, CAST(count(*) AS INT) AS hits
+      FROM dg JOIN ev USING (gram) WHERE dg.doc_id % 19 <> 0 GROUP BY dg.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(ng.n_grams, 0) AS n_grams,
+           coalesce(h.hits, 0) AS hits,
+           coalesce(h.hits, 0) >= 1 AS contaminated
+    FROM documents d
+    LEFT JOIN ng USING (doc_id) LEFT JOIN h USING (doc_id)
+    WHERE d.doc_id % 19 <> 0
+    ORDER BY d.doc_id
+    """
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style contiguous sequence packing (operators/packing.py):
+    docs laid end-to-end in (md5-bucket, id) order, cut every 128
+    tokens. One window shuffle, buckets pack in parallel; DuckDB
+    recomputes bucket, cumulative start, seq and offset from scratch."""
+    from lanterndb_spark.operators.packing import pack_contiguous
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return pack_contiguous(docs, budget=128, n_buckets=8).orderBy("doc_id")
+
+
+def _pack_oracle() -> str:
+    return """
+    WITH base AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+             CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                  % 1000000 % 8 AS INT) AS bucket
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, n_tokens, bucket,
+             sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id) - n_tokens AS start
+      FROM base
+    )
+    SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, bucket,
+           CAST(floor(start / 128) AS INT) AS seq,
+           CAST(start % 128 AS INT) AS "offset",
+           (start % 128) + n_tokens > 128 AS spans_boundary
+    FROM cum ORDER BY doc_id
+    """
+
+
 def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-HLL distinct counts with in-query invariants (the
     bloom_hot_terms pattern): n_exact is oracle-checked against DuckDB;
@@ -1690,6 +1763,8 @@ def oracle_sql() -> dict[str, str]:
             FROM per_user GROUP BY 1 ORDER BY 1
         """,
         "curate": _curate_oracle(),
+        "decontaminate": _decontaminate_oracle(),
+        "pack_sequences": _pack_oracle(),
         "hash_split": """
             SELECT doc_id,
                    CASE WHEN b < 800000 THEN 'train'
@@ -1910,6 +1985,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "cap_per_group": q_cap_per_group,
         "curate": q_curate,
+        "decontaminate": q_decontaminate,
+        "pack_sequences": q_pack_sequences,
         "events_variant": q_events_variant,
         "funnel": q_funnel,
         "events_json": q_events_json,

@@ -1,0 +1,106 @@
+"""Benchmark decontamination — n-gram overlap against an evaluation set.
+
+Before training, every serious pipeline checks the corpus against its
+eval benchmarks: a training document that shares a long-enough word
+n-gram with an eval document leaks the benchmark into the weights
+(GPT-3 appendix C / PaLM-style "13-gram decontamination"). This module
+computes per-document overlap counts and a contaminated flag.
+
+Scale shape (the part that matters at 100 TB):
+
+- The eval side is SMALL (benchmarks are thousands of docs, not
+  billions) — its distinct n-gram set is broadcast, so the corpus is
+  never shuffled to meet it. ``.explain`` shows BroadcastHashJoin on
+  the gram key.
+- The corpus side is a projection (tokenize -> gram array, all column
+  HOFs) followed by an explode of DISTINCT grams per doc. The inner
+  broadcast join keeps ONLY matching rows, so the one real shuffle —
+  groupBy(doc_id) to count hits — moves just the contaminated slice,
+  which is tiny by construction.
+- The final left join back onto (doc_id, n_grams) restores hit-less
+  docs with hits=0; it joins a full-corpus projection against the tiny
+  hit table, again broadcastable.
+
+Normalization: grams are built over ``tokenize(col, stopwords=None)``
+(lowercase, non-alphanumerics stripped) so cosmetic edits — case,
+punctuation, extra whitespace — don't hide a leaked benchmark string.
+
+The reference has no decontamination surface; this is one of the
+training-data extensions the Spark engine adds (see README). The gram
+builder mirrors functions/text.py word_ngrams' slice-transform shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from lanterndb_spark.functions.text import tokenize
+
+
+def _norm_grams(col, n: int) -> Column:
+    """Distinct normalized word n-grams of ``col`` as space-joined
+    strings ([] when the text has fewer than ``n`` tokens)."""
+    toks = tokenize(col, stopwords=None)
+    total = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), total - F.lit(n) + 1),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    empty = F.array().cast("array<string>")
+    # sequence(1, k) is DESCENDING for k < 1 — guard, don't trust it
+    return F.array_distinct(F.when(total >= n, grams).otherwise(empty))
+
+
+def eval_ngrams(
+    eval_df: DataFrame, text_col: str = "text", n: int = 5
+) -> DataFrame:
+    """Corpus-wide distinct n-gram set of the eval benchmark: one
+    ``gram`` column. Small by assumption (eval sets are); callers
+    broadcast it."""
+    return (
+        eval_df.select(F.explode(_norm_grams(F.col(text_col), n)).alias("gram"))
+        .distinct()
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_df: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_text_col: str | None = None,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Per-document eval overlap: ``id_col, n_grams, hits, contaminated``.
+
+    ``n_grams`` is the count of distinct normalized n-grams in the doc,
+    ``hits`` how many of those appear anywhere in ``eval_df``, and
+    ``contaminated`` is ``hits >= min_hits``. Keep the clean corpus with
+    ``docs.join(result.filter(~col("contaminated")), id_col, "left_semi")``.
+    """
+    grams = eval_ngrams(eval_df, eval_text_col or text_col, n)
+    doc_grams = docs.select(
+        F.col(id_col), _norm_grams(F.col(text_col), n).alias("__grams")
+    )
+    hits = (
+        doc_grams.select(id_col, F.explode("__grams").alias("gram"))
+        .join(F.broadcast(grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("int").alias("hits"))
+    )
+    base = doc_grams.select(
+        id_col, F.size("__grams").cast("int").alias("n_grams")
+    )
+    return (
+        base.join(hits, id_col, "left")
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce("hits", F.lit(0)).cast("int").alias("hits"),
+            (F.coalesce("hits", F.lit(0)) >= F.lit(int(min_hits))).alias(
+                "contaminated"
+            ),
+        )
+    )
