@@ -1129,6 +1129,62 @@ def _pack_oracle() -> str:
     """
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (functions/pii.py): per-kind regex counts + ordered
+    redaction, a pure projection (test_pii asserts no Exchange). The
+    corpus has no real PII, so both sides append the SAME deterministic
+    synthetic contact line per doc; the oracle re-runs the patterns in
+    DuckDB's RE2 and must agree byte-for-byte."""
+    from lanterndb_spark.functions.pii import scrub
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.1."),
+            (F.col("doc_id") % 256).cast("string"), F.lit(".7"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" call 555-123-4567"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return scrub(salted).select(
+        "doc_id", "n_email", "n_ssn", "n_card", "n_ipv4", "n_phone",
+        "has_pii", "text_clean",
+    ).orderBy("doc_id")
+
+
+def _pii_oracle() -> str:
+    from lanterndb_spark.functions.pii import duck_pii_fragments
+
+    salt = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com from 10.1.' || CAST(doc_id % 256 AS VARCHAR) || '.7'"
+        " || CASE WHEN doc_id % 3 = 0 THEN ' call 555-123-4567' ELSE '' END"
+    )
+    fr = duck_pii_fragments("text")
+    counts = ", ".join(f"{fr[f'n_{k}']} AS n_{k}" for k in ("email", "ssn", "card", "ipv4", "phone"))
+    has = " OR ".join(f"{fr[f'n_{k}']} > 0" for k in ("email", "ssn", "card", "ipv4", "phone"))
+    return f"""
+    WITH salted AS (SELECT doc_id, {salt} AS text FROM documents)
+    SELECT doc_id, {counts}, ({has}) AS has_pii, {fr['redacted']} AS text_clean
+    FROM salted ORDER BY doc_id
+    """
+
+
+def q_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space diversity caps (operators/balance.py): k-means
+    clusters (build_ivf) + per-cluster quota (cap_per_group). The
+    assignment is not SQL-reproducible, so this is the invariant
+    pattern: quota_ok is computed IN-QUERY and must be true on every
+    row (n_kept == least(n_total, quota))."""
+    from lanterndb_spark.operators.balance import cluster_balance_stats
+
+    emb = _emb(spark, sf_dir)
+    return cluster_balance_stats(emb, nlist=8, quota=50)
+
+
 def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-HLL distinct counts with in-query invariants (the
     bloom_hot_terms pattern): n_exact is oracle-checked against DuckDB;
@@ -1765,6 +1821,7 @@ def oracle_sql() -> dict[str, str]:
         "curate": _curate_oracle(),
         "decontaminate": _decontaminate_oracle(),
         "pack_sequences": _pack_oracle(),
+        "pii_scrub": _pii_oracle(),
         "hash_split": """
             SELECT doc_id,
                    CASE WHEN b < 800000 THEN 'train'
@@ -1987,6 +2044,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate": q_curate,
         "decontaminate": q_decontaminate,
         "pack_sequences": q_pack_sequences,
+        "pii_scrub": q_pii_scrub,
+        "cluster_balance": q_cluster_balance,
         "events_variant": q_events_variant,
         "funnel": q_funnel,
         "events_json": q_events_json,
