@@ -912,6 +912,115 @@ def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): bidirectional nation-pair flow.
+    The 2-row filtered nation dim broadcasts onto BOTH the supplier and
+    the customer->orders side, so the only big shuffle is
+    lineitem><orders on the order key; the pair filter prunes rows
+    before that join. Grouped by (supp_nation, cust_nation, year)."""
+    t = load_tables(
+        spark, sf_dir, ["supplier", "lineitem", "orders", "customer", "nation"]
+    )
+    pair = ("NATION_1", "NATION_2")
+    nat = t["nation"].filter(F.col("n_name").isin(*pair)).select(
+        "n_nationkey", "n_name"
+    )
+    sup = t["supplier"].join(
+        F.broadcast(nat.withColumnRenamed("n_name", "supp_nation")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+    cust = t["customer"].join(
+        F.broadcast(nat.withColumnRenamed("n_name", "cust_nation")
+                    .withColumnRenamed("n_nationkey", "cn_key")),
+        F.col("c_nationkey") == F.col("cn_key"),
+    ).select("c_custkey", "cust_nation")
+    orders = t["orders"].join(cust, F.col("o_custkey") == F.col("c_custkey")).select(
+        "o_orderkey", "cust_nation"
+    )
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    ).select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    return (
+        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("decimal(24,6)")
+            ).cast("double").alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item losses): one-quarter orders join
+    returned lineitems, revenue per customer, top 20. The quarter filter
+    shrinks orders enough to broadcast onto lineitem; the nation dim
+    broadcasts onto the final top-k, which is a WindowGroupLimit-free
+    TakeOrdered (k=20 heap per partition)."""
+    t = load_tables(spark, sf_dir, ["customer", "orders", "lineitem", "nation"])
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    ).select("o_orderkey", "o_custkey")
+    li = t["lineitem"].filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    cust = t["customer"].join(
+        F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey", "c_name", "c_acctbal", "n_name")
+    return (
+        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("decimal(24,6)")
+            ).alias("rev")  # DECIMAL: the top-20 cutoff must be engine-exact
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .orderBy(F.col("rev").desc(), F.col("c_custkey").asc())
+        .limit(20)
+        .select(
+            "c_custkey", "c_name",
+            F.col("rev").cast("double").alias("revenue"),
+            F.round("c_acctbal", ROUND).alias("c_acctbal"),
+            "n_name",
+        )
+    )
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): full lineitem group-by
+    with HAVING, then the tiny survivor set broadcasts back onto
+    orders/customer. The first agg is partial map-side (sum combines);
+    everything after it moves only the 46-order survivor slice."""
+    t = load_tables(spark, sf_dir, ["customer", "orders", "lineitem"])
+    big = (
+        t["lineitem"].groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(24,6)")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)  # DECIMAL: HAVING boundary engine-exact
+    )
+    return (
+        t["orders"].join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t["customer"].select("c_custkey", "c_name")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round("o_totalprice", ROUND).alias("o_totalprice"),
+            F.col("sum_qty").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    )
+
+
 def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     # semi-structured props: JSON extraction + agg (get_json_object path)
     ev = load_tables(spark, sf_dir, ["events"])["events"]
@@ -1795,6 +1904,58 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY n_name ORDER BY rev DESC, n_name
             ) t
         """,
+        "tpch_q7": """
+            SELECT supp_nation, cust_nation, l_year,
+                   CAST(rev AS DOUBLE) AS revenue
+            FROM (
+              SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                     CAST(year(l_shipdate) AS INT) AS l_year,
+                     sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS rev
+              FROM lineitem
+              JOIN supplier ON s_suppkey = l_suppkey
+              JOIN orders   ON o_orderkey = l_orderkey
+              JOIN customer ON c_custkey = o_custkey
+              JOIN nation n1 ON s_nationkey = n1.n_nationkey
+              JOIN nation n2 ON c_nationkey = n2.n_nationkey
+              WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+                AND n2.n_name IN ('NATION_1', 'NATION_2')
+                AND n1.n_name <> n2.n_name
+                AND l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate <  TIMESTAMP '1998-01-01'
+              GROUP BY 1, 2, 3
+            ) t ORDER BY supp_nation, cust_nation, l_year
+        """,
+        "tpch_q10": f"""
+            SELECT c_custkey, c_name, CAST(rev AS DOUBLE) AS revenue,
+                   round(c_acctbal, {ROUND}) AS c_acctbal, n_name
+            FROM (
+              SELECT o_custkey,
+                     sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS rev
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              WHERE l_returnflag = 'R'
+                AND o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o_orderdate <  TIMESTAMP '1996-04-01'
+              GROUP BY o_custkey
+            ) r
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            ORDER BY rev DESC, c_custkey LIMIT 20
+        """,
+        "tpch_q18": f"""
+            SELECT c_name, c_custkey, o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   round(o_totalprice, {ROUND}) AS o_totalprice,
+                   CAST(sum_qty AS DOUBLE) AS sum_qty
+            FROM (
+              SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(24,6))) AS sum_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING sum(CAST(l_quantity AS DECIMAL(24,6))) > 300
+            ) b
+            JOIN orders   ON o_orderkey = l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+        """,
         "events_variant": """
             SELECT event_type, count(*) AS n,
                    CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
@@ -2035,6 +2196,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
         "tpch_q4": q_tpch_q4,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q18": q_tpch_q18,
         "sketch_distinct": q_sketch_distinct,
         "sketch_quantiles": q_sketch_quantiles,
         "para_dedup": q_para_dedup,
