@@ -272,6 +272,38 @@ def main():
 
     timed(f"split_cap_{args.doc // 1000}k_doc", split_cap_job, out)
 
+    def decontam_job():
+        # every 37th doc plays the benchmark; zipf text guarantees heavy
+        # 5-gram collisions, so the hit join actually carries rows
+        from lanterndb_spark.operators.contamination import decontaminate
+
+        bench = docs.filter(F.col("doc_id") % 37 == 0)
+        corpus = docs.filter(F.col("doc_id") % 37 != 0)
+        return decontaminate(corpus, bench, n=5).filter("contaminated").count()
+
+    timed(f"decontam_{args.doc // 1000}k_doc", decontam_job, out)
+
+    def pack_job():
+        from lanterndb_spark.operators.packing import pack_contiguous
+
+        return pack_contiguous(docs, budget=2048, n_buckets=256).count()
+
+    timed(f"pack_{args.doc // 1000}k_doc", pack_job, out)
+
+    def pii_job():
+        from lanterndb_spark.functions.pii import scrub
+
+        return scrub(docs).filter("has_pii").count()
+
+    timed(f"pii_scrub_{args.doc // 1000}k_doc", pii_job, out)
+
+    def balance_job():
+        from lanterndb_spark.operators.balance import cluster_balance
+
+        return cluster_balance(emb, nlist=64, quota=500).count()
+
+    timed(f"cluster_balance_{args.vec // 1000}k_vec", balance_job, out)
+
     print(json.dumps({"n_vec": args.vec, "n_doc": args.doc, "n_evt": args.evt,
                       "timings": out}))
     spark.stop()
