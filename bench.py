@@ -26,6 +26,9 @@ Measured queries mirror BASELINE.md's plan:
   q_asof       as-of join: clicks pick up latest purchase per user
   q_para       corpus-wide paragraph/chunk dedup over documents
   q_tpch_q1    relational agg spine over lineitem
+  q_curate     one-call curation gauntlet (filters -> dedup -> split)
+  q_decontam   benchmark 5-gram decontamination (broadcast eval grams)
+  q_pii_pack   PII scrub projection + contiguous sequence packing
   recall_at_10 IVF recall vs exact (quality metric, target >= 0.9)
 """
 
@@ -157,6 +160,25 @@ def main():
             F.avg("l_quantity"), F.count("*"),
         ).collect()
 
+    def q_curate():
+        from lanterndb_spark.operators.curate import curate
+
+        curate(docs).filter("kept").count()
+
+    def q_decontam():
+        from lanterndb_spark.operators.contamination import decontaminate
+
+        bench = docs.filter(F.col("doc_id") % 19 == 0)
+        corpus = docs.filter(F.col("doc_id") % 19 != 0)
+        decontaminate(corpus, bench, n=5).filter("contaminated").count()
+
+    def q_pii_pack():
+        from lanterndb_spark.functions.pii import scrub
+        from lanterndb_spark.operators.packing import pack_contiguous
+
+        scrub(docs).filter("has_pii").count()
+        pack_contiguous(docs, budget=2048, n_buckets=64).count()
+
     jobs = [
         ("q_knn", q_knn),
         ("q_hybrid", q_hybrid),
@@ -170,6 +192,9 @@ def main():
         ("q_asof", q_asof),
         ("q_para", q_para),
         ("q_tpch_q1", q_tpch_q1),
+        ("q_curate", q_curate),
+        ("q_decontam", q_decontam),
+        ("q_pii_pack", q_pii_pack),
     ]
 
     cold: dict[str, float] = {}

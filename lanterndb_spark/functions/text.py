@@ -451,16 +451,20 @@ LANG_PROFILES = {
 def lang_id(col) -> Column:
     """Heuristic language id: argmax over per-language function-word hits
     (ties and zero-hit → 'und' for undetermined). Deterministic and
-    SQL-mirrorable; a real n-gram model would slot in behind the same API."""
-    toks = tokenize(col, stopwords=None)
-    best_lang, best_score = F.lit("und"), F.lit(0)
-    for lang in sorted(LANG_PROFILES):
-        words = LANG_PROFILES[lang]
-        score = F.size(F.filter(toks, lambda t: t.isin(*words)))
-        better = score > best_score
-        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(better, score).otherwise(best_score)
-    return best_lang
+    SQL-mirrorable; a real n-gram model would slot in behind the same API.
+    The token array is let-bound: one tokenize, N cheap filters."""
+
+    def pick(toks) -> Column:
+        best_lang, best_score = F.lit("und"), F.lit(0)
+        for lang in sorted(LANG_PROFILES):
+            words = LANG_PROFILES[lang]
+            score = F.size(F.filter(toks, lambda t: t.isin(*words)))
+            better = score > best_score
+            best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+            best_score = F.when(better, score).otherwise(best_score)
+        return best_lang
+
+    return expr_let(tokenize(col, stopwords=None), pick)
 
 
 def token_count(col) -> Column:
@@ -481,20 +485,24 @@ def bpe_token_estimate(col) -> Column:
 
 def quality_score(col) -> Column:
     """Composite [0,1] doc-quality heuristic: penalizes very short docs,
-    high non-alnum ratio, and low stopword ratio (word-salad indicator)."""
+    high non-alnum ratio, and low stopword ratio (word-salad indicator).
+    Token array let-bound (one tokenize feeds all three ratios)."""
     txt = _c(col)
-    n_chars = F.length(txt)
-    alnum = F.length(F.regexp_replace(txt, "[^a-zA-Z0-9 ]", ""))
-    toks = tokenize(col, stopwords=None)
-    n_toks = F.size(toks)
-    sw_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
-    len_score = F.least(n_toks.cast("double") / F.lit(20.0), F.lit(1.0))
-    alnum_ratio = alnum.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double")
-    sw_ratio = F.least(
-        sw_hits.cast("double") * F.lit(5.0) / F.greatest(n_toks, F.lit(1)).cast("double"),
-        F.lit(1.0),
-    )
-    return (len_score + alnum_ratio + sw_ratio) / F.lit(3.0)
+
+    def score(toks) -> Column:
+        n_chars = F.length(txt)
+        alnum = F.length(F.regexp_replace(txt, "[^a-zA-Z0-9 ]", ""))
+        n_toks = F.size(toks)
+        sw_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+        len_score = F.least(n_toks.cast("double") / F.lit(20.0), F.lit(1.0))
+        alnum_ratio = alnum.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double")
+        sw_ratio = F.least(
+            sw_hits.cast("double") * F.lit(5.0) / F.greatest(n_toks, F.lit(1)).cast("double"),
+            F.lit(1.0),
+        )
+        return (len_score + alnum_ratio + sw_ratio) / F.lit(3.0)
+
+    return expr_let(tokenize(col, stopwords=None), score)
 
 
 FP_MOD = 1_000_000_007
@@ -519,44 +527,80 @@ def _ws_tokens(col) -> Column:
     return F.array_remove(F.split(_c(col), "\\s+"), "")
 
 
-def word_ngrams(col, n: int = 2) -> Column:
-    """Whitespace-word n-grams as space-joined strings, [] when the text
-    has fewer than ``n`` words. Pure column expression — no explode, so
-    no generator-filter re-evaluation (plans/shape.py pathology 1)."""
-    toks = _ws_tokens(col)
-    total = F.size(toks)
+def expr_let(expr: Column, body) -> Column:
+    """Bind ``expr`` ONCE, then reference it freely inside ``body``.
+
+    PLAN-SHAPE RULE (measured 20x on the repetition signals at sf0.1): a
+    lambda body that references a non-trivial expression re-evaluates it
+    on EVERY element access — higher-order functions are interpreted, so
+    an inlined tokenize/ngram sub-expression turns O(len) work into
+    O(len²) re-parsing. ``transform(array(e), x -> body(x))[1]`` is a
+    let-binding: ``e`` evaluates once as the array element and every
+    later reference is a cheap bound-variable read. Same trick
+    operators/dedup.py applies via projected columns (_grams_over's
+    rule); this form works where no projection boundary is available —
+    inside a single Column-valued function."""
+    return F.element_at(F.transform(F.array(expr), body), 1)
+
+
+def _ngrams_of(tk, n: int) -> Column:
+    """n-grams over an already-CHEAP token array reference (lambda var or
+    plain column — see expr_let). [] when fewer than ``n`` tokens."""
+    total = F.size(tk)
     grams = F.transform(
-        F.sequence(F.lit(1), total - F.lit(n) + 1),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
+        F.sequence(F.lit(0), F.greatest(total - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", *[tk[i + j] for j in range(n)]),
     )
     empty = F.array().cast("array<string>")
     # sequence(1, k) is DESCENDING for k < 1 — guard, don't trust it
     return F.when(total >= n, grams).otherwise(empty)
 
 
+def word_ngrams(col, n: int = 2) -> Column:
+    """Whitespace-word n-grams as space-joined strings, [] when the text
+    has fewer than ``n`` words. Pure column expression — no explode, and
+    the token array is let-bound so grams cost O(len), not O(len²)."""
+    return expr_let(_ws_tokens(col), lambda tk: _ngrams_of(tk, n))
+
+
 def dup_ngram_fraction(col, n: int = 1) -> Column:
     """Fraction of word n-grams that are repeats of an earlier one:
     ``1 - distinct/total`` (0.0 for empty). The Gopher/C4 repetition
     signal; n=1 is the duplicate-word fraction."""
-    grams = _ws_tokens(col) if n == 1 else word_ngrams(col, n)
-    t = F.size(grams)
-    dups = (t - F.size(F.array_distinct(grams))).cast("double")
-    return F.when(t > 0, dups / t).otherwise(F.lit(0.0))
+
+    def frac(gs) -> Column:
+        t = F.size(gs)
+        dups = (t - F.size(F.array_distinct(gs))).cast("double")
+        return F.when(t > 0, dups / t).otherwise(F.lit(0.0))
+
+    if n == 1:
+        return expr_let(_ws_tokens(col), frac)
+    return expr_let(
+        _ws_tokens(col), lambda tk: expr_let(_ngrams_of(tk, n), frac)
+    )
 
 
 def top_ngram_fraction(col, n: int = 2) -> Column:
     """Fraction of the text's n-grams taken by the single most frequent
     one — high values flag boilerplate/templated text. O(distinct·total)
-    per row, bounded by document length, zero shuffles."""
-    grams = _ws_tokens(col) if n == 1 else word_ngrams(col, n)
-    t = F.size(grams)
-    counts = F.transform(
-        F.array_distinct(grams),
-        lambda g: F.size(F.filter(grams, lambda x: x == g)),
+    element comparisons per row (bound variables, not re-evaluations),
+    bounded by document length, zero shuffles."""
+
+    def frac(gs) -> Column:
+        t = F.size(gs)
+        counts = F.transform(
+            F.array_distinct(gs),
+            lambda g: F.size(F.filter(gs, lambda x: x == g)),
+        )
+        return F.when(
+            t > 0, F.array_max(counts).cast("double") / t
+        ).otherwise(F.lit(0.0))
+
+    if n == 1:
+        return expr_let(_ws_tokens(col), frac)
+    return expr_let(
+        _ws_tokens(col), lambda tk: expr_let(_ngrams_of(tk, n), frac)
     )
-    return F.when(
-        t > 0, F.array_max(counts).cast("double") / t
-    ).otherwise(F.lit(0.0))
 
 
 def repetition_signals(col) -> list[Column]:
