@@ -1294,6 +1294,84 @@ def q_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_balance_stats(emb, nlist=8, quota=50)
 
 
+def q_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-filter analogue (operators/lm.py): corpus-trained
+    smoothed unigram model, per-doc mean log-prob + OOV rate. Vocab
+    broadcasts; the corpus shuffles only per-doc partial sums. DuckDB
+    retrains the model from scratch and must agree to 6dp."""
+    from lanterndb_spark.operators.lm import build_vocab, unigram_score
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    vocab = build_vocab(docs, min_count=2)
+    return unigram_score(docs, vocab).orderBy("doc_id")
+
+
+def _unigram_oracle() -> str:
+    tk = duck_tokens("text")
+    return f"""
+    WITH tk AS (SELECT doc_id, {tk} AS tk FROM documents),
+    ex AS (SELECT doc_id, unnest(tk) AS token FROM tk),
+    counts AS (
+      SELECT token, count(*) AS cnt FROM ex GROUP BY token HAVING count(*) >= 2
+    ),
+    tot AS (SELECT sum(cnt) AS total, count(*) AS vsize FROM counts),
+    per AS (
+      SELECT e.doc_id,
+             ln(CAST(coalesce(c.cnt, 0) + 1 AS DOUBLE)
+                / CAST(t.total + t.vsize + 1 AS DOUBLE)) AS lp,
+             CASE WHEN c.token IS NULL THEN 1 ELSE 0 END AS oov
+      FROM ex e LEFT JOIN counts c USING (token) CROSS JOIN tot t
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS n, sum(oov) AS oovs,
+             round(avg(lp), {ROUND}) AS avg_logprob
+      FROM per GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(a.n, 0) AS INT) AS n_tokens,
+           round(coalesce(CAST(a.oovs AS DOUBLE) / nullif(a.n, 0), 0.0), {ROUND}) AS oov_rate,
+           a.avg_logprob
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    ORDER BY d.doc_id
+    """
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 TF-IDF keywords (operators/tfidf.py): two combined-
+    pair shuffles + broadcast df + WindowGroupLimit top-k. Rank is on the
+    6dp-rounded score with term tie-break so both engines agree exactly."""
+    from lanterndb_spark.operators.tfidf import tfidf_topk
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return tfidf_topk(docs, k=3).orderBy("doc_id", "rank")
+
+
+def _tfidf_oracle() -> str:
+    tk = duck_tokens("text", STOPWORDS)
+    return f"""
+    WITH tk AS (SELECT doc_id, {tk} AS tk FROM documents),
+    ex AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl, unnest(tk) AS term FROM tk),
+    dt AS (
+      SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS fq, any_value(dl) AS dl
+      FROM ex GROUP BY doc_id, term
+    ),
+    dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM dt GROUP BY term),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+    s AS (
+      SELECT doc_id, term,
+             round((fq / dl) * (ln((n.n + 1.0) / (df + 1.0)) + 1.0), {ROUND}) AS score
+      FROM dt JOIN dft USING (term) CROSS JOIN n
+    ),
+    r AS (
+      SELECT doc_id, term, score,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+      FROM s
+    )
+    SELECT doc_id, term, CAST(rank AS INT) AS rank, score
+    FROM r WHERE rank <= 3 ORDER BY doc_id, rank
+    """
+
+
 def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-HLL distinct counts with in-query invariants (the
     bloom_hot_terms pattern): n_exact is oracle-checked against DuckDB;
@@ -1983,6 +2061,8 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _decontaminate_oracle(),
         "pack_sequences": _pack_oracle(),
         "pii_scrub": _pii_oracle(),
+        "unigram_score": _unigram_oracle(),
+        "tfidf_topk": _tfidf_oracle(),
         "hash_split": """
             SELECT doc_id,
                    CASE WHEN b < 800000 THEN 'train'
@@ -2210,6 +2290,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "pii_scrub": q_pii_scrub,
         "cluster_balance": q_cluster_balance,
+        "unigram_score": q_unigram_score,
+        "tfidf_topk": q_tfidf_topk,
         "events_variant": q_events_variant,
         "funnel": q_funnel,
         "events_json": q_events_json,
