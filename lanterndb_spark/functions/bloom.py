@@ -91,16 +91,28 @@ def might_contain(bloom_col, elem) -> Column:
     """Membership test (``elem_in_bloom`` analogue). False positives at
     the configured rate; never false negatives. NULL bloom → NULL (treat
     with coalesce at the call site). Pure column expression."""
+    from lanterndb_spark.functions.text import expr_let
+
     b = _c(bloom_col)
     h1, h2 = _hashes(elem)
     nbits = (F.size(b["bits"]) * 64).cast("bigint")
-    def bit_set(i):
-        p = F.pmod(h1 + i.cast("bigint") * h2, nbits)
-        word = F.element_at(b["bits"], (p / 64).cast("int") + 1)
-        return word.bitwiseAND(
-            F.call_function("shiftleft", F.lit(1).cast("bigint"), (p % 64).cast("int"))
-        ) != 0
-    return F.forall(F.sequence(F.lit(0), b["nh"] - 1), bit_set)
+
+    def probe(hs):
+        # hs = [h1, h2] bound once (expr_let): the md5-derived hashes are
+        # computed per TEST, not per PROBE — the forall lambda below only
+        # reads bound variables
+        def bit_set(i):
+            p = F.pmod(hs[0] + i.cast("bigint") * hs[1], nbits)
+            word = F.element_at(b["bits"], (p / 64).cast("int") + 1)
+            return word.bitwiseAND(
+                F.call_function(
+                    "shiftleft", F.lit(1).cast("bigint"), (p % 64).cast("int")
+                )
+            ) != 0
+
+        return F.forall(F.sequence(F.lit(0), b["nh"] - 1), bit_set)
+
+    return expr_let(F.array(h1, h2), probe)
 
 
 def array_to_bloom(

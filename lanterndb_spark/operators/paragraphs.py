@@ -62,13 +62,20 @@ def split_paragraphs(
     if chunk_tokens is None:
         paras = F.split(F.col(text_col), PARA_SEP)
     else:
+        from lanterndb_spark.functions.text import expr_let
+
         c = int(chunk_tokens)
-        toks = F.split(F.col(text_col), r"\s+")
-        n_chunks = F.ceil(F.size(toks) / F.lit(c)).cast("int")
-        paras = F.transform(
-            F.sequence(F.lit(0), n_chunks - 1),
-            lambda i: F.array_join(F.slice(toks, i * c + 1, c), " "),
-        )
+
+        def chunks(toks):
+            # toks is a bound variable (expr_let) — referencing it per
+            # chunk is a cheap read, not a re-split of the text
+            n_chunks = F.ceil(F.size(toks) / F.lit(c)).cast("int")
+            return F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(F.slice(toks, i * c + 1, c), " "),
+            )
+
+        paras = expr_let(F.split(F.col(text_col), r"\s+"), chunks)
     out = posexplode_nonempty(d, paras, "para_idx", "para", id_col)
     return out.filter(F.trim(F.col("para")) != "")
 
