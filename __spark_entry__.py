@@ -1021,6 +1021,60 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered analytics spine: per-user 3-row moving average + running
+    sum over the event stream. One shuffle on user_id; both frames are
+    computed in a single Window pass. Frame order is pinned (ts,
+    event_id) so the sequential fold is engine-identical."""
+    from pyspark.sql.window import Window
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w.rowsBetween(-2, 0)), ROUND).alias("mov_avg"),
+        F.round(F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), ROUND).alias("cum_sum"),
+    ).orderBy("event_id")
+
+
+def q_doc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP ROLLUP over (lang, source): subtotal rows materialize in the
+    same single aggregation (Spark Expand + one shuffle). NULL grouping
+    slots are masked to 'ALL' on both engines."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return (
+        docs.rollup("lang", "source")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("sum_chars"))
+        .select(
+            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            F.coalesce("source", F.lit("ALL")).alias("source"),
+            "n",
+            "sum_chars",
+        )
+        .orderBy("lang", "source")
+    )
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivoted daily event counts: one groupBy(day) with an explicit
+    pivot value list (no extra distinct pass; deterministic columns).
+    DuckDB mirrors with FILTER aggregates."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    out = (
+        ev.withColumn("day", F.date_format(F.to_date("ts"), "yyyy-MM-dd"))
+        .groupBy("day")
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+    )
+    return out.select(
+        "day", *[F.coalesce(t, F.lit(0)).cast("long").alias(t) for t in EVENT_TYPES]
+    ).orderBy("day")
+
+
 def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     # semi-structured props: JSON extraction + agg (get_json_object path)
     ev = load_tables(spark, sf_dir, ["events"])["events"]
@@ -2034,6 +2088,34 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             ORDER BY o_totalprice DESC, o_orderkey
         """,
+        "rolling_window": f"""
+            SELECT event_id, user_id,
+                   round(avg(value) OVER w3, {ROUND}) AS mov_avg,
+                   round(sum(value) OVER wc, {ROUND}) AS cum_sum
+            FROM events
+            WINDOW
+              w3 AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+              wc AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            ORDER BY event_id
+        """,
+        "doc_rollup": """
+            SELECT coalesce(lang, 'ALL') AS lang,
+                   coalesce(source, 'ALL') AS source,
+                   count(*) AS n, sum(n_chars) AS sum_chars
+            FROM documents GROUP BY ROLLUP (lang, source)
+            ORDER BY lang, source
+        """,
+        "events_pivot": """
+            SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                   count(*) FILTER (event_type = 'click')    AS click,
+                   count(*) FILTER (event_type = 'error')    AS error,
+                   count(*) FILTER (event_type = 'purchase') AS purchase,
+                   count(*) FILTER (event_type = 'signup')   AS signup,
+                   count(*) FILTER (event_type = 'view')     AS view
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
         "events_variant": """
             SELECT event_type, count(*) AS n,
                    CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
@@ -2279,6 +2361,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q7": q_tpch_q7,
         "tpch_q10": q_tpch_q10,
         "tpch_q18": q_tpch_q18,
+        "rolling_window": q_rolling_window,
+        "doc_rollup": q_doc_rollup,
+        "events_pivot": q_events_pivot,
         "sketch_distinct": q_sketch_distinct,
         "sketch_quantiles": q_sketch_quantiles,
         "para_dedup": q_para_dedup,
