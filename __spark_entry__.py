@@ -976,15 +976,19 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_nationkey") == F.col("n_nationkey"),
     ).select("c_custkey", "c_name", "c_acctbal", "n_name")
     return (
-        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy("o_custkey")
-        .agg(
-            F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
-                .cast("decimal(24,6)")
-            ).alias("rev")  # DECIMAL: the top-20 cutoff must be engine-exact
+        cust.join(  # per-quarter buyer set ≪ customer dim: broadcast the agg
+            F.broadcast(
+                li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+                .groupBy("o_custkey")
+                .agg(
+                    F.sum(
+                        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                        .cast("decimal(24,6)")
+                    ).alias("rev")  # DECIMAL: top-20 cutoff engine-exact
+                )
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
         )
-        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .orderBy(F.col("rev").desc(), F.col("c_custkey").asc())
         .limit(20)
         .select(
