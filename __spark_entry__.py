@@ -1430,6 +1430,115 @@ def _tfidf_oracle() -> str:
     """
 
 
+def q_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation pipeline (operators/pipeline.py): quality
+    signals -> PII gate -> 5-gram decontamination vs the doc_id%19 eval
+    slice -> exact dedup -> split -> contiguous packing of the kept
+    stream, in two windows + one broadcast join. The DuckDB oracle
+    recomputes every verdict, split and packed position from scratch."""
+    from lanterndb_spark.operators.pipeline import curation_pipeline
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    bench = docs.filter(F.col("doc_id") % 19 == 0)
+    corpus = docs.filter(F.col("doc_id") % 19 != 0)
+    return curation_pipeline(
+        corpus, eval_df=bench, pack_budget=128, pack_buckets=8
+    ).orderBy("doc_id")
+
+
+def _pipeline_oracle() -> str:
+    from lanterndb_spark.functions.pii import duck_pii_fragments
+
+    tk = duck_tokens("text")
+    sw = duck_sql_list(STOPWORDS)
+    fr = duck_pii_fragments("text")
+    has_pii = " OR ".join(
+        f"{fr[f'n_{k}']} > 0" for k in ("email", "ssn", "card", "ipv4", "phone")
+    )
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 19 <> 0
+    ),
+    base AS (
+      SELECT doc_id, text, {tk} AS tk,
+             string_split(text, ' ') AS w,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm,
+             ({has_pii}) AS pii
+      FROM corpus
+    ),
+    sig AS (
+      SELECT doc_id, norm, pii,
+        len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_tokens,
+        round((least(CAST(len(tk) AS DOUBLE) / 20.0, 1.0)
+             + CAST(length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+               / CAST(greatest(length(text), 1) AS DOUBLE)
+             + least(CAST(len(list_filter(tk, t -> t IN {sw})) AS DOUBLE) * 5.0
+               / CAST(greatest(len(tk), 1) AS DOUBLE), 1.0)) / 3.0, {ROUND}) AS q
+      FROM base
+    ),
+    j AS (SELECT i FROM generate_series(1, 99999) t(i)),
+    gcnt AS (
+      SELECT doc_id, g, count(*) AS c FROM (
+        SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+        FROM base JOIN j ON i + 1 <= len(w)
+      ) GROUP BY doc_id, g
+    ),
+    rep AS (
+      SELECT doc_id,
+             round(coalesce((sum(c) - count(*)) / CAST(sum(c) AS DOUBLE), 0), {ROUND}) AS r
+      FROM gcnt GROUP BY doc_id
+    ),
+    alltk AS (SELECT doc_id, {tk} AS tk FROM documents),
+    dg AS (
+      SELECT DISTINCT doc_id, array_to_string(tk[i:i+4], ' ') AS gram
+      FROM alltk JOIN j ON i + 4 <= len(tk)
+    ),
+    ev AS (SELECT DISTINCT gram FROM dg WHERE doc_id % 19 = 0),
+    conth AS (
+      SELECT dg.doc_id, count(*) AS hits
+      FROM dg JOIN ev USING (gram) WHERE dg.doc_id % 19 <> 0 GROUP BY dg.doc_id
+    ),
+    firsts AS (
+      SELECT doc_id,
+             row_number() OVER (PARTITION BY norm ORDER BY doc_id) = 1 AS is_first
+      FROM base
+    ),
+    verdict AS (
+      SELECT s.doc_id, s.n_tokens,
+        CASE WHEN s.n_tokens < 10 THEN 'too_short'
+             WHEN s.q < 0.5 THEN 'low_quality'
+             WHEN coalesce(rep.r, 0) > 0.3 THEN 'repetitive'
+             WHEN s.pii THEN 'pii'
+             WHEN coalesce(conth.hits, 0) >= 1 THEN 'contaminated'
+             WHEN NOT f.is_first THEN 'duplicate'
+             ELSE 'kept' END AS reason,
+        CAST(('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          % 1000000 AS b
+      FROM sig s
+      LEFT JOIN rep ON s.doc_id = rep.doc_id
+      LEFT JOIN conth ON s.doc_id = conth.doc_id
+      JOIN firsts f ON s.doc_id = f.doc_id
+    ),
+    packed AS (
+      SELECT doc_id, n_tokens, reason, b,
+             CAST(b % 8 AS INT) AS bucket,
+             sum(CASE WHEN reason = 'kept' THEN n_tokens ELSE 0 END)
+               OVER (PARTITION BY b % 8 ORDER BY doc_id)
+             - CASE WHEN reason = 'kept' THEN n_tokens ELSE 0 END AS start
+      FROM verdict
+    )
+    SELECT doc_id, reason = 'kept' AS kept, reason,
+           CASE WHEN reason <> 'kept' THEN '-'
+                WHEN b < 800000 THEN 'train'
+                WHEN b < 900000 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(n_tokens AS INT) AS n_tokens, bucket,
+           CASE WHEN reason = 'kept' THEN CAST(floor(start / 128) AS INT) END AS seq,
+           CASE WHEN reason = 'kept' THEN CAST(start % 128 AS INT) END AS "offset"
+    FROM packed ORDER BY doc_id
+    """
+
+
 def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-HLL distinct counts with in-query invariants (the
     bloom_hot_terms pattern): n_exact is oracle-checked against DuckDB;
@@ -2149,6 +2258,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": _pii_oracle(),
         "unigram_score": _unigram_oracle(),
         "tfidf_topk": _tfidf_oracle(),
+        "pipeline_full": _pipeline_oracle(),
         "hash_split": """
             SELECT doc_id,
                    CASE WHEN b < 800000 THEN 'train'
@@ -2381,6 +2491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_balance": q_cluster_balance,
         "unigram_score": q_unigram_score,
         "tfidf_topk": q_tfidf_topk,
+        "pipeline_full": q_pipeline_full,
         "events_variant": q_events_variant,
         "funnel": q_funnel,
         "events_json": q_events_json,
