@@ -199,21 +199,31 @@ def main():
 
     cold: dict[str, float] = {}
     queries: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in jobs:
-        cold[name] = timed(fn)  # warmup (first-run JIT) — reported separately
-        samples = [timed(fn) for _ in range(RUNS)]
-        queries[name] = round(statistics.median(samples), 3)
+        # per-query isolation: one broken query must not zero the whole
+        # round's measurement (r2 lesson — q_sessionize crashed the suite)
+        try:
+            cold[name] = timed(fn)  # warmup (first-run JIT) — reported separately
+            samples = [timed(fn) for _ in range(RUNS)]
+            queries[name] = round(statistics.median(samples), 3)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
     # quality metric: IVF recall@10 vs exact on 10 sampled queries (batch)
-    from lanterndb_spark.operators.autotune import _collect_by_query, exact_topk_batch
+    try:
+        from lanterndb_spark.operators.autotune import _collect_by_query, exact_topk_batch
 
-    idx, qs = state["idx"], state["qs"]
-    truth = exact_topk_batch(emb, "embedding", qs, k=10, id_col="vec_id")
-    got = _collect_by_query(
-        ivf_search_batch(idx, qs, k=10, nprobe=10, id_col="vec_id"), "vec_id"
-    )
-    recs = [recall_at_k(got.get(i, []), truth.get(i, [])) for i in range(len(qs))]
-    recall = round(sum(recs) / len(recs), 4)
+        idx, qs = state["idx"], state["qs"]
+        truth = exact_topk_batch(emb, "embedding", qs, k=10, id_col="vec_id")
+        got = _collect_by_query(
+            ivf_search_batch(idx, qs, k=10, nprobe=10, id_col="vec_id"), "vec_id"
+        )
+        recs = [recall_at_k(got.get(i, []), truth.get(i, [])) for i in range(len(qs))]
+        recall = round(sum(recs) / len(recs), 4)
+    except Exception as exc:  # noqa: BLE001
+        errors["recall_at_10"] = f"{type(exc).__name__}: {exc}"[:300]
+        recall = None
 
     out = {
         "metric": "headline_suite_wall_clock_warm_median",
@@ -227,6 +237,8 @@ def main():
         "recall_at_10": recall,
         "sf": sf_dir,
     }
+    if errors:
+        out["errors"] = errors
     # regression visibility: compare against the LATEST recorded round
     import glob
     import re
@@ -236,18 +248,23 @@ def main():
         glob.glob(os.path.join(here, "BENCH_r*.json")),
         key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
     )
-    if rounds:
+    # walk back to the newest round that actually has numbers (r2's bench
+    # crashed, so BENCH_r02.json carries no queries)
+    for path in reversed(rounds):
         try:
-            with open(rounds[-1]) as f:
+            with open(path) as f:
                 doc = json.load(f)
             # the driver wraps the bench's JSON line under "parsed"
             prev = doc.get("parsed", doc).get("queries", {})
+            if not prev:
+                continue
             out["delta_vs_prev"] = {
                 k: round(queries[k] - prev[k], 3) for k in queries if k in prev
             }
-            out["prev_round"] = os.path.basename(rounds[-1])
+            out["prev_round"] = os.path.basename(path)
+            break
         except (OSError, ValueError, KeyError, AttributeError):
-            pass
+            continue
     print(json.dumps(out))
     spark.stop()
 

@@ -32,9 +32,17 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _as_double(col: Column, dtype: str) -> Column:
-    # timestamp → epoch seconds (micro precision); numerics pass through
+def _as_double(col: Column, dtype: str = "") -> Column:
+    # timestamp (LTZ) → epoch seconds (micro precision); numerics pass
+    # through. TIMESTAMP_NTZ has no double cast — callers normalize NTZ
+    # inputs to LTZ first via session.ensure_ltz.
     return col.cast("double")
+
+
+def _norm(df: DataFrame, cols: list[str]) -> DataFrame:
+    from lanterndb_spark.session import ensure_ltz
+
+    return ensure_ltz(df, *cols)
 
 
 def asof_join(
@@ -70,6 +78,8 @@ def asof_join(
     for c in (on, *by):
         if c not in left.columns or c not in right.columns:
             raise ValueError(f"column {c!r} must exist on both sides")
+    left = _norm(left, [on])
+    right = _norm(right, [on])
 
     payload_cols = [c for c in right.columns if c not in by]  # includes `on`
     out_names = {
@@ -160,6 +170,8 @@ def range_join(
     in exactly one bin so no duplicate pairs are produced.
     """
     by = [by] if isinstance(by, str) else (by or [])
+    points = _norm(points, [point_col])
+    intervals = _norm(intervals, [lo_col, hi_col])
     p = _as_double(F.col(point_col), "")
     lo = _as_double(F.col(lo_col), "")
     hi = _as_double(F.col(hi_col), "")
@@ -220,6 +232,8 @@ def overlap_join(
     by = [by] if isinstance(by, str) else (by or [])
     l_lo, l_hi = left_bounds
     r_lo, r_hi = right_bounds
+    left = _norm(left, [l_lo, l_hi])
+    right = _norm(right, [r_lo, r_hi])
 
     if bucket is None:
         m_l = left.select(F.max(_as_double(F.col(l_hi), "") -

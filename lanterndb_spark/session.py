@@ -35,8 +35,9 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        # the driver's events.parquet stores TIMESTAMP(NANOS); Spark has no
-        # nanos timestamp type, so read as long and convert in load_tables
+        # historical testdata stored TIMESTAMP(NANOS) (no Spark type; read
+        # as long). Current testdata is TIMESTAMP(MICROS) no-tz, which this
+        # flag does not affect — kept so either vintage loads.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
@@ -55,19 +56,51 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
         "orders", "lineitem", "events", "documents", "embeddings",
     ]
     # set here too (not only in get_spark) so a caller-provided session —
-    # e.g. the driver's — can read the nanos-timestamp events table
+    # e.g. the driver's — can read a legacy nanos-timestamp events table
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     out = {}
     for n in names:
         path = os.path.join(sf_dir, f"{n}.parquet")
         if os.path.exists(path):
             df = spark.read.parquet(path)
-            # nanos timestamps arrive as long (see get_spark); truncate to
-            # microseconds exactly like DuckDB truncates ns -> its us TIMESTAMP
-            for field in df.schema.fields:
-                if field.name == "ts" and field.dataType.simpleString() == "bigint":
-                    # integer div — float division would lose precision at ~1e18 ns
-                    df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            df = normalize_timestamps(df)
             df.createOrReplaceTempView(n)
             out[n] = df
     return out
+
+
+def normalize_timestamps(df):
+    """Normalize every timestamp-ish column to TIMESTAMP (LTZ).
+
+    The driver's parquet has stored ``ts`` two ways across rounds:
+    TIMESTAMP(NANOS) (read as bigint under ``nanosAsLong``) and
+    TIMESTAMP(MICROS) no-tz (read as TIMESTAMP_NTZ). Downstream operators
+    do epoch arithmetic via ``cast(double)``, which NTZ forbids — so cast
+    NTZ to LTZ here. Session tz is UTC, so the wall-clock values match
+    DuckDB's naive timestamps exactly; and NTZ->LTZ->toPandas is a
+    wall-clock identity under ANY session tz, so oracle hashes are stable.
+    """
+    from pyspark.sql.types import TimestampNTZType
+
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+            # legacy nanos-as-long: integer div — float division would lose
+            # precision at ~1e18 ns; truncate to us like DuckDB does
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(field.dataType, TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
+    return df
+
+
+def ensure_ltz(df, *cols):
+    """Cast the named columns to TIMESTAMP (LTZ) when they are NTZ.
+
+    Entry-point guard for operators that do epoch arithmetic on
+    user-supplied frames that may not have gone through
+    :func:`normalize_timestamps`."""
+    from pyspark.sql.types import TimestampNTZType
+
+    for c in cols:
+        if isinstance(df.schema[c].dataType, TimestampNTZType):
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df

@@ -25,17 +25,61 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-EVENTS_SCHEMA = (
-    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+_EVENTS_FIELDS = (
+    "event_id bigint, ts {ts_type}, user_id bigint, event_type string, "
     "value double, props string"
 )
 
 
+def _ts_parquet_type(path: str):
+    """Inspect the parquet file schema for the ``ts`` column's physical
+    type — the streaming source needs a user-declared schema, and the
+    driver's testdata has stored ``ts`` as TIMESTAMP(NANOS) in one round
+    and TIMESTAMP(MICROS) no-tz in another. Guessing wrong is a SILENT
+    1000x timestamp corruption, so read the unit from the file."""
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sample = path
+    if not path.endswith(".parquet"):
+        hits = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not hits:
+            raise FileNotFoundError(f"no parquet files under {path}")
+        sample = hits[0]
+    t = pq.read_schema(sample).field("ts").type
+    if pa.types.is_timestamp(t):
+        return t.unit, t.tz
+    return "int64", None
+
+
 def stream_events(spark: SparkSession, path: str, max_files_per_trigger: int = 1) -> DataFrame:
-    """File-source stream over an events parquet directory (ts stored as
-    nanos → converted to a proper timestamp like session.load_tables)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_SCHEMA).option(
+    """File-source stream over an events parquet directory, normalized so
+    downstream watermarks/windows always see a proper TIMESTAMP (LTZ)
+    ``ts`` regardless of how the file encodes it (nanos-as-long,
+    micros-no-tz, or tz-aware)."""
+    unit, tz = _ts_parquet_type(path)
+    if unit == "ns":
+        # no Spark nanos type: read as long under the legacy flag, then
+        # integer-div to micros (float division loses precision at ~1e18)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        schema = _EVENTS_FIELDS.format(ts_type="bigint")
+        fix = lambda df: df.withColumn(  # noqa: E731
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif unit == "int64":
+        # a genuine long column: epoch micros by convention
+        schema = _EVENTS_FIELDS.format(ts_type="bigint")
+        fix = lambda df: df.withColumn("ts", F.timestamp_micros("ts"))  # noqa: E731
+    else:
+        # s/ms/us timestamp: declare the matching Spark type and upcast
+        # NTZ -> LTZ (session tz is UTC, wall clock preserved)
+        schema = _EVENTS_FIELDS.format(
+            ts_type="timestamp" if tz else "timestamp_ntz")
+        fix = lambda df: df.withColumn("ts", F.col("ts").cast("timestamp"))  # noqa: E731
+
+    reader = spark.readStream.schema(schema).option(
         "maxFilesPerTrigger", max_files_per_trigger
     )
     if path.endswith(".parquet"):
@@ -43,8 +87,7 @@ def stream_events(spark: SparkSession, path: str, max_files_per_trigger: int = 1
         base, fname = path.rsplit("/", 1)
         reader = reader.option("pathGlobFilter", fname)
         path = base
-    raw = reader.parquet(path)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return fix(reader.parquet(path))
 
 
 def windowed_event_counts(

@@ -51,7 +51,10 @@ def sessionize_native(
     events exactly ``gap`` apart. window end = last event + gap, so
     session_end here is reported as window.end - gap to match the others.
     """
+    from lanterndb_spark.session import ensure_ltz
+
     gap_s = _gap_seconds(gap)
+    events = ensure_ltz(events, ts_col)
     return (
         events.groupBy(F.session_window(ts_col, gap).alias("w"), user_col)
         .agg(F.count("*").alias("n_events"), F.sum(value_col).alias("sum_value"))
@@ -75,7 +78,10 @@ def sessionize_batch(
     """(user_id, session_start, session_end, n_events, sum_value)."""
     from pyspark.sql import Window
 
+    from lanterndb_spark.session import ensure_ltz
+
     gap_s = _gap_seconds(gap)
+    events = ensure_ltz(events, ts_col)
     w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc())
     flagged = events.withColumn(
         "__new",
