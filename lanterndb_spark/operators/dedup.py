@@ -227,6 +227,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     verify: bool | str = True,
     auto_estimate_threshold: int = 200_000,
+    max_bucket: int | None = 1_000,
 ) -> DataFrame:
     """Near-dup pairs via banded MinHash LSH.
 
@@ -246,6 +247,18 @@ def minhash_lsh_pairs(
       ``auto_estimate_threshold`` pairs, estimate above — the crossover is
       where the pairs×shingles verify join starts to dominate the build.
     - ``verify=False``: raw candidates.
+
+    ``max_bucket`` bounds the self-join fan-out (the one quadratic cliff
+    in banded LSH): a band bucket with p members emits p(p-1)/2 candidate
+    rows, so a boilerplate blob duplicated 10⁶ times would alone emit
+    ~5·10¹¹ rows per band. Buckets over the cap switch from all-pairs to
+    a STAR on the bucket's minimum id (p-1 rows) — connectivity inside
+    the bucket is preserved exactly (every member still reaches every
+    other through the hub, so connected-components resolution, the
+    downstream consumer in near_dup_keep, is unaffected for true
+    duplicate groups, whose star edges all pass verification), but
+    non-hub pair rows of a hot bucket are not emitted individually. Set
+    ``max_bucket=None`` for exhaustive pair lists (oracle mode).
     """
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
@@ -268,13 +281,34 @@ def minhash_lsh_pairs(
             )
         ).alias("s"),
     ).select("id", "s.band", "s.bh")
-    a, b = banded.alias("a"), banded.alias("b")
+    if max_bucket is not None:
+        # hot buckets are few by definition (≤ |rows|/cap) → broadcast the
+        # bucket keys; the membership count is a map-side-combined groupBy
+        hot_keys = F.broadcast(
+            banded.groupBy("band", "bh")
+            .agg(F.count("*").alias("__bc"))
+            .filter(F.col("__bc") > max_bucket)
+            .select("band", "bh")
+        )
+        cold_side = banded.join(hot_keys, ["band", "bh"], "left_anti")
+        hot_side = banded.join(hot_keys, ["band", "bh"], "left_semi")
+        hub = hot_side.groupBy("band", "bh").agg(F.min("id").alias("__hub"))
+        star = (
+            hot_side.join(hub, ["band", "bh"])
+            .filter(F.col("id") != F.col("__hub"))
+            .select(F.col("__hub").alias("id_a"), F.col("id").alias("id_b"))
+        )
+    else:
+        cold_side, star = banded, None
+    a, b = cold_side.alias("a"), cold_side.alias("b")
     cand = (
         a.join(b, on=["band", "bh"])
         .filter(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
     )
+    if star is not None:
+        cand = cand.unionByName(star)  # hub id is the min → id_a < id_b holds
+    cand = cand.distinct()
     if not verify:
         return attach_persisted(cand, wide)
     if verify == "auto":

@@ -143,6 +143,17 @@ def knn_join(
             .drop("__qv", "__rn")
         )
 
+    # the arrow path broadcasts the whole query table to every task — fine
+    # for the documented ≤100k contract, quadratic-memory disaster beyond
+    # it. Enforce rather than silently collect (callers with more queries
+    # should self-join via LSH/IVF batching instead).
+    MAX_BROADCAST_QUERIES = 100_000
+    if queries.limit(MAX_BROADCAST_QUERIES + 1).count() > MAX_BROADCAST_QUERIES:
+        raise ValueError(
+            f"knn_join arrow path broadcasts the query table; got more than "
+            f"{MAX_BROADCAST_QUERIES} query rows. Batch the queries or use "
+            f"an ANN index (ivf_search_batch) for query sets this large."
+        )
     qrows = queries.select(q_id_col, q_vec_col).collect()
     qids = [r[0] for r in qrows]
     qmat = np.asarray([list(r[1]) for r in qrows], dtype=np.float64)

@@ -201,3 +201,46 @@ def test_release_unpersists_intermediates(dup_docs):
     release(out)
     assert all(not df.storageLevel.useMemory for df in cached)
     assert "_lantern_persisted" not in out.__dict__
+
+
+def test_minhash_hot_bucket_cap_star_resolves(spark):
+    """A boilerplate blob duplicated far past the bucket cap must (a) emit
+    linear star pairs, not the quadratic all-pairs explosion, and (b) still
+    resolve to ONE duplicate group through connected components."""
+    from lanterndb_spark.operators.dedup import dedup_keep_representatives
+
+    n_copies = 300
+    rows = [(i, "boiler plate text repeated everywhere exactly the same way")
+            for i in range(n_copies)]
+    rows += [(1000 + i, f"unique document number {i} tells its own story {i * 7}")
+             for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    pairs = minhash_lsh_pairs(
+        df, "doc_id", "text", num_hashes=16, bands=4, threshold=0.5,
+        max_bucket=50,
+    )
+    got = pairs.collect()
+    # every band bucket of the blob is hot (300 > 50) -> star on min id:
+    # exactly n-1 pairs, all (0, j), all verifying at jaccard 1.0
+    assert len(got) == n_copies - 1
+    assert {(r["id_a"], r["id_b"]) for r in got} == {(0, j) for j in range(1, n_copies)}
+    assert all(r["jaccard"] == 1.0 for r in got)
+    # and the group resolves: one representative survives, uniques untouched
+    kept = dedup_keep_representatives(df, pairs, "doc_id")
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+    assert kept_ids == {0, 1000, 1001, 1002, 1003, 1004}
+
+
+def test_minhash_cap_disabled_matches_capped_groups(dup_docs):
+    """On small data (no hot buckets) the cap is a no-op."""
+    capped = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 6))
+        for r in minhash_lsh_pairs(dup_docs, "doc_id", "text",
+                                   threshold=0.4, max_bucket=1000).collect()
+    }
+    uncapped = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 6))
+        for r in minhash_lsh_pairs(dup_docs, "doc_id", "text",
+                                   threshold=0.4, max_bucket=None).collect()
+    }
+    assert capped == uncapped and capped

@@ -103,3 +103,19 @@ def test_knn_stream_partial_consumption(small_world):
     gen = knn_stream(small_world, "v", [0.0, 0.0, 0.0], init_k=2, id_col="id")
     first_three = [next(gen)["id"] for _ in range(3)]
     assert first_three == ["000", "001", "010"]
+
+
+def test_knn_join_arrow_rejects_oversized_query_table(spark, tables):
+    """The arrow path broadcasts the query table; exceeding the documented
+    100k bound must raise instead of silently collecting it."""
+    import pytest
+
+    from lanterndb_spark.operators.knn import knn_join
+
+    emb = tables["embeddings"]
+    big_q = spark.range(100_001).select(
+        F.col("id").alias("q_id"),
+        F.array(F.lit(0.1), F.lit(0.2)).alias("qv"),
+    )
+    with pytest.raises(ValueError, match="100000"):
+        knn_join(emb, "embedding", big_q, "qv", k=3, impl="arrow")
