@@ -403,6 +403,23 @@ def q_bm25_topk_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_topk_tsvector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's SECOND stemming engine (text_to_stem_array
+    engine='tsvector', stemmer_api.sql:33-50): Postgres-FTS profile —
+    127-word english stop list filtered against the RAW token BEFORE
+    snowball stemming (the rust engine stems first against a 33-word
+    list). Exercised end-to-end through the BM25 index."""
+    from lanterndb_spark.functions.text import text_to_stem_array, tokenize_tsvector_py
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "_ts_terms", text_to_stem_array("text", engine="tsvector")
+    )
+    return search_bm25(
+        docs, BM25_QUERY, limit=10, round_scores=ROUND,
+        terms_col="_ts_terms", q_terms=tokenize_tsvector_py(BM25_QUERY),
+    )
+
+
 def q_bm25_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     # driver-facing projection: arrays → csv strings (the harness's pandas
     # canonicalizer can't sort list cells); the operator API keeps arrays
@@ -1808,6 +1825,45 @@ def _bm25_stemmed_oracle() -> str:
     """
 
 
+def _bm25_tsvector_oracle() -> str:
+    """Twin of q_bm25_topk_tsvector: same shape as _bm25_stemmed_oracle but
+    with the Postgres-FTS profile — the 127-word english.stop list applied
+    to the RAW token BEFORE the stem map (to_tsvector semantics), no
+    post-stem filtering."""
+    from lanterndb_spark.functions.text import PG_ENGLISH_STOPWORDS, tokenize_tsvector_py
+    from lanterndb_spark.operators.bm25 import B, K1
+
+    q_terms = sorted(set(tokenize_tsvector_py(BM25_QUERY)))
+    raw = duck_tokens("text")
+    sw = duck_sql_list(PG_ENGLISH_STOPWORDS)
+    k1p1, k1, one_b, b = repr(K1 + 1.0), repr(K1), repr(1.0 - B), repr(B)
+    return f"""
+    WITH sm(tok, st) AS (VALUES {_stem_map_values()}),
+    rt AS (SELECT doc_id, unnest({raw}) AS tok FROM documents),
+    filt AS (SELECT doc_id, tok FROM rt WHERE tok NOT IN {sw}),
+    stmd AS (SELECT doc_id, coalesce(sm.st, filt.tok) AS term
+             FROM filt LEFT JOIN sm ON sm.tok = filt.tok),
+    dls AS (SELECT d.doc_id, CAST(coalesce(f.c, 0) AS INT) AS dl
+            FROM documents d LEFT JOIN
+              (SELECT doc_id, count(*) AS c FROM stmd GROUP BY doc_id) f USING (doc_id)),
+    st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dls),
+    dt AS (SELECT doc_id, term, CAST(count(*) AS INT) AS fq FROM stmd GROUP BY doc_id, term),
+    tf AS (SELECT term, CAST(count(*) AS INT) AS tfreq FROM dt GROUP BY term),
+    sc AS (
+      SELECT dt.doc_id,
+        ln((st.n - tf.tfreq + 0.5) / (tf.tfreq + 0.5) + 1.0)
+          * (CAST(dt.fq AS DOUBLE) * {k1p1})
+          / (CAST(dt.fq AS DOUBLE) + {k1} * ({one_b} + {b} * CAST(dls.dl AS DOUBLE) / st.avgdl)) AS s
+      FROM dt JOIN tf USING (term) JOIN dls USING (doc_id) CROSS JOIN st
+      WHERE dt.term IN {duck_sql_list(q_terms)}
+    )
+    SELECT doc_id, bm25 FROM (
+      SELECT doc_id, round(sum(s), {ROUND}) AS bm25 FROM sc GROUP BY doc_id
+      ORDER BY bm25 DESC, doc_id LIMIT 10
+    ) t
+    """
+
+
 def _postings_oracle() -> str:
     toks = duck_tokens("text", STOPWORDS)
     return f"""
@@ -2021,6 +2077,7 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_candidate": hybrid_candidate,
         "bm25_topk": _bm25_oracle(),
         "bm25_topk_stemmed": _bm25_stemmed_oracle(),
+        "bm25_topk_tsvector": _bm25_tsvector_oracle(),
         "bm25_postings": _postings_oracle(),
         "bm25_score": _bm25_score_oracle(),
         "sq8_knn": _sq8_oracle(),
@@ -2516,6 +2573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_filtered": q_knn_filtered,
         "knn_hamming": q_knn_hamming,
         "hybrid_candidate": q_hybrid_candidate,
+        "bm25_topk_tsvector": q_bm25_topk_tsvector,
         "bm25_postings": q_bm25_postings,
         "bm25_score": q_bm25_score,
         "bloom_hot_terms": q_bloom_hot_terms,

@@ -82,6 +82,15 @@ def _stem_sql(s: pd.Series) -> pd.Series:
     return s.map(lambda t: None if t is None else tokenize_py(t, stem=True))
 
 
+@F.pandas_udf(ArrayType(StringType()))
+def _stem_tsvector_sql(s: pd.Series) -> pd.Series:
+    # the reference's second engine: text_to_stem_array(..., 'tsvector')
+    # (lantern_extras/src/stemmer_api.sql:33-50) — Postgres-FTS profile
+    from lanterndb_spark.functions.text import tokenize_tsvector_py
+
+    return s.map(lambda t: None if t is None else tokenize_tsvector_py(t))
+
+
 def register_sql_functions(spark: SparkSession) -> None:
     """Register the reference's SQL-callable functions on this session."""
     spark.udf.register("l2sq_dist", _l2sq)
@@ -89,3 +98,4 @@ def register_sql_functions(spark: SparkSession) -> None:
     spark.udf.register("inner_product", _inner)
     spark.udf.register("hamming_dist", _hamming)
     spark.udf.register("text_to_stem_array", _stem_sql)
+    spark.udf.register("text_to_stem_array_tsvector", _stem_tsvector_sql)

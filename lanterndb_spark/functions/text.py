@@ -48,6 +48,31 @@ STOPWORDS = [
 ]
 
 
+# PostgreSQL's english stopword list (share/tsearch_data/english.stop) —
+# what to_tsvector('english', ...) removes, checked against the RAW
+# lowercase token BEFORE stemming (opposite order from the rust engine,
+# which stems first then filters the short list above). Used by the
+# 'tsvector' engine profile of text_to_stem_array
+# (lantern_extras/src/stemmer_api.sql:33-50).
+PG_ENGLISH_STOPWORDS = [
+    "i", "me", "my", "myself", "we", "our", "ours", "ourselves", "you",
+    "your", "yours", "yourself", "yourselves", "he", "him", "his",
+    "himself", "she", "her", "hers", "herself", "it", "its", "itself",
+    "they", "them", "their", "theirs", "themselves", "what", "which",
+    "who", "whom", "this", "that", "these", "those", "am", "is", "are",
+    "was", "were", "be", "been", "being", "have", "has", "had", "having",
+    "do", "does", "did", "doing", "a", "an", "the", "and", "but", "if",
+    "or", "because", "as", "until", "while", "of", "at", "by", "for",
+    "with", "about", "against", "between", "into", "through", "during",
+    "before", "after", "above", "below", "to", "from", "up", "down", "in",
+    "out", "on", "off", "over", "under", "again", "further", "then",
+    "once", "here", "there", "when", "where", "why", "how", "all", "any",
+    "both", "each", "few", "more", "most", "other", "some", "such", "no",
+    "nor", "not", "only", "own", "same", "so", "than", "too", "very",
+    "s", "t", "can", "will", "just", "don", "should", "now",
+]
+
+
 # user stopword management (set_user_stopwords / get_user_stopwords,
 # lantern_extras/src/stemmers.rs:25-63) — a process-level override list
 # that tokenize() callers pass explicitly; stored here so the whole
@@ -98,6 +123,48 @@ def tokenize_py(text: str, stopwords: list[str] | None = STOPWORDS, stem: bool |
         sw = set(stopwords)
         toks = [t for t in toks if t not in sw]
     return toks
+
+
+def tokenize_tsvector(col) -> Column:
+    """The reference's SECOND stemming engine: ``text_to_stem_array(...,
+    engine => 'tsvector')`` == strip FTS operators → ``to_tsvector(
+    'english', ...)`` → re-expand lexemes by position
+    (lantern_extras/src/stemmer_api.sql:33-50, stemmers.rs:119-146).
+
+    Postgres-FTS profile differences from :func:`tokenize`: the PG
+    english stopword list (127 words vs the rust engine's 33) is filtered
+    against the RAW lowercase token BEFORE stemming (to_tsvector checks
+    the stop file pre-stem; the rust engine stems first), and numerics
+    pass through unstemmed (snowball leaves them unchanged anyway).
+    Tokenization approximates PG's default parser as alphanumeric runs:
+    compound tokens (hyphenated words, emails, URLs — which the PG parser
+    additionally emits whole) appear as their parts only. The FTS
+    special-character strip (stemmer_api.sql:42) is subsumed: every
+    stripped char is non-alphanumeric.
+    """
+    toks = F.array_remove(
+        F.split(F.regexp_replace(F.lower(_c(col)), r"[^\p{L}\p{N}]+", " "), " "), ""
+    )
+    toks = F.filter(toks, lambda t: ~t.isin(*PG_ENGLISH_STOPWORDS))
+    return stem_array(toks, engine="snowball")
+
+
+def tokenize_tsvector_py(text: str) -> list[str]:
+    """Python twin of :func:`tokenize_tsvector` for query strings."""
+    toks = [t for t in re.sub(r"[\W_]+", " ", text.lower()).split() if t]
+    sw = set(PG_ENGLISH_STOPWORDS)
+    return [stem_word(t, "snowball") for t in toks if t not in sw]
+
+
+def text_to_stem_array(col, engine: str = "rust") -> Column:
+    """Unified two-engine stemming API (stemmers.rs:119-146): ``rust`` =
+    snowball-stem then drop the short stopword list (the reference
+    default); ``tsvector`` = the Postgres-FTS profile above."""
+    if engine == "rust":
+        return tokenize(_c(col), stopwords=get_user_stopwords(), stem=True)
+    if engine == "tsvector":
+        return tokenize_tsvector(col)
+    raise ValueError(f"Invalid engine: {engine}")  # stemmers.rs:130 wording
 
 
 # --------------------------------------------------------------- Porter

@@ -152,20 +152,32 @@ def search_bm25(
     stats: tuple[int, float] | None = None,
     join_content: bool = False,
     round_scores: int | None = None,
+    terms_col: str | None = None,
+    q_terms: list[str] | None = None,
 ) -> DataFrame:
     """Top-``limit`` docs for ``query`` by BM25 (search_bm25 analogue).
 
     Builds postings on the fly unless a prebuilt ``postings`` (+``stats``)
     pair is passed. ``round_scores`` orders on the rounded score with a
     doc_id tie-break, making results exactly reproducible across engines.
+    For a custom tokenization profile (e.g. the reference's ``tsvector``
+    engine), pre-tokenize the corpus into ``terms_col`` and pass the
+    matching ``q_terms`` — both sides of the index must use one tokenizer.
     """
-    q_terms = sorted(set(tokenize_py(query, stopwords=stopwords, stem=stem)))
+    if q_terms is None:
+        q_terms = sorted(set(tokenize_py(query, stopwords=stopwords, stem=stem)))
+    else:
+        q_terms = sorted(set(q_terms))
     if not q_terms:
         raise ValueError("query has no terms after tokenization")
     if postings is None:
-        postings = build_postings(docs, id_col, text_col, stem=stem, stopwords=stopwords)
+        postings = build_postings(
+            docs, id_col, text_col, terms_col=terms_col, stem=stem, stopwords=stopwords
+        )
     if stats is None:
-        n, avgdl = corpus_stats(docs, text_col, stem=stem, stopwords=stopwords)
+        n, avgdl = corpus_stats(
+            docs, text_col, terms_col=terms_col, stem=stem, stopwords=stopwords
+        )
     else:
         n, avgdl = stats
 

@@ -281,25 +281,32 @@ def minhash_lsh_pairs(
             )
         ).alias("s"),
     ).select("id", "s.band", "s.bh")
+    persisted = [wide]
+    star = None
+    cold_side = banded
     if max_bucket is not None:
-        # hot buckets are few by definition (≤ |rows|/cap) → broadcast the
-        # bucket keys; the membership count is a map-side-combined groupBy
-        hot_keys = F.broadcast(
+        # one extra aggregate job (map-side-combined count over the banded
+        # projection of the cached signature table) decides whether any
+        # bucket is hot; the common case (none) then runs the EXACT
+        # uncapped plan — the anti/semi split and star build only enter
+        # the plan when a hot bucket actually exists.
+        hot_keys_df = (
             banded.groupBy("band", "bh")
             .agg(F.count("*").alias("__bc"))
             .filter(F.col("__bc") > max_bucket)
             .select("band", "bh")
         )
-        cold_side = banded.join(hot_keys, ["band", "bh"], "left_anti")
-        hot_side = banded.join(hot_keys, ["band", "bh"], "left_semi")
-        hub = hot_side.groupBy("band", "bh").agg(F.min("id").alias("__hub"))
-        star = (
-            hot_side.join(hub, ["band", "bh"])
-            .filter(F.col("id") != F.col("__hub"))
-            .select(F.col("__hub").alias("id_a"), F.col("id").alias("id_b"))
-        )
-    else:
-        cold_side, star = banded, None
+        if hot_keys_df.limit(1).count():
+            # hot buckets are few by definition (≤ |rows|/cap) → broadcast
+            hot_keys = F.broadcast(hot_keys_df)
+            cold_side = banded.join(hot_keys, ["band", "bh"], "left_anti")
+            hot_side = banded.join(hot_keys, ["band", "bh"], "left_semi")
+            hub = hot_side.groupBy("band", "bh").agg(F.min("id").alias("__hub"))
+            star = (
+                hot_side.join(hub, ["band", "bh"])
+                .filter(F.col("id") != F.col("__hub"))
+                .select(F.col("__hub").alias("id_a"), F.col("id").alias("id_b"))
+            )
     a, b = cold_side.alias("a"), cold_side.alias("b")
     cand = (
         a.join(b, on=["band", "bh"])
@@ -310,7 +317,7 @@ def minhash_lsh_pairs(
         cand = cand.unionByName(star)  # hub id is the min → id_a < id_b holds
     cand = cand.distinct()
     if not verify:
-        return attach_persisted(cand, wide)
+        return attach_persisted(cand, *persisted)
     if verify == "auto":
         cand = cand.persist()
         verify = "exact" if cand.count() <= auto_estimate_threshold else "estimate"
@@ -334,7 +341,7 @@ def minhash_lsh_pairs(
             .filter(F.col("jaccard") >= F.lit(float(threshold)))
             .select("id_a", "id_b", "jaccard")
         )
-        return attach_persisted(out, wide, cand)
+        return attach_persisted(out, *persisted, cand)
     sh = shingle_table(df, id_col, text_col, n).persist()
     out = (
         cand.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
@@ -347,7 +354,7 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= F.lit(float(threshold)))
         .select("id_a", "id_b", "jaccard")
     )
-    return attach_persisted(out, wide, cand, sh)
+    return attach_persisted(out, *persisted, cand, sh)
 
 
 # ------------------------------------------------------------ SimHash

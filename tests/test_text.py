@@ -191,3 +191,57 @@ def test_repetition_signals_no_explode_no_shuffle(spark):
     )
     assert "Generate" not in plan
     assert "Exchange" not in plan
+
+
+# ------------------------------- tsvector engine (stemmer_api.sql:33-50)
+
+def test_tsvector_engine_reference_vector(spark):
+    """stemmers.rs test input through the Postgres-FTS profile: the PG
+    english.stop list drops 'the'/'over' pre-stem; snowball maps
+    jumps->jump and lazy->lazi."""
+    from lanterndb_spark.functions.text import text_to_stem_array, tokenize_tsvector_py
+
+    s = "The` quick? brown-fox@ jumps  over the (lazy) [(!!@)] dog."
+    assert tokenize_tsvector_py(s) == ["quick", "brown", "fox", "jump", "lazi", "dog"]
+    df = spark.createDataFrame([(s,)], "t string")
+    got = df.select(text_to_stem_array("t", engine="tsvector").alias("a")).first()["a"]
+    assert got == ["quick", "brown", "fox", "jump", "lazi", "dog"]
+
+
+def test_tsvector_vs_rust_stopword_order(spark):
+    """'being' shows the engines' filter-order difference: tsvector drops
+    it pre-stem (in english.stop); rust stems it to 'be' first and 'be' is
+    in its 33-word list -> also dropped; but 'them' is only in the PG list:
+    rust keeps it as 'them'."""
+    from lanterndb_spark.functions.text import text_to_stem_array, tokenize_tsvector_py
+
+    df = spark.createDataFrame([("being them quickly",)], "t string")
+    ts = df.select(text_to_stem_array("t", engine="tsvector").alias("a")).first()["a"]
+    ru = df.select(text_to_stem_array("t", engine="rust").alias("a")).first()["a"]
+    assert ts == ["quick"]
+    assert ru == ["them", "quick"]
+    assert tokenize_tsvector_py("being them quickly") == ["quick"]
+
+
+def test_text_to_stem_array_invalid_engine(spark):
+    import pytest
+
+    from lanterndb_spark.functions.text import text_to_stem_array
+
+    with pytest.raises(ValueError, match="Invalid engine"):
+        text_to_stem_array("t", engine="nope")
+
+
+def test_tsvector_sql_registration(spark):
+    from lanterndb_spark.functions.sqlreg import register_sql_functions
+
+    register_sql_functions(spark)
+    spark.createDataFrame([("jumps being over",)], "t string").createOrReplaceTempView(
+        "ts_reg_t"
+    )
+    row = spark.sql(
+        "SELECT text_to_stem_array_tsvector(t) AS a, text_to_stem_array(t) AS b "
+        "FROM ts_reg_t"
+    ).first()
+    assert row["a"] == ["jump"]          # being/over in english.stop
+    assert row["b"] == ["jump", "over"]  # rust list lacks 'over'; 'be' dropped
