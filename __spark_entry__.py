@@ -1047,6 +1047,165 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): 7-table join, every
+    dimension broadcast, lineitem touched once. PROMO parts prune the
+    fact scan through the broadcast join; orders carry the year; the
+    supplier nation drives the share numerator. Decimal sums make the
+    division inputs engine-exact before one double divide."""
+    t = load_tables(
+        spark, sf_dir,
+        ["region", "nation", "customer", "supplier", "part", "orders", "lineitem"],
+    )
+    asia = (
+        t["nation"]
+        .join(F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("n_nationkey").alias("cust_nk"))
+    )
+    cust = t["customer"].join(
+        F.broadcast(asia), F.col("c_nationkey") == F.col("cust_nk")
+    ).select("c_custkey")
+    orders = (
+        t["orders"]
+        .filter((F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", F.year("o_orderdate").alias("o_year"))
+    )
+    supp = t["supplier"].join(
+        F.broadcast(t["nation"].select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+    li = (
+        t["lineitem"]
+        .join(F.broadcast(t["part"].filter(F.col("p_type") == "PROMO").select("p_partkey")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "l_orderkey", "supp_nation",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("decimal(24,6)").alias("vol"),
+        )
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_year")
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_7", F.col("vol"))
+                  .otherwise(F.lit(0).cast("decimal(24,6)"))).alias("num"),
+            F.sum("vol").alias("den"),
+        )
+        .select(
+            "o_year",
+            F.round(F.col("num").cast("double") / F.col("den").cast("double"), ROUND)
+            .alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
+    join so zero-order customers survive, double aggregation. First agg
+    shuffles on c_custkey (map-side combined); the second moves only one
+    row per distinct count."""
+    t = load_tables(spark, sf_dir, ["customer", "orders"])
+    per_cust = (
+        t["customer"].select("c_custkey")
+        .join(t["orders"].select("o_custkey", "o_orderkey"),
+              F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promo revenue share, one month): date filter
+    prunes the fact scan, part broadcasts, one map-side-combined agg to a
+    single row. Decimal sums; one double division at the end."""
+    t = load_tables(spark, sf_dir, ["part", "lineitem"])
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(24,6)")
+    return (
+        li.join(F.broadcast(t["part"].select("p_partkey", "p_type")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", vol)
+                  .otherwise(F.lit(0).cast("decimal(24,6)"))).alias("promo"),
+            F.sum(vol).alias("total"),
+        )
+        .select(
+            F.round(F.lit(100.0) * F.col("promo").cast("double")
+                    / F.col("total").cast("double"), ROUND).alias("promo_revenue")
+        )
+    )
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (disjunctive brand/size/quantity predicates,
+    adapted to the driver's part columns): the OR-of-ANDs stays a
+    RESIDUAL filter on one equi-join on partkey — never a nested-loop —
+    and part broadcasts. Decimal sum, single output row."""
+    t = load_tables(spark, sf_dir, ["part", "lineitem"])
+    j = t["lineitem"].join(
+        F.broadcast(t["part"].select("p_partkey", "p_brand", "p_size")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#11") & F.col("p_size").between(1, 15) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#22") & F.col("p_size").between(1, 25) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#15") & F.col("p_size").between(1, 35) & q.between(20, 30))
+    )
+    return j.filter(cond).agg(
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+              .cast("decimal(24,6)")).cast("double").alias("revenue")
+    ).select(F.round("revenue", ROUND).alias("revenue"))
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (rich customers with no orders, adapted: nation
+    stands in for the phone country code): the scalar average is an
+    exact decimal sum over one tiny agg, the no-orders test is a
+    LEFT ANTI join against the distinct RECENT buyer set (Q22's 7-year
+    recency window, scaled to this corpus: no orders since 2000-06-01;
+    the date filter + distinct map-side combine shrink the build side to
+    ≤|customers| rows before the shuffle), nation broadcasts."""
+    t = load_tables(spark, sf_dir, ["customer", "orders", "nation"])
+    avg_row = (
+        t["customer"].filter(F.col("c_acctbal") > 0)
+        .agg((F.sum(F.col("c_acctbal").cast("decimal(24,6)")).cast("double")
+              / F.count("*")).alias("avg_bal"))
+    )
+    buyers = (
+        t["orders"].filter(F.col("o_orderdate") >= "2000-06-01")
+        .select("o_custkey").distinct()
+    )
+    return (
+        t["customer"]
+        .crossJoin(F.broadcast(avg_row))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(buyers, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(24,6)"))
+            .cast("double").alias("totacctbal"),
+        )
+        .select("n_name", "numcust", F.round("totacctbal", ROUND).alias("totacctbal"))
+        .orderBy("n_name")
+    )
+
+
 def q_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered analytics spine: per-user 3-row moving average + running
     sum over the event stream. One shuffle on user_id; both frames are
@@ -2276,6 +2435,72 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             ORDER BY o_totalprice DESC, o_orderkey
         """,
+        "tpch_q8": f"""
+            WITH asia_cust AS (
+              SELECT c_custkey FROM customer
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'ASIA'
+            ),
+            j AS (
+              SELECT year(o_orderdate) AS o_year,
+                     CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6)) AS vol,
+                     n_name AS supp_nation
+              FROM lineitem
+              JOIN part     ON l_partkey = p_partkey AND p_type = 'PROMO'
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation   ON s_nationkey = n_nationkey
+              JOIN orders   ON l_orderkey = o_orderkey
+              JOIN asia_cust ON o_custkey = c_custkey
+              WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o_orderdate <  TIMESTAMP '1998-01-01'
+            )
+            SELECT o_year,
+                   round(CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN vol
+                                       ELSE CAST(0 AS DECIMAL(24,6)) END) AS DOUBLE)
+                         / CAST(sum(vol) AS DOUBLE), {ROUND}) AS mkt_share
+            FROM j GROUP BY o_year ORDER BY o_year
+        """,
+        "tpch_q13": """
+            SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+              SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+              FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+              GROUP BY c_custkey
+            ) pc GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+        """,
+        "tpch_q14": f"""
+            SELECT round(100.0 *
+                     CAST(sum(CASE WHEN p_type = 'PROMO'
+                              THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))
+                              ELSE CAST(0 AS DECIMAL(24,6)) END) AS DOUBLE)
+                     / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE),
+                   {ROUND}) AS promo_revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+              AND l_shipdate <  TIMESTAMP '1996-04-01'
+        """,
+        "tpch_q19": f"""
+            SELECT round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE),
+                         {ROUND}) AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "tpch_q22": f"""
+            WITH ab AS (
+              SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(24,6))) AS DOUBLE) / count(*) AS avg_bal
+              FROM customer WHERE c_acctbal > 0
+            )
+            SELECT n_name, CAST(count(*) AS BIGINT) AS numcust,
+                   round(CAST(sum(CAST(c_acctbal AS DECIMAL(24,6))) AS DOUBLE), {ROUND}) AS totacctbal
+            FROM customer CROSS JOIN ab
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE c_acctbal > avg_bal
+              AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                              AND o_orderdate >= TIMESTAMP '2000-06-01')
+            GROUP BY n_name ORDER BY n_name
+        """,
         "rolling_window": f"""
             SELECT event_id, user_id,
                    round(avg(value) OVER w3, {ROUND}) AS mov_avg,
@@ -2581,6 +2806,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
         "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q22": q_tpch_q22,
         # -- 63-72: rows-only (no SQL oracle), shadowed by equiv rows -----
         "srp_knn": q_srp_knn,
         "ivf_knn": q_ivf_knn,

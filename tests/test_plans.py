@@ -186,3 +186,39 @@ def test_tpch_q4_is_semi_join(spark):
     assert "LeftSemi" in plan
     li_scan = [s for s in plan.split("FileScan") if "lineitem" in s[:400]]
     assert li_scan and "l_extendedprice" not in li_scan[0].split("ReadSchema")[1][:200]
+
+
+def test_tpch_q8_broadcasts_all_dimensions(spark):
+    """The 7-table market-share join must hash-shuffle lineitem<->orders
+    ONLY: part, supplier, nation, region, customer-side prune all ride
+    broadcast joins, and no join degenerates to a nested loop."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_tpch_q8(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+    # one (AQE may plan both sides of the orderkey join) shuffled join max
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+
+
+def test_tpch_q19_disjunction_stays_equi_join(spark):
+    """The OR-of-ANDs predicate must remain a residual on the partkey
+    equi-join (broadcast), never a nested loop over lineitem x part."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_tpch_q19(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q22_anti_join_shape(spark):
+    """No-recent-orders must compile to a LeftAnti join, with the order
+    scan pruned to the two columns the anti-join needs."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_tpch_q22(spark, SF_DIR))
+    assert "LeftAnti" in plan
+    o_scan = [s for s in plan.split("FileScan") if "orders" in s[:400]]
+    assert o_scan and "o_totalprice" not in o_scan[0].split("ReadSchema")[1][:250]
