@@ -126,14 +126,22 @@ def srp_search(
     oversample: int = 10,
     metric: str = "cos",
     id_col: str | None = None,
+    pred: Column | None = None,
 ) -> DataFrame:
     """ANN top-k: rank by sketch hamming distance (pure codegen popcount),
-    keep k·oversample candidates, exact re-rank under ``metric``."""
+    keep k·oversample candidates, exact re-rank under ``metric``.
+
+    ``pred`` composes a row filter with the index scan (the reference's
+    filtered ANN query, hnsw_select.sql:50-51): applied BEFORE the sketch
+    ranking so the candidate budget is spent on qualifying rows only —
+    a post-filter would silently return < k rows on selective predicates.
+    """
     q = np.asarray(query, dtype=np.float64)
     qsig = _sig_of(index.planes, q[None, :])[0]
     ham = _hamming_to_query(index, qsig)
     order = [ham.asc()] + ([F.col(id_col).asc()] if id_col else [])
-    cand = index.sketched.orderBy(*order).limit(k * oversample)
+    base = index.sketched.filter(pred) if pred is not None else index.sketched
+    cand = base.orderBy(*order).limit(k * oversample)
     return knn(cand, index.vec_col, query, k=k, metric=metric, id_col=id_col)
 
 

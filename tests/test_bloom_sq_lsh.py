@@ -217,3 +217,24 @@ def test_srp_save_load_roundtrip(tables, spark, tmp_path):
     a = [r["vec_id"] for r in srp_search(idx, q, k=5, oversample=10, id_col="vec_id").collect()]
     b = [r["vec_id"] for r in srp_search(loaded, q, k=5, oversample=10, id_col="vec_id").collect()]
     assert a == b
+
+
+def test_srp_filtered_search_matches_exact_filtered(tables):
+    """pred composes with the index scan (filtered ANN,
+    hnsw_select.sql:50-51): at full oversample the filtered SRP search
+    must equal exact filtered knn, and every hit satisfies the filter."""
+    from lanterndb_spark.operators.knn import knn
+
+    emb = tables["embeddings"]
+    n = emb.count()
+    idx = build_srp(emb, "embedding", nbits=64, seed=42)
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    pred = F.col("label") == 3
+    got = srp_search(
+        idx, q, k=5, oversample=(n // 5) + 1, id_col="vec_id", pred=pred
+    ).collect()
+    assert all(r["label"] == 3 for r in got)
+    exact = knn(
+        emb.filter(pred), "embedding", q, k=5, metric="cos", id_col="vec_id"
+    ).collect()
+    assert [r["vec_id"] for r in got] == [r["vec_id"] for r in exact]
