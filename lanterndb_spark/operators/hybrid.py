@@ -35,6 +35,22 @@ def _joint(terms, metric) -> Column:
     return reduce(lambda a, b: a + b, parts)
 
 
+def _index_candidate_ids(idx, q, ef: int, id_col: str) -> DataFrame:
+    """Top-ef ids for one term from an ANN index (the reference's
+    candidate queries run against the per-column HNSW indexes,
+    lantern.sql:769-806 — here the IVF / SRP backends stand in)."""
+    from lanterndb_spark.operators.ivf import IvfIndex, ivf_search
+    from lanterndb_spark.operators.lsh import SrpIndex, srp_search
+
+    if not isinstance(q, list):
+        raise TypeError("index-backed candidate terms need a list query vector")
+    if isinstance(idx, SrpIndex):
+        return srp_search(idx, q, k=ef, id_col=id_col).select(id_col)
+    if isinstance(idx, IvfIndex):
+        return ivf_search(idx, q, k=ef, id_col=id_col).select(id_col)
+    raise TypeError(f"unsupported index type for hybrid candidates: {type(idx)!r}")
+
+
 def weighted_vector_search(
     df: DataFrame,
     terms: list[tuple[float, str, list | Column]],
@@ -45,9 +61,17 @@ def weighted_vector_search(
     exact: bool = False,
     limit: int | None = None,
     joint_col: str = "joint_dist",
+    indexes: dict | None = None,
 ) -> DataFrame:
     """``terms`` is a list of (weight, vector_column, query_vector), one to
-    three entries in the reference, any number here."""
+    three entries in the reference, any number here.
+
+    ``indexes`` (optional) maps a vector column name to a built ANN index
+    (``IvfIndex`` / ``SrpIndex``); that term's candidate stage then probes
+    the index instead of exact-scanning the table — the reference's
+    actual candidate mode, where each per-column query rides its HNSW
+    index. Columns without an entry keep the exact top-ef scan. The
+    candidate id set (≤ ef rows) broadcasts back onto the scored base."""
     if not terms:
         raise ValueError("need at least one (weight, col, query) term")
     joint = _joint(terms, metric)
@@ -60,6 +84,11 @@ def weighted_vector_search(
     else:
         candidates = []
         for (_w, col, q) in terms:
+            idx = (indexes or {}).get(col)
+            if idx is not None:
+                ids = _index_candidate_ids(idx, q, ef, id_col)
+                candidates.append(base.join(F.broadcast(ids), id_col, "left_semi"))
+                continue
             qc = q if isinstance(q, Column) else query_vec(q)
             d = distance(metric, col, qc)
             candidates.append(

@@ -65,3 +65,36 @@ def test_candidate_mode_dedups(hybrid_df):
     out = weighted_vector_search(hybrid_df, [(1.0, "v1", q1), (1.0, "v2", q2)], ef=50)
     ids = [r["id"] for r in out.collect()]
     assert len(ids) == len(set(ids))
+
+
+def test_hybrid_index_backed_candidates_match_exact_scan(tables):
+    """Index-backed candidate mode (the reference's real shape: each
+    per-column candidate query rides its ANN index) must equal the
+    exact-scan candidate mode when the index probes everything."""
+    from lanterndb_spark.operators.hybrid import weighted_vector_search
+    from lanterndb_spark.operators.lsh import build_srp
+
+    emb = tables["embeddings"]
+    n = emb.count()
+    df = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("v1"),
+        F.reverse("embedding").alias("v2"),
+    )
+    q1 = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    q2 = list(reversed(q1))
+    terms = [(1.0, "v1", q1), (0.5, "v2", q2)]
+    exact_scan = weighted_vector_search(df, terms, ef=50, limit=20).collect()
+    idx = build_srp(df, "v1", nbits=64, seed=7)
+    # full-probe SRP (oversample covers the table) == exact candidates
+    idx_backed = weighted_vector_search(
+        df, terms, ef=50, limit=20, indexes={"v1": idx}
+    )
+    # inflate oversample by searching with k=ef on the full table: ef=50,
+    # oversample default 10 -> 500 >= n, so candidates are exact top-50
+    assert n <= 500
+    got = idx_backed.collect()
+    assert [r["id"] for r in got] == [r["id"] for r in exact_scan]
+    assert [round(r["joint_dist"], 9) for r in got] == [
+        round(r["joint_dist"], 9) for r in exact_scan
+    ]
