@@ -304,6 +304,52 @@ def main():
 
     timed(f"cluster_balance_{args.vec // 1000}k_vec", balance_job, out)
 
+    def minhash_hotbucket_job():
+        # adversarial input for the LSH bucket cap: a boilerplate blob
+        # duplicated 20k times. Uncapped, EVERY band bucket holds all 20k
+        # copies -> 16 bands x 2*10^8 pair rows; capped, the star emits
+        # 20k-1 pairs per band pre-distinct and the group still resolves.
+        blob = spark.range(20_000).select(
+            F.col("id").alias("doc_id"),
+            F.lit("boiler plate legal disclaimer repeated verbatim across "
+                  "every page of the crawl forever and ever").alias("text"),
+        ).unionByName(
+            docs.limit(5_000).select(
+                (F.col("doc_id") + 100_000).alias("doc_id"), "text")
+        )
+        p = minhash_lsh_pairs(blob, "doc_id", "text", threshold=0.5,
+                              verify="estimate", max_bucket=1_000)
+        n = p.count()
+        release(p)
+        assert n >= 19_999, f"boilerplate group did not resolve: {n}"
+        return n
+
+    timed("minhash_hotbucket_20k_dups", minhash_hotbucket_job, out)
+
+    def bucketed_join_job():
+        # co-located layout: pay the one-time bucketed write, then the
+        # repeated join on the key plans with zero Exchange
+        from lanterndb_spark.sources.bucketed import (
+            drop_bucketed, is_colocated_join, read_bucketed, write_bucketed)
+
+        write_bucketed(docs, "smoke_docs_b", "doc_id", buckets=32)
+        write_bucketed(
+            emb.select(F.col("vec_id").alias("doc_id"), "label"),
+            "smoke_lab_b", "doc_id", buckets=32)
+        left, right = read_bucketed(spark, "smoke_docs_b"), read_bucketed(spark, "smoke_lab_b")
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            assert is_colocated_join(left, right, "doc_id"), "bucketed join re-shuffled"
+            n = left.join(right, "doc_id").count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+            drop_bucketed(spark, "smoke_docs_b")
+            drop_bucketed(spark, "smoke_lab_b")
+        return n
+
+    timed(f"bucketed_join_{args.doc // 1000}k_doc", bucketed_join_job, out)
+
     print(json.dumps({"n_vec": args.vec, "n_doc": args.doc, "n_evt": args.evt,
                       "timings": out}))
     spark.stop()
