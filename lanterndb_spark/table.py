@@ -209,9 +209,21 @@ class LanternTable:
         )
 
     def weighted_search(self, terms, **kw) -> DataFrame:
+        """Hybrid search; candidate mode automatically probes any ANN
+        index already created on a term's vector column (the reference's
+        per-column index-backed candidate queries, lantern.sql:769-806).
+        Pass ``indexes={}`` to force exact candidate scans."""
         from lanterndb_spark.operators.hybrid import weighted_vector_search
 
         kw.setdefault("id_col", self.id_col)
+        if "indexes" not in kw:
+            # tombstoned rows are safe (candidates semi-join onto the
+            # visible df), but PENDING DELTAS are invisible to a stale
+            # index — fall back to exact candidate scans until compact()
+            kw["indexes"] = {} if self._deltas else {
+                col: idx for col, (_kind, idx) in self._indexes.items()
+                if any(col == c for (_w, c, _q) in terms)
+            }
         return weighted_vector_search(self.df, terms, **kw)
 
     def validate(self, vec_col: str, k: int = 10, n_queries: int = 5, seed: int = 42) -> float:

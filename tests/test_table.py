@@ -87,3 +87,35 @@ def test_srp_index_sees_deltas_and_tombstones(emb):
     t.insert(dup)
     top2 = t.knn("embedding", q, k=3, oversample=max(1, n // 3 + 1)).collect()
     assert top2[0]["vec_id"] == 77777
+
+
+def test_weighted_search_routes_through_index(tables):
+    """With an SRP index on v1 and full oversample, index-backed candidate
+    mode equals exact candidate mode; deleting a row removes it from
+    results; pending deltas fall back to exact scans (stale-index guard)."""
+    from pyspark.sql import functions as F
+
+    from lanterndb_spark.table import LanternTable
+
+    emb = tables["embeddings"]
+    df = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("v1"),
+        F.reverse("embedding").alias("v2"),
+    )
+    q1 = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    terms = [(1.0, "v1", q1), (0.5, "v2", list(reversed(q1)))]
+
+    t = LanternTable(df, "id").create_index("v1", kind="srp", nbits=64, seed=7)
+    exact = t.weighted_search(terms, ef=50, limit=10, indexes={}).collect()
+    routed = t.weighted_search(terms, ef=50, limit=10).collect()
+    assert [r["id"] for r in routed] == [r["id"] for r in exact]
+
+    victim = routed[0]["id"]
+    t.delete([victim])
+    after = t.weighted_search(terms, ef=50, limit=10).collect()
+    assert victim not in {r["id"] for r in after}
+
+    t.insert(df.limit(0))  # pending (empty) delta → exact-scan fallback
+    fallback = t.weighted_search(terms, ef=50, limit=10).collect()
+    assert {r["id"] for r in fallback} == {r["id"] for r in after}
