@@ -198,6 +198,7 @@ def ivf_search_batch(
     metric: str = "l2sq",
     id_col: str | None = None,
     impl: str = "auto",
+    pred: Column | None = None,
 ) -> DataFrame:
     """ANN top-k for a whole query batch in ONE distributed job.
 
@@ -233,7 +234,12 @@ def ivf_search_batch(
     # union of probed clusters does (PartitionFilters in the scan), so a
     # batch touching p clusters reads p/nlist of the data
     probed_clusters = sorted({int(c) for qi in range(len(queries)) for c in probe_ids[qi]})
-    data = widen_partitions(index.assigned.filter(F.col("cluster_id").isin(probed_clusters)))
+    base = index.assigned.filter(F.col("cluster_id").isin(probed_clusters))
+    if pred is not None:
+        # filtered ANN (hnsw_select.sql:50-51): applied before scoring so
+        # the per-query k budget goes to qualifying rows only
+        base = base.filter(pred)
+    data = widen_partitions(base)
     order_tail = [F.col(id_col).asc()] if id_col else []
 
     if impl == "auto":

@@ -152,10 +152,12 @@ def srp_search_batch(
     oversample: int = 10,
     metric: str = "cos",
     id_col: str | None = None,
+    pred: Column | None = None,
 ) -> DataFrame:
     """Batch variant: one job for all queries (see knn.knn_join for the
     WindowGroupLimit shape). Candidate stage and re-rank stage are both
-    per-query windows."""
+    per-query windows. ``pred`` filters rows BEFORE the sketch ranking
+    (filtered ANN, hnsw_select.sql:50-51)."""
     from pyspark.sql import Window
 
     from lanterndb_spark.functions.distance import distance
@@ -170,7 +172,8 @@ def srp_search_batch(
     qdf = spark.createDataFrame(rows, "q_id int, __qv array<double>, __qsig array<bigint>")
     from lanterndb_spark.plans.shape import widen_partitions
 
-    pairs = widen_partitions(index.sketched).join(F.broadcast(qdf))
+    base = index.sketched.filter(pred) if pred is not None else index.sketched
+    pairs = widen_partitions(base).join(F.broadcast(qdf))
     ham = F.lit(0).cast("bigint")
     for w, c in enumerate(index.sig_cols):
         ham = ham + F.bit_count(F.col(c).bitwiseXOR(F.col("__qsig")[w]))

@@ -238,3 +238,26 @@ def test_srp_filtered_search_matches_exact_filtered(tables):
         emb.filter(pred), "embedding", q, k=5, metric="cos", id_col="vec_id"
     ).collect()
     assert [r["vec_id"] for r in got] == [r["vec_id"] for r in exact]
+
+
+def test_srp_batch_filtered_matches_exact(tables):
+    from lanterndb_spark.operators.knn import knn
+
+    emb = tables["embeddings"]
+    n = emb.count()
+    idx = build_srp(emb, "embedding", nbits=64, seed=42)
+    qs = [[float(x) for x in r["embedding"]]
+          for r in emb.filter(F.col("vec_id") < 3).collect()]
+    pred = F.col("label") == 3
+    got = srp_search_batch(
+        idx, qs, k=5, oversample=(n // 5) + 1, id_col="vec_id", pred=pred
+    ).collect()
+    assert got and all(r["label"] == 3 for r in got)
+    by_q = {}
+    for r in sorted(got, key=lambda r: (r["q_id"], r["dist"], r["vec_id"])):
+        by_q.setdefault(r["q_id"], []).append(r["vec_id"])
+    for qi, q in enumerate(qs):
+        exact = [r["vec_id"] for r in
+                 knn(emb.filter(pred), "embedding", q, k=5, metric="cos",
+                     id_col="vec_id").collect()]
+        assert by_q[qi] == exact

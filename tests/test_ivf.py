@@ -168,3 +168,26 @@ def test_empty_build_and_search(spark):
     assert idx.assigned.count() == 0
     out = ivf_search(idx, [0.0, 0.0], k=5, nprobe=1, id_col="vec_id")
     assert out.count() == 0
+
+
+def test_ivf_batch_filtered_matches_exact(tables):
+    """Filtered batch ANN at full probe == exact filtered knn per query."""
+    from lanterndb_spark.operators.ivf import build_ivf, ivf_search_batch
+    from lanterndb_spark.operators.knn import knn
+
+    emb = tables["embeddings"]
+    idx = build_ivf(emb, "embedding", nlist=4, seed=42)
+    qs = [[float(x) for x in r["embedding"]]
+          for r in emb.filter(F.col("vec_id") < 3).collect()]
+    pred = F.col("label") == 3
+    got = ivf_search_batch(
+        idx, qs, k=5, nprobe=4, id_col="vec_id", pred=pred
+    ).collect()
+    assert got and all(r["label"] == 3 for r in got)
+    by_q = {}
+    for r in sorted(got, key=lambda r: (r["q_id"], r["dist"], r["vec_id"])):
+        by_q.setdefault(r["q_id"], []).append(r["vec_id"])
+    for qi, q in enumerate(qs):
+        exact = [r["vec_id"] for r in
+                 knn(emb.filter(pred), "embedding", q, k=5, id_col="vec_id").collect()]
+        assert by_q[qi] == exact
