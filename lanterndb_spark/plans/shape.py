@@ -73,6 +73,39 @@ def salted_collect_list(
     return out
 
 
+def salted_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str | list[str],
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof fact⋈dim equi-join: salt the FACT side ``salt`` ways,
+    replicate the DIM side once per salt value, join on (key, salt).
+
+    AQE's skew-join splitting handles most cases at runtime, but it only
+    fires on sort-merge joins whose partition stats cross its thresholds,
+    and it re-plans AFTER a skewed shuffle has already materialized. When
+    one key holds half the fact table (the null-ish id, the default
+    bucket, the viral document), pre-salting guarantees the hot key
+    spreads over ``salt`` reducers in the FIRST shuffle. The dim side
+    must be the small-but-not-broadcastable one: it is exploded
+    ``salt``× (a broadcastable dim should just use ``F.broadcast``).
+
+    Only inner/left joins are safe here (right/outer would duplicate
+    unmatched dim rows across salts); enforced.
+    """
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(f"salted_join supports inner/left joins only: {how}")
+    keys = [key] if isinstance(key, str) else list(key)
+    f = facts.withColumn(
+        "__fsalt", F.pmod(F.hash(*[F.col(k) for k in keys], F.monotonically_increasing_id()), F.lit(salt))
+    )
+    d = dim.withColumn("__fsalt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+    out = f.join(d, [*keys, "__fsalt"], how)
+    return out.drop("__fsalt")
+
+
 def attach_persisted(out: DataFrame, *intermediates: DataFrame) -> DataFrame:
     """Record persisted intermediates on a result DataFrame so callers can
     free executor storage once the result is materialized (long sessions

@@ -222,3 +222,25 @@ def test_tpch_q22_anti_join_shape(spark):
     assert "LeftAnti" in plan
     o_scan = [s for s in plan.split("FileScan") if "orders" in s[:400]]
     assert o_scan and "o_totalprice" not in o_scan[0].split("ReadSchema")[1][:250]
+
+
+def test_salted_join_matches_plain(spark, tables):
+    """Value-equivalence: salted fact-dim join == plain join for inner and
+    left, including unmatched fact rows; outer shapes are rejected."""
+    from lanterndb_spark.plans.shape import salted_join
+
+    ev = tables["events"].select("event_id", "user_id", "value")
+    dim = (
+        tables["events"].select("user_id").distinct()
+        .filter(F.col("user_id") % 3 != 0)  # some users unmatched
+        .withColumn("tier", F.pmod("user_id", F.lit(5)))
+    )
+    for how in ("inner", "left"):
+        a = salted_join(ev, dim, "user_id", salt=8, how=how)
+        b = ev.join(dim, "user_id", how)
+        ka = sorted((r["event_id"], r["tier"]) for r in a.select("event_id", "tier").collect())
+        kb = sorted((r["event_id"], r["tier"]) for r in b.select("event_id", "tier").collect())
+        assert ka == kb and ka
+
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(ev, dim, "user_id", how="right")
