@@ -694,6 +694,49 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _asof_inputs(spark, sf_dir):
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pval"))
+    )
+    return clicks, purch
+
+
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each click picks the EARLIEST purchase at-or-after
+    it per user (the 'next event' join). Same union+window plan as
+    backward — one shuffle, no nested loop; oracle is an independent
+    DuckDB correlated-LATERAL implementation."""
+    from lanterndb_spark.operators.temporal import asof_join
+
+    clicks, purch = _asof_inputs(spark, sf_dir)
+    out = asof_join(clicks, purch, on="ts", by="user_id", direction="forward")
+    return out.select(
+        "event_id", "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros("ts_right").alias("purchase_ts_us"),
+        F.round("pval", ROUND).alias("purchase_value"),
+    )
+
+
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of: smallest |gap| either direction, backward wins
+    ties."""
+    from lanterndb_spark.operators.temporal import asof_join
+
+    clicks, purch = _asof_inputs(spark, sf_dir)
+    out = asof_join(clicks, purch, on="ts", by="user_id", direction="nearest")
+    return out.select(
+        "event_id", "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros("ts_right").alias("purchase_ts_us"),
+        F.round("pval", ROUND).alias("purchase_value"),
+    )
+
+
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval containment join: all events inside 10-minute incident
     windows anchored at the 20 earliest error events. The operator
@@ -2680,6 +2723,43 @@ def oracle_sql() -> dict[str, str]:
             FROM clicks c ASOF LEFT JOIN purch p
               ON c.user_id = p.user_id AND c.ts >= p.ts
         """,
+        "asof_forward": f"""
+            WITH purch AS (
+              SELECT user_id, ts, max(value) AS pval
+              FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+            ),
+            clicks AS (
+              SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+            )
+            SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+                   epoch_us(m.p_ts) AS purchase_ts_us,
+                   round(m.pval, {ROUND}) AS purchase_value
+            FROM clicks c LEFT JOIN LATERAL (
+              SELECT p.ts AS p_ts, p.pval FROM purch p
+              WHERE p.user_id = c.user_id AND p.ts >= c.ts
+              ORDER BY p.ts LIMIT 1
+            ) m ON TRUE
+        """,
+        "asof_nearest": f"""
+            WITH purch AS (
+              SELECT user_id, ts, max(value) AS pval
+              FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+            ),
+            clicks AS (
+              SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+            )
+            SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+                   epoch_us(m.p_ts) AS purchase_ts_us,
+                   round(m.pval, {ROUND}) AS purchase_value
+            FROM clicks c LEFT JOIN LATERAL (
+              SELECT p.ts AS p_ts, p.pval FROM purch p
+              WHERE p.user_id = c.user_id
+              ORDER BY CASE WHEN p.ts <= c.ts THEN c.ts - p.ts
+                            ELSE p.ts - c.ts END ASC,
+                       p.ts ASC
+              LIMIT 1
+            ) m ON TRUE
+        """,
         "range_join": """
             WITH w AS (
               SELECT event_id AS wid, ts AS lo, ts + INTERVAL '10 minutes' AS hi
@@ -2811,6 +2891,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q14": q_tpch_q14,
         "tpch_q19": q_tpch_q19,
         "tpch_q22": q_tpch_q22,
+        "asof_forward": q_asof_forward,
+        "asof_nearest": q_asof_nearest,
         # -- 63-72: rows-only (no SQL oracle), shadowed by equiv rows -----
         "srp_knn": q_srp_knn,
         "ivf_knn": q_ivf_knn,
