@@ -420,6 +420,33 @@ def q_bm25_topk_tsvector(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_consolidate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """consolidate_bm25_table (bm25_api.sql:108-159) as an invariant row:
+    postings built on two disjoint halves, unioned, consolidated — the
+    result must equal the one-shot full build term-for-term (incremental
+    maintenance == rebuild, the reference's consolidation contract).
+    n_terms ties the row to a count DuckDB recomputes independently."""
+    from lanterndb_spark.operators.bm25 import consolidate_postings
+
+    docs = _docs(spark, sf_dir)
+    half_a = build_postings(docs.filter(F.col("doc_id") % 2 == 0))
+    half_b = build_postings(docs.filter(F.col("doc_id") % 2 == 1))
+    merged = consolidate_postings(half_a.unionByName(half_b))
+    full = build_postings(docs)
+    j = merged.alias("m").join(full.alias("f"), "term", "full_outer")
+    row_ok = (
+        F.col("m.term_freq").isNotNull() & F.col("f.term_freq").isNotNull()
+        & (F.col("m.term_freq") == F.col("f.term_freq"))
+        & (F.col("m.doc_ids") == F.col("f.doc_ids"))
+        & (F.col("m.fqs") == F.col("f.fqs"))
+        & (F.col("m.doc_lens") == F.col("f.doc_lens"))
+    )
+    return j.agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.bool_and(row_ok).alias("merged_eq_full"),
+    )
+
+
 def q_bm25_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     # driver-facing projection: arrays → csv strings (the harness's pandas
     # canonicalizer can't sort list cells); the operator API keeps arrays
@@ -2280,6 +2307,12 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _bm25_oracle(),
         "bm25_topk_stemmed": _bm25_stemmed_oracle(),
         "bm25_topk_tsvector": _bm25_tsvector_oracle(),
+        "bm25_consolidate": f"""
+            SELECT CAST(count(DISTINCT tok) AS BIGINT) AS n_terms,
+                   true AS merged_eq_full
+            FROM (SELECT unnest({duck_tokens("text", STOPWORDS)}) AS tok
+                  FROM documents) t
+        """,
         "bm25_postings": _postings_oracle(),
         "bm25_score": _bm25_score_oracle(),
         "sq8_knn": _sq8_oracle(),
@@ -2893,6 +2926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q22": q_tpch_q22,
         "asof_forward": q_asof_forward,
         "asof_nearest": q_asof_nearest,
+        "bm25_consolidate": q_bm25_consolidate,
         # -- 63-72: rows-only (no SQL oracle), shadowed by equiv rows -----
         "srp_knn": q_srp_knn,
         "ivf_knn": q_ivf_knn,
