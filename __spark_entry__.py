@@ -420,6 +420,22 @@ def q_bm25_topk_tsvector(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIX_WEIGHTS = [("en", 0.5), ("de", 0.2), ("es", 0.15), ("fr", 0.1), ("zh", 0.05)]
+
+
+def q_mix_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixing to target proportions (operators/sampling.py
+    mix_to_weights): the corpus is thinned so lang shares approach the
+    target weights, limiting domain kept whole, md5-hash-deterministic.
+    DuckDB recomputes counts, the achievable total, the per-domain
+    cutoffs, and the kept set from the same parquet."""
+    from lanterndb_spark.operators.sampling import mix_to_weights
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    out = mix_to_weights(docs, "lang", dict(_MIX_WEIGHTS), "doc_id")
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
 def q_bm25_consolidate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """consolidate_bm25_table (bm25_api.sql:108-159) as an invariant row:
     postings built on two disjoint halves, unioned, consolidated — the
@@ -2646,6 +2662,22 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             ) ORDER BY doc_id
         """,
+        "mix_domains": f"""
+            WITH w(dom, wt) AS (VALUES {", ".join(f"('{d}', {w})" for d, w in _MIX_WEIGHTS)}),
+            n AS (SELECT lang AS dom, CAST(count(*) AS DOUBLE) AS n
+                  FROM documents GROUP BY lang),
+            j AS (SELECT w.dom, w.wt, n.n FROM w JOIN n USING (dom)),
+            t AS (SELECT min(n / wt) AS tot FROM j),
+            cuts AS (SELECT dom, CAST(floor(wt * tot * 1000000 / n) AS BIGINT) AS cut
+                     FROM j CROSS JOIN t)
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                       % 1000000 AS b
+              FROM documents
+            ) d JOIN cuts ON d.lang = cuts.dom
+            WHERE b < cut ORDER BY doc_id
+        """,
         "cap_per_group": """
             SELECT doc_id, source FROM (
               SELECT doc_id, source,
@@ -2927,6 +2959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_forward": q_asof_forward,
         "asof_nearest": q_asof_nearest,
         "bm25_consolidate": q_bm25_consolidate,
+        "mix_domains": q_mix_domains,
         # -- 63-72: rows-only (no SQL oracle), shadowed by equiv rows -----
         "srp_knn": q_srp_knn,
         "ivf_knn": q_ivf_knn,

@@ -27,6 +27,7 @@ query), which is exactly the non-reproducible idiom this module avoids.
 
 from __future__ import annotations
 
+import math
 from typing import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -120,3 +121,46 @@ def cap_per_group(
         .filter(F.col("__rn") <= int(quota))
         .drop("__rn")
     )
+
+
+def mix_to_weights(
+    df: DataFrame,
+    domain_col: str,
+    weights: Mapping[str, float],
+    key_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministically downsample so the output's domain mix matches the
+    target ``weights`` as closely as hash thresholds allow — the DoReMi /
+    Pile-style "mix corpora to given proportions" step, WITHOUT
+    upsampling: the limiting domain (largest target share relative to its
+    row count) is kept whole and every other domain is thinned to match.
+
+    With counts n_d and (relative, need not sum to 1) weights w_d, the
+    achievable total is T = min_d(n_d / w_d); each domain keeps the rows
+    whose :func:`hash_bucket` falls below floor(w_d·T·BUCKETS / n_d).
+    Domains absent from ``weights`` are dropped. Like every operator in
+    this module the selection is a pure projection over a content hash:
+    zero shuffle beyond one tiny count aggregate, identical output on any
+    engine with md5() (the driver oracle recomputes it in SQL), stable
+    under repartitioning.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(domain_col).count().collect()
+        if r[0] in weights
+    }
+    present = [d for d in weights if d in counts]
+    if not present:
+        raise ValueError("no weighted domain has any rows")
+    total = min(counts[d] / weights[d] for d in present)
+    b = hash_bucket(key_col, BUCKETS, salt)
+    thr = None
+    for d in present:
+        # float-op order mirrors the SQL oracle exactly: (w * T * B) / n
+        cut = int(math.floor(weights[d] * total * BUCKETS / counts[d]))
+        cond = F.col(domain_col) == d
+        thr = F.when(cond, F.lit(cut)) if thr is None else thr.when(cond, F.lit(cut))
+    return df.filter(b < thr.otherwise(F.lit(0)))

@@ -98,3 +98,36 @@ def test_bucket_matches_duckdb(spark):
             "SELECT CAST(('0x' || substr(md5(?),1,8)) AS BIGINT) % 1000", [k]
         ).fetchone()[0]
         assert got[k] == want
+
+
+def test_mix_to_weights_proportions_and_determinism(tables):
+    from lanterndb_spark.operators.sampling import mix_to_weights
+
+    docs = tables["documents"]
+    weights = {"en": 0.5, "de": 0.2, "es": 0.15, "fr": 0.1, "zh": 0.05}
+    out = mix_to_weights(docs, "lang", weights, "doc_id")
+    got = out.groupBy("lang").count().collect()
+    by_lang = {r["lang"]: r["count"] for r in got}
+    n_in = {r["lang"]: r["count"] for r in docs.groupBy("lang").count().collect()}
+    total_cap = min(n_in[d] / w for d, w in weights.items())
+    # the limiting domain keeps ~all rows, and every observed share is
+    # within hash noise of its target (loose: ±40% relative at sf0.001)
+    tot = sum(by_lang.values())
+    for d, w in weights.items():
+        target = w * total_cap
+        assert by_lang.get(d, 0) <= n_in[d]
+        assert abs(by_lang.get(d, 0) - target) <= max(6, 0.4 * target), (d, by_lang, target)
+    assert tot <= sum(n_in.values())
+    # deterministic under repartition
+    again = mix_to_weights(docs.repartition(7), "lang", weights, "doc_id")
+    a = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    b = sorted(r["doc_id"] for r in again.select("doc_id").collect())
+    assert a == b
+
+
+def test_mix_to_weights_drops_unweighted_domains(tables):
+    from lanterndb_spark.operators.sampling import mix_to_weights
+
+    docs = tables["documents"]
+    out = mix_to_weights(docs, "lang", {"en": 1.0}, "doc_id")
+    assert {r["lang"] for r in out.select("lang").distinct().collect()} == {"en"}
