@@ -420,6 +420,25 @@ def q_bm25_topk_tsvector(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination (operators/contamination.py
+    decontaminate_semantic, brute mode = exact oracle semantics): every
+    37th vector plays the benchmark; corpus rows within cos_dist 0.35 of
+    any bench row are contaminated. DuckDB recomputes the min distance
+    per corpus row by brute force."""
+    from lanterndb_spark.operators.contamination import decontaminate_semantic
+
+    emb = _emb(spark, sf_dir)
+    bench = emb.filter(F.col("vec_id") % 37 == 0)
+    corpus = emb.filter(F.col("vec_id") % 37 != 0)
+    out = decontaminate_semantic(corpus, bench, max_cos_dist=0.35)
+    return out.select(
+        "vec_id",
+        (F.round("min_bench_dist", ROUND) + F.lit(0.0)).alias("min_bench_dist"),
+        "contaminated",
+    ).orderBy("vec_id")
+
+
 _MIX_WEIGHTS = [("en", 0.5), ("de", 0.2), ("es", 0.15), ("fr", 0.1), ("zh", 0.05)]
 
 
@@ -2662,6 +2681,17 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             ) ORDER BY doc_id
         """,
+        "decontaminate_semantic": f"""
+            WITH bench AS (SELECT embedding AS bv FROM embeddings WHERE vec_id % 37 = 0),
+            corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 37 <> 0),
+            dists AS (
+              SELECT c.vec_id, min({duck_cos('c.embedding', 'b.bv')}) AS md
+              FROM corpus c CROSS JOIN bench b GROUP BY c.vec_id
+            )
+            SELECT vec_id, round(md, {ROUND}) + 0.0 AS min_bench_dist,
+                   md <= 0.35 AS contaminated
+            FROM dists ORDER BY vec_id
+        """,
         "mix_domains": f"""
             WITH w(dom, wt) AS (VALUES {", ".join(f"('{d}', {w})" for d, w in _MIX_WEIGHTS)}),
             n AS (SELECT lang AS dom, CAST(count(*) AS DOUBLE) AS n
@@ -2960,6 +2990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_nearest": q_asof_nearest,
         "bm25_consolidate": q_bm25_consolidate,
         "mix_domains": q_mix_domains,
+        "decontaminate_semantic": q_decontaminate_semantic,
         # -- 63-72: rows-only (no SQL oracle), shadowed by equiv rows -----
         "srp_knn": q_srp_knn,
         "ivf_knn": q_ivf_knn,

@@ -100,3 +100,71 @@ def decontaminate(
             ),
         )
     )
+
+
+def decontaminate_semantic(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cos_dist: float = 0.1,
+    method: str = "brute",
+    nbits: int = 128,
+    oversample: int = 20,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-space eval overlap — the semantic complement of the
+    n-gram :func:`decontaminate` (paraphrased eval leakage that shares no
+    5-gram still sits next to the eval item in embedding space).
+
+    Returns ``id_col, min_bench_dist, contaminated`` per corpus row, with
+    ``contaminated = min cos_dist to any bench row <= max_cos_dist``.
+
+    - ``brute`` (default, exact): bench broadcasts (eval sets are small
+      by nature — the same assumption the n-gram path makes of its gram
+      table) and the min-distance folds map-side; cost is one
+      corpus-scan × |bench| vector ops, zero shuffle beyond the k-sized
+      agg. This is also the ORACLE semantics.
+    - ``srp``: build an SRP sketch index on the corpus and batch-probe
+      the bench rows at ``oversample`` — sub-linear candidate scoring
+      when the bench itself is large; approximate (sketch recall), so
+      ``contaminated`` can miss borderline rows. Use for bench sets too
+      big to broadcast.
+    """
+    from lanterndb_spark.functions.distance import cos_dist
+
+    if method == "brute":
+        b = F.broadcast(bench.select(F.col(vec_col).alias("__bv")))
+        return (
+            corpus.select(id_col, vec_col)
+            .join(b)
+            .groupBy(id_col)
+            .agg(F.min(cos_dist(vec_col, "__bv")).alias("min_bench_dist"))
+            .select(
+                id_col,
+                "min_bench_dist",
+                (F.col("min_bench_dist") <= F.lit(float(max_cos_dist))).alias(
+                    "contaminated"
+                ),
+            )
+        )
+    if method == "srp":
+        from lanterndb_spark.operators.lsh import build_srp, srp_search_batch
+
+        idx = build_srp(corpus, vec_col, nbits=nbits, seed=seed)
+        queries = [list(map(float, r[vec_col])) for r in bench.select(vec_col).collect()]
+        hits = srp_search_batch(
+            idx, queries, k=max(1, oversample), oversample=oversample,
+            metric="cos", id_col=id_col,
+        ).filter(F.col("dist") <= F.lit(float(max_cos_dist)))
+        flagged = hits.groupBy(id_col).agg(F.min("dist").alias("min_bench_dist"))
+        return (
+            corpus.select(id_col)
+            .join(flagged, id_col, "left")
+            .select(
+                id_col,
+                "min_bench_dist",
+                F.col("min_bench_dist").isNotNull().alias("contaminated"),
+            )
+        )
+    raise ValueError(f"method must be brute|srp: {method}")

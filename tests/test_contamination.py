@@ -66,3 +66,39 @@ def test_plan_broadcasts_eval_side(spark, tables):
     bench = docs.filter(F.col("doc_id") % 19 == 0)
     plan = decontaminate(docs, bench, n=5)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_semantic_decontamination_brute_exact(tables):
+    import pytest
+    """Brute mode: a corpus row identical to a bench row has dist 0 and
+    is contaminated; min_bench_dist matches a numpy recomputation."""
+    import numpy as np
+
+    from lanterndb_spark.operators.contamination import decontaminate_semantic
+
+    emb = tables["embeddings"].limit(60)
+    bench = emb.filter(F.col("vec_id") < 5)
+    corpus = emb  # bench rows included -> dist 0 for those ids
+    out = {r["vec_id"]: r for r in decontaminate_semantic(
+        corpus, bench, max_cos_dist=0.05).collect()}
+    assert all(out[i]["contaminated"] and abs(out[i]["min_bench_dist"]) < 1e-9
+               for i in range(5))
+    B = np.array([r["embedding"] for r in bench.collect()], dtype=np.float64)
+    for r in emb.collect():
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        d = 1.0 - (B @ v) / (np.linalg.norm(B, axis=1) * np.linalg.norm(v))
+        assert out[r["vec_id"]]["min_bench_dist"] == pytest.approx(d.min(), abs=1e-9)
+
+
+def test_semantic_decontamination_srp_recall(tables):
+    """SRP mode at generous oversample finds the exact-duplicate plants."""
+    from lanterndb_spark.operators.contamination import decontaminate_semantic
+
+    emb = tables["embeddings"]
+    bench = emb.filter(F.col("vec_id") % 37 == 0)
+    out = decontaminate_semantic(
+        emb, bench, max_cos_dist=0.01, method="srp", oversample=50
+    )
+    flagged = {r["vec_id"] for r in out.filter("contaminated").collect()}
+    planted = {r["vec_id"] for r in bench.collect()}
+    assert planted <= flagged  # every bench row is its own duplicate
