@@ -482,6 +482,24 @@ def q_bm25_consolidate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical+semantic rank fusion (operators/fusion.py): BM25 top-10
+    and l2sq knn top-10 merged by Reciprocal Rank Fusion (k=60) — no
+    score calibration, ranks only. Safe cross-engine: each doc carries at
+    most 2 addends (one per list) so the float sum is order-exempt, and
+    both engines rank on the same rounded scores with id tie-breaks."""
+    from lanterndb_spark.operators.fusion import hybrid_lexical_semantic
+
+    bm = search_bm25(_docs(spark, sf_dir), BM25_QUERY, limit=10, round_scores=ROUND)
+    emb = _with_query_vec(_emb(spark, sf_dir), 0)
+    kn = knn(emb, "embedding", F.col("qv"), k=10, metric="l2sq", id_col="vec_id")
+    kn = _round_out(kn, ["vec_id"], "dist").withColumnRenamed("vec_id", "doc_id")
+    out = hybrid_lexical_semantic(bm, kn, "doc_id", limit=15)
+    return out.select(
+        "doc_id", (F.round("rrf_score", ROUND) + F.lit(0.0)).alias("rrf_score")
+    )
+
+
 def q_bm25_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     # driver-facing projection: arrays → csv strings (the harness's pandas
     # canonicalizer can't sort list cells); the operator API keeps arrays
@@ -2342,6 +2360,22 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _bm25_oracle(),
         "bm25_topk_stemmed": _bm25_stemmed_oracle(),
         "bm25_topk_tsvector": _bm25_tsvector_oracle(),
+        "rrf_hybrid": f"""
+            WITH bm AS ({_bm25_oracle()}),
+            kn AS (SELECT vec_id AS doc_id, dist
+                   FROM ({_knn_oracle(0, duck_l2sq)}) knq),
+            ra AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+                   FROM bm),
+            rb AS (SELECT doc_id, row_number() OVER (ORDER BY dist ASC, doc_id) AS r
+                   FROM kn),
+            u AS (SELECT doc_id, 1.0 / (60.0 + r) AS c FROM ra
+                  UNION ALL
+                  SELECT doc_id, 1.0 / (60.0 + r) AS c FROM rb)
+            SELECT doc_id, round(s, {ROUND}) + 0.0 AS rrf_score FROM (
+              SELECT doc_id, sum(c) AS s FROM u GROUP BY doc_id
+              ORDER BY s DESC, doc_id LIMIT 15
+            ) t
+        """,
         "bm25_consolidate": f"""
             SELECT CAST(count(DISTINCT tok) AS BIGINT) AS n_terms,
                    true AS merged_eq_full
@@ -2991,6 +3025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_consolidate": q_bm25_consolidate,
         "mix_domains": q_mix_domains,
         "decontaminate_semantic": q_decontaminate_semantic,
+        "rrf_hybrid": q_rrf_hybrid,
         # -- 63-72: rows-only (no SQL oracle), shadowed by equiv rows -----
         "srp_knn": q_srp_knn,
         "ivf_knn": q_ivf_knn,
