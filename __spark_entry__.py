@@ -482,6 +482,17 @@ def q_bm25_consolidate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (operators/paragraphs.py chunk_documents):
+    32-token windows, 8-token overlap. DuckDB re-derives every chunk
+    boundary and chunk text from the same whitespace tokenization."""
+    from lanterndb_spark.operators.paragraphs import chunk_documents
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    out = chunk_documents(docs, max_tokens=32, overlap=8)
+    return out.orderBy("doc_id", "chunk_id")
+
+
 def q_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical+semantic rank fusion (operators/fusion.py): BM25 top-10
     and l2sq knn top-10 merged by Reciprocal Rank Fusion (k=60) — no
@@ -2360,6 +2371,26 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _bm25_oracle(),
         "bm25_topk_stemmed": _bm25_stemmed_oracle(),
         "bm25_topk_tsvector": _bm25_tsvector_oracle(),
+        "chunk_documents": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+              FROM documents
+            ),
+            n AS (
+              SELECT doc_id, tk, len(tk) AS nt,
+                     CASE WHEN len(tk) = 0 THEN 0
+                          WHEN len(tk) <= 32 THEN 1
+                          ELSE CAST(ceil((len(tk) - 8) / 24.0) AS INT) END AS nc
+              FROM t
+            )
+            SELECT doc_id, CAST(cid AS INT) AS chunk_id,
+                   array_to_string(list_slice(tk, cid * 24 + 1, cid * 24 + 32), ' ') AS chunk_text,
+                   CAST(len(list_slice(tk, cid * 24 + 1, cid * 24 + 32)) AS INT) AS n_tokens
+            FROM n, LATERAL unnest(generate_series(0, nc - 1)) AS g(cid)
+            WHERE nc > 0
+            ORDER BY doc_id, chunk_id
+        """,
         "rrf_hybrid": f"""
             WITH bm AS ({_bm25_oracle()}),
             kn AS (SELECT vec_id AS doc_id, dist
@@ -2979,6 +3010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_domains": q_mix_domains,
         "decontaminate_semantic": q_decontaminate_semantic,
         "rrf_hybrid": q_rrf_hybrid,
+        "chunk_documents": q_chunk_documents,
         "tpch_q8": q_tpch_q8,
         "tpch_q13": q_tpch_q13,
         "tpch_q14": q_tpch_q14,
@@ -3002,8 +3034,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_full": q_pipeline_full,
         "events_variant": q_events_variant,
         "funnel": q_funnel,
+        # -- 51+: oracle-backed, previously green or twinned, rotated out -
+        # (events_json computes the same answer as in-window events_variant
+        # through the string-path JSON extraction instead of VARIANT)
         "events_json": q_events_json,
-        # -- 51-74: oracle-backed, previously green, rotated out ----------
         "knn_cos": q_knn_cos,
         "knn_filtered": q_knn_filtered,
         "knn_hamming": q_knn_hamming,

@@ -129,3 +129,54 @@ def remove_duplicate_paragraphs(
         F.count("*").alias("n_paras"),
         F.sum(F.col("is_kept").cast("long")).alias("n_kept"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 128,
+    overlap: int = 0,
+) -> DataFrame:
+    """Sliding-window document chunking — the RAG/indexing companion to
+    :func:`split_paragraphs` (which cuts for DEDUP; this cuts for
+    retrieval): fixed ``max_tokens`` whitespace-token windows advancing
+    by ``max_tokens - overlap``, so consecutive chunks share ``overlap``
+    tokens of context and no boundary sentence is ever lost to a cut.
+
+    Returns ``id_col, chunk_id, chunk_text, n_tokens``. A document with
+    ≤ max_tokens tokens yields exactly one chunk; empty/whitespace-only
+    documents yield none. Pure JVM column HOFs (split → sequence →
+    slice → array_join): zero shuffle, zero Python — the chunk explosion
+    rides the scan it's projected from.
+    """
+    if overlap < 0 or overlap >= max_tokens:
+        raise ValueError(f"need 0 <= overlap < max_tokens: {overlap}/{max_tokens}")
+    stride = max_tokens - overlap
+    toks = F.array_remove(F.split(F.col(text_col), r"\s+"), "")
+    n = F.size(toks)
+    n_chunks = F.when(
+        n <= max_tokens, F.when(n > 0, F.lit(1)).otherwise(F.lit(0))
+    ).otherwise(F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int"))
+    out = (
+        df.select(F.col(id_col), toks.alias("__t"), n_chunks.alias("__nc"))
+        .filter(F.col("__nc") > 0)
+        .select(
+            id_col,
+            "__t",
+            F.explode(F.sequence(F.lit(0), F.col("__nc") - 1)).alias("chunk_id"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.slice(
+                F.col("__t"), F.col("chunk_id") * stride + 1, max_tokens
+            ).alias("__c"),
+        )
+    )
+    return out.select(
+        id_col,
+        "chunk_id",
+        F.array_join("__c", " ").alias("chunk_text"),
+        F.size("__c").cast("int").alias("n_tokens"),
+    )

@@ -84,3 +84,37 @@ def test_dedup_shuffles_on_hash_not_global_sort(spark):
     )
     assert "hashpartitioning(__h1" in plan
     assert "SinglePartition" not in plan
+
+
+def test_chunk_documents_boundaries(spark):
+    from lanterndb_spark.operators.paragraphs import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(100))),
+         (2, "a b c"),
+         (3, ""),
+         (4, " ".join(f"u{i}" for i in range(51)))],
+        "doc_id int, text string",
+    )
+    out = chunk_documents(docs, max_tokens=50, overlap=10)
+    rows = {(r["doc_id"], r["chunk_id"]): r for r in out.collect()}
+    # doc 1: 100 tokens, stride 40 -> chunks at 0,40,80 of sizes 50,50,20
+    assert {(cid) for (d, cid) in rows if d == 1} == {0, 1, 2}
+    assert rows[(1, 0)]["n_tokens"] == 50 and rows[(1, 2)]["n_tokens"] == 20
+    assert rows[(1, 1)]["chunk_text"].split()[0] == "t40"  # overlap carried
+    assert rows[(1, 0)]["chunk_text"].split()[-10:] == rows[(1, 1)]["chunk_text"].split()[:10]
+    # doc 2 fits one chunk; doc 3 yields none; doc 4: 51 tokens -> 2 chunks
+    assert rows[(2, 0)]["n_tokens"] == 3
+    assert not any(d == 3 for (d, _c) in rows)
+    assert {(cid) for (d, cid) in rows if d == 4} == {0, 1}
+    assert rows[(4, 1)]["n_tokens"] == 11  # tokens 40..50
+
+
+def test_chunk_documents_validates_overlap(spark):
+    import pytest
+
+    from lanterndb_spark.operators.paragraphs import chunk_documents
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id int, text string")
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, max_tokens=10, overlap=10)
