@@ -18,6 +18,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _SPEC = {
     "fvecs": (np.float32, "array<float>"),
@@ -96,3 +97,42 @@ def write_fvecs(df: DataFrame, vec_col: str, local_path: str) -> int:
             f.write(np.uint32(len(v)).tobytes())
             f.write(v.tobytes())
     return len(rows)
+
+
+def write_fvecs_sharded(
+    df: DataFrame, vec_col: str, dir_path: str, shards: int | None = None
+) -> int:
+    """Distributed .fvecs export: each task encodes its partition to one
+    ``part-NNNNN.fvecs`` shard under ``dir_path`` — the scale path
+    :func:`write_fvecs` (driver collect) is not. ``dir_path`` must be
+    storage every executor can reach (shared FS / mount; trivially true
+    on local mode). ``read_fvecs(dir_path)`` round-trips the shards.
+
+    Returns the total row count (aggregated from per-shard receipts, so
+    the job both writes and verifies in one pass).
+    """
+    import os
+
+    os.makedirs(dir_path, exist_ok=True)
+    src = df.select(F.col(vec_col).alias("v"))
+    if shards is not None:
+        src = src.repartition(shards)
+    src = src.withColumn("__pid", F.spark_partition_id())
+
+    def write_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        buf: dict[int, list] = {}
+        for pdf in batches:
+            for pid, v in zip(pdf["__pid"], pdf["v"]):
+                buf.setdefault(int(pid), []).append(v)
+        for pid, vecs in buf.items():
+            path = os.path.join(dir_path, f"part-{pid:05d}.fvecs")
+            with open(path, "wb") as f:
+                for v in vecs:
+                    arr = np.asarray(list(v), dtype=np.float32)
+                    f.write(np.uint32(len(arr)).tobytes())
+                    f.write(arr.tobytes())
+            yield pd.DataFrame({"shard": [pid], "rows": [len(vecs)]})
+
+    receipts = src.mapInPandas(write_part, "shard int, rows bigint")
+    total = receipts.agg(F.sum("rows").alias("n")).first()["n"]
+    return int(total or 0)

@@ -64,3 +64,20 @@ def test_fvecs_gzip_roundtrip(spark, tmp_path):
     plain = {tuple(r["v"]) for r in read_fvecs(spark, str(raw)).collect()}
     gzipped = {tuple(r["v"]) for r in read_fvecs(spark, str(gz)).collect()}
     assert gzipped == plain and len(plain) == 7
+
+
+def test_write_fvecs_sharded_roundtrip(spark, tables, tmp_path):
+    from lanterndb_spark.sources.vecs import read_fvecs, write_fvecs_sharded
+
+    emb = tables["embeddings"].limit(120)
+    out_dir = str(tmp_path / "shards")
+    n = write_fvecs_sharded(emb, "embedding", out_dir, shards=4)
+    assert n == 120
+    import glob
+    assert 1 <= len(glob.glob(out_dir + "/part-*.fvecs")) <= 4
+    back = read_fvecs(spark, out_dir + "/*.fvecs")
+    got = sorted(tuple(round(float(x), 5) for x in r["v"]) for r in back.collect())
+    want = sorted(
+        tuple(round(float(x), 5) for x in r["embedding"]) for r in emb.collect()
+    )
+    assert got == want
