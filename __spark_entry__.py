@@ -493,6 +493,39 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("doc_id", "chunk_id")
 
 
+def q_rag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full retrieval-indexing flow composed end-to-end: documents →
+    sliding-window chunks (chunk_documents) → chunk embeddings (hash
+    runtime) → IVF index → self-retrieval check (each probed chunk's
+    nearest neighbor at full probe must be itself — the reference's
+    hnsw_correct self-recall pattern). n_chunks anchors the row to the
+    chunk count DuckDB recomputes from the same tokenization."""
+    from lanterndb_spark.operators.embed import embed
+    from lanterndb_spark.operators.ivf import build_ivf, ivf_search_batch
+    from lanterndb_spark.operators.paragraphs import chunk_documents
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    chunks = chunk_documents(docs, max_tokens=32, overlap=8).withColumn(
+        "cid", F.col("doc_id") * 10_000 + F.col("chunk_id")
+    )
+    emb = embed(chunks.select("cid", "chunk_text"), "chunk_text",
+                model="hash/debug-64").persist()
+    n_chunks = emb.count()
+    idx = build_ivf(emb, "embedding", nlist=8, seed=42)
+    probes = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.orderBy("cid").limit(5).collect()
+    ]
+    probe_cids = [r["cid"] for r in emb.orderBy("cid").limit(5).collect()]
+    hits = ivf_search_batch(idx, probes, k=1, nprobe=8, id_col="cid").collect()
+    top1 = {r["q_id"]: r["cid"] for r in hits}
+    self_ok = all(top1.get(i) == probe_cids[i] for i in range(len(probes)))
+    emb.unpersist()
+    return spark.createDataFrame(
+        [(int(n_chunks), bool(self_ok))], "n_chunks bigint, self_top1_ok boolean"
+    )
+
+
 def q_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical+semantic rank fusion (operators/fusion.py): BM25 top-10
     and l2sq knn top-10 merged by Reciprocal Rank Fusion (k=60) — no
@@ -2371,6 +2404,19 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _bm25_oracle(),
         "bm25_topk_stemmed": _bm25_stemmed_oracle(),
         "bm25_topk_tsvector": _bm25_tsvector_oracle(),
+        "rag_pipeline": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+              FROM documents
+            )
+            SELECT CAST(sum(CASE WHEN len(tk) = 0 THEN 0
+                                 WHEN len(tk) <= 32 THEN 1
+                                 ELSE CAST(ceil((len(tk) - 8) / 24.0) AS INT) END) AS BIGINT)
+                     AS n_chunks,
+                   true AS self_top1_ok
+            FROM t
+        """,
         "chunk_documents": """
             WITH t AS (
               SELECT doc_id,
@@ -2996,7 +3042,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_exact_equiv": q_ivfpq_exact_equiv,
         "cluster_balance": q_cluster_balance,
         "dedup_exact": q_dedup_exact,
-        "jaccard_pairs": q_jaccard_pairs,
         "emb_near_dup": q_emb_near_dup,
         "tpch_q1": q_tpch_q1,
         "events_tumbling": q_events_tumbling,
@@ -3011,6 +3056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_semantic": q_decontaminate_semantic,
         "rrf_hybrid": q_rrf_hybrid,
         "chunk_documents": q_chunk_documents,
+        "rag_pipeline": q_rag_pipeline,
         "tpch_q8": q_tpch_q8,
         "tpch_q13": q_tpch_q13,
         "tpch_q14": q_tpch_q14,
@@ -3054,6 +3100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_invariants": q_multimodal_invariants,
         "dedup_groups": q_dedup_groups,
         "dedup_near_keep": q_dedup_near_keep,
+        "jaccard_pairs": q_jaccard_pairs,
         "window_rownum": q_window_rownum,
         "tpch_q3": q_tpch_q3,
         "tpch_q4": q_tpch_q4,
