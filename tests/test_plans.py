@@ -244,3 +244,13 @@ def test_salted_join_matches_plain(spark, tables):
 
     with pytest.raises(ValueError, match="inner/left"):
         salted_join(ev, dim, "user_id", how="right")
+
+
+def test_chunk_documents_is_shuffle_free(spark):
+    """Chunking must ride the scan: generate + project only, no Exchange."""
+    from lanterndb_spark.operators.paragraphs import chunk_documents
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(chunk_documents(docs, max_tokens=32, overlap=8))
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the explode of chunk ids
