@@ -56,8 +56,12 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
         "orders", "lineitem", "events", "documents", "embeddings",
     ]
     # set here too (not only in get_spark) so a caller-provided session —
-    # e.g. the driver's — can read a legacy nanos-timestamp events table
+    # e.g. the driver's — can read a legacy nanos-timestamp events table,
+    # and so the NTZ->LTZ normalization below interprets wall clocks in
+    # UTC exactly like DuckDB's naive timestamps (a non-UTC caller session
+    # would otherwise shift every epoch output)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     out = {}
     for n in names:
         path = os.path.join(sf_dir, f"{n}.parquet")
