@@ -2738,7 +2738,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_rollup": """
             SELECT coalesce(lang, 'ALL') AS lang,
                    coalesce(source, 'ALL') AS source,
-                   count(*) AS n, sum(n_chars) AS sum_chars
+                   count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY ROLLUP (lang, source)
             ORDER BY lang, source
         """,
@@ -3014,22 +3014,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     gate evaluates the FIRST 50 entries only (observed in r2: rows stop
     after entry 50), and 74 of these 84 queries carry a DuckDB oracle.
 
-    - Entries 1-50: the driver-checked window — every oracle-backed query
-      that has never had a driver row (the 12 new round-3 queries, the 19
-      curation/OLAP queries beyond r2's window), everything fixed this
-      round (temporal family, srp -0.0, cluster_balance's new oracle),
-      plus one representative per §2 feature family.
-    - Entries 51-74: oracle-backed queries rotated OUT because they carry
-      consecutive green driver rows from earlier rounds and are
-      near-duplicates of in-window coverage (metric/mode twins, extra
-      TPC-H spine, the invariant shadows of in-window equivalence rows).
-      Still checked every round by tools/check_oracle.py and pytest.
-    - Entries 75-84: rows-only queries with no SQL-expressible oracle,
+    Round-4 rotation rule (amended per VERDICT r3): never-GREEN beats
+    never-checked beats stale-green; newest-green age drives the rest.
+
+    - Entries 1-50: the driver-checked window — doc_rollup (red in r3 on
+      an oracle CAST bug, fixed this round), events_json (red in r1,
+      outside the window ever since — the only never-green oracle row),
+      all 26 oracle-backed queries whose newest green predates r3 (so
+      every row is re-proven on the r3 timestamp-normalized loaders),
+      the queries added in round 4, and r3-green representatives filling
+      the rest.
+    - Entries 51+: oracle-backed queries with a green driver row from r3
+      itself, rotated out for one round. Still checked every round by
+      tools/check_oracle.py and pytest.
+    - Final block: rows-only queries with no SQL-expressible oracle,
       each shadowed by an oracle-backed *_exact_equiv / *_invariants
       query.
     """
     return {
         # -- 1-50: the driver-checked window ------------------------------
+        # red-in-r3 (oracle CAST fixed) and never-green first:
+        "doc_rollup": q_doc_rollup,
+        "events_json": q_events_json,
+        # r1-era newest-green (re-prove on current loaders):
+        "knn_cos": q_knn_cos,
+        "knn_filtered": q_knn_filtered,
+        "knn_hamming": q_knn_hamming,
+        "sql_knn": q_sql_knn,
+        "tpch_q3": q_tpch_q3,
+        "window_rownum": q_window_rownum,
+        "dedup_groups": q_dedup_groups,
+        # r2-era newest-green:
+        "hybrid_candidate": q_hybrid_candidate,
+        "bm25_topk_stemmed": q_bm25_topk_stemmed,
+        "bm25_postings": q_bm25_postings,
+        "bm25_score": q_bm25_score,
+        "bloom_hot_terms": q_bloom_hot_terms,
+        "pq_roundtrip": q_pq_roundtrip,
+        "dedup_sketch_invariants": q_dedup_sketch_invariants,
+        "embed_invariants": q_embed_invariants,
+        "autotune_invariants": q_autotune_invariants,
+        "multimodal_invariants": q_multimodal_invariants,
+        "dedup_near_keep": q_dedup_near_keep,
+        "jaccard_pairs": q_jaccard_pairs,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q18": q_tpch_q18,
+        # new in round 4:
+        # (inserted here as they land; each displaces one r3-green filler)
+        # r3-green representatives filling the window to 50:
         "knn_l2sq": q_knn_l2sq,
         "knn_join": q_knn_join,
         "hybrid_exact": q_hybrid_exact,
@@ -3052,18 +3088,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_forward": q_asof_forward,
         "asof_nearest": q_asof_nearest,
         "bm25_consolidate": q_bm25_consolidate,
+        "rag_pipeline": q_rag_pipeline,
+        # -- 51+: green in r3 itself, rotated out for one round -----------
         "mix_domains": q_mix_domains,
         "decontaminate_semantic": q_decontaminate_semantic,
         "rrf_hybrid": q_rrf_hybrid,
         "chunk_documents": q_chunk_documents,
-        "rag_pipeline": q_rag_pipeline,
         "tpch_q8": q_tpch_q8,
         "tpch_q13": q_tpch_q13,
         "tpch_q14": q_tpch_q14,
         "tpch_q19": q_tpch_q19,
         "tpch_q22": q_tpch_q22,
         "rolling_window": q_rolling_window,
-        "doc_rollup": q_doc_rollup,
         "events_pivot": q_events_pivot,
         "sketch_distinct": q_sketch_distinct,
         "sketch_quantiles": q_sketch_quantiles,
@@ -3080,35 +3116,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_full": q_pipeline_full,
         "events_variant": q_events_variant,
         "funnel": q_funnel,
-        # -- 51+: oracle-backed, previously green or twinned, rotated out -
-        # (events_json computes the same answer as in-window events_variant
-        # through the string-path JSON extraction instead of VARIANT)
-        "events_json": q_events_json,
-        "knn_cos": q_knn_cos,
-        "knn_filtered": q_knn_filtered,
-        "knn_hamming": q_knn_hamming,
-        "sql_knn": q_sql_knn,
-        "hybrid_candidate": q_hybrid_candidate,
-        "bm25_topk_stemmed": q_bm25_topk_stemmed,
-        "bm25_postings": q_bm25_postings,
-        "bm25_score": q_bm25_score,
-        "bloom_hot_terms": q_bloom_hot_terms,
-        "pq_roundtrip": q_pq_roundtrip,
-        "dedup_sketch_invariants": q_dedup_sketch_invariants,
-        "embed_invariants": q_embed_invariants,
-        "autotune_invariants": q_autotune_invariants,
-        "multimodal_invariants": q_multimodal_invariants,
-        "dedup_groups": q_dedup_groups,
-        "dedup_near_keep": q_dedup_near_keep,
-        "jaccard_pairs": q_jaccard_pairs,
-        "window_rownum": q_window_rownum,
-        "tpch_q3": q_tpch_q3,
-        "tpch_q4": q_tpch_q4,
-        "tpch_q5": q_tpch_q5,
-        "tpch_q6": q_tpch_q6,
-        "tpch_q7": q_tpch_q7,
-        "tpch_q10": q_tpch_q10,
-        "tpch_q18": q_tpch_q18,
         # -- 75-84: rows-only (no SQL oracle), shadowed by equiv rows -----
         "srp_knn": q_srp_knn,
         "ivf_knn": q_ivf_knn,

@@ -112,6 +112,7 @@ def decontaminate_semantic(
     nbits: int = 128,
     oversample: int = 20,
     seed: int = 42,
+    max_hits_per_bench: int | None = None,
 ) -> DataFrame:
     """Embedding-space eval overlap — the semantic complement of the
     n-gram :func:`decontaminate` (paraphrased eval leakage that shares no
@@ -129,7 +130,12 @@ def decontaminate_semantic(
       the bench rows at ``oversample`` — sub-linear candidate scoring
       when the bench itself is large; approximate (sketch recall), so
       ``contaminated`` can miss borderline rows. Use for bench sets too
-      big to broadcast.
+      big to broadcast. Each bench row flags at most
+      ``max_hits_per_bench`` corpus rows (default: 50×oversample) — a
+      widely-contaminating bench item (boilerplate duplicated across the
+      corpus) needs a higher cap or the brute path; this cap is
+      independent of ``oversample`` (which controls sketch-ranking
+      recall, not the detection budget).
     """
     from lanterndb_spark.functions.distance import cos_dist
 
@@ -153,8 +159,12 @@ def decontaminate_semantic(
 
         idx = build_srp(corpus, vec_col, nbits=nbits, seed=seed)
         queries = [list(map(float, r[vec_col])) for r in bench.select(vec_col).collect()]
+        # detection budget per bench row is its own knob — previously k was
+        # coupled to oversample, silently capping each bench row at 20
+        # flagged corpus rows (ADVICE r3)
+        k = max_hits_per_bench if max_hits_per_bench is not None else 50 * max(1, oversample)
         hits = srp_search_batch(
-            idx, queries, k=max(1, oversample), oversample=oversample,
+            idx, queries, k=max(1, k), oversample=oversample,
             metric="cos", id_col=id_col,
         ).filter(F.col("dist") <= F.lit(float(max_cos_dist)))
         flagged = hits.groupBy(id_col).agg(F.min("dist").alias("min_bench_dist"))

@@ -22,8 +22,12 @@ id_a < id_b, deduped.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+_log = logging.getLogger("lanterndb_spark.dedup")
 
 from lanterndb_spark.functions.distance import cos_dist
 from lanterndb_spark.functions.text import tokenize
@@ -177,7 +181,12 @@ def jaccard_pairs(
 # --------------------------------------------------------- MinHash LSH
 
 def _minhash_wide(
-    df: DataFrame, id_col: str, text_col: str, num_hashes: int, n: int
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    n: int,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """(id, mh_0..mh_{H-1}) via explode + groupBy of seeded murmur mins.
 
@@ -186,8 +195,15 @@ def _minhash_wide(
     whole-stage codegen (HOFs are interpreted) — measured ~10x slower.
     explode + ``min(hash(g, seed))`` aggregates are fully codegen'd AND
     get map-side partial aggregation (min is associative), so the shuffle
-    carries one row per (doc, 64 ints) — the standard distributed MinHash."""
-    ex = explode_nonempty(shingle_table(df, id_col, text_col, n), "sh", "g", "id")
+    carries one row per (doc, 64 ints) — the standard distributed MinHash.
+
+    ``sh``: an already-built (id, sh) shingle table to aggregate over
+    (callers that also need the shingles for verification pass a persisted
+    one so tokenize+shingle runs once, not once per consumer)."""
+    ex = explode_nonempty(
+        sh if sh is not None else shingle_table(df, id_col, text_col, n),
+        "sh", "g", "id",
+    )
     # Kirsch-Mitzenmacher double hashing: h_i(g) = h1(g) + i*h2(g) gives an
     # adequate minhash family from TWO murmur evaluations per shingle —
     # keeps the generated aggregate code small (64 ints of arithmetic
@@ -258,15 +274,27 @@ def minhash_lsh_pairs(
     downstream consumer in near_dup_keep, is unaffected for true
     duplicate groups, whose star edges all pass verification), but
     non-hub pair rows of a hot bucket are not emitted individually. Set
-    ``max_bucket=None`` for exhaustive pair lists (oracle mode).
+    ``max_bucket=None`` for exhaustive pair lists (oracle mode). When the
+    star fallback actually engages, a warning is logged on
+    ``lanterndb_spark.dedup`` so direct pair-list consumers know the list
+    is non-exhaustive.
     """
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
     r = num_hashes // bands
+    # exact/auto verification re-reads the shingle sets after banding, so
+    # build + persist the shingle table ONCE and feed the signature
+    # aggregation from it (previously tokenize+shingle ran twice: once for
+    # signatures, once for the verify join)
+    sh = (
+        shingle_table(df, id_col, text_col, n).persist()
+        if verify in (True, "exact", "auto")
+        else None
+    )
     # persist before the self-join so the signature aggregation runs once,
     # not once per join branch (at cluster scale: write the signature table,
     # then join against it)
-    wide = _minhash_wide(df, id_col, text_col, num_hashes, n).persist()
+    wide = _minhash_wide(df, id_col, text_col, num_hashes, n, sh=sh).persist()
     banded = wide.select(
         "id",
         F.explode(
@@ -281,7 +309,7 @@ def minhash_lsh_pairs(
             )
         ).alias("s"),
     ).select("id", "s.band", "s.bh")
-    persisted = [wide]
+    persisted = [wide] if sh is None else [wide, sh]
     star = None
     cold_side = banded
     if max_bucket is not None:
@@ -297,6 +325,16 @@ def minhash_lsh_pairs(
             .select("band", "bh")
         )
         if hot_keys_df.limit(1).count():
+            # the pair list is about to become non-exhaustive inside hot
+            # buckets — surface it (consumers reading pairs directly, not
+            # via connected components, must know; see docstring)
+            _log.warning(
+                "minhash_lsh_pairs: band bucket(s) over max_bucket=%d — "
+                "hot buckets emit hub-star edges only, so the pair list is "
+                "non-exhaustive within them (connectivity preserved; "
+                "set max_bucket=None for exhaustive pairs)",
+                max_bucket,
+            )
             # hot buckets are few by definition (≤ |rows|/cap) → broadcast
             hot_keys = F.broadcast(hot_keys_df)
             cold_side = banded.join(hot_keys, ["band", "bh"], "left_anti")
@@ -342,7 +380,6 @@ def minhash_lsh_pairs(
             .select("id_a", "id_b", "jaccard")
         )
         return attach_persisted(out, *persisted, cand)
-    sh = shingle_table(df, id_col, text_col, n).persist()
     out = (
         cand.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
         .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
@@ -354,7 +391,7 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= F.lit(float(threshold)))
         .select("id_a", "id_b", "jaccard")
     )
-    return attach_persisted(out, *persisted, cand, sh)
+    return attach_persisted(out, *persisted, cand)
 
 
 # ------------------------------------------------------------ SimHash

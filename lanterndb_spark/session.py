@@ -47,6 +47,31 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def ts_parquet_type(path: str, col: str = "ts"):
+    """Inspect a parquet file/directory schema for ``col``'s physical type:
+    returns ``(unit, tz)`` where unit is a timestamp unit ("s"/"ms"/"us"/
+    "ns") or "int64" for a genuine integer column. Both the batch loader
+    and the streaming source use THIS single sniff, so an int64-encoded
+    ``ts`` gets the same interpretation (epoch micros) on both paths —
+    guessing from the Spark-side type alone cannot distinguish
+    nanos-annotated-timestamp-as-long from a true bigint."""
+    import glob as _glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sample = path
+    if not path.endswith(".parquet"):
+        hits = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+        if not hits:
+            raise FileNotFoundError(f"no parquet files under {path}")
+        sample = hits[0]
+    t = pq.read_schema(sample).field(col).type
+    if pa.types.is_timestamp(t):
+        return t.unit, t.tz
+    return "int64", None
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
     """Load the driver's parquet tables as a dict of DataFrames and register
     them as temp views (so ``spark.sql`` works over the same names DuckDB
@@ -67,13 +92,18 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
         path = os.path.join(sf_dir, f"{n}.parquet")
         if os.path.exists(path):
             df = spark.read.parquet(path)
-            df = normalize_timestamps(df)
+            ts_unit = (
+                ts_parquet_type(path)[0]
+                if any(f.name == "ts" for f in df.schema.fields)
+                else None
+            )
+            df = normalize_timestamps(df, ts_unit=ts_unit)
             df.createOrReplaceTempView(n)
             out[n] = df
     return out
 
 
-def normalize_timestamps(df):
+def normalize_timestamps(df, ts_unit: str | None = None):
     """Normalize every timestamp-ish column to TIMESTAMP (LTZ).
 
     The driver's parquet has stored ``ts`` two ways across rounds:
@@ -83,14 +113,26 @@ def normalize_timestamps(df):
     NTZ to LTZ here. Session tz is UTC, so the wall-clock values match
     DuckDB's naive timestamps exactly; and NTZ->LTZ->toPandas is a
     wall-clock identity under ANY session tz, so oracle hashes are stable.
+
+    ``ts_unit``: the parquet-level type of a bigint-read ``ts`` column as
+    returned by :func:`ts_parquet_type` — "ns" for nanos-annotated
+    timestamps (divide to micros), "int64" for a genuine integer column
+    (epoch micros by convention, matching streaming.events.stream_events).
+    When None (ad-hoc frame, no file to sniff) a bigint ``ts`` is assumed
+    nanos — the only bigint encoding the driver testdata has ever used.
     """
     from pyspark.sql.types import TimestampNTZType
 
     for field in df.schema.fields:
         if field.name == "ts" and field.dataType.simpleString() == "bigint":
-            # legacy nanos-as-long: integer div — float division would lose
-            # precision at ~1e18 ns; truncate to us like DuckDB does
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            if ts_unit == "int64":
+                # a true integer column: epoch micros by convention (the
+                # same convention stream_events applies)
+                df = df.withColumn("ts", F.timestamp_micros("ts"))
+            else:
+                # legacy nanos-as-long: integer div — float division would
+                # lose precision at ~1e18 ns; truncate to us like DuckDB
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif isinstance(field.dataType, TimestampNTZType):
             df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df

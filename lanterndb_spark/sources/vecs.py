@@ -111,9 +111,14 @@ def write_fvecs_sharded(
     Returns the total row count (aggregated from per-shard receipts, so
     the job both writes and verifies in one pass).
     """
+    import glob
     import os
 
     os.makedirs(dir_path, exist_ok=True)
+    # re-runs with fewer partitions would otherwise leave stale shards from
+    # a prior write, and read_fvecs(dir_path) would silently return extras
+    for stale in glob.glob(os.path.join(dir_path, "part-*.fvecs")):
+        os.remove(stale)
     src = df.select(F.col(vec_col).alias("v"))
     if shards is not None:
         src = src.repartition(shards)

@@ -32,27 +32,13 @@ _EVENTS_FIELDS = (
 
 
 def _ts_parquet_type(path: str):
-    """Inspect the parquet file schema for the ``ts`` column's physical
-    type — the streaming source needs a user-declared schema, and the
-    driver's testdata has stored ``ts`` as TIMESTAMP(NANOS) in one round
-    and TIMESTAMP(MICROS) no-tz in another. Guessing wrong is a SILENT
-    1000x timestamp corruption, so read the unit from the file."""
-    import glob
-    import os
+    """Parquet-level ``ts`` type sniff — shared with the batch loader
+    (session.ts_parquet_type) so batch and streaming reads of the same
+    file agree on int64 interpretation. Guessing wrong is a SILENT 1000x
+    timestamp corruption, so read the unit from the file."""
+    from lanterndb_spark.session import ts_parquet_type
 
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    sample = path
-    if not path.endswith(".parquet"):
-        hits = sorted(glob.glob(os.path.join(path, "*.parquet")))
-        if not hits:
-            raise FileNotFoundError(f"no parquet files under {path}")
-        sample = hits[0]
-    t = pq.read_schema(sample).field("ts").type
-    if pa.types.is_timestamp(t):
-        return t.unit, t.tz
-    return "int64", None
+    return ts_parquet_type(path)
 
 
 def stream_events(spark: SparkSession, path: str, max_files_per_trigger: int = 1) -> DataFrame:
