@@ -665,6 +665,54 @@ def q_dedup_sketch_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_minhash_estimate_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pins ``verify="estimate"`` semantics (minhash_lsh_pairs' scale mode,
+    VERDICT r3 #6): on a twin-augmented corpus, (a) every constructed twin
+    pair is emitted with estimated Jaccard EXACTLY 1.0 (identical text ⇒
+    identical signature ⇒ all 64 coordinates agree), and (b) over every
+    candidate pair the coordinate-agreement estimate sits within 0.3 of
+    the exact shingle Jaccard — ~4.8 stderr at num_hashes=64 (stderr
+    ≈ √(j(1-j)/64) ≤ 0.0625), deterministic here because the murmur seeds
+    are fixed. DuckDB cannot reproduce Spark's murmur3, so the oracle
+    checks the derivable constant (twin count) and the booleans."""
+    from lanterndb_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _docs(spark, sf_dir)
+    base = (
+        docs.select("doc_id", "text", tokenize("text", stopwords=None).alias("tk"))
+        .filter(F.size("tk") > 0)
+        .select("doc_id", "text")
+    )
+    SHIFT = 1_000_000
+    first = base.orderBy("doc_id").limit(20)
+    twin = first.withColumn("doc_id", F.col("doc_id") + F.lit(SHIFT))
+    corpus = base.unionByName(twin)
+    expected = first.select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + F.lit(SHIFT)).alias("id_b")
+    )
+    n_twins = expected.count()
+    est = minhash_lsh_pairs(
+        corpus, "doc_id", "text", threshold=0.0, verify="estimate", max_bucket=None
+    ).select("id_a", "id_b", F.col("jaccard").alias("est_j"))
+    exact = minhash_lsh_pairs(
+        corpus, "doc_id", "text", threshold=0.0, verify="exact", max_bucket=None
+    ).select("id_a", "id_b", F.col("jaccard").alias("exact_j"))
+    twins_at_one = (
+        expected.join(est.filter(F.col("est_j") == 1.0), ["id_a", "id_b"], "left_anti")
+        .count()
+        == 0
+    )
+    err = est.join(exact, ["id_a", "id_b"]).agg(
+        F.max(F.abs(F.col("est_j") - F.col("exact_j"))).alias("m")
+    )
+    max_err = err.first()["m"]
+    within = max_err is not None and max_err <= 0.3
+    return spark.createDataFrame(
+        [(n_twins, twins_at_one, within)],
+        "n_twins bigint, twins_at_one boolean, est_within_bound boolean",
+    )
+
+
 def q_embed_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding pipeline invariants in-query: every doc embeds to the
     configured dim with a nonzero norm, and the runtime is deterministic
@@ -1370,6 +1418,170 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n_name", "numcust", F.round("totacctbal", ROUND).alias("totacctbal"))
         .orderBy("n_name")
+    )
+
+
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (min-cost supplier per part), adapted: the corpus
+    has no partsupp table, so the "offer" relation is lineitem with unit
+    price l_extendedprice/l_quantity — same plan skeleton: per-part MIN
+    over the offers, join back on the min to recover the supplier rows,
+    dims broadcast. The join-back compares the division's raw double
+    (selection, not re-arithmetic — bit-stable across engines); output
+    rounds. Scale shape: offers shuffle once on partkey for the min and
+    once for the join-back; part/supplier/nation all broadcast."""
+    t = load_tables(spark, sf_dir, ["part", "supplier", "nation", "lineitem"])
+    parts = t["part"].filter(F.col("p_size") == 15).select("p_partkey", "p_type")
+    offers = (
+        t["lineitem"]
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "p_partkey", "p_type", "l_suppkey",
+            (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit"),
+        )
+    )
+    minu = offers.groupBy(F.col("p_partkey").alias("mk")).agg(F.min("unit").alias("munit"))
+    best = offers.join(
+        minu, (F.col("p_partkey") == F.col("mk")) & (F.col("unit") == F.col("munit"))
+    ).select("p_partkey", "p_type", "l_suppkey", "unit").distinct()
+    return (
+        best.join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_type",
+            (F.round("unit", ROUND) + F.lit(0.0)).alias("unit_price"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+    )
+
+
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-line profit by nation and order year),
+    adapted: no partsupp, so profit omits the supplycost term —
+    l_extendedprice*(1-l_discount) over parts named like '%red%'.
+    Plan: part filter broadcasts into the fact scan, orders join carries
+    only (o_orderkey, year), supplier→nation broadcast; one shuffle for
+    the (nation, year) agg with map-side combine on decimal sums."""
+    t = load_tables(spark, sf_dir, ["part", "supplier", "nation", "lineitem", "orders"])
+    red = t["part"].filter(F.col("p_name").like("%red%")).select("p_partkey")
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(24,6)")
+    return (
+        t["lineitem"]
+        .join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            t["orders"].select("o_orderkey", F.year("o_orderdate").alias("o_year")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(t["supplier"].select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "o_year")
+        .agg(F.sum(vol).cast("double").alias("profit"))
+        .select("n_name", "o_year", F.round("profit", ROUND).alias("profit"))
+        .orderBy("n_name", F.col("o_year").desc())
+    )
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (priority counts per ship class, one year),
+    adapted: the corpus has no l_shipmode/l_receiptdate, so l_returnflag
+    stands in for the ship class and l_shipdate for the receipt window.
+    Plan: the date filter prunes the fact scan before the orders join
+    (join carries only o_orderkey+o_orderpriority), one shuffle for the
+    2-row agg; counts only — no float drift surface."""
+    t = load_tables(spark, sf_dir, ["orders", "lineitem"])
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(t["orders"].select("o_orderkey", "o_orderpriority"),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier by quarterly revenue): revenue per
+    supplier over one quarter, then join back on the scalar max. Decimal
+    sums make the max/equality comparison exact across engines (double
+    sums are accumulation-order-dependent; decimals are associative).
+    Plan: date-pruned scan, one shuffle for the supplier agg, scalar max
+    broadcasts, supplier dim broadcasts."""
+    t = load_tables(spark, sf_dir, ["supplier", "lineitem"])
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(24,6)")
+    rev = li.groupBy("l_suppkey").agg(F.sum(vol).alias("total_rev"))
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("mx"))
+        .join(F.broadcast(t["supplier"].select("s_suppkey", "s_name", "s_acctbal")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name",
+            F.round(F.col("total_rev").cast("double"), ROUND).alias("total_rev"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (supplier count by brand/type/size), adapted: the
+    supplier-part relation comes from lineitem instead of partsupp, and
+    the excluded-supplier predicate keys on s_acctbal < 0 (no comment
+    column). COUNT(DISTINCT) per (brand, type, size) — the distinct
+    dedups map-side before the final agg shuffle; part and the tiny
+    exclusion list broadcast."""
+    t = load_tables(spark, sf_dir, ["part", "supplier", "lineitem"])
+    parts = t["part"].filter(
+        (F.col("p_brand") != "Brand#45")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    excluded = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        t["lineitem"].select("l_partkey", "l_suppkey")
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(excluded), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue for one brand): the
+    correlated per-part average becomes a broadcast join of per-part
+    (sum_qty, cnt), and the 20%-of-average predicate is cross-multiplied
+    to 5*qty*cnt < sum_qty over exact decimals — no division, so the
+    comparison is bit-identical across engines. One agg shuffle on the
+    brand-pruned facts, then a single-row sum."""
+    t = load_tables(spark, sf_dir, ["part", "lineitem"])
+    brand = t["part"].filter(F.col("p_brand") == "Brand#23").select("p_partkey")
+    li = t["lineitem"].join(
+        F.broadcast(brand), F.col("l_partkey") == F.col("p_partkey")
+    ).select("p_partkey", F.col("l_quantity").cast("decimal(12,2)").alias("qty"),
+             "l_extendedprice")
+    stats = li.groupBy(F.col("p_partkey").alias("sk")).agg(
+        F.sum("qty").alias("sum_qty"), F.count("*").alias("cnt")
+    )
+    small = li.join(F.broadcast(stats), F.col("p_partkey") == F.col("sk")).filter(
+        F.lit(5) * F.col("qty") * F.col("cnt") < F.col("sum_qty")
+    )
+    return small.agg(
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(24,6)")).cast("double")
+            / F.lit(7.0),
+            ROUND,
+        ).alias("avg_yearly")
     )
 
 
@@ -2481,6 +2693,12 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE len({duck_tokens("text")}) > 0
         """,
+        "minhash_estimate_invariants": f"""
+            SELECT CAST(least(20, count(*)) AS BIGINT) AS n_twins,
+                   true AS twins_at_one, true AS est_within_bound
+            FROM documents
+            WHERE len({duck_tokens("text")}) > 0
+        """,
         "embed_invariants": """
             SELECT CAST(count(*) AS BIGINT) AS n_docs, true AS dims_ok,
                    true AS norm_ok, true AS deterministic
@@ -2722,6 +2940,92 @@ def oracle_sql() -> dict[str, str]:
               AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                               AND o_orderdate >= TIMESTAMP '2000-06-01')
             GROUP BY n_name ORDER BY n_name
+        """,
+        "tpch_q2": f"""
+            WITH offers AS (
+              SELECT p_partkey, p_type, l_suppkey,
+                     l_extendedprice / l_quantity AS unit
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_size = 15
+            ),
+            m AS (SELECT p_partkey AS mk, min(unit) AS munit FROM offers GROUP BY 1),
+            best AS (
+              SELECT DISTINCT p_partkey, p_type, l_suppkey, unit
+              FROM offers JOIN m ON p_partkey = mk AND unit = munit
+            )
+            SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
+                   round(unit, {ROUND}) + 0.0 AS unit_price
+            FROM best
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        """,
+        "tpch_q9": f"""
+            SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+                   round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE),
+                         {ROUND}) AS profit
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%red%'
+            GROUP BY n_name, year(o_orderdate)
+            ORDER BY n_name, o_year DESC
+        """,
+        "tpch_q12": """
+            SELECT l_returnflag,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+            GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "tpch_q15": f"""
+            WITH rev AS (
+              SELECT l_suppkey,
+                     sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS total_rev
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate <  TIMESTAMP '1996-04-01'
+              GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name,
+                   round(CAST(total_rev AS DOUBLE), {ROUND}) AS total_rev
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_rev = (SELECT max(total_rev) FROM rev)
+            ORDER BY s_suppkey
+        """,
+        "tpch_q16": """
+            SELECT p_brand, p_type, p_size,
+                   CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#45'
+              AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY p_brand, p_type, p_size
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        "tpch_q17": f"""
+            WITH li AS (
+              SELECT p_partkey, CAST(l_quantity AS DECIMAL(12,2)) AS qty,
+                     l_extendedprice
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_brand = 'Brand#23'
+            ),
+            stats AS (
+              SELECT p_partkey AS sk, sum(qty) AS sum_qty, count(*) AS cnt
+              FROM li GROUP BY 1
+            )
+            SELECT round(
+                     CAST(sum(CAST(l_extendedprice AS DECIMAL(24,6))) AS DOUBLE) / 7.0,
+                     {ROUND}) AS avg_yearly
+            FROM li JOIN stats ON p_partkey = sk
+            WHERE 5 * qty * cnt < sum_qty
         """,
         "rolling_window": f"""
             SELECT event_id, user_id,
@@ -3065,6 +3369,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18": q_tpch_q18,
         # new in round 4:
         # (inserted here as they land; each displaces one r3-green filler)
+        "minhash_estimate_invariants": q_minhash_estimate_invariants,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q17": q_tpch_q17,
         # r3-green representatives filling the window to 50:
         "knn_l2sq": q_knn_l2sq,
         "knn_join": q_knn_join,
@@ -3084,12 +3395,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "overlap_join": q_overlap_join,
+        # -- 51+: green in r3 itself, rotated out for one round -----------
         "sessionize": q_sessionize,
         "asof_forward": q_asof_forward,
         "asof_nearest": q_asof_nearest,
         "bm25_consolidate": q_bm25_consolidate,
         "rag_pipeline": q_rag_pipeline,
-        # -- 51+: green in r3 itself, rotated out for one round -----------
         "mix_domains": q_mix_domains,
         "decontaminate_semantic": q_decontaminate_semantic,
         "rrf_hybrid": q_rrf_hybrid,
