@@ -254,3 +254,101 @@ def test_chunk_documents_is_shuffle_free(spark):
     plan = _plan(chunk_documents(docs, max_tokens=32, overlap=8))
     assert "Exchange" not in plan
     assert "Generate" in plan  # the explode of chunk ids
+
+
+def test_tpch_q2_broadcasts_dims_no_cartesian(spark):
+    """The min-per-part join-back must stay an equi-join (partkey + unit),
+    with part/supplier/nation riding broadcasts — a nested loop over
+    offers x offers would be quadratic in the fact table."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_tpch_q2(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_tpch_q9_single_shuffled_join(spark):
+    """Profit rollup: only the lineitem<->orders join may shuffle; the
+    part filter, supplier, and nation all broadcast into the fact scan."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_tpch_q9(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+
+
+def test_tpch_q12_date_filter_reaches_scan(spark):
+    """The one-year window must prune the lineitem scan before the orders
+    join — post-join filtering reads the whole fact table at scale."""
+    import __spark_entry__ as e
+
+    df = e.q_tpch_q12(spark, SF_DIR)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    pushed = plan.split("PushedFilters:")[1].split("\n")[0]
+    assert "GreaterThanOrEqual(l_shipdate" in pushed
+    assert "LessThan(l_shipdate" in pushed
+
+
+def test_tpch_q15_broadcasts_scalar_max_and_supplier(spark):
+    """Top-supplier: the scalar max and the supplier dim must broadcast;
+    the only shuffle is the per-supplier revenue agg."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_tpch_q15(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 1
+    # scalar max rides a broadcast nested loop (1-row build side) or BHJ
+    assert "BroadcastExchange" in plan
+
+
+def test_tpch_q16_anti_join_and_pruned_lineitem(spark):
+    """Supplier-count rollup: excluded suppliers via LeftAnti broadcast,
+    and lineitem pruned to the two join keys."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_tpch_q16(spark, SF_DIR))
+    assert "LeftAnti" in plan
+    li_scan = [s for s in plan.split("FileScan") if "lineitem" in s[:400]]
+    assert li_scan
+    read = li_scan[0].split("ReadSchema")[1][:200]
+    assert "l_extendedprice" not in read and "l_quantity" not in read
+
+
+def test_tpch_q17_broadcasts_stats_no_cartesian(spark):
+    """The per-part average rides a broadcast join back onto the
+    brand-pruned facts — never a cartesian, never a shuffled self-join."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_tpch_q17(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") == 0
+
+
+def test_minhash_estimate_matches_exact_within_bound(spark):
+    """Estimate-mode Jaccard (coordinate agreement) must track exact
+    shingle Jaccard — the xorshift avalanche decorrelates the KM stream;
+    without it one shared low-h2 shingle drove near-disjoint docs to
+    estimate ~1.0 (the 63/64-coordinate pathology)."""
+    from lanterndb_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    est = minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=0.0, verify="estimate", max_bucket=None
+    ).select("id_a", "id_b", F.col("jaccard").alias("est_j"))
+    exact = minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=0.0, verify="exact", max_bucket=None
+    ).select("id_a", "id_b", F.col("jaccard").alias("exact_j"))
+    row = (
+        est.join(exact, ["id_a", "id_b"])
+        .agg(F.max(F.abs(F.col("est_j") - F.col("exact_j"))).alias("max_err"),
+             F.count("*").alias("n"))
+        .first()
+    )
+    assert row["n"] > 0
+    assert row["max_err"] <= 0.3
