@@ -1655,6 +1655,108 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, day-of-week): all four grouping combinations
+    in ONE pass — Spark expands the cube map-side before a single shuffle
+    (Expand node), exactly the multi-grain rollup a 100 TB reporting job
+    wants instead of four separate aggregations. Complements doc_rollup
+    (ROLLUP) for §2.9 grouping-set coverage."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    return (
+        ev.withColumn("dow", F.dayofweek("ts"))
+        .cube("event_type", "dow")
+        .agg(
+            F.count("*").alias("n"),
+            # decimal sum: the grand-total cell folds the WHOLE stream, where
+            # double accumulation order drifts past 9dp (q22 pattern)
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), ROUND
+            ).alias("sum_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("dow").cast("string"), F.lit("ALL")).alias("dow"),
+            "n", "sum_value",
+        )
+        .orderBy("event_type", "dow")
+    )
+
+
+def q_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function battery over the event stream: lead/lag deltas,
+    quartile bucket (ntile), percent_rank, and first-value-in-partition —
+    one shuffle on user_id serves every frame (all windows share the
+    partitioning, so Catalyst plans a single Sort+Window chain)."""
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        ev.select(
+            "event_id", "user_id",
+            F.round(
+                F.coalesce(
+                    F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w),
+                    F.lit(0.0),
+                ),
+                ROUND,
+            ).alias("secs_since_prev"),
+            F.ntile(4).over(w).alias("quartile"),
+            (F.round(F.percent_rank().over(w), ROUND) + F.lit(0.0)).alias("pct_rank"),
+            F.first("event_type").over(w).alias("first_type"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operator spine: INTERSECT (users who clicked AND purchased) and
+    EXCEPT (clicked but never purchased), tagged and unioned. Both compile
+    to aggregate/anti-join shapes on user_id — one shuffle each, no
+    row-level distinct over the full stream."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    both = clickers.intersect(buyers).withColumn("cohort", F.lit("click_and_buy"))
+    only = clickers.subtract(buyers).withColumn("cohort", F.lit("click_no_buy"))
+    return both.unionByName(only).orderBy("cohort", "user_id")
+
+
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important inventory by value share), adapted: the
+    part-supplier value relation derives from lineitem (no partsupp) for
+    suppliers of ONE nation; parts whose value exceeds a fraction of the
+    nation total survive. The scalar threshold is one tiny agg broadcast
+    into the HAVING — decimal sums keep the cutoff exact across engines."""
+    t = load_tables(spark, sf_dir, ["supplier", "nation", "lineitem"])
+    supp = (
+        t["supplier"]
+        .join(F.broadcast(t["nation"].filter(F.col("n_name") == "NATION_7")
+                          .select("n_nationkey")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    val = (F.col("l_extendedprice") * F.col("l_quantity")).cast("decimal(24,6)")
+    lv = (
+        t["lineitem"]
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("l_partkey", val.alias("v"))
+    )
+    per_part = lv.groupBy("l_partkey").agg(F.sum("v").alias("part_value"))
+    total = lv.agg(F.sum("v").alias("tot"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        # cross-multiplied 0.1% threshold: decimal*int is exact in both
+        # engines, decimal*double would degrade to double and drift
+        .filter(F.col("part_value") * F.lit(1000) > F.col("tot"))
+        .select(
+            "l_partkey",
+            F.round(F.col("part_value").cast("double"), ROUND).alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
 def q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data gauntlet (operators/curate.py):
     too_short -> low_quality -> repetitive -> duplicate -> kept+split,
@@ -3027,6 +3129,56 @@ def oracle_sql() -> dict[str, str]:
             FROM li JOIN stats ON p_partkey = sk
             WHERE 5 * qty * cnt < sum_qty
         """,
+        "events_cube": f"""
+            SELECT coalesce(event_type, 'ALL') AS event_type,
+                   coalesce(CAST(dow AS VARCHAR), 'ALL') AS dow,
+                   count(*) AS n,
+                   round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), {ROUND}) AS sum_value
+            FROM (SELECT event_type, dayofweek(CAST(ts AS DATE)) + 1 AS dow, value
+                  FROM events)
+            GROUP BY CUBE (event_type, dow)
+            ORDER BY event_type, dow
+        """,
+        "window_stats": f"""
+            SELECT event_id, user_id,
+                   round(coalesce(epoch(ts) - lag(epoch(ts)) OVER w, 0.0), {ROUND}) AS secs_since_prev,
+                   CAST(ntile(4) OVER w AS INT) AS quartile,
+                   round(percent_rank() OVER w, {ROUND}) + 0.0 AS pct_rank,
+                   first_value(event_type) OVER w AS first_type
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ORDER BY event_id
+        """,
+        "set_ops": """
+            SELECT user_id, 'click_and_buy' AS cohort FROM (
+              SELECT user_id FROM events WHERE event_type = 'click'
+              INTERSECT
+              SELECT user_id FROM events WHERE event_type = 'purchase'
+            )
+            UNION ALL
+            SELECT user_id, 'click_no_buy' AS cohort FROM (
+              SELECT user_id FROM events WHERE event_type = 'click'
+              EXCEPT
+              SELECT user_id FROM events WHERE event_type = 'purchase'
+            )
+            ORDER BY cohort, user_id
+        """,
+        "tpch_q11": f"""
+            WITH supp AS (
+              SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+              WHERE n_name = 'NATION_7'
+            ),
+            lv AS (
+              SELECT l_partkey, CAST(l_extendedprice * l_quantity AS DECIMAL(24,6)) AS v
+              FROM lineitem JOIN supp ON l_suppkey = s_suppkey
+            ),
+            pp AS (SELECT l_partkey, sum(v) AS part_value FROM lv GROUP BY 1),
+            tot AS (SELECT sum(v) AS tot FROM lv)
+            SELECT l_partkey, round(CAST(part_value AS DOUBLE), {ROUND}) AS part_value
+            FROM pp CROSS JOIN tot
+            WHERE part_value * 1000 > tot
+            ORDER BY part_value DESC, l_partkey
+        """,
         "rolling_window": f"""
             SELECT event_id, user_id,
                    round(avg(value) OVER w3, {ROUND}) AS mov_avg,
@@ -3376,6 +3528,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q15": q_tpch_q15,
         "tpch_q16": q_tpch_q16,
         "tpch_q17": q_tpch_q17,
+        "tpch_q11": q_tpch_q11,
+        "events_cube": q_events_cube,
+        "window_stats": q_window_stats,
+        "set_ops": q_set_ops,
         # r3-green representatives filling the window to 50:
         "knn_l2sq": q_knn_l2sq,
         "knn_join": q_knn_join,
@@ -3391,11 +3547,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "emb_near_dup": q_emb_near_dup,
         "tpch_q1": q_tpch_q1,
+        # -- 51+: green in r3 itself, rotated out for one round -----------
         "events_tumbling": q_events_tumbling,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "overlap_join": q_overlap_join,
-        # -- 51+: green in r3 itself, rotated out for one round -----------
         "sessionize": q_sessionize,
         "asof_forward": q_asof_forward,
         "asof_nearest": q_asof_nearest,

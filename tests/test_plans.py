@@ -352,3 +352,35 @@ def test_minhash_estimate_matches_exact_within_bound(spark):
     )
     assert row["n"] > 0
     assert row["max_err"] <= 0.3
+
+
+def test_events_cube_single_shuffle_expand(spark):
+    """CUBE must plan as one Expand + one aggregation shuffle — four
+    separate scans/aggs would read the stream four times at scale."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_events_cube(spark, SF_DIR))
+    assert "Expand" in plan
+    # one agg exchange + the final orderBy's range exchange at most
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_window_stats_single_window_chain(spark):
+    """All four window functions share (user_id, ts) partitioning — the
+    plan must contain exactly one hash exchange for the window chain,
+    not one per function."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_window_stats(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_tpch_q11_broadcasts_suppliers_and_total(spark):
+    """The nation-filtered supplier list and the scalar total both ride
+    broadcasts; the only shuffle is the per-part value agg."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_tpch_q11(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") == 0
