@@ -40,6 +40,7 @@ class LanternTable:
         self._indexes: dict[str, tuple[str, object]] = {}  # vec_col -> (kind, index)
         self._codebooks: dict[str, DataFrame] = {}
         self._postings: dict[str, tuple[DataFrame, tuple[int, float]]] = {}
+        self._build_params: dict[tuple[str, str], dict] = {}  # (kind, col) -> params
         self._tombstones: list = []
         self._deltas: list[DataFrame] = []
 
@@ -113,16 +114,60 @@ class LanternTable:
         else:
             raise ValueError(f"unknown index kind {kind!r} (ivf | srp)")
         self._indexes[vec_col] = (kind, index)
+        self._build_params[("index", vec_col)] = {"kind": kind, **params}
         return self
 
     def drop_index(self, vec_col: str) -> "LanternTable":
         self._indexes.pop(vec_col, None)
         return self
 
+    def get_indexes(self) -> list[dict]:
+        """Index catalog (ldb_get_indexes analogue, lantern.sql's
+        ``SELECT * FROM ldb_get_indexes('tab')``): one row per
+        acceleration structure with its kind, column, key parameters, and
+        whether pending deltas make it stale (the reference surfaces
+        size/validity; staleness is the Spark-side equivalent hazard)."""
+        out: list[dict] = []
+        stale = bool(self._deltas) or bool(self._tombstones)
+        for col, (kind, idx) in self._indexes.items():
+            params: dict = {}
+            if kind == "ivf":
+                params["nlist"] = idx.centroids.shape[0] if hasattr(
+                    idx.centroids, "shape") else len(idx.centroids)
+            elif kind == "srp":
+                params["nbits"] = int(idx.planes.shape[0]) if hasattr(
+                    idx.planes, "shape") else len(idx.planes)
+            out.append({"column": col, "kind": kind, "params": params, "stale": stale})
+        for col in self._codebooks:
+            out.append({"column": col, "kind": "pq", "params": {}, "stale": stale})
+        for col in self._postings:
+            out.append({"column": col, "kind": "bm25", "params": {}, "stale": stale})
+        return out
+
+    def reindex(self) -> "LanternTable":
+        """REINDEX analogue (_lantern_internal.reindex_lantern_indexes):
+        fold pending deltas/tombstones into the base, then REBUILD every
+        ANN index, PQ codebook, and BM25 postings table from scratch on
+        the visible rows — unlike :func:`compact`, which patches existing
+        index row-sets incrementally, reindex re-trains (fresh centroids /
+        planes / codebook / postings), the remedy for drifted clusters
+        after heavy churn."""
+        self.base = self.df
+        self._deltas, self._tombstones = [], []
+        for vec_col, (kind, _idx) in list(self._indexes.items()):
+            params = dict(self._build_params.get(("index", vec_col), {"kind": kind}))
+            self.create_index(vec_col, **params)
+        for vec_col in list(self._codebooks):
+            self.create_pq(vec_col, **self._build_params.get(("pq", vec_col), {}))
+        for text_col in list(self._postings):
+            self.create_bm25(text_col, **self._build_params.get(("bm25", text_col), {}))
+        return self
+
     def create_pq(self, vec_col: str, **params) -> "LanternTable":
         from lanterndb_spark.operators.pq import train_codebook
 
         self._codebooks[vec_col] = train_codebook(self.df, vec_col, **params)
+        self._build_params[("pq", vec_col)] = dict(params)
         return self
 
     def create_bm25(self, text_col: str, **params) -> "LanternTable":
@@ -136,6 +181,7 @@ class LanternTable:
         postings = build_postings(docs, id_col=self.id_col, text_col=text_col, **params)
         stats = corpus_stats(docs, text_col=text_col, **params)
         self._postings[text_col] = (postings, stats)
+        self._build_params[("bm25", text_col)] = dict(params)
         return self
 
     # ---------------------------------------------------------- queries

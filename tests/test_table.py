@@ -119,3 +119,39 @@ def test_weighted_search_routes_through_index(tables):
     t.insert(df.limit(0))  # pending (empty) delta → exact-scan fallback
     fallback = t.weighted_search(terms, ef=50, limit=10).collect()
     assert {r["id"] for r in fallback} == {r["id"] for r in after}
+
+
+def test_get_indexes_catalog_and_staleness(emb):
+    """ldb_get_indexes analogue: one row per structure with kind/params,
+    and the stale flag flips when deltas/tombstones are pending."""
+    t = LanternTable(emb, "vec_id").create_index("embedding", kind="ivf", nlist=4, seed=1)
+    t.create_pq("embedding", splits=4, clusters=4, seed=1)
+    cat = {(e["kind"], e["column"]): e for e in t.get_indexes()}
+    assert ("ivf", "embedding") in cat and ("pq", "embedding") in cat
+    assert cat[("ivf", "embedding")]["params"]["nlist"] == 4
+    assert not cat[("ivf", "embedding")]["stale"]
+    t.delete([0])
+    assert all(e["stale"] for e in t.get_indexes())
+    t.compact()
+    assert not any(e["stale"] for e in t.get_indexes())
+
+
+def test_reindex_retrains_with_original_params(emb):
+    """REINDEX analogue: folds churn into the base, rebuilds from scratch
+    with the original build params, and the rebuilt index serves correct
+    results (deleted row gone, inserted row findable)."""
+    half = emb.filter(F.col("vec_id") < 400)
+    rest = emb.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 420))
+    t = LanternTable(half, "vec_id").create_index("embedding", kind="ivf", nlist=4, seed=1)
+    t.insert(rest).delete([1, 2])
+    t.reindex()
+    assert not t._deltas and not t._tombstones
+    cat = {(e["kind"], e["column"]): e for e in t.get_indexes()}
+    assert cat[("ivf", "embedding")]["params"]["nlist"] == 4
+    # full-probe search == exact knn on the visible rows (correctness)
+    q = qvec(emb, 410)
+    got = [r["vec_id"] for r in t.knn("embedding", q, k=5, nprobe=4).collect()]
+    exact = [r["vec_id"] for r in knn(t.df, "embedding", q, k=5, id_col="vec_id").collect()]
+    assert got == exact
+    assert 410 in set(got)  # inserted row visible (self-nearest)
+    assert 1 not in set(got) and 2 not in set(got)
