@@ -1585,6 +1585,97 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (suppliers with excess stock of a part family),
+    adapted: no partsupp/ps_availqty, so the "excess" predicate becomes
+    "more than half of this (part, supplier) pair's all-time shipped
+    quantity moved inside the 1996-97 window", cross-multiplied to
+    2*qty_win > qty_total over exact decimals (no 0.5 float). Same plan
+    skeleton as the original's nested IN chain: part family broadcast
+    into the fact scan, one shuffle for the (partkey, suppkey) pair agg,
+    qualifying-supplier list broadcast into a semi join against the
+    nation-pruned supplier dim. Scale shape: lineitem is touched once and
+    aggregated map-side; nothing driver-sized except the dims."""
+    t = load_tables(spark, sf_dir, ["part", "supplier", "nation", "lineitem"])
+    fam = t["part"].filter(F.col("p_name").like("red%")).select("p_partkey")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    in_win = (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    pairs = (
+        t["lineitem"]
+        .join(F.broadcast(fam), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.when(in_win, qty).otherwise(qty * 0)).alias("qty_win"),
+            F.sum(qty).alias("qty_total"),
+        )
+    )
+    qual = (
+        pairs.filter(F.lit(2) * F.col("qty_win") > F.col("qty_total"))
+        .select("l_suppkey").distinct()
+    )
+    nat = t["nation"].filter(F.col("n_name").isin("NATION_3", "NATION_4")).select("n_nationkey")
+    return (
+        t["supplier"]
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(qual), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting), adapted: no
+    l_commitdate/l_receiptdate, so "late" is l_shipdate more than 90 days
+    after o_orderdate. The EXISTS/NOT-EXISTS pair becomes a per-order
+    aggregate — an order qualifies when it has >=2 distinct suppliers but
+    exactly ONE distinct late supplier (the sole-blame rewrite; provably
+    the same set). Deliberately NOT two count_distincts — that plans as
+    an Expand that doubles the fact rows. Instead lineitems collapse to
+    (order, supplier) pairs with a map-side-combined agg, and one window
+    over l_orderkey derives both per-order counts on the collapsed
+    pairs: the fact table crosses the wire once post-combine, every
+    later exchange moves pair-sized data, and numwait sums the
+    pair-level late-row counts (identical to counting l1 rows).
+    Nation-filtered supplier dim broadcasts. Counts only — no float
+    surface."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir, ["supplier", "nation", "lineitem", "orders"])
+    ordf = t["orders"].filter(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate")
+    li = (
+        t["lineitem"].select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(ordf, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey", "l_suppkey",
+            (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("late"),
+        )
+    )
+    pair = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("supp_late"),
+        F.sum(F.col("late").cast("long")).alias("late_rows"),
+    )
+    w = Window.partitionBy("l_orderkey")
+    blamed = (
+        pair
+        .withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("n_late", F.sum(F.col("supp_late").cast("long")).over(w))
+        .filter(F.col("supp_late") & (F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+    )
+    nat = t["nation"].filter(F.col("n_name") == "NATION_7").select("n_nationkey")
+    supp = (
+        t["supplier"]
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        blamed.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.sum("late_rows").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
 def q_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered analytics spine: per-user 3-row moving average + running
     sum over the event stream. One shuffle on user_id; both frames are
@@ -3129,6 +3220,47 @@ def oracle_sql() -> dict[str, str]:
             FROM li JOIN stats ON p_partkey = sk
             WHERE 5 * qty * cnt < sum_qty
         """,
+        "tpch_q20": """
+            WITH pairs AS (
+              SELECT l_partkey, l_suppkey,
+                     sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                              AND l_shipdate < TIMESTAMP '1998-01-01'
+                              THEN CAST(l_quantity AS DECIMAL(12,2))
+                              ELSE CAST(0 AS DECIMAL(12,2)) END) AS qty_win,
+                     sum(CAST(l_quantity AS DECIMAL(12,2))) AS qty_total
+              FROM lineitem
+              WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+              GROUP BY 1, 2
+            )
+            SELECT s_suppkey, s_name, s_acctbal
+            FROM supplier
+            WHERE s_nationkey IN (SELECT n_nationkey FROM nation
+                                  WHERE n_name IN ('NATION_3', 'NATION_4'))
+              AND s_suppkey IN (SELECT l_suppkey FROM pairs
+                                WHERE 2 * qty_win > qty_total)
+            ORDER BY s_name
+        """,
+        "tpch_q21": """
+            WITH li AS (
+              SELECT l_orderkey, l_suppkey,
+                     l_shipdate > o_orderdate + INTERVAL 90 DAY AS late
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              WHERE o_orderstatus = 'F'
+            ),
+            l1 AS (
+              SELECT * FROM li x WHERE late
+                AND EXISTS (SELECT 1 FROM li y WHERE y.l_orderkey = x.l_orderkey
+                            AND y.l_suppkey <> x.l_suppkey)
+                AND NOT EXISTS (SELECT 1 FROM li z WHERE z.l_orderkey = x.l_orderkey
+                                AND z.l_suppkey <> x.l_suppkey AND z.late)
+            )
+            SELECT s_name, count(*) AS numwait
+            FROM l1 JOIN supplier ON l_suppkey = s_suppkey
+            WHERE s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_7')
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name
+            LIMIT 100
+        """,
         "events_cube": f"""
             SELECT coalesce(event_type, 'ALL') AS event_type,
                    coalesce(CAST(dow AS VARCHAR), 'ALL') AS dow,
@@ -3529,6 +3661,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q16": q_tpch_q16,
         "tpch_q17": q_tpch_q17,
         "tpch_q11": q_tpch_q11,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21,
         "events_cube": q_events_cube,
         "window_stats": q_window_stats,
         "set_ops": q_set_ops,
@@ -3543,11 +3677,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_exact_equiv": q_ivf_exact_equiv,
         "srp_exact_equiv": q_srp_exact_equiv,
         "ivfpq_exact_equiv": q_ivfpq_exact_equiv,
+        # -- 51+: green in r3 itself, rotated out for one round -----------
         "cluster_balance": q_cluster_balance,
         "dedup_exact": q_dedup_exact,
         "emb_near_dup": q_emb_near_dup,
         "tpch_q1": q_tpch_q1,
-        # -- 51+: green in r3 itself, rotated out for one round -----------
         "events_tumbling": q_events_tumbling,
         "asof_join": q_asof_join,
         "range_join": q_range_join,

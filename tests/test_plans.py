@@ -384,3 +384,32 @@ def test_tpch_q11_broadcasts_suppliers_and_total(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan
     assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") == 0
+
+
+def test_tpch_q20_semi_join_pair_agg(spark):
+    """Excess-stock suppliers: the part family and the qualifying-supplier
+    list both broadcast (LeftSemi), the only shuffle is the
+    (partkey, suppkey) pair agg — no cartesian fallback."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_tpch_q20(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") == 0
+
+
+def test_tpch_q21_no_expand_two_pair_sized_exchanges(spark):
+    """Waiting-orders: the sole-blame rewrite must NOT plan as a
+    multi-count-distinct Expand (doubles the fact rows); the fact crosses
+    the wire once post-combine into (order, supplier) pairs and the
+    window exchange moves pair-sized data only. Supplier broadcasts; no
+    join back against raw lineitems."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_tpch_q21(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "Expand" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning(l_orderkey") <= 2
