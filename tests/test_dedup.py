@@ -244,3 +244,86 @@ def test_minhash_cap_disabled_matches_capped_groups(dup_docs):
                                    threshold=0.4, max_bucket=None).collect()
     }
     assert capped == uncapped and capped
+
+
+def test_minhash_incremental_matches_full_run(spark, tables):
+    """incremental(old_sigs, new_batch) must equal the estimate-mode full
+    run over old+new restricted to pairs touching a new doc (same params,
+    max_bucket=None) — band hashes from stored signatures collide exactly
+    with band hashes from a fresh build."""
+    from lanterndb_spark.operators.dedup import minhash_lsh_incremental
+
+    docs = tables["documents"].select("doc_id", "text").limit(200)
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    old_sigs = minhash_signatures(old, "doc_id", "text", 32, 3)
+
+    inc = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_incremental(
+            old_sigs, new, "doc_id", "text",
+            num_hashes=32, bands=16, threshold=0.3, max_bucket=None,
+        ).collect()
+    }
+    full = minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=32, bands=16, threshold=0.3,
+        verify="estimate", max_bucket=None,
+    )
+    new_ids = {r["doc_id"] for r in new.collect()}
+    expected = {}
+    for r in full.collect():
+        a, b = r["id_a"], r["id_b"]
+        if a in new_ids or b in new_ids:
+            # incremental emits (corpus_id, new_id) for cross pairs and
+            # (min,max) for new-new; normalize both to frozenset keys
+            expected[frozenset((a, b))] = r["jaccard"]
+    got = {frozenset((a, b)): j for (a, b), j in inc.items()}
+    assert set(got) == set(expected)
+    for k in got:
+        assert got[k] == pytest.approx(expected[k])
+
+
+def test_minhash_incremental_finds_new_twins(spark, dup_docs):
+    """A new doc identical to a corpus doc must surface at jaccard 1.0,
+    and a twin WITHIN the new batch must also surface."""
+    from lanterndb_spark.operators.dedup import minhash_lsh_incremental
+
+    old_sigs = minhash_signatures(dup_docs, "doc_id", "text", 32, 3)
+    new = spark.createDataFrame(
+        [
+            (101, "the quick brown fox jumps over the lazy dog"),  # dup of corpus 1/2
+            (102, "totally novel text with no duplicates anywhere"),
+            (103, "totally novel text with no duplicates anywhere"),  # dup of 102
+        ],
+        "doc_id int, text string",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_incremental(
+            old_sigs, new, "doc_id", "text", num_hashes=32, bands=16, threshold=0.9
+        ).collect()
+    }
+    assert pairs[(1, 101)] == pytest.approx(1.0)
+    assert pairs[(2, 101)] == pytest.approx(1.0)
+    assert pairs[(102, 103)] == pytest.approx(1.0)
+    # no corpus-corpus pairs leak into the incremental output
+    assert all(b >= 101 for (_, b) in pairs)
+
+
+def test_minhash_incremental_caps_hot_corpus_bucket(spark):
+    """A corpus bucket over max_bucket yields at most max_bucket partners
+    per new doc (the smallest ids), bounding ingest fan-out."""
+    from lanterndb_spark.operators.dedup import minhash_lsh_incremental
+
+    blob = "identical boilerplate text repeated everywhere in the corpus"
+    corpus = spark.createDataFrame(
+        [(i, blob) for i in range(50)], "doc_id int, text string"
+    )
+    old_sigs = minhash_signatures(corpus, "doc_id", "text", 32, 3)
+    new = spark.createDataFrame([(1000, blob)], "doc_id int, text string")
+    pairs = minhash_lsh_incremental(
+        old_sigs, new, "doc_id", "text",
+        num_hashes=32, bands=16, threshold=0.9, max_bucket=10,
+    ).collect()
+    partners = sorted(r["id_a"] for r in pairs)
+    assert partners == list(range(10))  # the 10 smallest corpus ids
