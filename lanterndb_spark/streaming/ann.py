@@ -1,0 +1,95 @@
+"""Streaming ANN index maintenance — continuous vector ingest.
+
+Reference analogue: the external-index daemon keeps a lantern_hnsw index
+current as rows arrive — ``aminsert`` appends each new vector to the
+existing graph without retraining (lantern_hnsw/src/hnsw/insert.c:51-262),
+deletes tombstone labels that scans then skip
+(delete.c:15-72, scan.c:294-300), and a REINDEX folds the churn.
+
+Spark recast over the same lifecycle, with Structured Streaming driving
+the ingest: each micro-batch of new vectors is assigned to the EXISTING
+IVF centroids (``ivf_assign`` — the no-retrain aminsert analogue) inside
+``foreachBatch`` and appended to a delta set; deletes tombstone ids
+driver-side; ``searchable()`` composes base ∪ deltas MINUS tombstones
+with every side carrying ``cluster_id``, so nprobe partition pruning
+keeps working across ingested rows; ``compact()`` is the REINDEX moment.
+
+Scale shape: assignment is embarrassingly parallel (broadcast centroids,
+Arrow-batched argmin), each micro-batch touches only its own rows, and
+the composed searchable view is a union of cluster-pruned scans — no
+full-index rewrite on ingest, exactly the aminsert economics. Centroid
+DRIFT is the one thing streaming cannot fix incrementally (neither can
+the reference — it never retrains on insert either); monitor with
+``autotune.validate_ann`` and rebuild when recall degrades.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from lanterndb_spark.operators.ivf import IvfIndex, ivf_assign
+from lanterndb_spark.operators.maintenance import apply_tombstones, with_deltas
+
+
+class AnnIngest:
+    """Mutable handle over a base IvfIndex plus streamed deltas/deletes.
+
+    Use ``writer`` with ``stream.writeStream.foreachBatch(...)``; query
+    through ``searchable()`` / ``as_index()`` at any point; ``compact()``
+    folds everything into a fresh IvfIndex handle."""
+
+    def __init__(self, index: IvfIndex, id_col: str):
+        self.index = index
+        self.id_col = id_col
+        self.deltas: list[DataFrame] = []
+        self.tombstone_ids: list = []
+        self.batches = 0
+
+    def writer(self):
+        def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+            # assign against the frozen centroids — no retrain, like
+            # aminsert appending to the existing graph
+            self.deltas.append(ivf_assign(self.index, batch_df))
+            self.batches += 1
+
+        return write_batch
+
+    def delete(self, ids: list) -> None:
+        """Tombstone ids (ambulkdelete analogue) — they disappear from
+        ``searchable()`` immediately; storage is reclaimed at compact()."""
+        self.tombstone_ids.extend(ids)
+
+    def searchable(self) -> DataFrame:
+        """base ∪ streamed deltas MINUS tombstones, all cluster-assigned —
+        the scan-time view that skips INVALID_ELEMENT_LABEL rows."""
+        out = with_deltas(self.index.assigned, *self.deltas)
+        if self.tombstone_ids:
+            out = apply_tombstones(out, self.tombstone_ids, self.id_col)
+        return out
+
+    def as_index(self) -> IvfIndex:
+        """An IvfIndex handle over the composed view — feed straight into
+        ivf_search / ivf_search_batch (nprobe pruning included)."""
+        return IvfIndex(self.searchable(), self.index.centroids, self.index.vec_col)
+
+    def compact(self) -> IvfIndex:
+        """REINDEX-lite: fold deltas + tombstones into one clean assigned
+        DataFrame under the SAME centroids (persist/write it to retire the
+        tombstone set). Retraining on drift is build_ivf, not this."""
+        folded = IvfIndex(self.searchable(), self.index.centroids, self.index.vec_col)
+        self.index = folded
+        self.deltas = []
+        self.tombstone_ids = []
+        return folded
+
+
+def ann_ingest_stream(index: IvfIndex, id_col: str = "vec_id") -> AnnIngest:
+    """Wire a vector stream into an existing IVF index::
+
+        ingest = ann_ingest_stream(idx, id_col="vec_id")
+        q = (vec_stream.writeStream.foreachBatch(ingest.writer())
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        hits = ivf_search_batch(ingest.as_index(), queries, k=10, nprobe=4)
+    """
+    return AnnIngest(index, id_col)
