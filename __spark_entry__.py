@@ -1813,6 +1813,31 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style resample + gap-fill (time_bucket → densify →
+    LOCF), `operators/timeseries.py`: hourly per-user averages on a fixed
+    grid, holes generated EXECUTOR-side (per-key F.sequence + explode —
+    never a driver date range) and filled with last-observation-carried-
+    forward via one Sort+Window pass that reuses the grid's key
+    partitioning. Grid size is output-proportional (keys × buckets), not
+    input-proportional. Oracle reproduces the pipeline with
+    generate_series + IGNORE NULLS last_value."""
+    from lanterndb_spark.operators.timeseries import resample
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"].filter(F.col("user_id") < 20)
+    out = resample(
+        ev, "ts", "user_id", 3600,
+        {"avg_value": F.avg("value"), "n": F.count("*")},
+    )
+    return out.select(
+        "user_id",
+        F.unix_timestamp("__bucket").alias("bucket"),
+        (F.round("avg_value", ROUND) + F.lit(0.0)).alias("avg_value"),
+        "n",
+        F.col("__gap").alias("is_gap"),
+    ).orderBy("user_id", "bucket")
+
+
 def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (event_type, day-of-week): all four grouping combinations
     in ONE pass — Spark expands the cube map-side before a single shuffle
@@ -3334,6 +3359,36 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY numwait DESC, s_name
             LIMIT 100
         """,
+        "events_resample": f"""
+            WITH agged AS (
+              SELECT user_id,
+                     to_timestamp(floor(epoch(ts)/3600)*3600) AS bucket,
+                     avg(value) AS av, CAST(count(*) AS BIGINT) AS n
+              FROM events WHERE user_id < 20 GROUP BY 1, 2
+            ),
+            spans AS (
+              SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+              FROM agged GROUP BY 1
+            ),
+            grid AS (
+              SELECT user_id,
+                     unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+              FROM spans
+            ),
+            joined AS (
+              SELECT g.user_id, g.bucket, a.av, a.n
+              FROM grid g
+              LEFT JOIN agged a ON g.user_id = a.user_id AND g.bucket = a.bucket
+            )
+            SELECT user_id,
+                   CAST(epoch(bucket) AS BIGINT) AS bucket,
+                   round(last_value(av IGNORE NULLS) OVER w, {ROUND}) + 0.0 AS avg_value,
+                   last_value(n IGNORE NULLS) OVER w AS n,
+                   (av IS NULL) AS is_gap
+            FROM joined
+            WINDOW w AS (PARTITION BY user_id ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+            ORDER BY user_id, bucket
+        """,
         "events_cube": f"""
             SELECT coalesce(event_type, 'ALL') AS event_type,
                    coalesce(CAST(dow AS VARCHAR), 'ALL') AS dow,
@@ -3738,6 +3793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q20": q_tpch_q20,
         "tpch_q21": q_tpch_q21,
         "events_cube": q_events_cube,
+        "events_resample": q_events_resample,
         "window_stats": q_window_stats,
         "set_ops": q_set_ops,
         # r3-green representatives filling the window to 50:
@@ -3749,8 +3805,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq8_knn": q_sq8_knn,
         "text_metrics": q_text_metrics,
         "ivf_exact_equiv": q_ivf_exact_equiv,
-        "srp_exact_equiv": q_srp_exact_equiv,
         # -- 51+: green in r3 itself, rotated out for one round -----------
+        "srp_exact_equiv": q_srp_exact_equiv,
         "ivfpq_exact_equiv": q_ivfpq_exact_equiv,
         "cluster_balance": q_cluster_balance,
         "dedup_exact": q_dedup_exact,

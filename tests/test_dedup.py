@@ -327,3 +327,23 @@ def test_minhash_incremental_caps_hot_corpus_bucket(spark):
     ).collect()
     partners = sorted(r["id_a"] for r in pairs)
     assert partners == list(range(10))  # the 10 smallest corpus ids
+
+
+def test_minhash_verify_scope_equivalence(tables):
+    """Candidate-scoped exact verification must emit bit-identical pairs
+    and jaccards to the default corpus-scoped pass."""
+    docs = tables["documents"].select("doc_id", "text").limit(300)
+    a = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", num_hashes=32, bands=16, threshold=0.3
+        ).collect()
+    }
+    b = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", num_hashes=32, bands=16, threshold=0.3,
+            verify_scope="candidates",
+        ).collect()
+    }
+    assert a == b and len(a) > 0

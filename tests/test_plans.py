@@ -413,3 +413,17 @@ def test_tpch_q21_no_expand_two_pair_sized_exchanges(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("Exchange hashpartitioning(l_orderkey") <= 2
+
+
+def test_events_resample_grid_is_executor_side(spark):
+    """Resample: the densified grid must come from a Generate (sequence +
+    explode) over per-key spans — never a driver-built range — and the
+    LOCF window must not add an exchange beyond the key partitioning."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_events_resample(spark, SF_DIR))
+    assert "Generate explode" in plan
+    assert "CartesianProduct" not in plan
+    # spans agg + grid-vs-agged join + window all key on user_id; the
+    # window itself must piggyback on an existing user_id exchange
+    assert "Window" in plan
