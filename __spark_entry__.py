@@ -1838,6 +1838,56 @@ def q_events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "bucket")
 
 
+def q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-percentile battery per event type (median/p90 with linear
+    interpolation — Spark `percentile`, DuckDB `quantile_cont`, same
+    definition). Exact percentiles need the group's values together: one
+    shuffle on event_type, sort within group. The approximate sibling for
+    100 TB is sketch_quantiles (KLL bounds, mergeable); this pins the
+    exact semantics the approximate one is graded against."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            (F.round(F.expr("percentile(value, 0.5)"), ROUND) + F.lit(0.0)).alias("p50"),
+            (F.round(F.expr("percentile(value, 0.9)"), ROUND) + F.lit(0.0)).alias("p90"),
+            (F.round(F.expr("percentile(value, 0.99)"), ROUND) + F.lit(0.0)).alias("p99"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_user_day_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join shape (the one join type the spine hadn't pinned):
+    user-day click activity vs purchase activity — ~40% of rows exist on
+    only one side, so the outer semantics are actually exercised. The
+    USING-style join merges the keys; missing counts coalesce to 0. Both
+    sides aggregate first (map-side combine), so the outer join moves
+    group-sized rows, and both shuffles share the (user_id, day) key."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    day = F.date_trunc("day", F.col("ts")).alias("d")
+
+    def side(kind: str, out: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == kind)
+            .groupBy("user_id", day)
+            .agg(F.count("*").alias(out))
+        )
+
+    clicks, purchases = side("click", "n_click"), side("purchase", "n_purchase")
+    return (
+        clicks.join(purchases, on=["user_id", "d"], how="full_outer")
+        .select(
+            "user_id",
+            F.unix_timestamp("d").alias("day"),
+            F.coalesce("n_click", F.lit(0)).alias("n_click"),
+            F.coalesce("n_purchase", F.lit(0)).alias("n_purchase"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
 def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (event_type, day-of-week): all four grouping combinations
     in ONE pass — Spark expands the cube map-side before a single shuffle
@@ -3359,6 +3409,32 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY numwait DESC, s_name
             LIMIT 100
         """,
+        "events_percentiles": f"""
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), {ROUND}) + 0.0 AS p50,
+                   round(quantile_cont(value, 0.9), {ROUND}) + 0.0 AS p90,
+                   round(quantile_cont(value, 0.99), {ROUND}) + 0.0 AS p99,
+                   count(*) AS n
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "user_day_full_outer": """
+            WITH c AS (
+              SELECT user_id, date_trunc('day', ts) AS d,
+                     CAST(count(*) AS BIGINT) AS n_click
+              FROM events WHERE event_type = 'click' GROUP BY 1, 2
+            ),
+            p AS (
+              SELECT user_id, date_trunc('day', ts) AS d,
+                     CAST(count(*) AS BIGINT) AS n_purchase
+              FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+            )
+            SELECT coalesce(c.user_id, p.user_id) AS user_id,
+                   CAST(epoch(coalesce(c.d, p.d)) AS BIGINT) AS day,
+                   coalesce(n_click, 0) AS n_click,
+                   coalesce(n_purchase, 0) AS n_purchase
+            FROM c FULL OUTER JOIN p ON c.user_id = p.user_id AND c.d = p.d
+            ORDER BY user_id, day
+        """,
         "events_resample": f"""
             WITH agged AS (
               SELECT user_id,
@@ -3794,6 +3870,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q21": q_tpch_q21,
         "events_cube": q_events_cube,
         "events_resample": q_events_resample,
+        "events_percentiles": q_events_percentiles,
+        "user_day_full_outer": q_user_day_full_outer,
         "window_stats": q_window_stats,
         "set_ops": q_set_ops,
         # r3-green representatives filling the window to 50:
@@ -3803,9 +3881,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "bm25_topk_tsvector": q_bm25_topk_tsvector,
         "sq8_knn": q_sq8_knn,
+        # -- 51+: green in r3 itself, rotated out for one round -----------
         "text_metrics": q_text_metrics,
         "ivf_exact_equiv": q_ivf_exact_equiv,
-        # -- 51+: green in r3 itself, rotated out for one round -----------
         "srp_exact_equiv": q_srp_exact_equiv,
         "ivfpq_exact_equiv": q_ivfpq_exact_equiv,
         "cluster_balance": q_cluster_balance,
