@@ -186,7 +186,6 @@ def _minhash_wide(
     text_col: str,
     num_hashes: int,
     n: int,
-    sh: DataFrame | None = None,
 ) -> DataFrame:
     """(id, mh_0..mh_{H-1}) via explode + groupBy of seeded murmur mins.
 
@@ -195,13 +194,9 @@ def _minhash_wide(
     whole-stage codegen (HOFs are interpreted) — measured ~10x slower.
     explode + ``min(hash(g, seed))`` aggregates are fully codegen'd AND
     get map-side partial aggregation (min is associative), so the shuffle
-    carries one row per (doc, 64 ints) — the standard distributed MinHash.
-
-    ``sh``: an already-built (id, sh) shingle table to aggregate over
-    (callers that also need the shingles for verification pass a persisted
-    one so tokenize+shingle runs once, not once per consumer)."""
+    carries one row per (doc, 64 ints) — the standard distributed MinHash."""
     ex = explode_nonempty(
-        sh if sh is not None else shingle_table(df, id_col, text_col, n),
+        shingle_table(df, id_col, text_col, n),
         "sh", "g", "id",
     )
     # Kirsch-Mitzenmacher double hashing: h_i(g) = h1(g) + i*h2(g) gives an
