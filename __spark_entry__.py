@@ -1838,6 +1838,57 @@ def q_events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "bucket")
 
 
+def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of the documents table — one row per column
+    (null fraction, exact distinct count, lexicographic min/max, moments
+    for numerics), ALL columns in one aggregate pass
+    (`operators/profile.py`). The oracle re-derives every statistic with
+    a per-column UNION ALL."""
+    from lanterndb_spark.operators.profile import profile_table
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    p = profile_table(docs, ["doc_id", "lang", "source", "n_chars"])
+    return p.select(
+        "column", "dtype", "n", "n_null",
+        (F.round("null_frac", ROUND) + F.lit(0.0)).alias("null_frac"),
+        "n_distinct", "min_str", "max_str",
+        (F.round("mean", ROUND) + F.lit(0.0)).alias("mean"),
+        (F.round("std", ROUND) + F.lit(0.0)).alias("std"),
+    ).orderBy("column")
+
+
+def q_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint validation over the relational corpus — unique keys,
+    not-null, referential integrity (left-anti joins; NULL child keys
+    exempt per SQL FK semantics), and range rules, each reduced to a
+    violation count (`operators/profile.py`). The deliberately-violated
+    quantity range proves the counts are live, not vacuous zeros."""
+    from lanterndb_spark.operators.profile import check_constraints
+
+    t = load_tables(
+        spark, sf_dir, ["orders", "lineitem", "customer", "nation"]
+    )
+    return check_constraints(
+        t,
+        [
+            {"kind": "unique", "table": "orders", "cols": ["o_orderkey"]},
+            {"kind": "unique", "table": "lineitem",
+             "cols": ["l_orderkey", "l_linenumber"]},
+            {"kind": "not_null", "table": "lineitem", "col": "l_orderkey"},
+            {"kind": "foreign_key", "table": "lineitem", "col": "l_orderkey",
+             "ref_table": "orders", "ref_col": "o_orderkey"},
+            {"kind": "foreign_key", "table": "orders", "col": "o_custkey",
+             "ref_table": "customer", "ref_col": "c_custkey"},
+            {"kind": "foreign_key", "table": "customer", "col": "c_nationkey",
+             "ref_table": "nation", "ref_col": "n_nationkey"},
+            {"kind": "range", "table": "lineitem", "col": "l_discount",
+             "min": 0.0, "max": 0.1},
+            {"kind": "range", "table": "lineitem", "col": "l_quantity",
+             "min": 1, "max": 30},
+        ],
+    ).orderBy("rule")
+
+
 def q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-percentile battery per event type (median/p90 with linear
     interpolation — Spark `percentile`, DuckDB `quantile_cont`, same
@@ -3409,6 +3460,78 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY numwait DESC, s_name
             LIMIT 100
         """,
+        "profile_documents": f"""
+            WITH n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM documents)
+            SELECT * FROM (
+              SELECT 'doc_id' AS "column", 'bigint' AS dtype, total AS n,
+                     (SELECT CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM documents) AS n_null,
+                     round((SELECT sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) FROM documents) * 1.0 / greatest(total, 1), {ROUND}) + 0.0 AS null_frac,
+                     (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) FROM documents) AS n_distinct,
+                     (SELECT min(CAST(doc_id AS VARCHAR)) FROM documents) AS min_str,
+                     (SELECT max(CAST(doc_id AS VARCHAR)) FROM documents) AS max_str,
+                     round((SELECT avg(CAST(doc_id AS DOUBLE)) FROM documents), {ROUND}) + 0.0 AS mean,
+                     round((SELECT stddev_samp(CAST(doc_id AS DOUBLE)) FROM documents), {ROUND}) + 0.0 AS std
+              FROM n
+              UNION ALL
+              SELECT 'lang', 'string', total,
+                     (SELECT CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM documents),
+                     round((SELECT sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) FROM documents) * 1.0 / greatest(total, 1), {ROUND}) + 0.0,
+                     (SELECT CAST(count(DISTINCT lang) AS BIGINT) FROM documents),
+                     (SELECT min(lang) FROM documents),
+                     (SELECT max(lang) FROM documents),
+                     NULL, NULL
+              FROM n
+              UNION ALL
+              SELECT 'source', 'string', total,
+                     (SELECT CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM documents),
+                     round((SELECT sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) FROM documents) * 1.0 / greatest(total, 1), {ROUND}) + 0.0,
+                     (SELECT CAST(count(DISTINCT source) AS BIGINT) FROM documents),
+                     (SELECT min(source) FROM documents),
+                     (SELECT max(source) FROM documents),
+                     NULL, NULL
+              FROM n
+              UNION ALL
+              SELECT 'n_chars', 'bigint', total,
+                     (SELECT CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM documents),
+                     round((SELECT sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) FROM documents) * 1.0 / greatest(total, 1), {ROUND}) + 0.0,
+                     (SELECT CAST(count(DISTINCT n_chars) AS BIGINT) FROM documents),
+                     (SELECT min(CAST(n_chars AS VARCHAR)) FROM documents),
+                     (SELECT max(CAST(n_chars AS VARCHAR)) FROM documents),
+                     round((SELECT avg(CAST(n_chars AS DOUBLE)) FROM documents), {ROUND}) + 0.0,
+                     round((SELECT stddev_samp(CAST(n_chars AS DOUBLE)) FROM documents), {ROUND}) + 0.0
+              FROM n
+            ) ORDER BY "column"
+        """,
+        "constraint_checks": """
+            SELECT * FROM (
+              SELECT 'unique(orders.o_orderkey)' AS rule, 'orders' AS "table",
+                     CAST((SELECT sum(c - 1) FROM (SELECT count(*) c FROM orders GROUP BY o_orderkey)) AS BIGINT) AS violations
+              UNION ALL
+              SELECT 'unique(lineitem.l_orderkey,l_linenumber)', 'lineitem',
+                     CAST((SELECT sum(c - 1) FROM (SELECT count(*) c FROM lineitem GROUP BY l_orderkey, l_linenumber)) AS BIGINT)
+              UNION ALL
+              SELECT 'not_null(lineitem.l_orderkey)', 'lineitem',
+                     CAST((SELECT sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) FROM lineitem) AS BIGINT)
+              UNION ALL
+              SELECT 'fk(lineitem.l_orderkey->orders.o_orderkey)', 'lineitem',
+                     CAST((SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL
+                           AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS BIGINT)
+              UNION ALL
+              SELECT 'fk(orders.o_custkey->customer.c_custkey)', 'orders',
+                     CAST((SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL
+                           AND o_custkey NOT IN (SELECT c_custkey FROM customer)) AS BIGINT)
+              UNION ALL
+              SELECT 'fk(customer.c_nationkey->nation.n_nationkey)', 'customer',
+                     CAST((SELECT count(*) FROM customer WHERE c_nationkey IS NOT NULL
+                           AND c_nationkey NOT IN (SELECT n_nationkey FROM nation)) AS BIGINT)
+              UNION ALL
+              SELECT 'range(lineitem.l_discount in [0.0,0.1])', 'lineitem',
+                     CAST((SELECT sum(CASE WHEN l_discount IS NOT NULL AND (l_discount < 0.0 OR l_discount > 0.1) THEN 1 ELSE 0 END) FROM lineitem) AS BIGINT)
+              UNION ALL
+              SELECT 'range(lineitem.l_quantity in [1,30])', 'lineitem',
+                     CAST((SELECT sum(CASE WHEN l_quantity IS NOT NULL AND (l_quantity < 1 OR l_quantity > 30) THEN 1 ELSE 0 END) FROM lineitem) AS BIGINT)
+            ) ORDER BY rule
+        """,
         "events_percentiles": f"""
             SELECT event_type,
                    round(quantile_cont(value, 0.5), {ROUND}) + 0.0 AS p50,
@@ -3872,16 +3995,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_resample": q_events_resample,
         "events_percentiles": q_events_percentiles,
         "user_day_full_outer": q_user_day_full_outer,
+        "profile_documents": q_profile_documents,
+        "constraint_checks": q_constraint_checks,
         "window_stats": q_window_stats,
         "set_ops": q_set_ops,
         # r3-green representatives filling the window to 50:
         "knn_l2sq": q_knn_l2sq,
         "knn_join": q_knn_join,
         "hybrid_exact": q_hybrid_exact,
+        # -- 51+: green in r3 itself, rotated out for one round -----------
         "bm25_topk": q_bm25_topk,
         "bm25_topk_tsvector": q_bm25_topk_tsvector,
         "sq8_knn": q_sq8_knn,
-        # -- 51+: green in r3 itself, rotated out for one round -----------
         "text_metrics": q_text_metrics,
         "ivf_exact_equiv": q_ivf_exact_equiv,
         "srp_exact_equiv": q_srp_exact_equiv,
