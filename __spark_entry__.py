@@ -1838,6 +1838,38 @@ def q_events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "bucket")
 
 
+def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded retrieval-metric battery (`operators/eval.py`): a
+    deterministic synthetic system (per-language docs ranked by length,
+    doc_id tie-break) evaluated at k=20 against graded qrels (src0-3
+    docs, rel 2 when long) — recall/precision/MRR/nDCG per query, every
+    number re-derived by the SQL oracle. The metric machinery is the
+    same one the ANN/BM25 experiments feed."""
+    from lanterndb_spark.operators.eval import rank_results, retrieval_metrics
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    results = rank_results(
+        docs.select(F.col("lang").alias("q_id"), "doc_id", "n_chars"),
+        "q_id",
+        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+    )
+    qrels = docs.filter(
+        F.col("source").isin("src0", "src1", "src2", "src3")
+    ).select(
+        F.col("lang").alias("q_id"),
+        "doc_id",
+        F.when(F.col("n_chars") > 300, 2).otherwise(1).alias("rel"),
+    )
+    m = retrieval_metrics(results, qrels, k=20)
+    return m.select(
+        "q_id", "n_ret", "n_rel",
+        (F.round("recall", ROUND) + F.lit(0.0)).alias("recall"),
+        (F.round("precision", ROUND) + F.lit(0.0)).alias("precision"),
+        (F.round("mrr", ROUND) + F.lit(0.0)).alias("mrr"),
+        (F.round("ndcg", ROUND) + F.lit(0.0)).alias("ndcg"),
+    ).orderBy("q_id")
+
+
 def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality profile of the documents table — one row per column
     (null fraction, exact distinct count, lexicographic min/max, moments
@@ -3460,6 +3492,45 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY numwait DESC, s_name
             LIMIT 100
         """,
+        "retrieval_eval": f"""
+            WITH ranked AS (
+              SELECT lang AS q, doc_id AS d,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY n_chars DESC, doc_id ASC) AS r
+              FROM documents
+            ),
+            top AS (SELECT * FROM ranked WHERE r <= 20),
+            rels AS (
+              SELECT lang AS q, doc_id AS d,
+                     CASE WHEN n_chars > 300 THEN 2.0 ELSE 1.0 END AS rel
+              FROM documents
+              WHERE source IN ('src0', 'src1', 'src2', 'src3')
+            ),
+            hits AS (
+              SELECT t.q, CAST(count(*) AS BIGINT) AS n_hit, min(t.r) AS first_rel,
+                     sum((pow(2.0, rel) - 1) / log2(t.r + 1)) AS dcg
+              FROM top t JOIN rels USING (q, d) GROUP BY t.q
+            ),
+            ideal AS (
+              SELECT q, sum((pow(2.0, rel) - 1) / log2(ir + 1)) AS idcg FROM (
+                SELECT q, rel,
+                       row_number() OVER (PARTITION BY q ORDER BY rel DESC, d ASC) AS ir
+                FROM rels
+              ) WHERE ir <= 20 GROUP BY q
+            ),
+            tot AS (SELECT q, CAST(count(*) AS BIGINT) AS n_rel FROM rels GROUP BY q),
+            nret AS (SELECT q, CAST(count(*) AS BIGINT) AS n_ret FROM top GROUP BY q)
+            SELECT tot.q AS q_id, coalesce(n_ret, 0) AS n_ret, n_rel,
+                   round(coalesce(n_hit, 0) * 1.0 / n_rel, {ROUND}) + 0.0 AS recall,
+                   round(coalesce(n_hit, 0) / 20.0, {ROUND}) + 0.0 AS precision,
+                   round(coalesce(1.0 / first_rel, 0.0), {ROUND}) + 0.0 AS mrr,
+                   round(coalesce(dcg / idcg, 0.0), {ROUND}) + 0.0 AS ndcg
+            FROM tot
+            JOIN ideal ON tot.q = ideal.q
+            LEFT JOIN nret ON tot.q = nret.q
+            LEFT JOIN hits ON tot.q = hits.q
+            ORDER BY q_id
+        """,
         "profile_documents": f"""
             WITH n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM documents)
             SELECT * FROM (
@@ -3997,6 +4068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_day_full_outer": q_user_day_full_outer,
         "profile_documents": q_profile_documents,
         "constraint_checks": q_constraint_checks,
+        "retrieval_eval": q_retrieval_eval,
         "window_stats": q_window_stats,
         "set_ops": q_set_ops,
         # r3-green representatives filling the window to 50:
