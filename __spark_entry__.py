@@ -114,6 +114,31 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (`operators/knn.py hard_negatives`): per
+    anchor, the 5 nearest vectors whose label differs from the anchor's —
+    the correlated pair-level exclusion is applied BEFORE the per-anchor
+    window so positives never consume the k budget. Oracle: DuckDB
+    LATERAL with the same exclusion in the subquery's WHERE."""
+    from lanterndb_spark.operators.knn import hard_negatives
+
+    emb = _emb(spark, sf_dir)
+    anchors = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("q_label"),
+    )
+    out = hard_negatives(
+        emb, "embedding", anchors,
+        "qv", exclude=F.col("label") == F.col("q_label"),
+        k=5, id_col="vec_id",
+    )
+    return out.select(
+        "q_id", "vec_id", "label", "q_label",
+        (F.round("dist", ROUND) + F.lit(0.0)).alias("dist"),
+    )
+
+
 def _hybrid_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     df = emb.select(
@@ -3029,6 +3054,17 @@ def oracle_sql() -> dict[str, str]:
               ) t
             ) z
         """,
+        "hard_negatives": f"""
+            SELECT q_id, vec_id, label, q_label, round(d, {ROUND}) + 0.0 AS dist FROM (
+              SELECT q.vec_id AS q_id, q.label AS q_label, t.vec_id, t.label, t.d
+              FROM (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 8) q,
+              LATERAL (
+                SELECT vec_id, label, {duck_l2sq('embedding', 'q.embedding')} AS d
+                FROM embeddings WHERE label <> q.label
+                ORDER BY d, vec_id LIMIT 5
+              ) t
+            ) z
+        """,
         "hybrid_exact": hybrid_exact,
         "hybrid_candidate": hybrid_candidate,
         "bm25_topk": _bm25_oracle(),
@@ -4069,13 +4105,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_documents": q_profile_documents,
         "constraint_checks": q_constraint_checks,
         "retrieval_eval": q_retrieval_eval,
+        "hard_negatives": q_hard_negatives,
         "window_stats": q_window_stats,
         "set_ops": q_set_ops,
         # r3-green representatives filling the window to 50:
         "knn_l2sq": q_knn_l2sq,
         "knn_join": q_knn_join,
-        "hybrid_exact": q_hybrid_exact,
         # -- 51+: green in r3 itself, rotated out for one round -----------
+        "hybrid_exact": q_hybrid_exact,
         "bm25_topk": q_bm25_topk,
         "bm25_topk_tsvector": q_bm25_topk_tsvector,
         "sq8_knn": q_sq8_knn,

@@ -218,3 +218,54 @@ def knn_join(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def hard_negatives(
+    data: DataFrame,
+    vec_col: str,
+    queries: DataFrame,
+    q_vec_col: str,
+    exclude: Column,
+    k: int = 10,
+    metric: str = "l2sq",
+    id_col: str | None = None,
+    q_id_col: str = "q_id",
+    dist_col: str = "dist",
+) -> DataFrame:
+    """Hard-negative mining: per anchor, the k nearest rows that are NOT
+    positives — the contrastive-training sampler (similar-but-wrong
+    examples are what make the loss informative).
+
+    ``exclude`` is a Column over the JOINED (data ⨯ anchor) row — e.g.
+    ``F.col("label") == F.col("q_label")`` — evaluated BEFORE the
+    per-anchor window, so excluded positives never consume the k budget
+    (post-top-k filtering would silently return fewer than k negatives
+    for anchors whose neighborhood is positive-dense — the exact anchors
+    hard-negative mining cares about most).
+
+    A correlated pair-level predicate rules out the pre-pushed scan
+    filter that ``knn(pred=...)`` uses and the matmul batch path (the
+    exclusion depends on both sides), so this is the broadcast-join +
+    codegen'd distance expression shape: anchors broadcast (same ≤~100k
+    contract as knn_join), data streams map-side, and the rank filter
+    plans as WindowGroupLimit — per-partition top-k heaps before the
+    single shuffle on anchor id. For anchor sets beyond the broadcast
+    contract, partition anchors into batches (the mining jobs are
+    embarrassingly parallel across batches).
+    """
+    from pyspark.sql import Window
+
+    from lanterndb_spark.plans.shape import widen_partitions
+
+    order_tail = [F.col(id_col).asc()] if id_col else []
+    pairs = widen_partitions(data).join(F.broadcast(queries))
+    pairs = (
+        pairs.filter(~exclude)
+        .withColumn(dist_col, distance(metric, vec_col, F.col(q_vec_col)))
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.col(dist_col).asc(), *order_tail)
+    return (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn", q_vec_col)
+    )

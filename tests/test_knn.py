@@ -119,3 +119,45 @@ def test_knn_join_arrow_rejects_oversized_query_table(spark, tables):
     )
     with pytest.raises(ValueError, match="100000"):
         knn_join(emb, "embedding", big_q, "qv", k=3, impl="arrow")
+
+
+def test_hard_negatives_excludes_positives(spark, tables):
+    from lanterndb_spark.operators.knn import hard_negatives, knn_join
+
+    emb = tables["embeddings"]
+    anchors = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("q_label"),
+    )
+    out = hard_negatives(
+        emb, "embedding", anchors,
+        "qv", exclude=F.col("label") == F.col("q_label"),
+        k=5, id_col="vec_id",
+    ).collect()
+    # exactly k negatives per anchor, none sharing the anchor's label
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["q_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for q, rows in by_q.items():
+        assert len(rows) == 5
+        assert all(r["label"] != r["q_label"] for r in rows)
+
+    # brute-force agreement: full knn_join with big k, filter, take 5
+    full = knn_join(
+        emb, "embedding",
+        anchors.select("q_id", "qv"), "qv",
+        k=emb.count(), id_col="vec_id",
+    )
+    lab = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    alab = {r["q_id"]: r["q_label"] for r in anchors.collect()}
+    want = {}
+    for r in sorted(full.collect(), key=lambda r: (r["q_id"], r["dist"], r["vec_id"])):
+        if lab[r["vec_id"]] != alab[r["q_id"]]:
+            want.setdefault(r["q_id"], [])
+            if len(want[r["q_id"]]) < 5:
+                want[r["q_id"]].append(r["vec_id"])
+    got = {q: [r["vec_id"] for r in sorted(rows, key=lambda r: (r["dist"], r["vec_id"]))]
+           for q, rows in by_q.items()}
+    assert got == want
