@@ -631,6 +631,34 @@ def q_dedup_near_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id").orderBy("doc_id")
 
 
+def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-leakage-safe train/val/test split
+    (`operators/sampling.py leakage_safe_split`): every connected
+    component of the exact-Jaccard pair graph hashes as ONE unit (min-id
+    representative), so a doc and its near-duplicate can never straddle
+    a train/eval boundary. Oracle: recursive-CTE components + the same
+    md5 hash-range assignment."""
+    from lanterndb_spark.operators.dedup import jaccard_pairs
+    from lanterndb_spark.operators.sampling import leakage_safe_split
+
+    docs = _docs(spark, sf_dir)
+    pairs = jaccard_pairs(docs, "doc_id", "text", threshold=0.5)
+    out = leakage_safe_split(docs.select("doc_id"), "doc_id", pairs)
+    return out.select("doc_id", "split").orderBy("doc_id")
+
+
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic token-budget subsample
+    (`operators/sampling.py token_budget_sample`): rows ordered by md5
+    (order-free shuffle), kept while the running n_chars total stays
+    within budget — monotone in the budget, reproducible anywhere md5
+    exists. Oracle: the same cumulative window in SQL."""
+    from lanterndb_spark.operators.sampling import token_budget_sample
+
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    return token_budget_sample(docs, "doc_id", "n_chars", 50_000).orderBy("doc_id")
+
+
 def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lanterndb_spark.operators.dedup import embedding_near_dup_pairs
 
@@ -3200,6 +3228,51 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY lang HAVING count(*) > 1
         """,
         "jaccard_pairs": _jaccard_oracle(),
+        "leakage_split": f"""
+            WITH RECURSIVE {_shingles_cte()},
+            ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+            sz AS (SELECT doc_id, len(sh) AS sz FROM sh),
+            common AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+              FROM ex a JOIN ex b USING (g) WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            p AS (
+              SELECT id_a, id_b FROM common
+              JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+              WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.5
+            ),
+            nodes AS (SELECT id_a AS id FROM p UNION SELECT id_b FROM p),
+            edges AS (SELECT id_a AS src, id_b AS dst FROM p
+                      UNION SELECT id_b, id_a FROM p),
+            reach AS (
+              SELECT id, id AS comp FROM nodes
+              UNION
+              SELECT e.dst AS id, r.comp FROM reach r JOIN edges e ON e.src = r.id
+            ),
+            comp AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),
+            keyed AS (
+              SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS skey
+              FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+            )
+            SELECT doc_id,
+                   CASE WHEN b < 980000 THEN 'train'
+                        WHEN b < 990000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5(CAST(skey AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 AS b
+              FROM keyed
+            ) ORDER BY doc_id
+        """,
+        "token_budget": """
+            SELECT doc_id, n_chars FROM (
+              SELECT doc_id, n_chars,
+                     sum(n_chars) OVER (ORDER BY md5(CAST(doc_id AS VARCHAR))
+                                        ROWS UNBOUNDED PRECEDING) AS cum
+              FROM documents
+            ) WHERE cum <= 50000 ORDER BY doc_id
+        """,
         "dedup_near_keep": f"""
             WITH RECURSIVE {_shingles_cte()},
             ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
@@ -4106,12 +4179,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "constraint_checks": q_constraint_checks,
         "retrieval_eval": q_retrieval_eval,
         "hard_negatives": q_hard_negatives,
+        "leakage_split": q_leakage_split,
+        "token_budget": q_token_budget,
         "window_stats": q_window_stats,
         "set_ops": q_set_ops,
         # r3-green representatives filling the window to 50:
+        # -- 51+: green in r3 itself, rotated out for one round -----------
         "knn_l2sq": q_knn_l2sq,
         "knn_join": q_knn_join,
-        # -- 51+: green in r3 itself, rotated out for one round -----------
         "hybrid_exact": q_hybrid_exact,
         "bm25_topk": q_bm25_topk,
         "bm25_topk_tsvector": q_bm25_topk_tsvector,

@@ -164,3 +164,63 @@ def mix_to_weights(
         cond = F.col(domain_col) == d
         thr = F.when(cond, F.lit(cut)) if thr is None else thr.when(cond, F.lit(cut))
     return df.filter(b < thr.otherwise(F.lit(0)))
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    fractions: Mapping[str, float] | None = None,
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Train/val/test assignment that NEVER separates near-duplicates:
+    every connected component of the pair graph hashes as one unit (its
+    min-id representative), so a document and its near-dup can't land on
+    opposite sides of a train/eval boundary — the contamination path
+    plain per-row splitting leaves open. Rows in no pair hash by their
+    own id, making this a strict generalization of :func:`hash_split`.
+
+    Scale shape: components come from DataFrame label propagation
+    (iterations of join + min-agg on the pair list, pair-sized not
+    corpus-sized), the component map left-joins back on the id, and the
+    split itself is the same md5 range — deterministic under
+    reshuffling, engine-reproducible."""
+    from lanterndb_spark.operators.dedup import connected_components
+
+    comp = connected_components(pairs).withColumnRenamed("id", id_col)
+    out = df.join(comp, on=id_col, how="left")
+    keyed = out.withColumn(
+        "__skey", F.coalesce(F.col("component"), F.col(id_col))
+    )
+    return hash_split(keyed, "__skey", fractions, salt, split_col).drop(
+        "__skey", "component"
+    )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    budget: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic subsample to a total-weight budget (the "give me
+    ~10B tokens of this corpus" op): rows are ordered by their md5 hash
+    (an order-free deterministic shuffle), and the prefix whose running
+    weight stays within ``budget`` is kept — so the sample is unbiased
+    w.r.t. any corpus ordering, reproducible across engines, and grows
+    MONOTONICALLY with the budget (a 2B-token sample is a prefix of the
+    10B one, which makes scaling-law ladders consistent).
+
+    One global sort by hash — at cluster scale this is a total-order
+    range shuffle, the price of an exact budget cutoff. The cumulative
+    window uses the hash order itself, so no single reducer sees more
+    than its range of the hash space."""
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    w = Window.orderBy(h).rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        df.withColumn("__cum", F.sum(F.col(weight_col).cast("long")).over(w))
+        .filter(F.col("__cum") <= budget)
+        .drop("__cum")
+    )

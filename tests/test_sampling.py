@@ -131,3 +131,42 @@ def test_mix_to_weights_drops_unweighted_domains(tables):
     docs = tables["documents"]
     out = mix_to_weights(docs, "lang", {"en": 1.0}, "doc_id")
     assert {r["lang"] for r in out.select("lang").distinct().collect()} == {"en"}
+
+
+def test_leakage_safe_split_groups_stay_together(spark, tables):
+    from lanterndb_spark.operators.sampling import hash_split, leakage_safe_split
+
+    docs = tables["documents"].select("doc_id")
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "id_a bigint, id_b bigint"
+    )
+    out = leakage_safe_split(docs, "doc_id", pairs).collect()
+    split = {r["doc_id"]: r["split"] for r in out}
+    # connected docs share a split
+    assert split[0] == split[1] == split[2]
+    assert split[10] == split[11]
+    # un-paired docs fall back to plain hash_split assignment
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs, "doc_id").collect()
+    }
+    for d in split:
+        if d not in (0, 1, 2, 10, 11):
+            assert split[d] == plain[d]
+    # component members adopt the REPRESENTATIVE's plain assignment
+    assert split[0] == plain[0] and split[10] == plain[10]
+
+
+def test_token_budget_sample_monotone_prefix(spark, tables):
+    from lanterndb_spark.operators.sampling import token_budget_sample
+
+    docs = tables["documents"].select("doc_id", "n_chars")
+    small = {r["doc_id"] for r in token_budget_sample(docs, "doc_id", "n_chars", 20_000).collect()}
+    big = {r["doc_id"] for r in token_budget_sample(docs, "doc_id", "n_chars", 60_000).collect()}
+    assert small and small < big
+    # budget respected
+    total = {r["doc_id"]: r["n_chars"] for r in docs.collect()}
+    assert sum(total[d] for d in small) <= 20_000
+    # deterministic
+    again = {r["doc_id"] for r in token_budget_sample(docs, "doc_id", "n_chars", 20_000).collect()}
+    assert small == again
