@@ -427,3 +427,16 @@ def test_events_resample_grid_is_executor_side(spark):
     # spans agg + grid-vs-agged join + window all key on user_id; the
     # window itself must piggyback on an existing user_id exchange
     assert "Window" in plan
+
+
+def test_hard_negatives_filters_before_window(spark):
+    """The correlated exclusion must sit BELOW the rank window in the
+    plan (positives never consume the k budget) with anchors broadcast
+    and the rank filter compiled to a WindowGroupLimit heap."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_hard_negatives(spark, SF_DIR))
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # exclusion is a Filter under the Window, not above it
+    assert plan.index("Window") < plan.index("NOT (label")
