@@ -440,3 +440,20 @@ def test_hard_negatives_filters_before_window(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     # exclusion is a Filter under the Window, not above it
     assert plan.index("Window") < plan.index("NOT (label")
+
+
+def test_minhash_candidates_scope_prunes_verify_scan(spark):
+    """verify_scope='candidates' must re-read the corpus through a
+    broadcast LeftSemi on the candidate ids — the verify join sees a
+    candidate-sized shingle table, never a corpus-sized one."""
+    from lanterndb_spark.operators.dedup import minhash_lsh_pairs
+    from lanterndb_spark.plans.shape import release
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=32, bands=16, threshold=0.3,
+        verify_scope="candidates",
+    )
+    plan = _plan(out)
+    release(out)
+    assert "LeftSemi" in plan
