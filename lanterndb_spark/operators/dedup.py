@@ -799,3 +799,43 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cos_dist") <= F.lit(float(max_cos_dist)))
     )
+
+
+def choose_bands(
+    num_hashes: int,
+    threshold: float,
+    false_negative_weight: float = 2.0,
+) -> tuple[int, int]:
+    """Pick the (bands, rows) factorization of ``num_hashes`` whose
+    banded-LSH S-curve best matches a Jaccard ``threshold``.
+
+    A pair with Jaccard j becomes a candidate with probability
+    ``1 - (1 - j^r)^b``. Each divisor pair (b, r = H/b) is scored by the
+    integrated collision probability BELOW the threshold (false-candidate
+    mass, costs verify work) plus ``false_negative_weight`` times the
+    integrated miss probability ABOVE it (missed near-dups, costs
+    correctness — weighted heavier because dedup misses are silent).
+    Returns the minimizing (bands, rows).
+
+    Driver-side arithmetic over ~a dozen divisors — call it once, pass
+    the result to :func:`minhash_lsh_pairs` / incremental / streaming."""
+    if not 0 < threshold < 1:
+        raise ValueError("threshold must be in (0, 1)")
+    best = None
+    for b in range(1, num_hashes + 1):
+        if num_hashes % b:
+            continue
+        r = num_hashes // b
+        steps = 200
+        fp = fn = 0.0
+        for i in range(steps):
+            j = (i + 0.5) / steps
+            p = 1.0 - (1.0 - j ** r) ** b
+            if j < threshold:
+                fp += p
+            else:
+                fn += (1.0 - p)
+        cost = fp / steps + false_negative_weight * fn / steps
+        if best is None or cost < best[0]:
+            best = (cost, b, r)
+    return best[1], best[2]

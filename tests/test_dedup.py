@@ -347,3 +347,20 @@ def test_minhash_verify_scope_equivalence(tables):
         ).collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_choose_bands_scurve_properties():
+    from lanterndb_spark.operators.dedup import choose_bands
+
+    b, r = choose_bands(64, 0.5)
+    assert b * r == 64
+    # the S-curve midpoint (1/b)^(1/r) must sit near the threshold
+    mid = (1.0 / b) ** (1.0 / r)
+    assert abs(mid - 0.5) < 0.2
+    # lower thresholds need more bands (catch lower-J pairs)
+    b_lo, _ = choose_bands(64, 0.2)
+    b_hi, _ = choose_bands(64, 0.85)
+    assert b_lo > b > b_hi
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        choose_bands(64, 1.5)
