@@ -284,3 +284,44 @@ class LanternTable:
             lambda q, kk: self.knn(vec_col, q, k=kk),
             k=k, n_queries=n_queries, seed=seed,
         )
+
+    # --------------------------------------------------- data quality
+
+    def profile(self, cols: list[str] | None = None, approx: bool = False) -> DataFrame:
+        """Per-column statistics of the VISIBLE rows (deltas and
+        tombstones applied) — see operators/profile.py."""
+        from lanterndb_spark.operators.profile import profile_table
+
+        return profile_table(self.df, cols, approx=approx)
+
+    def check(self, rules: list[dict], refs: dict[str, DataFrame] | None = None) -> DataFrame:
+        """Constraint validation over the visible rows. Rules use table
+        name ``"self"`` for this table; ``refs`` supplies any foreign-key
+        parent tables by name."""
+        from lanterndb_spark.operators.profile import check_constraints
+
+        tables = {"self": self.df, **(refs or {})}
+        return check_constraints(tables, rules)
+
+    def near_dup_pairs(self, text_col: str = "text", **kw) -> DataFrame:
+        """MinHash-LSH near-duplicate pairs over the visible rows."""
+        from lanterndb_spark.operators.dedup import minhash_lsh_pairs
+
+        return minhash_lsh_pairs(self.df, self.id_col, text_col, **kw)
+
+    def near_dup_check(self, batch: DataFrame, text_col: str = "text", **kw) -> DataFrame:
+        """Incremental near-dup check of an INCOMING batch against this
+        table (signatures only; the table's text is not re-read when a
+        signature store is reused — see minhash_lsh_incremental). Use
+        before insert() to keep the table near-dup-free at ingest."""
+        from lanterndb_spark.operators.dedup import (
+            minhash_lsh_incremental,
+            minhash_signatures,
+        )
+
+        num_hashes = kw.pop("num_hashes", 64)
+        n = kw.pop("n", 3)
+        sigs = minhash_signatures(self.df, self.id_col, text_col, num_hashes, n)
+        return minhash_lsh_incremental(
+            sigs, batch, self.id_col, text_col, num_hashes=num_hashes, n=n, **kw
+        )

@@ -155,3 +155,36 @@ def test_reindex_retrains_with_original_params(emb):
     assert got == exact
     assert 410 in set(got)  # inserted row visible (self-nearest)
     assert 1 not in set(got) and 2 not in set(got)
+
+
+def test_table_profile_and_check(spark, tables):
+    from lanterndb_spark.table import LanternTable
+
+    t = LanternTable(tables["documents"], id_col="doc_id")
+    p = {r["column"]: r for r in t.profile(["doc_id", "lang"]).collect()}
+    assert p["doc_id"]["n_null"] == 0 and p["lang"]["n_distinct"] == 5
+
+    out = {r["rule"]: r["violations"] for r in t.check(
+        [{"kind": "unique", "table": "self", "cols": ["doc_id"]},
+         {"kind": "range", "table": "self", "col": "n_chars", "min": 0, "max": 100}]
+    ).collect()}
+    assert out["unique(self.doc_id)"] == 0
+    assert out["range(self.n_chars in [0,100])"] > 0
+
+    # visibility: profile reflects deletes
+    t2 = t.delete([0, 1, 2])
+    n = t2.profile(["doc_id"]).collect()[0]["n"]
+    assert n == tables["documents"].count() - 3
+
+
+def test_table_near_dup_check(spark, tables):
+    from pyspark.sql import functions as F
+    from lanterndb_spark.table import LanternTable
+
+    docs = tables["documents"].select("doc_id", "text")
+    t = LanternTable(docs, id_col="doc_id")
+    batch = docs.limit(2).select((F.col("doc_id") + 900_000).alias("doc_id"), "text")
+    hits = t.near_dup_check(batch, threshold=0.9).collect()
+    # every batch doc (a twin of a table doc) is flagged against it
+    assert {r["id_b"] for r in hits} == {r["doc_id"] for r in batch.collect()}
+    assert all(r["jaccard"] == 1.0 for r in hits if r["id_a"] == r["id_b"] - 900_000)
