@@ -75,3 +75,31 @@ def test_resample_global_grid(series):
 def test_resample_rejects_unknown_fill(series):
     with pytest.raises(ValueError):
         resample(series, "ts", "user_id", 3600, {"n": F.count("*")}, fill="zero")
+
+
+def test_resample_locf_total_and_dense(spark):
+    """Randomized series: per-key grids are dense (every step between the
+    key's min and max bucket present exactly once) and LOCF leaves no
+    NULLs (the first bucket of every key is an observation)."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for user in range(12):
+        t0 = rng.randrange(0, 50) * 3600
+        for _ in range(rng.randrange(1, 8)):
+            rows.append((user, t0 + rng.randrange(0, 72) * 737, float(rng.randrange(100))))
+    df = spark.createDataFrame(rows, "user_id int, epoch long, value double").select(
+        "user_id", F.timestamp_seconds("epoch").alias("ts"), "value"
+    )
+    out = resample(df, "ts", "user_id", 3600, {"v": F.avg("value")}).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for user, rs in by_user.items():
+        buckets = sorted(int(r["__bucket"].timestamp()) for r in rs)
+        assert len(set(buckets)) == len(buckets)
+        assert buckets == list(range(buckets[0], buckets[-1] + 1, 3600))
+        assert all(r["v"] is not None for r in rs)
+        first = min(rs, key=lambda r: r["__bucket"])
+        assert not first["__gap"]

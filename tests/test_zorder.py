@@ -76,3 +76,26 @@ def test_zorder_rejects_bad_arity(laid_out):
     spark, _, _, _, ev = laid_out
     with pytest.raises(ValueError):
         zorder_write(ev, "/tmp/never", ["user_id"], files=2)
+
+
+def test_zvalue_monotone_per_dimension(spark):
+    """With the other coordinate fixed, the z-value must preserve each
+    dimension's order (bit interleaving keeps per-dim bit positions)."""
+    from lanterndb_spark.sources.zorder import zvalue
+
+    rows = [(x, y) for x in range(0, 64, 7) for y in range(0, 64, 11)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select(
+            "x", "y", zvalue([F.col("x"), F.col("y")], bits=6).alias("z")
+        ).collect()
+    }
+    xs = sorted({x for x, _ in got})
+    ys = sorted({y for _, y in got})
+    for y in ys:
+        zs = [got[(x, y)] for x in xs]
+        assert zs == sorted(zs)
+    for x in xs:
+        zs = [got[(x, y)] for y in ys]
+        assert zs == sorted(zs)
