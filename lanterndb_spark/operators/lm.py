@@ -99,3 +99,100 @@ def unigram_score(
             F.round(F.avg("lp"), ROUND).alias("avg_logprob"),
         )
     )
+
+
+# ------------------------------------------------------- bigram model
+
+SEP = "\x1f"  # token joiner that the tokenizer can never emit
+
+
+def _bigram_col(text_col) -> "Column":
+    """``array<string>`` of ``prev<US>token`` bigrams of the tokenize()
+    stream — pure column expression, no explode until the caller asks."""
+    tk = tokenize(F.col(text_col) if isinstance(text_col, str) else text_col,
+                  stopwords=None)
+    n = F.size(tk)
+    prevs = F.slice(tk, 1, F.greatest(n - 1, F.lit(0)))
+    nexts = F.slice(tk, 2, F.greatest(n - 1, F.lit(0)))
+    return F.zip_with(prevs, nexts, lambda p, w: F.concat(p, F.lit(SEP), w))
+
+
+def build_bigram_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus bigram table ``bigram, count`` (count >= min_count).
+
+    One map-side-combined groupBy over exploded bigrams — same shuffle
+    shape as :func:`build_vocab` (combiner compresses each map task to
+    its local bigram vocabulary, Zipf-bounded well below corpus size).
+    """
+    ex = docs.select(F.explode(_bigram_col(text_col)).alias("bigram"))
+    counts = ex.groupBy("bigram").agg(F.count("*").cast("bigint").alias("count"))
+    return counts.filter(F.col("count") >= int(min_count))
+
+
+def bigram_score(
+    docs: DataFrame,
+    vocab: DataFrame,
+    bigrams: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc CONDITIONAL bigram log-likelihood — the KenLM-perplexity
+    stand-in one notch above :func:`unigram_score`:
+
+        lp(w | prev) = ln( (c(prev,w) + 1) / (c(prev) + |V| + 1) )
+
+    Laplace smoothing over the unigram vocabulary, with ``c(prev)`` the
+    corpus unigram count of the context token (0 if unseen) and ``|V|``
+    the vocabulary size. Output: ``id_col, n_bigrams, bi_oov_rate``
+    (fraction of bigrams unseen in training), ``avg_logprob`` (mean over
+    the doc's bigrams; NULL when the doc has < 2 tokens) and ``ppl``
+    (exp(-avg_logprob) of the 6dp-rounded mean, for engine parity).
+
+    Scale shape: bigram + unigram count tables broadcast (both
+    Zipf-bounded); the corpus is never shuffled — explode, two broadcast
+    hash joins, one groupBy on ``id_col``.
+    """
+    vsize = vocab.groupBy().agg(F.count("*").cast("bigint").alias("vsize"))
+    ex = docs.select(
+        F.col(id_col),
+        F.explode_outer(_bigram_col(text_col)).alias("bigram"),
+    ).withColumn("prev", F.split_part(F.col("bigram"), F.lit(SEP), F.lit(1)))
+    joined = (
+        ex.join(
+            F.broadcast(bigrams.withColumnRenamed("count", "c_bi")),
+            "bigram", "left")
+        .join(
+            F.broadcast(
+                vocab.select(F.col("token").alias("prev"),
+                             F.col("count").alias("c_prev"))),
+            "prev", "left")
+        .crossJoin(F.broadcast(vsize))
+    )
+    lp = F.log(
+        (F.coalesce(F.col("c_bi"), F.lit(0)) + F.lit(1)).cast("double")
+        / (F.coalesce(F.col("c_prev"), F.lit(0)) + F.col("vsize") + F.lit(1)).cast("double")
+    )
+    per = joined.select(
+        id_col,
+        F.col("bigram").isNotNull().cast("int").alias("is_bi"),
+        F.when(F.col("bigram").isNotNull() & F.col("c_bi").isNull(), 1)
+        .otherwise(0).alias("is_oov"),
+        F.when(F.col("bigram").isNotNull(), lp).alias("lp"),
+    )
+    out = per.groupBy(id_col).agg(
+        F.sum("is_bi").cast("int").alias("n_bigrams"),
+        F.round(
+            F.coalesce(
+                F.sum("is_oov") / F.nullif(F.sum("is_bi"), F.lit(0)), F.lit(0.0)
+            ),
+            ROUND,
+        ).alias("bi_oov_rate"),
+        F.round(F.avg("lp"), ROUND).alias("avg_logprob"),
+    )
+    return out.withColumn(
+        "ppl", F.round(F.exp(-F.col("avg_logprob")), ROUND)
+    )

@@ -138,3 +138,63 @@ def check_constraints(tables: dict[str, DataFrame], rules: list[dict]) -> DataFr
     for v in out[1:]:
         res = res.unionByName(v)
     return res
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    k: float = 3.5,
+    consistency: float = 1.4826,
+    broadcast_stats: bool = True,
+) -> DataFrame:
+    """Robust per-group outlier detection via median absolute deviation:
+
+        robust_z = |x - median(x)| / (consistency * MAD)
+
+    with ``MAD = median(|x - median(x)|)`` and the 1.4826 factor making
+    the score comparable to a gaussian z-score. Unlike mean/std, both
+    statistics survive the outliers they're hunting — the standard
+    robust filter for length/score distributions in a curation pipeline.
+
+    Returns the input plus ``grp_median, grp_mad, robust_z, is_outlier``
+    (``robust_z`` NULL and ``is_outlier`` false when MAD = 0 — a
+    majority-constant group has no robust scale to score against).
+
+    Scale shape: two groupBy passes on the group key (exact percentiles
+    are SortAggregate per group) + two broadcast-or-shuffle joins back.
+    With ``group_cols=None`` the medians are a single global aggregate
+    (one row) broadcast to the scoring pass. Group medians are
+    per-reducer sorts of one group's values — bounded by the largest
+    group, not the table. ``broadcast_stats`` assumes the stats tables
+    (one row per group) fit in a broadcast — true for categorical
+    groupings like language/source; pass False for very-high-cardinality
+    keys and the joins shuffle on the group key instead.
+    """
+    gcols = list(group_cols or [])
+    hint = F.broadcast if broadcast_stats else (lambda d: d)
+    x = F.col(value_col).cast("double")
+    if gcols:
+        med = df.groupBy(*gcols).agg(F.percentile(x, 0.5).alias("grp_median"))
+        with_med = df.join(hint(med), on=gcols)
+    else:
+        med = df.agg(F.percentile(x, 0.5).alias("grp_median"))
+        with_med = df.crossJoin(F.broadcast(med))
+    absdev = F.abs(x - F.col("grp_median"))
+    if gcols:
+        mad = (
+            with_med.groupBy(*gcols)
+            .agg(F.percentile(absdev, 0.5).alias("grp_mad"))
+        )
+        scored = with_med.join(hint(mad), on=gcols)
+    else:
+        mad = with_med.agg(F.percentile(absdev, 0.5).alias("grp_mad"))
+        scored = with_med.crossJoin(F.broadcast(mad))
+    z = absdev / F.nullif(F.lit(consistency) * F.col("grp_mad"), F.lit(0.0))
+    return scored.select(
+        *df.columns,
+        F.round("grp_median", 6).alias("grp_median"),
+        F.round("grp_mad", 6).alias("grp_mad"),
+        F.round(z, 6).alias("robust_z"),
+        F.coalesce(z > F.lit(float(k)), F.lit(False)).alias("is_outlier"),
+    )

@@ -76,3 +76,71 @@ def test_tfidf_rank_deterministic_ties_on_term(spark):
 def test_tfidf_plan_uses_window_group_limit(spark, tables):
     plan = tfidf_topk(tables["documents"], k=5)._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+# ------------------------------------------------------- bigram model
+
+def test_bigram_score_hand_computed(spark):
+    from lanterndb_spark.operators.lm import bigram_score, build_bigram_counts
+
+    docs = _docs(spark, [(1, "a b a b"), (2, "b a")])
+    vocab = build_vocab(docs)          # a:3 b:3, |V|=2
+    bigrams = build_bigram_counts(docs)  # ab:2, ba:2
+    got = {r["doc_id"]: r for r in bigram_score(docs, vocab, bigrams).collect()}
+    # doc 1 bigrams: ab, ba, ab -> lp = ln((c_bi+1)/(c_prev+|V|+1))
+    lp = lambda c_bi, c_prev: math.log((c_bi + 1) / (c_prev + 2 + 1))
+    want1 = (2 * lp(2, 3) + lp(2, 3)) / 3
+    assert abs(got[1]["avg_logprob"] - round(want1, 6)) < 1e-9
+    assert got[1]["n_bigrams"] == 3 and got[1]["bi_oov_rate"] == 0.0
+    assert got[1]["ppl"] == round(math.exp(-got[1]["avg_logprob"]), 6)
+
+
+def test_bigram_short_doc_nulls(spark):
+    from lanterndb_spark.operators.lm import bigram_score, build_bigram_counts
+
+    docs = _docs(spark, [(1, "a b"), (2, "solo"), (3, "")])
+    vocab = build_vocab(docs)
+    bigrams = build_bigram_counts(docs)
+    got = {r["doc_id"]: r for r in bigram_score(docs, vocab, bigrams).collect()}
+    # < 2 tokens -> no bigrams, NULL logprob/ppl, zero oov rate
+    for d in (2, 3):
+        assert got[d]["n_bigrams"] == 0
+        assert got[d]["avg_logprob"] is None and got[d]["ppl"] is None
+        assert got[d]["bi_oov_rate"] == 0.0
+    assert got[1]["n_bigrams"] == 1
+
+
+def test_bigram_oov_and_unseen_context(spark):
+    from lanterndb_spark.operators.lm import bigram_score, build_bigram_counts
+
+    train = _docs(spark, [(1, "a b c")])
+    vocab = build_vocab(train)             # a,b,c -> |V|=3
+    bigrams = build_bigram_counts(train)   # ab, bc
+    test = _docs(spark, [(9, "a b zzz")])  # "b zzz" unseen bigram
+    row = bigram_score(test, vocab, bigrams).collect()[0]
+    assert row["bi_oov_rate"] == 0.5
+    # unseen bigram with seen context b (count 1): ln(1/(1+3+1))
+    want = (math.log(2 / 5) + math.log(1 / 5)) / 2
+    assert abs(row["avg_logprob"] - round(want, 6)) < 1e-9
+
+
+def test_bigram_min_count_floor(spark):
+    from lanterndb_spark.operators.lm import build_bigram_counts
+
+    docs = _docs(spark, [(1, "a b a b c")])
+    counts = {r["bigram"]: r["count"]
+              for r in build_bigram_counts(docs, min_count=2).collect()}
+    assert counts == {"a\x1fb": 2}
+
+
+def test_bigram_broadcast_plan(spark, tables):
+    from lanterndb_spark.operators.lm import bigram_score, build_bigram_counts
+
+    docs = tables["documents"]
+    vocab = build_vocab(docs, min_count=2)
+    bigrams = build_bigram_counts(docs)
+    plan = (bigram_score(docs, vocab, bigrams)
+            ._jdf.queryExecution().executedPlan().toString())
+    # both count tables join broadcast; the corpus is never exchanged
+    # into a sort-merge join
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan

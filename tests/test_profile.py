@@ -60,3 +60,45 @@ def test_constraints(spark, frame):
 def test_constraints_reject_unknown(spark, frame):
     with pytest.raises(ValueError):
         check_constraints({"t": frame}, [{"kind": "nope", "table": "t"}]).collect()
+
+
+# ------------------------------------------------------- MAD outliers
+
+def test_mad_hand_computed(spark):
+    from lanterndb_spark.operators.profile import mad_outliers
+
+    df = spark.createDataFrame(
+        [(i, "g", v) for i, v in enumerate([1.0, 2.0, 3.0, 4.0, 100.0])],
+        "id int, g string, x double",
+    )
+    rows = {r["id"]: r for r in mad_outliers(df, "x", ["g"], k=3.5).collect()}
+    # median 3, absdevs [2,1,0,1,97] -> MAD 1
+    assert rows[0]["grp_median"] == 3.0 and rows[0]["grp_mad"] == 1.0
+    assert rows[4]["robust_z"] == round(97 / 1.4826, 6)
+    assert rows[4]["is_outlier"] and not rows[0]["is_outlier"]
+
+
+def test_mad_zero_scale_group(spark):
+    from lanterndb_spark.operators.profile import mad_outliers
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 5.0), (3, 5.0), (4, 9.0)], "id int, x double"
+    )
+    rows = {r["id"]: r for r in mad_outliers(df, "x", None, k=2.0).collect()}
+    # MAD = 0 (majority constant): no robust scale -> NULL z, never flagged
+    assert rows[4]["grp_mad"] == 0.0
+    assert rows[4]["robust_z"] is None and not rows[4]["is_outlier"]
+
+
+def test_mad_groups_independent(spark):
+    from lanterndb_spark.operators.profile import mad_outliers
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 12.0), (3, "a", 14.0),
+         (4, "b", 1000.0), (5, "b", 1002.0), (6, "b", 1004.0)],
+        "id int, g string, x double",
+    )
+    rows = {r["id"]: r for r in mad_outliers(df, "x", ["g"], k=3.0).collect()}
+    # 1000-range values are NOT outliers within their own group
+    assert not any(r["is_outlier"] for r in rows.values())
+    assert rows[1]["grp_median"] == 12.0 and rows[4]["grp_median"] == 1002.0
