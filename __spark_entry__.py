@@ -620,6 +620,22 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", ROUND).alias("jaccard"))
 
 
+def q_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered exact similarity self-join (operators/dedup.py
+    jaccard_pairs_prefix, SSJoin/PPJoin family): global-frequency-ordered
+    prefixes + length filter prune candidates with zero recall loss —
+    the scale-exact alternative to jaccard_pairs' max_posting cap, which
+    is precision- but not recall-preserving. Same oracle as
+    jaccard_pairs: DuckDB recomputes ALL pairs by brute inverted-index
+    join, so any pair the prefix filter wrongly pruned would hash-fail."""
+    from lanterndb_spark.operators.dedup import jaccard_pairs_prefix
+
+    out = jaccard_pairs_prefix(
+        _docs(spark, sf_dir), "doc_id", "text", n=3, threshold=0.5
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", ROUND).alias("jaccard"))
+
+
 def q_dedup_near_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # end-to-end near-dup removal: jaccard pairs → connected components →
     # keep min-id representative per group
@@ -2513,6 +2529,30 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "valid_from_us")
 
 
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of document lengths (operators/profile.py
+    histogram): auto bounds (one 2-double agg), bins-bounded
+    map-side-combined groupBy, zero-count buckets densified. Width is
+    computed identically ((hi-lo)/bins in IEEE doubles) on both engines
+    so bucket assignment is bit-exact."""
+    from lanterndb_spark.operators.profile import histogram
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return histogram(docs, "n_chars", bins=20).orderBy("bucket")
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law corpus diagnostic (operators/profile.py zipf_fit):
+    ln(count) ~ ln(rank) least squares over the top-V token head.
+    Token counts map-side-combine; the head is a TakeOrdered; the
+    window ranks <= top_v rows. DuckDB refits from scratch with its own
+    regr_* aggregates."""
+    from lanterndb_spark.operators.profile import zipf_fit
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return zipf_fit(docs, "text", top_v=10_000, min_count=1)
+
+
 def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-language length outliers (operators/profile.py
     mad_outliers): median/MAD survive the outliers they hunt, unlike
@@ -2526,6 +2566,38 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "lang", "n_chars"), "n_chars", ["lang"], k=2.0
     )
     return out.orderBy("doc_id")
+
+
+def _zipf_oracle() -> str:
+    tk = duck_tokens("text")
+    return f"""
+    WITH tk AS (SELECT doc_id, {tk} AS tk FROM documents),
+    ex AS (SELECT unnest(tk) AS token FROM tk),
+    counts AS (SELECT token, count(*) AS cnt FROM ex GROUP BY token),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+             CAST(sum(cnt) AS BIGINT) AS total_tokens
+      FROM counts
+    ),
+    head AS (
+      SELECT token, cnt FROM counts ORDER BY cnt DESC, token ASC LIMIT 10000
+    ),
+    ranked AS (
+      SELECT cnt,
+             row_number() OVER (ORDER BY cnt DESC, token ASC) AS rank
+      FROM head
+    ),
+    fit AS (
+      SELECT round(regr_slope(ln(CAST(cnt AS DOUBLE)),
+                              ln(CAST(rank AS DOUBLE))), {ROUND}) AS slope,
+             round(regr_intercept(ln(CAST(cnt AS DOUBLE)),
+                                  ln(CAST(rank AS DOUBLE))), {ROUND}) AS intercept,
+             round(regr_r2(ln(CAST(cnt AS DOUBLE)),
+                           ln(CAST(rank AS DOUBLE))), {ROUND}) AS r2
+      FROM ranked
+    )
+    SELECT fit.*, tot.* FROM fit CROSS JOIN tot
+    """
 
 
 def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3323,6 +3395,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY lang HAVING count(*) > 1
         """,
         "jaccard_pairs": _jaccard_oracle(),
+        "jaccard_prefix": _jaccard_oracle(),
         "leakage_split": f"""
             WITH RECURSIVE {_shingles_cte()},
             ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
@@ -3991,6 +4064,30 @@ def oracle_sql() -> dict[str, str]:
                    valid_to_us IS NULL AS is_current
             FROM g ORDER BY user_id, valid_from_us
         """,
+        "histogram": """
+            WITH b AS (
+              SELECT min(CAST(n_chars AS DOUBLE)) AS lo,
+                     max(CAST(n_chars AS DOUBLE)) AS hi
+              FROM documents WHERE n_chars IS NOT NULL
+            ),
+            g AS (SELECT unnest(generate_series(0, 19)) AS bucket),
+            d AS (SELECT CAST(n_chars AS DOUBLE) AS x FROM documents
+                  WHERE n_chars IS NOT NULL),
+            c AS (
+              SELECT least(19, greatest(0,
+                       CAST(floor((d.x - b.lo) / ((b.hi - b.lo) / 20)) AS INT)
+                     )) AS bucket,
+                     count(*) AS n
+              FROM d, b GROUP BY 1
+            )
+            SELECT g.bucket,
+                   round(b.lo + g.bucket * (b.hi - b.lo) / 20, 6) AS lo_edge,
+                   round(b.lo + (g.bucket + 1) * (b.hi - b.lo) / 20, 6) AS hi_edge,
+                   CAST(coalesce(c.n, 0) AS BIGINT) AS n
+            FROM g CROSS JOIN b LEFT JOIN c USING (bucket)
+            ORDER BY g.bucket
+        """,
+        "zipf_fit": _zipf_oracle(),
         "mad_outliers": f"""
             WITH med AS (
               SELECT lang, median(CAST(n_chars AS DOUBLE)) AS m
@@ -4289,13 +4386,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_invariants": q_multimodal_invariants,
         "dedup_near_keep": q_dedup_near_keep,
         "jaccard_pairs": q_jaccard_pairs,
-        "tpch_q5": q_tpch_q5,
-        "tpch_q7": q_tpch_q7,
-        "tpch_q10": q_tpch_q10,
         # new in round 4:
+        "jaccard_prefix": q_jaccard_prefix,
         "bigram_score": q_bigram_score,
         "scd2": q_scd2,
         "mad_outliers": q_mad_outliers,
+        "histogram": q_histogram,
+        "zipf_fit": q_zipf_fit,
         # (inserted here as they land; each displaces one r3-green filler)
         "minhash_estimate_invariants": q_minhash_estimate_invariants,
         "minhash_incremental_invariants": q_minhash_incremental_invariants,
@@ -4322,10 +4419,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         # r3-green representatives filling the window to 50:
         # -- 51+: green in r3 itself, rotated out for one round -----------
-        # (q4/q6/q18: r2-green, displaced by the round-4 additions — the
-        # least-risk stale rows in the window: DATE-typed TPC-H shapes
-        # untouched by the r3 timestamp-loader change)
+        # (q4/q5/q6/q7/q10/q18: r2-green, displaced by the round-4
+        # additions — the least-risk stale rows in the window: DATE-typed
+        # TPC-H shapes untouched by the r3 timestamp-loader change, all
+        # locally green in this round's full check_oracle sweep)
         "tpch_q4": q_tpch_q4,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q10": q_tpch_q10,
         "tpch_q6": q_tpch_q6,
         "tpch_q18": q_tpch_q18,
         "knn_l2sq": q_knn_l2sq,

@@ -178,6 +178,93 @@ def jaccard_pairs(
     return attach_persisted(out, sh)
 
 
+def jaccard_pairs_prefix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All pairs with Jaccard >= threshold via PREFIX FILTERING
+    (SSJoin/All-Pairs/PPJoin family) — exact AND recall-preserving, the
+    principled fix for :func:`jaccard_pairs`' ``max_posting`` recall gap.
+
+    Order every shingle by global corpus frequency (rarest first,
+    shingle-string tiebreak for determinism). A doc with ``sz`` shingles
+    indexes only its PREFIX — the first ``sz - ceil(t*sz) + 1`` in that
+    order: two sets with Jaccard >= t must share at least one prefix
+    token (pigeonhole on the required overlap ``>= ceil(t*|x|)``), so
+    joining on prefix tokens alone loses no true pair. Candidates also
+    pass the length filter ``min(sz) >= t * max(sz)`` (necessary for
+    J >= t), then exact verification on the full shingle arrays.
+
+    Why this is the 100 TB shape: boilerplate shingles are by definition
+    FREQUENT, so they sort to the END of the global order and never enter
+    a prefix — the quadratic hot-posting cliff that ``max_posting``
+    truncates (dropping recall) is pruned here by construction, exactly.
+    Candidate volume is bounded by rare-token posting lists. Cost: one
+    shuffle on shingle (frequency join), one on id (per-doc sort), the
+    prefix self-join, and the verify join — each key-uniform.
+
+    (The positional-filter refinement of full PPJoin — upper-bounding
+    overlap from prefix positions — is omitted: it trims candidates by a
+    constant factor at the price of a wider index; the length + prefix
+    filters already remove the asymptotic cliff.)
+    """
+    t = float(threshold)
+    sh = (
+        shingle_table(df, id_col, text_col, n)
+        .withColumn("sz", F.size("sh"))
+        .filter(F.col("sz") > 0)
+        .persist()
+    )
+    ex = explode_nonempty(sh.select("id", "sh"), "sh", "g", "id")
+    freq = ex.groupBy("g").agg(F.count("*").alias("fc"))
+    # per-doc shingles sorted by (global freq asc, shingle asc): one
+    # shuffle on g to attach counts, one on id to assemble the order
+    per_doc = (
+        ex.join(freq, "g")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list(F.struct("fc", "g"))).alias("srt"))
+        .join(sh.select("id", "sz"), "id")
+    )
+    plen = (F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1).cast("int")
+    pex = per_doc.select(
+        "id", "sz",
+        F.explode(
+            F.slice(F.transform("srt", lambda s: s["g"]), F.lit(1), plen)
+        ).alias("g"),
+    )
+    a, b = pex.alias("a"), pex.alias("b")
+    cand = (
+        a.join(b, on="g")
+        .filter(
+            (F.col("a.id") < F.col("b.id"))
+            & (F.least("a.sz", "b.sz")
+               >= F.lit(t) * F.greatest("a.sz", "b.sz"))
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    out = (
+        cand.join(sh.select(F.col("id").alias("id_a"),
+                            F.col("sh").alias("sh_a"),
+                            F.col("sz").alias("sz_a")), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"),
+                        F.col("sh").alias("sh_b"),
+                        F.col("sz").alias("sz_b")), "id_b")
+        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= F.lit(t))
+        .select("id_a", "id_b", "jaccard")
+    )
+    return attach_persisted(out, sh)
+
+
 # --------------------------------------------------------- MinHash LSH
 
 def _minhash_wide(

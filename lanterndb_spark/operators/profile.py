@@ -198,3 +198,108 @@ def mad_outliers(
         F.round(z, 6).alias("robust_z"),
         F.coalesce(z > F.lit(float(k)), F.lit(False)).alias("is_outlier"),
     )
+
+
+def histogram(
+    df: DataFrame,
+    value_col: str,
+    bins: int = 20,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Equi-width histogram: one row per bucket ``(bucket, lo_edge,
+    hi_edge, n)``, EVERY bucket present (zero counts included) so plots
+    and round-trip comparisons need no densify step.
+
+    Bounds default to the column min/max (one extra aggregate pass —
+    two doubles to the driver, never data). Values land in
+    ``floor((x - lo) / width)`` clamped to the edge buckets, so with
+    explicit bounds, out-of-range values accumulate at bucket 0 /
+    bins-1 rather than disappearing. NULLs are dropped.
+
+    One map-side-combined groupBy on a bins-bounded key — the cheapest
+    possible distribution sketch; the zero-fill join is bins rows.
+    """
+    if bins < 1:
+        raise ValueError("bins must be >= 1")
+    x = F.col(value_col).cast("double")
+    data = df.filter(x.isNotNull())
+    if lo is None or hi is None:
+        row = data.agg(F.min(x).alias("lo"), F.max(x).alias("hi")).first()
+        lo = float(row["lo"]) if lo is None else float(lo)
+        hi = float(row["hi"]) if hi is None else float(hi)
+    lo, hi = float(lo), float(hi)
+    if hi <= lo:
+        hi = lo + 1.0  # degenerate range: one bucket holds everything
+    width = (hi - lo) / bins
+    bucket = F.least(
+        F.lit(bins - 1),
+        F.greatest(F.lit(0), F.floor((x - F.lit(lo)) / F.lit(width)).cast("int")),
+    )
+    counts = data.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    spark = df.sparkSession
+    grid = spark.range(bins).select(F.col("id").cast("int").alias("bucket"))
+    return (
+        grid.join(counts, "bucket", "left")
+        .select(
+            "bucket",
+            F.round(F.lit(lo) + F.col("bucket") * F.lit(width), 6).alias("lo_edge"),
+            F.round(F.lit(lo) + (F.col("bucket") + 1) * F.lit(width), 6).alias("hi_edge"),
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+        )
+    )
+
+
+def zipf_fit(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_v: int = 10_000,
+    min_count: int = 1,
+) -> DataFrame:
+    """Zipf's-law diagnostic for a corpus: least-squares fit of
+    ``ln(count) ~ slope * ln(rank) + intercept`` over the ``top_v``
+    most frequent tokens (count desc, token asc tiebreak — fully
+    deterministic). A healthy natural-language corpus fits slope ≈ -1
+    with high r²; machine-generated or template text bends the curve —
+    a cheap corpus-level quality gate to sit beside per-doc metrics.
+
+    Returns one row: ``slope, intercept, r2, vocab_size, total_tokens``
+    (6dp). Scale shape: token counts are one map-side-combined groupBy;
+    the top-V selection is a TakeOrdered (no global sort materialized),
+    and the regression runs over at most ``top_v`` rows. ``vocab_size``
+    / ``total_tokens`` describe the FULL floored vocabulary, not just
+    the fitted head.
+    """
+    from lanterndb_spark.functions.text import tokenize
+
+    toks = docs.select(
+        F.explode(tokenize(F.col(text_col), stopwords=None)).alias("token")
+    )
+    counts = (
+        toks.groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .filter(F.col("cnt") >= int(min_count))
+    )
+    totals = counts.agg(
+        F.count("*").cast("bigint").alias("vocab_size"),
+        F.sum("cnt").cast("bigint").alias("total_tokens"),
+    )
+    head = counts.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(int(top_v))
+    from pyspark.sql.window import Window
+
+    ranked = head.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+        ),
+    )
+    lx = F.log(F.col("rank").cast("double"))
+    ly = F.log(F.col("cnt").cast("double"))
+    fit = ranked.agg(
+        F.round(F.regr_slope(ly, lx), 6).alias("slope"),
+        F.round(F.regr_intercept(ly, lx), 6).alias("intercept"),
+        F.round(F.regr_r2(ly, lx), 6).alias("r2"),
+    )
+    return fit.crossJoin(F.broadcast(totals))

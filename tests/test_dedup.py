@@ -364,3 +364,69 @@ def test_choose_bands_scurve_properties():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         choose_bands(64, 1.5)
+
+
+# ------------------------------------------- prefix-filtered exact join
+
+def test_jaccard_prefix_equals_uncapped(dup_docs):
+    from lanterndb_spark.operators.dedup import jaccard_pairs_prefix
+
+    for t in (0.3, 0.5, 0.8):
+        base = {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 6))
+            for r in jaccard_pairs(dup_docs, "doc_id", "text", threshold=t,
+                                   max_posting=None).collect()
+        }
+        pref = {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 6))
+            for r in jaccard_pairs_prefix(dup_docs, "doc_id", "text",
+                                          threshold=t).collect()
+        }
+        assert pref == base, f"threshold {t}"
+
+
+def test_jaccard_prefix_recall_where_cap_fails(spark):
+    """The documented max_posting failure mode: near-dup overlap living in
+    HOT shingles. The cap drops the pair; the prefix filter keeps it
+    (hot shingles sort to the end of the global order and never enter a
+    prefix, but verification still counts them)."""
+    from lanterndb_spark.operators.dedup import jaccard_pairs_prefix
+
+    boiler = "terms of service apply to all content on this site"
+    rows = [(i, boiler) for i in range(1, 21)]           # 20 boilerplate docs
+    rows += [(100, boiler + " unique alpha ending"),
+             (101, boiler + " unique alpha finale")]      # near-dup pair
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    # every boilerplate 3-gram has posting >= 20; cap at 5 drops them all
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_pairs(docs, "doc_id", "text", threshold=0.5,
+                               max_posting=5).collect()
+    }
+    assert (100, 101) not in capped
+    pref = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs_prefix(docs, "doc_id", "text",
+                                      threshold=0.5).collect()
+    }
+    assert (100, 101) in pref
+    # and it is EXACT: matches the uncapped join pair-for-pair
+    exact = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 6)
+        for r in jaccard_pairs(docs, "doc_id", "text", threshold=0.5,
+                               max_posting=None).collect()
+    }
+    assert {k: round(v, 6) for k, v in pref.items()} == exact
+
+
+def test_jaccard_prefix_short_and_empty_docs(spark):
+    from lanterndb_spark.operators.dedup import jaccard_pairs_prefix
+
+    docs = spark.createDataFrame(
+        [(1, "one"), (2, "one"), (3, ""), (4, "totally different words here")],
+        "doc_id int, text string",
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in jaccard_pairs_prefix(docs, "doc_id", "text",
+                                           threshold=0.5).collect()}
+    assert pairs == {(1, 2): 1.0}

@@ -102,3 +102,67 @@ def test_mad_groups_independent(spark):
     # 1000-range values are NOT outliers within their own group
     assert not any(r["is_outlier"] for r in rows.values())
     assert rows[1]["grp_median"] == 12.0 and rows[4]["grp_median"] == 1002.0
+
+
+# ------------------------------------------------------- histogram
+
+def test_histogram_hand_computed(spark):
+    from lanterndb_spark.operators.profile import histogram
+
+    df = spark.createDataFrame([(float(v),) for v in [0, 1, 2, 3, 10]], "x double")
+    rows = {r["bucket"]: r for r in histogram(df, "x", bins=5).collect()}
+    # lo=0, hi=10, width=2: buckets [0,2) [2,4) ... [8,10]; x=10 clamps in
+    assert len(rows) == 5
+    assert rows[0]["n"] == 2 and rows[1]["n"] == 2 and rows[4]["n"] == 1
+    assert rows[2]["n"] == 0 and rows[3]["n"] == 0   # zero-filled
+    assert rows[0]["lo_edge"] == 0.0 and rows[4]["hi_edge"] == 10.0
+    assert sum(r["n"] for r in rows.values()) == 5
+
+
+def test_histogram_explicit_bounds_clamp(spark):
+    from lanterndb_spark.operators.profile import histogram
+
+    df = spark.createDataFrame([(-5.0,), (0.5,), (99.0,), (None,)], "x double")
+    rows = {r["bucket"]: r["n"] for r in
+            histogram(df, "x", bins=2, lo=0.0, hi=1.0).collect()}
+    # -5 clamps into bucket 0; 0.5 lands in [0.5,1]; 99 clamps into
+    # bucket 1; NULL dropped
+    assert rows == {0: 1, 1: 2}
+
+
+def test_histogram_degenerate_range(spark):
+    from lanterndb_spark.operators.profile import histogram
+
+    df = spark.createDataFrame([(7.0,), (7.0,)], "x double")
+    rows = histogram(df, "x", bins=4).collect()
+    assert sum(r["n"] for r in rows) == 2  # constant column still counts
+
+
+# ------------------------------------------------------- zipf fit
+
+def test_zipf_perfect_law(spark):
+    from lanterndb_spark.operators.profile import zipf_fit
+
+    # counts 64,32,16,8 over ranks 1..4: ln c = ln 64 - ln2 * ... slope
+    # vs ln rank is NOT linear; use an exact power law c = 64 / rank:
+    # ranks 1,2,4,8 -> perfectly linear in log-log with slope -1
+    words = []
+    for tok, cnt in [("a", 64), ("b", 32), ("c", 16), ("d", 8)]:
+        words += [tok] * cnt
+    docs = spark.createDataFrame([(1, " ".join(words))], "doc_id int, text string")
+    row = zipf_fit(docs, "text").collect()[0]
+    # counts 64/32/16/8 at ranks 1/2/3/4: not exactly Zipf, but r2 high
+    assert row["vocab_size"] == 4 and row["total_tokens"] == 120
+    assert row["slope"] < 0 and row["r2"] > 0.9
+
+
+def test_zipf_top_v_head_only(spark):
+    from lanterndb_spark.operators.profile import zipf_fit
+
+    docs = spark.createDataFrame(
+        [(1, "x x x y y z w v u t s r q p o n m")], "doc_id int, text string"
+    )
+    row = zipf_fit(docs, "text", top_v=2).collect()[0]
+    # fit over 2 head tokens only; totals still describe the full vocab
+    assert row["vocab_size"] == 14
+    assert row["slope"] is not None

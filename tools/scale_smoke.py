@@ -227,6 +227,20 @@ def main():
 
     timed("jaccard_capped_50k", jaccard_job, out)
 
+    def jaccard_prefix_job():
+        # prefix filtering prunes the same hot-posting cliff WITHOUT the
+        # cap's recall loss: exact join, so it must find >= the capped
+        # count and every planted twin
+        from lanterndb_spark.operators.dedup import jaccard_pairs_prefix
+
+        p = jaccard_pairs_prefix(docs, "doc_id", "text", n=3, threshold=0.5)
+        n = p.count()
+        release(p)
+        assert n >= int(0.9 * n_twins), f"planted twins missed by prefix join: {n}/{n_twins}"
+        return n
+
+    timed("jaccard_prefix_50k", jaccard_prefix_job, out)
+
     from lanterndb_spark.operators.temporal import asof_join, range_join
 
     def asof_job():
