@@ -325,3 +325,42 @@ class LanternTable:
         return minhash_lsh_incremental(
             sigs, batch, self.id_col, text_col, num_hashes=num_hashes, n=n, **kw
         )
+
+    def exact_dup_pairs(self, text_col: str = "text", **kw) -> DataFrame:
+        """Exact-Jaccard similarity pairs via prefix filtering
+        (recall-preserving at any scale) — see
+        operators/dedup.py jaccard_pairs_prefix."""
+        from lanterndb_spark.operators.dedup import jaccard_pairs_prefix
+
+        return jaccard_pairs_prefix(self.df, self.id_col, text_col, **kw)
+
+    def histogram(self, value_col: str, bins: int = 20, **kw) -> DataFrame:
+        """Equi-width histogram of a column over the visible rows."""
+        from lanterndb_spark.operators.profile import histogram
+
+        return histogram(self.df, value_col, bins=bins, **kw)
+
+    def outliers(self, value_col: str, group_cols: list[str] | None = None,
+                 **kw) -> DataFrame:
+        """Robust MAD outlier flags over the visible rows."""
+        from lanterndb_spark.operators.profile import mad_outliers
+
+        return mad_outliers(self.df, value_col, group_cols, **kw)
+
+    def history(self, ts_col: str, attr_cols: list[str],
+                tiebreak_col: str | None = None) -> DataFrame:
+        """SCD2 version history of this table's change log, keyed by the
+        table id — see operators/scd.py scd2_history."""
+        from lanterndb_spark.operators.scd import scd2_history
+
+        return scd2_history(self.df, self.id_col, ts_col, attr_cols,
+                            tiebreak_col=tiebreak_col)
+
+    def snapshot_at(self, ts_col: str, attr_cols: list[str], at,
+                    tiebreak_col: str | None = None) -> DataFrame:
+        """Point-in-time view of the change log at timestamp ``at``."""
+        from lanterndb_spark.operators.scd import scd2_history, scd2_snapshot
+
+        hist = scd2_history(self.df, self.id_col, ts_col, attr_cols,
+                            tiebreak_col=tiebreak_col)
+        return scd2_snapshot(hist, at)

@@ -188,3 +188,33 @@ def test_table_near_dup_check(spark, tables):
     # every batch doc (a twin of a table doc) is flagged against it
     assert {r["id_b"] for r in hits} == {r["doc_id"] for r in batch.collect()}
     assert all(r["jaccard"] == 1.0 for r in hits if r["id_a"] == r["id_b"] - 900_000)
+
+
+def test_table_quality_surface(spark, tables):
+    from lanterndb_spark.table import LanternTable
+
+    t = LanternTable(tables["documents"], id_col="doc_id")
+    h = t.histogram("n_chars", bins=10).collect()
+    assert len(h) == 10 and sum(r["n"] for r in h) == tables["documents"].count()
+    o = t.outliers("n_chars", ["lang"], k=2.0)
+    assert {"robust_z", "is_outlier"} <= set(o.columns)
+    p = t.exact_dup_pairs(threshold=0.9)
+    assert {"id_a", "id_b", "jaccard"} <= set(p.columns)
+
+
+def test_table_scd2_surface(spark):
+    from datetime import datetime
+    from lanterndb_spark.table import LanternTable
+
+    log = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), "bronze"),
+         (1, datetime(2024, 1, 5), "gold"),
+         (2, datetime(2024, 1, 2), "silver")],
+        "uid int, ts timestamp, tier string",
+    )
+    t = LanternTable(log, id_col="uid")
+    hist = t.history("ts", ["tier"])
+    assert hist.count() == 3
+    snap = {r["uid"]: r["tier"]
+            for r in t.snapshot_at("ts", ["tier"], "2024-01-03 00:00:00").collect()}
+    assert snap == {1: "bronze", 2: "silver"}
