@@ -2553,6 +2553,20 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_fit(docs, "text", top_v=10_000, min_count=1)
 
 
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability drift between the even/odd halves of the
+    corpus (operators/profile.py psi_drift): shared combined-bounds
+    buckets, add-half smoothing (SQL-reproducible, unlike epsilon
+    clamps), per-bucket contributions summing to the PSI. Two
+    bins-bounded groupBys; nothing else shuffles."""
+    from lanterndb_spark.operators.profile import psi_drift
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    return psi_drift(a, b, "n_chars", bins=10).orderBy("bucket")
+
+
 def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-language length outliers (operators/profile.py
     mad_outliers): median/MAD survive the outliers they hunt, unlike
@@ -4088,6 +4102,46 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY g.bucket
         """,
         "zipf_fit": _zipf_oracle(),
+        "psi_drift": """
+            WITH a AS (SELECT CAST(n_chars AS DOUBLE) AS x FROM documents
+                       WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL),
+            b AS (SELECT CAST(n_chars AS DOUBLE) AS x FROM documents
+                  WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL),
+            bounds AS (
+              SELECT least((SELECT min(x) FROM a), (SELECT min(x) FROM b)) AS lo,
+                     greatest((SELECT max(x) FROM a), (SELECT max(x) FROM b)) AS hi
+            ),
+            g AS (SELECT unnest(generate_series(0, 9)) AS bucket),
+            ca AS (
+              SELECT least(9, greatest(0,
+                       CAST(floor((a.x - bounds.lo)
+                            / ((bounds.hi - bounds.lo) / 10)) AS INT))) AS bucket,
+                     count(*) AS n
+              FROM a, bounds GROUP BY 1
+            ),
+            cb AS (
+              SELECT least(9, greatest(0,
+                       CAST(floor((b.x - bounds.lo)
+                            / ((bounds.hi - bounds.lo) / 10)) AS INT))) AS bucket,
+                     count(*) AS n
+              FROM b, bounds GROUP BY 1
+            ),
+            j AS (
+              SELECT g.bucket,
+                     CAST(coalesce(ca.n, 0) AS DOUBLE) AS na,
+                     CAST(coalesce(cb.n, 0) AS DOUBLE) AS nb
+              FROM g LEFT JOIN ca USING (bucket) LEFT JOIN cb USING (bucket)
+            ),
+            t AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM j),
+            sm AS (
+              SELECT bucket, (na + 0.5) / (ta + 5.0) AS fa,
+                             (nb + 0.5) / (tb + 5.0) AS fb
+              FROM j, t
+            )
+            SELECT bucket, round(fa, 6) AS frac_a, round(fb, 6) AS frac_b,
+                   round((fa - fb) * ln(fa / fb), 6) AS contrib
+            FROM sm ORDER BY bucket
+        """,
         "mad_outliers": f"""
             WITH med AS (
               SELECT lang, median(CAST(n_chars AS DOUBLE)) AS m
@@ -4377,7 +4431,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_candidate": q_hybrid_candidate,
         "bm25_topk_stemmed": q_bm25_topk_stemmed,
         "bm25_postings": q_bm25_postings,
-        "bm25_score": q_bm25_score,
         "bloom_hot_terms": q_bloom_hot_terms,
         "pq_roundtrip": q_pq_roundtrip,
         "dedup_sketch_invariants": q_dedup_sketch_invariants,
@@ -4393,6 +4446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": q_mad_outliers,
         "histogram": q_histogram,
         "zipf_fit": q_zipf_fit,
+        "psi_drift": q_psi_drift,
         # (inserted here as they land; each displaces one r3-green filler)
         "minhash_estimate_invariants": q_minhash_estimate_invariants,
         "minhash_incremental_invariants": q_minhash_incremental_invariants,
@@ -4427,6 +4481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": q_tpch_q5,
         "tpch_q7": q_tpch_q7,
         "tpch_q10": q_tpch_q10,
+        "bm25_score": q_bm25_score,
         "tpch_q6": q_tpch_q6,
         "tpch_q18": q_tpch_q18,
         "knn_l2sq": q_knn_l2sq,

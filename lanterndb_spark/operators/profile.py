@@ -252,6 +252,82 @@ def histogram(
     )
 
 
+def psi_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    bins: int = 10,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Population Stability Index between two samples of a numeric
+    column — the standard train-vs-serve / batch-vs-batch drift gate
+    (PSI < 0.1 stable, 0.1–0.25 moderate shift, > 0.25 drifted).
+
+    Buckets are equi-width over bounds from the COMBINED min/max (so
+    both samples share edges); per-bucket fractions are smoothed with
+    add-½ (Laplace) counts — ``(n_i + 0.5) / (N + 0.5·bins)`` — which
+    keeps empty buckets finite and is exactly reproducible by the SQL
+    oracle, unlike epsilon clamps. Returns one row per bucket:
+    ``bucket, frac_a, frac_b, contrib`` with
+    ``contrib = (frac_a - frac_b) * ln(frac_a / frac_b)``; the PSI is
+    ``sum(contrib)``.
+
+    Scale shape: two bins-bounded map-side-combined groupBys + a
+    bins-row join — nothing else moves.
+    """
+    if bins < 1:
+        raise ValueError("bins must be >= 1")
+    xa = F.col(value_col).cast("double")
+    da = df_a.filter(xa.isNotNull())
+    db = df_b.filter(xa.isNotNull())
+    if lo is None or hi is None:
+        ra = da.agg(F.min(xa).alias("lo"), F.max(xa).alias("hi")).first()
+        rb = db.agg(F.min(xa).alias("lo"), F.max(xa).alias("hi")).first()
+        lo = min(float(ra["lo"]), float(rb["lo"])) if lo is None else float(lo)
+        hi = max(float(ra["hi"]), float(rb["hi"])) if hi is None else float(hi)
+    lo, hi = float(lo), float(hi)
+    if hi <= lo:
+        hi = lo + 1.0
+    width = (hi - lo) / bins
+
+    def counts(d: DataFrame, name: str) -> DataFrame:
+        bucket = F.least(
+            F.lit(bins - 1),
+            F.greatest(F.lit(0),
+                       F.floor((xa - F.lit(lo)) / F.lit(width)).cast("int")),
+        )
+        return d.groupBy(bucket.alias("bucket")).agg(
+            F.count(F.lit(1)).cast("double").alias(name)
+        )
+
+    spark = df_a.sparkSession
+    grid = spark.range(bins).select(F.col("id").cast("int").alias("bucket"))
+    joined = (
+        grid.join(counts(da, "na"), "bucket", "left")
+        .join(counts(db, "nb"), "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("na", F.lit(0.0)).alias("na"),
+            F.coalesce("nb", F.lit(0.0)).alias("nb"),
+        )
+    )
+    tot = joined.agg(F.sum("na").alias("ta"), F.sum("nb").alias("tb"))
+    sm = joined.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        ((F.col("na") + 0.5) / (F.col("ta") + 0.5 * bins)).alias("fa"),
+        ((F.col("nb") + 0.5) / (F.col("tb") + 0.5 * bins)).alias("fb"),
+    )
+    return sm.select(
+        "bucket",
+        F.round("fa", 6).alias("frac_a"),
+        F.round("fb", 6).alias("frac_b"),
+        F.round(
+            (F.col("fa") - F.col("fb")) * F.log(F.col("fa") / F.col("fb")), 6
+        ).alias("contrib"),
+    )
+
+
 def zipf_fit(
     docs: DataFrame,
     text_col: str = "text",

@@ -166,3 +166,40 @@ def test_zipf_top_v_head_only(spark):
     # fit over 2 head tokens only; totals still describe the full vocab
     assert row["vocab_size"] == 14
     assert row["slope"] is not None
+
+
+# ------------------------------------------------------- PSI drift
+
+def test_psi_identical_samples_near_zero(spark):
+    from lanterndb_spark.operators.profile import psi_drift
+
+    df = spark.createDataFrame([(float(i),) for i in range(100)], "x double")
+    rows = psi_drift(df, df, "x", bins=10).collect()
+    assert len(rows) == 10
+    psi = sum(r["contrib"] for r in rows)
+    assert abs(psi) < 1e-9  # identical distributions -> PSI 0
+
+
+def test_psi_detects_shift(spark):
+    from lanterndb_spark.operators.profile import psi_drift
+
+    a = spark.createDataFrame([(float(i % 10),) for i in range(100)], "x double")
+    b = spark.createDataFrame([(float(i % 10 + 5),) for i in range(100)], "x double")
+    rows = psi_drift(a, b, "x", bins=10).collect()
+    psi = sum(r["contrib"] for r in rows)
+    assert psi > 0.25  # clearly drifted
+    # contributions are individually non-negative (both factors share sign)
+    assert all(r["contrib"] >= 0 for r in rows)
+
+
+def test_psi_empty_buckets_finite(spark):
+    from lanterndb_spark.operators.profile import psi_drift
+
+    a = spark.createDataFrame([(0.0,), (1.0,)], "x double")
+    b = spark.createDataFrame([(9.0,), (10.0,)], "x double")
+    rows = psi_drift(a, b, "x", bins=5).collect()
+    # disjoint ranges: every bucket empty on one side; add-half keeps
+    # all contributions finite
+    import math
+    assert all(math.isfinite(r["contrib"]) for r in rows)
+    assert sum(r["frac_a"] for r in rows) == pytest.approx(1.0, abs=1e-6)
