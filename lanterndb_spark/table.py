@@ -364,3 +364,11 @@ class LanternTable:
         hist = scd2_history(self.df, self.id_col, ts_col, attr_cols,
                             tiebreak_col=tiebreak_col)
         return scd2_snapshot(hist, at)
+
+    def drift_vs(self, other: DataFrame, value_col: str, bins: int = 10,
+                 **kw) -> DataFrame:
+        """PSI distribution drift of ``value_col`` between this table's
+        visible rows and ``other`` — see operators/profile.py psi_drift."""
+        from lanterndb_spark.operators.profile import psi_drift
+
+        return psi_drift(self.df, other, value_col, bins=bins, **kw)

@@ -218,3 +218,12 @@ def test_table_scd2_surface(spark):
     snap = {r["uid"]: r["tier"]
             for r in t.snapshot_at("ts", ["tier"], "2024-01-03 00:00:00").collect()}
     assert snap == {1: "bronze", 2: "silver"}
+
+
+def test_table_drift_vs(spark, tables):
+    from lanterndb_spark.table import LanternTable
+
+    docs = tables["documents"]
+    t = LanternTable(docs, id_col="doc_id")
+    d = t.drift_vs(docs, "n_chars", bins=8).collect()
+    assert len(d) == 8 and abs(sum(r["contrib"] for r in d)) < 1e-9
