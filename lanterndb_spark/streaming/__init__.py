@@ -3,5 +3,9 @@ from lanterndb_spark.streaming.events import (
     stream_events,
     windowed_event_counts,
 )
+from lanterndb_spark.streaming.scd import Scd2Ingest, scd2_ingest_stream
 
-__all__ = ["stream_events", "windowed_event_counts", "incremental_postings_stream"]
+__all__ = [
+    "stream_events", "windowed_event_counts", "incremental_postings_stream",
+    "Scd2Ingest", "scd2_ingest_stream",
+]
