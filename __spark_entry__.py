@@ -2553,6 +2553,22 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_fit(docs, "text", top_v=10_000, min_count=1)
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (operators/sampling.py weighted_sample, Efraimidis–Spirakis
+    priorities from md5 uniforms): top-20 per language by n_chars
+    weight. Pure projection + WindowGroupLimit; DuckDB re-draws the
+    identical sample from the same md5 stream."""
+    from lanterndb_spark.operators.sampling import weighted_sample
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    out = weighted_sample(
+        docs.select("doc_id", "lang", "n_chars"),
+        "doc_id", "n_chars", k=20, group_cols=["lang"], salt="ws",
+    )
+    return out.orderBy("lang", "doc_id")
+
+
 def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population-stability drift between the even/odd halves of the
     corpus (operators/profile.py psi_drift): shared combined-bounds
@@ -4102,6 +4118,22 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY g.bucket
         """,
         "zipf_fit": _zipf_oracle(),
+        "weighted_sample": """
+            WITH s AS (
+              SELECT doc_id, lang, n_chars,
+                     pow((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'ws'), 1, 8)) AS BIGINT) + 1.0)
+                         / 4294967296.0,
+                         1.0 / CAST(n_chars AS DOUBLE)) AS pr
+              FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+            ),
+            r AS (
+              SELECT *, row_number() OVER
+                   (PARTITION BY lang ORDER BY pr DESC, doc_id ASC) AS rn
+              FROM s
+            )
+            SELECT doc_id, lang, n_chars, round(pr, 6) AS priority
+            FROM r WHERE rn <= 20 ORDER BY lang, doc_id
+        """,
         "psi_drift": """
             WITH a AS (SELECT CAST(n_chars AS DOUBLE) AS x FROM documents
                        WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL),
@@ -4428,7 +4460,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_rownum": q_window_rownum,
         "dedup_groups": q_dedup_groups,
         # r2-era newest-green:
-        "hybrid_candidate": q_hybrid_candidate,
         "bm25_topk_stemmed": q_bm25_topk_stemmed,
         "bm25_postings": q_bm25_postings,
         "bloom_hot_terms": q_bloom_hot_terms,
@@ -4447,6 +4478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram": q_histogram,
         "zipf_fit": q_zipf_fit,
         "psi_drift": q_psi_drift,
+        "weighted_sample": q_weighted_sample,
         # (inserted here as they land; each displaces one r3-green filler)
         "minhash_estimate_invariants": q_minhash_estimate_invariants,
         "minhash_incremental_invariants": q_minhash_incremental_invariants,
@@ -4482,6 +4514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q7": q_tpch_q7,
         "tpch_q10": q_tpch_q10,
         "bm25_score": q_bm25_score,
+        "hybrid_candidate": q_hybrid_candidate,
         "tpch_q6": q_tpch_q6,
         "tpch_q18": q_tpch_q18,
         "knn_l2sq": q_knn_l2sq,

@@ -224,3 +224,57 @@ def token_budget_sample(
         .filter(F.col("__cum") <= budget)
         .drop("__cum")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    group_cols: list[str] | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (top-k of
+    Efraimidis–Spirakis priorities): each row draws a reproducible
+    uniform ``u`` from md5(id + salt) and competes with priority
+    ``u^(1/w)``; the k largest priorities (per group, or globally) are
+    the sample. Inclusion probability is proportional to weight in the
+    without-replacement sense, and the draw depends only on
+    (id, salt) — re-running on reshuffled data, or in another engine
+    with md5(), reproduces the exact sample.
+
+    Rows with NULL or non-positive weight are excluded. Ties (u and w
+    both equal) break on id. Output adds ``priority`` (6dp).
+
+    Scale shape: the priority is a pure projection; per-group top-k is
+    the WindowGroupLimit pattern (rank shuffles once on the group key),
+    and global top-k is a TakeOrdered — no global sort materializes.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    w = F.col(weight_col).cast("double")
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    # (int(first 8 hex) + 1) / 2^32: uniform in (0, 1], never 0 so the
+    # pow is always defined
+    u = (F.conv(F.substring(h, 1, 8), 16, 10).cast("double") + F.lit(1.0)) / F.lit(
+        4294967296.0
+    )
+    pr = F.pow(u, F.lit(1.0) / w)
+    scored = (
+        df.filter(w.isNotNull() & (w > 0))
+        .withColumn("priority", pr)
+    )
+    if group_cols:
+        from pyspark.sql.window import Window
+
+        win = Window.partitionBy(*group_cols).orderBy(
+            F.col("priority").desc(), F.col(id_col).asc()
+        )
+        out = (
+            scored.withColumn("__rn", F.row_number().over(win))
+            .filter(F.col("__rn") <= int(k))
+            .drop("__rn")
+        )
+    else:
+        out = scored.orderBy(F.col("priority").desc(), F.col(id_col).asc()).limit(int(k))
+    return out.withColumn("priority", F.round("priority", 6))

@@ -170,3 +170,51 @@ def test_token_budget_sample_monotone_prefix(spark, tables):
     # deterministic
     again = {r["doc_id"] for r in token_budget_sample(docs, "doc_id", "n_chars", 20_000).collect()}
     assert small == again
+
+
+# ------------------------------------------- weighted sampling (A-ES)
+
+def test_weighted_sample_deterministic_and_capped(spark, tables):
+    from lanterndb_spark.operators.sampling import weighted_sample
+
+    docs = tables["documents"].select("doc_id", "lang", "n_chars")
+    a = weighted_sample(docs, "doc_id", "n_chars", k=5, group_cols=["lang"])
+    b = weighted_sample(docs.repartition(7), "doc_id", "n_chars", k=5,
+                        group_cols=["lang"])
+    got_a = {(r["doc_id"],) for r in a.collect()}
+    got_b = {(r["doc_id"],) for r in b.collect()}
+    assert got_a == got_b            # partitioning-independent
+    from pyspark.sql import functions as F
+    per = a.groupBy("lang").count().collect()
+    assert all(r["count"] <= 5 for r in per)
+
+
+def test_weighted_sample_weight_bias(spark):
+    from lanterndb_spark.operators.sampling import weighted_sample
+
+    # 200 light rows (w=1) + 200 heavy rows (w=100): heavy rows must
+    # dominate the sample
+    rows = [(i, 1.0) for i in range(200)] + [(i + 200, 100.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "id int, w double")
+    got = weighted_sample(df, "id", "w", k=50).collect()
+    heavy = sum(1 for r in got if r["id"] >= 200)
+    assert heavy >= 40  # expectation ~49.7 of 50
+
+
+def test_weighted_sample_salt_changes_draw(spark):
+    from lanterndb_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame([(i, 1.0) for i in range(100)], "id int, w double")
+    a = {r["id"] for r in weighted_sample(df, "id", "w", k=10, salt="a").collect()}
+    b = {r["id"] for r in weighted_sample(df, "id", "w", k=10, salt="b").collect()}
+    assert a != b
+
+
+def test_weighted_sample_drops_bad_weights(spark):
+    from lanterndb_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 2.0), (2, 0.0), (3, -1.0), (4, None)], "id int, w double"
+    )
+    got = [r["id"] for r in weighted_sample(df, "id", "w", k=10).collect()]
+    assert got == [1]
