@@ -298,6 +298,43 @@ def q_ivfpq_exact_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_out(out.drop("cluster_id", "embedding_pq"), ["vec_id", "label"], "dist")
 
 
+def q_ivfsq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF+SQ8 composite: cluster pruning -> dequantized-int8 coarse scan
+    # -> exact refine (the reference's quant_bits=8 index mode)
+    from lanterndb_spark.operators.ivf import IvfIndex, build_ivf, ivfsq_search
+    from lanterndb_spark.operators.sq import sq8_quantize
+
+    emb = _emb(spark, sf_dir)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    idx = build_ivf(emb, "embedding", nlist=8, seed=42)
+    coded = IvfIndex(sq8_quantize(idx.assigned, "embedding"), idx.centroids, "embedding")
+    out = ivfsq_search(coded, qv, k=10, nprobe=4, refine=4, id_col="vec_id")
+    return _round_out(
+        out.drop("cluster_id", "embedding_sq8", "embedding_sq8_scale"),
+        ["vec_id", "label"], "dist",
+    )
+
+
+def q_ivfsq_exact_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+SQ8 with nprobe=nlist and refine spanning the whole table: the
+    compressed coarse pass keeps every row and the exact re-rank must
+    reproduce the exact knn — end-to-end oracle over the composite."""
+    from lanterndb_spark.operators.ivf import IvfIndex, build_ivf, ivfsq_search
+    from lanterndb_spark.operators.sq import sq8_quantize
+
+    emb = _emb(spark, sf_dir)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    k = 10
+    refine = (emb.count() + k - 1) // k  # k·refine ≥ n → exact re-rank
+    idx = build_ivf(emb, "embedding", nlist=8, seed=42)
+    coded = IvfIndex(sq8_quantize(idx.assigned, "embedding"), idx.centroids, "embedding")
+    out = ivfsq_search(coded, qv, k=k, nprobe=8, refine=refine, id_col="vec_id")
+    return _round_out(
+        out.drop("cluster_id", "embedding_sq8", "embedding_sq8_scale"),
+        ["vec_id", "label"], "dist",
+    )
+
+
 def q_pq_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ invariants evaluated IN the query so the driver hash-checks them:
 
@@ -3359,6 +3396,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_exact_equiv": _knn_oracle(0, duck_l2sq),
         "srp_exact_equiv": _knn_oracle(0, duck_cos),
         "ivfpq_exact_equiv": _knn_oracle(0, duck_l2sq),
+        "ivfsq_exact_equiv": _knn_oracle(0, duck_l2sq),
         "bloom_hot_terms": f"""
             WITH toks AS (SELECT doc_id, {duck_tokens("text", STOPWORDS)} AS terms FROM documents),
             ex AS (SELECT doc_id, unnest(terms) AS term FROM toks),
@@ -4462,8 +4500,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r2-era newest-green:
         "bm25_topk_stemmed": q_bm25_topk_stemmed,
         "bm25_postings": q_bm25_postings,
-        "bloom_hot_terms": q_bloom_hot_terms,
         "pq_roundtrip": q_pq_roundtrip,
+        "ivfsq_exact_equiv": q_ivfsq_exact_equiv,
         "dedup_sketch_invariants": q_dedup_sketch_invariants,
         "embed_invariants": q_embed_invariants,
         "autotune_invariants": q_autotune_invariants,
@@ -4515,6 +4553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q10": q_tpch_q10,
         "bm25_score": q_bm25_score,
         "hybrid_candidate": q_hybrid_candidate,
+        "bloom_hot_terms": q_bloom_hot_terms,
         "tpch_q6": q_tpch_q6,
         "tpch_q18": q_tpch_q18,
         "knn_l2sq": q_knn_l2sq,
@@ -4570,6 +4609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "srp_knn": q_srp_knn,
         "ivf_knn": q_ivf_knn,
         "ivfpq_knn": q_ivfpq_knn,
+        "ivfsq_knn": q_ivfsq_knn,
         "pq_adc_knn": q_pq_adc_knn,
         "pq_codebook": q_pq_codebook,
         "minhash_pairs": q_minhash_pairs,

@@ -133,6 +133,51 @@ def ivfpq_search(
     return knn(coarse, index.vec_col, query, k=k, id_col=id_col)
 
 
+def ivfsq_search(
+    index: IvfIndex,
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    refine: int = 4,
+    code_col: str | None = None,
+    id_col: str | None = None,
+) -> DataFrame:
+    """IVF + SQ8 composite — the reference's ``quant_bits=8`` reloption
+    over an index (options.c:137-158 / hnsw_sq.sql) re-expressed on the
+    IVF backend, sitting between plain IVF and IVF+PQ on the
+    accuracy/size curve:
+
+    1. prune to ``nprobe`` clusters (same partition pruning as
+       :func:`ivf_search` — reads nprobe/nlist of the data);
+    2. coarse-score the int8 codes dequantized on the fly
+       (``code·scale`` — the scan reads 1 byte/dim + one scale instead
+       of 4 bytes/dim, symmetric-scale i8 like usearch's);
+    3. exact re-rank of the top ``k·refine`` on the full vectors.
+
+    ``index.assigned`` must carry the SQ8 columns (run
+    ``sq.sq8_quantize`` over the assigned table once at build time, the
+    same contract as :func:`ivfpq_search`'s codes).
+    """
+    from lanterndb_spark.operators.knn import knn
+    from lanterndb_spark.operators.sq import sq8_dequantize
+
+    code_col = code_col or f"{index.vec_col}_sq8"
+    if index.nlist == 0:
+        return knn(
+            index.assigned.filter(F.lit(False)), index.vec_col, query,
+            k=k, id_col=id_col,
+        )
+    q = np.asarray(query, dtype=np.float64)
+    d = ((index.centroids - q[None, :]) ** 2).sum(axis=1)
+    probes = [int(i) for i in np.argsort(d)[:nprobe]]
+    cand = index.assigned.filter(F.col("cluster_id").isin(probes))
+    deq = sq8_dequantize(cand, code_col, "__sq_deq")
+    coarse = knn(deq, "__sq_deq", query, k=k * refine, id_col=id_col).drop(
+        "dist", "__sq_deq"
+    )
+    return knn(coarse, index.vec_col, query, k=k, id_col=id_col)
+
+
 def ivf_assign(index: IvfIndex, delta: DataFrame, cluster_col: str = "cluster_id") -> DataFrame:
     """Assign NEW rows to the existing centroids — the aminsert analogue
     for the IVF layout (insert.c:51-262 appends to the existing graph

@@ -191,3 +191,37 @@ def test_ivf_batch_filtered_matches_exact(tables):
         exact = [r["vec_id"] for r in
                  knn(emb.filter(pred), "embedding", q, k=5, id_col="vec_id").collect()]
         assert by_q[qi] == exact
+
+
+# -------------------------------------------------- IVF + SQ8 composite
+
+def test_ivfsq_exact_at_full_probe_and_refine(emb, index):
+    from lanterndb_spark.operators.ivf import IvfIndex, ivfsq_search
+    from lanterndb_spark.operators.sq import sq8_quantize
+
+    q = qvec(emb, 3)
+    n = emb.count()
+    coded = IvfIndex(sq8_quantize(index.assigned, "embedding"),
+                     index.centroids, "embedding")
+    got = ivfsq_search(coded, q, k=10, nprobe=8, refine=(n + 9) // 10,
+                       id_col="vec_id")
+    want = knn(emb, "embedding", q, k=10, id_col="vec_id")
+    assert [r["vec_id"] for r in got.collect()] == \
+           [r["vec_id"] for r in want.collect()]
+
+
+def test_ivfsq_recall_small_refine(emb, index):
+    from lanterndb_spark.operators.ivf import IvfIndex, ivfsq_search
+    from lanterndb_spark.operators.sq import sq8_quantize
+
+    q = qvec(emb, 5)
+    coded = IvfIndex(sq8_quantize(index.assigned, "embedding"),
+                     index.centroids, "embedding")
+    got = {r["vec_id"]
+           for r in ivfsq_search(coded, q, k=10, nprobe=8, refine=4,
+                                 id_col="vec_id").collect()}
+    want = {r["vec_id"] for r in knn(emb, "embedding", q, k=10,
+                                     id_col="vec_id").collect()}
+    # int8 coarse scan at refine=4 keeps nearly all true neighbors
+    # (SQ8 distance error is ~1/127 relative, far finer than PQ's)
+    assert len(got & want) >= 8
