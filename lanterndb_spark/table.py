@@ -107,12 +107,21 @@ class LanternTable:
             from lanterndb_spark.operators.ivf import build_ivf
 
             index = build_ivf(self.df, vec_col, **params)
+        elif kind == "ivfsq":
+            # quant_bits=8 composite: IVF layout over SQ8-coded vectors
+            from lanterndb_spark.operators.ivf import IvfIndex, build_ivf
+            from lanterndb_spark.operators.sq import sq8_quantize
+
+            raw = build_ivf(self.df, vec_col, **params)
+            index = IvfIndex(
+                sq8_quantize(raw.assigned, vec_col), raw.centroids, vec_col
+            )
         elif kind == "srp":
             from lanterndb_spark.operators.lsh import build_srp
 
             index = build_srp(self.df, vec_col, **params)
         else:
-            raise ValueError(f"unknown index kind {kind!r} (ivf | srp)")
+            raise ValueError(f"unknown index kind {kind!r} (ivf | ivfsq | srp)")
         self._indexes[vec_col] = (kind, index)
         self._build_params[("index", vec_col)] = {"kind": kind, **params}
         return self
@@ -131,7 +140,7 @@ class LanternTable:
         stale = bool(self._deltas) or bool(self._tombstones)
         for col, (kind, idx) in self._indexes.items():
             params: dict = {}
-            if kind == "ivf":
+            if kind in ("ivf", "ivfsq"):
                 params["nlist"] = idx.centroids.shape[0] if hasattr(
                     idx.centroids, "shape") else len(idx.centroids)
             elif kind == "srp":
@@ -207,22 +216,40 @@ class LanternTable:
                 id_col=self.id_col, pred=pred,
             )
         kind, index = self._indexes[vec_col]
-        if kind == "ivf":
-            from lanterndb_spark.operators.ivf import IvfIndex, ivf_search
+        if kind in ("ivf", "ivfsq"):
+            from lanterndb_spark.operators.ivf import (
+                IvfIndex, ivf_search, ivfsq_search,
+            )
 
             base_index = index
             if self._deltas:
                 from lanterndb_spark.operators.ivf import ivf_assign
 
-                assigned = maintenance.with_deltas(
-                    index.assigned, *[ivf_assign(index, d) for d in self._deltas]
-                )
+                deltas = [ivf_assign(index, d) for d in self._deltas]
+                if kind == "ivfsq":
+                    # deltas arrive uncoded: quantize after assignment so
+                    # their schema matches the coded base
+                    from lanterndb_spark.operators.sq import sq8_quantize
+
+                    deltas = [sq8_quantize(d, vec_col) for d in deltas]
+                assigned = maintenance.with_deltas(index.assigned, *deltas)
                 base_index = IvfIndex(assigned, index.centroids, vec_col)
             if self._tombstones:
                 assigned = maintenance.apply_tombstones(
                     base_index.assigned, self._tombstones, self.id_col
                 )
                 base_index = IvfIndex(assigned, index.centroids, vec_col)
+            if kind == "ivfsq":
+                if metric != "l2sq":
+                    raise ValueError("ivfsq index supports metric='l2sq' only")
+                if pred is not None:
+                    raise ValueError(
+                        "ivfsq: pass pred-filtered knn through mode='exact' "
+                        "or an ivf index (filter composes before re-rank there)"
+                    )
+                return ivfsq_search(
+                    base_index, query, k=k, id_col=self.id_col, **search_params
+                )
             return ivf_search(
                 base_index, query, k=k, metric=metric, id_col=self.id_col,
                 pred=pred, **search_params,

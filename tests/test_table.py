@@ -227,3 +227,27 @@ def test_table_drift_vs(spark, tables):
     t = LanternTable(docs, id_col="doc_id")
     d = t.drift_vs(docs, "n_chars", bins=8).collect()
     assert len(d) == 8 and abs(sum(r["contrib"] for r in d)) < 1e-9
+
+
+def test_table_ivfsq_index_route(spark, tables):
+    from lanterndb_spark.operators.knn import knn as exact
+    from lanterndb_spark.table import LanternTable
+
+    emb = tables["embeddings"]
+    n = emb.count()
+    t = LanternTable(emb, id_col="vec_id").create_index(
+        "embedding", kind="ivfsq", nlist=8, seed=42
+    )
+    q = [float(x) for x in
+         emb.filter("vec_id = 2").first()["embedding"]]
+    got = [r["vec_id"] for r in
+           t.knn("embedding", q, k=10, nprobe=8, refine=(n + 9) // 10).collect()]
+    want = [r["vec_id"] for r in
+            exact(emb, "embedding", q, k=10, id_col="vec_id").collect()]
+    assert got == want  # full probe + refine == exact through the table API
+    cat = {i["column"]: i for i in t.get_indexes()}
+    assert cat["embedding"]["kind"] == "ivfsq"
+    assert cat["embedding"]["params"]["nlist"] == 8
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        t.knn("embedding", q, k=5, metric="cos")
