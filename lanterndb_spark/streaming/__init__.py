@@ -4,8 +4,10 @@ from lanterndb_spark.streaming.events import (
     windowed_event_counts,
 )
 from lanterndb_spark.streaming.scd import Scd2Ingest, scd2_ingest_stream
+from lanterndb_spark.streaming.drift import DriftMonitor, drift_monitor_stream
 
 __all__ = [
     "stream_events", "windowed_event_counts", "incremental_postings_stream",
     "Scd2Ingest", "scd2_ingest_stream",
+    "DriftMonitor", "drift_monitor_stream",
 ]
