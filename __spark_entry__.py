@@ -2590,6 +2590,33 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_fit(docs, "text", top_v=10_000, min_count=1)
 
 
+def q_grouped_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type least squares of value against hour-of-day
+    (operators/profile.py grouped_linreg): pure regr_* aggregates, one
+    map-side-combined groupBy. DuckDB refits with its own regr_*."""
+    from lanterndb_spark.operators.profile import grouped_linreg
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    ev = ev.withColumn("hour_of_day", F.hour("ts"))
+    return grouped_linreg(ev, "hour_of_day", "value", ["event_type"]).orderBy(
+        "event_type"
+    )
+
+
+def q_quantile_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length quartiles (operators/profile.py quantile_bin):
+    rank-based ntile over (n_chars, doc_id) — integer-exact across
+    engines, no interpolated edges to disagree on."""
+    from lanterndb_spark.operators.profile import quantile_bin
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    out = quantile_bin(
+        docs.select("doc_id", "lang", "n_chars"), "n_chars",
+        n_bins=4, group_cols=["lang"], tiebreak_col="doc_id",
+    )
+    return out.orderBy("doc_id")
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted sampling without replacement
     (operators/sampling.py weighted_sample, Efraimidis–Spirakis
@@ -4156,6 +4183,26 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY g.bucket
         """,
         "zipf_fit": _zipf_oracle(),
+        "grouped_linreg": """
+            WITH e AS (
+              SELECT event_type,
+                     CAST(hour(ts) AS DOUBLE) AS x,
+                     CAST(value AS DOUBLE) AS y
+              FROM events
+            )
+            SELECT event_type,
+                   round(regr_slope(y, x), 6) AS slope,
+                   round(regr_intercept(y, x), 6) AS intercept,
+                   round(regr_r2(y, x), 6) AS r2,
+                   CAST(regr_count(y, x) AS BIGINT) AS n
+            FROM e GROUP BY event_type ORDER BY event_type
+        """,
+        "quantile_bin": """
+            SELECT doc_id, lang, n_chars,
+                   ntile(4) OVER (PARTITION BY lang
+                                  ORDER BY n_chars, doc_id) AS qbin
+            FROM documents ORDER BY doc_id
+        """,
         "weighted_sample": """
             WITH s AS (
               SELECT doc_id, lang, n_chars,
@@ -4506,8 +4553,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_invariants": q_embed_invariants,
         "autotune_invariants": q_autotune_invariants,
         "multimodal_invariants": q_multimodal_invariants,
-        "dedup_near_keep": q_dedup_near_keep,
-        "jaccard_pairs": q_jaccard_pairs,
         # new in round 4:
         "jaccard_prefix": q_jaccard_prefix,
         "bigram_score": q_bigram_score,
@@ -4517,6 +4562,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit": q_zipf_fit,
         "psi_drift": q_psi_drift,
         "weighted_sample": q_weighted_sample,
+        "grouped_linreg": q_grouped_linreg,
+        "quantile_bin": q_quantile_bin,
         # (inserted here as they land; each displaces one r3-green filler)
         "minhash_estimate_invariants": q_minhash_estimate_invariants,
         "minhash_incremental_invariants": q_minhash_incremental_invariants,
@@ -4554,6 +4601,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_score": q_bm25_score,
         "hybrid_candidate": q_hybrid_candidate,
         "bloom_hot_terms": q_bloom_hot_terms,
+        # jaccard_pairs: its oracle is shared verbatim by the in-window
+        # jaccard_prefix (stricter scope); dedup_near_keep: components
+        # logic re-proven via the in-window leakage_split
+        "jaccard_pairs": q_jaccard_pairs,
+        "dedup_near_keep": q_dedup_near_keep,
         "tpch_q6": q_tpch_q6,
         "tpch_q18": q_tpch_q18,
         "knn_l2sq": q_knn_l2sq,

@@ -252,6 +252,67 @@ def histogram(
     )
 
 
+def grouped_linreg(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-group least-squares fit ``y ~ slope·x + intercept``: one row
+    per group with ``slope, intercept, r2, n`` (6dp; NULL slope for
+    degenerate groups — fewer than 2 points or zero x-variance).
+
+    Everything rides Spark's ``regr_*`` aggregates — one
+    map-side-combined groupBy, no window, no collect; the same
+    aggregates exist in DuckDB so the oracle refits from scratch.
+    """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    aggs = [
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.regr_count(y, x).cast("bigint").alias("n"),
+    ]
+    if group_cols:
+        return df.groupBy(*group_cols).agg(*aggs)
+    return df.agg(*aggs)
+
+
+def quantile_bin(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int = 4,
+    group_cols: list[str] | None = None,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Equal-frequency (equi-depth) binning: adds ``qbin`` in 1..n_bins
+    via ``ntile`` over ``(value, tiebreak)`` — quartiles/deciles for
+    feature engineering and balanced stratification. Rank-based, so the
+    assignment is integer-exact across engines (no interpolated edge
+    floats to disagree on); ``tiebreak_col`` makes ties deterministic.
+
+    Scale note: with ``group_cols`` the sort is per-group (one shuffle,
+    bounded by the largest group). WITHOUT groups ntile needs a single
+    global sort partition — fine up to millions of rows; beyond that,
+    bucket by approximate percentile edges instead and accept edge-tie
+    ambiguity (the standard trade at 100 TB).
+    """
+    from pyspark.sql.window import Window
+
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    order = [F.col(value_col).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = (
+        Window.partitionBy(*group_cols).orderBy(*order)
+        if group_cols
+        else Window.orderBy(*order)
+    )
+    return df.withColumn("qbin", F.ntile(int(n_bins)).over(w))
+
+
 def psi_drift(
     df_a: DataFrame,
     df_b: DataFrame,

@@ -203,3 +203,60 @@ def test_psi_empty_buckets_finite(spark):
     import math
     assert all(math.isfinite(r["contrib"]) for r in rows)
     assert sum(r["frac_a"] for r in rows) == pytest.approx(1.0, abs=1e-6)
+
+
+# ------------------------------------------------- grouped regression
+
+def test_grouped_linreg_hand_computed(spark):
+    from lanterndb_spark.operators.profile import grouped_linreg
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 3.0), ("a", 2.0, 5.0), ("a", 3.0, 7.0),   # y = 2x + 1
+         ("b", 1.0, 1.0), ("b", 2.0, 1.0)],                    # y = 1
+        "g string, x double, y double",
+    )
+    got = {r["g"]: r for r in grouped_linreg(df, "x", "y", ["g"]).collect()}
+    assert got["a"]["slope"] == 2.0 and got["a"]["intercept"] == 1.0
+    assert got["a"]["r2"] == 1.0 and got["a"]["n"] == 3
+    assert got["b"]["slope"] == 0.0
+
+
+def test_grouped_linreg_degenerate(spark):
+    from lanterndb_spark.operators.profile import grouped_linreg
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 3.0), ("b", 2.0, 1.0), ("b", 2.0, 9.0)],
+        "g string, x double, y double",
+    )
+    got = {r["g"]: r for r in grouped_linreg(df, "x", "y", ["g"]).collect()}
+    assert got["a"]["slope"] is None       # one point
+    assert got["b"]["slope"] is None       # zero x-variance
+
+
+# ------------------------------------------------- quantile binning
+
+def test_quantile_bin_quartiles(spark):
+    from lanterndb_spark.operators.profile import quantile_bin
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(8)], "id int, x double"
+    )
+    got = {r["id"]: r["qbin"] for r in
+           quantile_bin(df, "x", n_bins=4, tiebreak_col="id").collect()}
+    assert got == {0: 1, 1: 1, 2: 2, 3: 2, 4: 3, 5: 3, 6: 4, 7: 4}
+
+
+def test_quantile_bin_grouped_and_ties(spark):
+    from lanterndb_spark.operators.profile import quantile_bin
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "a", 5.0), (3, "a", 5.0), (4, "a", 5.0),
+         (5, "b", 1.0), (6, "b", 2.0)],
+        "id int, g string, x double",
+    )
+    got = {r["id"]: r["qbin"] for r in
+           quantile_bin(df, "x", n_bins=2, group_cols=["g"],
+                        tiebreak_col="id").collect()}
+    # all-tie group splits deterministically by id; groups independent
+    assert got[1] == got[2] == 1 and got[3] == got[4] == 2
+    assert got[5] == 1 and got[6] == 2
