@@ -172,6 +172,69 @@ def autotune_srp(
     return best, results
 
 
+def autotune_ivfsq(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+    nlist_grid: tuple[int, ...] = (4, 8, 16),
+    nprobe_grid: tuple[int, ...] = (1, 2, 4),
+    refine_grid: tuple[int, ...] = (2, 4, 8),
+    n_queries: int = 10,
+    target_recall: float = 0.9,
+    seed: int = 42,
+) -> tuple[TuneResult | None, list[TuneResult]]:
+    """find_best_variant loop over the IVF+SQ8 composite's knobs —
+    nprobe trades scan breadth, refine trades how much int8 coarse
+    error the exact re-rank can absorb. Codes are built once per nlist
+    (quantization is probe-independent)."""
+    from lanterndb_spark.operators.ivf import (
+        IvfIndex, build_ivf, ivfsq_search_batch,
+    )
+    from lanterndb_spark.operators.sq import sq8_quantize
+
+    queries = sample_queries(df, vec_col, n=n_queries, seed=seed)
+    truth = exact_topk_batch(df, vec_col, queries, k=k, id_col=id_col)
+    results: list[TuneResult] = []
+    for nlist in nlist_grid:
+        t0 = time.monotonic()
+        raw = build_ivf(df, vec_col, nlist=nlist, seed=seed)
+        index = IvfIndex(
+            sq8_quantize(raw.assigned, vec_col), raw.centroids, vec_col
+        )
+        index.assigned.cache().count()
+        build_s = time.monotonic() - t0
+        for nprobe in nprobe_grid:
+            if nprobe > nlist:
+                continue
+            for refine in refine_grid:
+                t1 = time.monotonic()
+                got = _collect_by_query(
+                    ivfsq_search_batch(
+                        index, queries, k=k, nprobe=nprobe, refine=refine,
+                        id_col=id_col,
+                    ),
+                    id_col,
+                )
+                recs = [
+                    recall_at_k(got.get(qi, []), truth.get(qi, []))
+                    for qi in range(len(queries))
+                ]
+                latency = (time.monotonic() - t1) / len(queries)
+                results.append(
+                    TuneResult(
+                        {"nlist": nlist, "nprobe": nprobe, "refine": refine},
+                        sum(recs) / len(recs),
+                        latency,
+                        build_s,
+                    )
+                )
+        index.assigned.unpersist()
+    ok = [r for r in results if r.recall >= target_recall]
+    best = min(ok, key=lambda r: r.latency_s) if ok else None
+    return best, results
+
+
 def validate_ann(
     df: DataFrame,
     vec_col: str,

@@ -178,6 +178,52 @@ def ivfsq_search(
     return knn(coarse, index.vec_col, query, k=k, id_col=id_col)
 
 
+def ivfsq_search_batch(
+    index: IvfIndex,
+    queries: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    refine: int = 4,
+    code_col: str | None = None,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Batch twin of :func:`ivfsq_search`, composed from the IVF batch
+    machinery: the coarse pass runs :func:`ivf_search_batch` over the
+    ON-THE-FLY dequantized codes (top ``k·refine`` per query), then one
+    distributed window re-ranks each query's candidates on the full
+    vectors. Same shape as knn_join: nothing scales with n after the
+    pruned compressed scan. Returns (q_id, …data cols…, dist).
+    """
+    from pyspark.sql.window import Window
+
+    from lanterndb_spark.functions.distance import distance
+    from lanterndb_spark.operators.sq import sq8_dequantize
+
+    code_col = code_col or f"{index.vec_col}_sq8"
+    deq = sq8_dequantize(index.assigned, code_col, "__sq_deq")
+    coarse_index = IvfIndex(deq, index.centroids, "__sq_deq")
+    coarse = ivf_search_batch(
+        coarse_index, queries, k=k * refine, nprobe=nprobe, id_col=id_col
+    ).drop("dist", "__sq_deq")
+    spark = index.assigned.sparkSession
+    qdf = spark.createDataFrame(
+        [(i, [float(x) for x in q]) for i, q in enumerate(queries)],
+        "q_id int, __qv array<double>",
+    )
+    rescored = coarse.join(F.broadcast(qdf), "q_id").withColumn(
+        "dist", distance("l2sq", F.col(index.vec_col), F.col("__qv"))
+    )
+    order = [F.col("dist").asc()]
+    if id_col:
+        order.append(F.col(id_col).asc())
+    w = Window.partitionBy("q_id").orderBy(*order)
+    return (
+        rescored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn", "__qv")
+    )
+
+
 def ivf_assign(index: IvfIndex, delta: DataFrame, cluster_col: str = "cluster_id") -> DataFrame:
     """Assign NEW rows to the existing centroids — the aminsert analogue
     for the IVF layout (insert.c:51-262 appends to the existing graph

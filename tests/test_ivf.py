@@ -225,3 +225,38 @@ def test_ivfsq_recall_small_refine(emb, index):
     # int8 coarse scan at refine=4 keeps nearly all true neighbors
     # (SQ8 distance error is ~1/127 relative, far finer than PQ's)
     assert len(got & want) >= 8
+
+
+def test_ivfsq_batch_matches_single_query(emb, index):
+    from lanterndb_spark.operators.ivf import (
+        IvfIndex, ivfsq_search, ivfsq_search_batch,
+    )
+    from lanterndb_spark.operators.sq import sq8_quantize
+
+    coded = IvfIndex(sq8_quantize(index.assigned, "embedding"),
+                     index.centroids, "embedding")
+    qs = [qvec(emb, 1), qvec(emb, 7)]
+    batch = ivfsq_search_batch(coded, qs, k=5, nprobe=4, refine=4,
+                               id_col="vec_id")
+    by_q = {}
+    for r in batch.collect():
+        by_q.setdefault(r["q_id"], []).append(r["vec_id"])
+    for qi, q in enumerate(qs):
+        single = [r["vec_id"] for r in
+                  ivfsq_search(coded, q, k=5, nprobe=4, refine=4,
+                               id_col="vec_id").collect()]
+        assert by_q[qi] == single
+
+
+def test_autotune_ivfsq_finds_target(emb):
+    from lanterndb_spark.operators.autotune import autotune_ivfsq
+
+    best, results = autotune_ivfsq(
+        emb, "embedding", "vec_id", k=10,
+        nlist_grid=(8,), nprobe_grid=(2, 8), refine_grid=(4,),
+        n_queries=4, target_recall=0.9,
+    )
+    assert best is not None and best.recall >= 0.9
+    # full probe at refine=4 dominates the grid's recall
+    assert best.params["nprobe"] in (2, 8)
+    assert len(results) == 2
