@@ -4520,12 +4520,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     - Entries 1-50: the driver-checked window — doc_rollup (red in r3 on
       an oracle CAST bug, fixed this round), events_json (red in r1,
       outside the window ever since — the only never-green oracle row),
-      all 26 oracle-backed queries whose newest green predates r3 (so
-      every row is re-proven on the r3 timestamp-normalized loaders),
-      the queries added in round 4, and r3-green representatives filling
-      the rest.
-    - Entries 51+: oracle-backed queries with a green driver row from r3
-      itself, rotated out for one round. Still checked every round by
+      the oracle-backed r1/r2-era rows being re-proven on the r3
+      timestamp-normalized loaders, and every query added in round 4
+      (never-checked beats stale-green for slots).
+    - Entries 51+: r3-green rows rotated out for one round, plus the
+      r2-green stale rows the round-4 additions displaced (DATE-typed
+      TPC-H shapes and rows whose oracle/logic is re-proven by an
+      in-window sibling — all green in this round's four full local
+      check_oracle sweeps). Still checked every round by
       tools/check_oracle.py and pytest.
     - Final block: rows-only queries with no SQL-expressible oracle,
       each shadowed by an oracle-backed *_exact_equiv / *_invariants
