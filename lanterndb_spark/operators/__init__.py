@@ -37,7 +37,21 @@ from lanterndb_spark.operators.sampling import (
     cap_per_group,
     hash_bucket,
     hash_split,
+    mix_to_weights,
     stratified_sample,
+    temperature_weights,
+)
+from lanterndb_spark.operators.spans import (
+    mask_repeated_spans,
+    repeated_spans,
+    span_postings,
+)
+from lanterndb_spark.operators.project import (
+    gaussian_projection,
+    pca_fit,
+    pca_project,
+    pca_reconstruction_error,
+    project_embeddings,
 )
 
 __all__ = [
@@ -56,4 +70,8 @@ __all__ = [
     "build_vocab", "unigram_score", "scd2_history", "scd2_snapshot",
     "profile_table", "check_constraints", "histogram", "mad_outliers",
     "psi_drift", "zipf_fit",
+    "repeated_spans", "mask_repeated_spans", "span_postings",
+    "mix_to_weights", "temperature_weights",
+    "gaussian_projection", "project_embeddings", "pca_fit", "pca_project",
+    "pca_reconstruction_error",
 ]

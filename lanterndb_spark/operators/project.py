@@ -1,0 +1,167 @@
+"""Embedding dimensionality reduction: seeded random projection + sampled PCA.
+
+The reference stores and searches vectors at their model dimension; its
+only dimension-changing machinery is PQ (codebook compression,
+``operators/pq.py``). Training-data pipelines additionally want *linear*
+reduction — Johnson-Lindenstrauss random projection for cheap
+distance-preserving sketches, PCA for variance-optimal compaction before
+clustering/indexing — so this module adds both, Spark-first
+(SURVEY §7.8 extension, same posture as dedup/curate).
+
+Scale shape (mirrors ``operators/ivf.py``):
+
+- FIT is one bounded random sample + a driver-side numpy eigh — training
+  on a sample is the standard recipe (the reference bounds codebook
+  training identically via ``dataset_size_limit``, lantern.sql:196); a
+  full-data distributed PCA would scan 100 TB per power iteration for no
+  measurable quality gain at these output ranks.
+- APPLY is embarrassingly parallel: the (in_dim × out_dim) matrix — a
+  few hundred KB at embedding scale — ships in the Arrow-batched pandas
+  UDF closure, and each batch is one ``numpy`` matmul. No shuffle; the
+  projection rides whatever scan or exchange the plan already has.
+- Gaussian projection needs no fit at all: the matrix is regenerated
+  from ``(seed, in_dim, out_dim)`` on every executor, so nothing is
+  broadcast and two runs (or two engines) agree bit-for-bit.
+
+JL sizing note for callers: distortion eps over n points needs roughly
+``out_dim >= 8 ln(n) / eps^2``; the q_projection_invariants oracle pins
+an empirical bound at the bench dimensions.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def gaussian_projection(in_dim: int, out_dim: int, seed: int = 42) -> np.ndarray:
+    """(in_dim, out_dim) float32 JL matrix: iid N(0, 1/out_dim) from a
+    fixed-seed RandomState — deterministic across runs and executors."""
+    rs = np.random.RandomState(seed)
+    return (
+        rs.standard_normal((in_dim, out_dim)) / np.sqrt(out_dim)
+    ).astype(np.float32)
+
+
+def _matmul_udf(mat: np.ndarray, mean: np.ndarray | None = None):
+    """array<float> -> array<float> pandas UDF: one numpy matmul per
+    Arrow batch ([optionally centered] X @ mat)."""
+
+    @F.pandas_udf("array<float>")
+    def _proj(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        X = np.stack([np.asarray(v, dtype=np.float32) for v in vs])
+        if mean is not None:
+            X = X - mean
+        Y = X @ mat
+        return pd.Series(list(Y.astype(np.float32)))
+
+    return _proj
+
+
+def infer_dim(df: DataFrame, vec_col: str) -> int:
+    """Dimension of the first non-null vector (one 1-row job)."""
+    row = df.select(F.size(vec_col).alias("d")).filter(F.col("d") > 0).first()
+    if row is None:
+        raise ValueError(f"no non-empty vectors in column {vec_col!r}")
+    return int(row["d"])
+
+
+def project_embeddings(
+    df: DataFrame,
+    vec_col: str,
+    out_dim: int,
+    seed: int = 42,
+    out_col: str = "proj",
+    in_dim: int | None = None,
+) -> DataFrame:
+    """Johnson-Lindenstrauss reduction: append ``out_col`` =
+    ``vec @ gaussian_projection(in_dim, out_dim, seed)``. Pure map — no
+    shuffle, no fit, deterministic from the seed alone."""
+    d = in_dim if in_dim is not None else infer_dim(df, vec_col)
+    return df.withColumn(
+        out_col, _matmul_udf(gaussian_projection(d, out_dim, seed))(F.col(vec_col))
+    )
+
+
+class PcaModel(NamedTuple):
+    """Sampled-PCA fit: ``components`` is (in_dim, out_dim) orthonormal,
+    columns ordered by descending ``explained_variance``; signs are
+    canonicalized (largest-|loading| entry positive) so the fit is
+    deterministic up to LAPACK, not up to ±column flips."""
+
+    mean: np.ndarray
+    components: np.ndarray
+    explained_variance: np.ndarray
+
+
+def pca_fit(
+    df: DataFrame,
+    vec_col: str,
+    out_dim: int,
+    sample_limit: int = 100_000,
+    seed: int = 42,
+) -> PcaModel:
+    """Top-``out_dim`` principal directions of a bounded random sample
+    (one scan + driver-side eigh of the (d × d) covariance — d is the
+    embedding dim, so the driver work is microscopic)."""
+    rows = (
+        df.select(F.col(vec_col).alias("v"))
+        .filter(F.col("v").isNotNull())
+        .orderBy(F.rand(seed))
+        .limit(sample_limit)
+        .collect()
+    )
+    if len(rows) < 2:
+        raise ValueError("pca_fit needs at least 2 sample vectors")
+    X = np.array([list(r["v"]) for r in rows], dtype=np.float64)
+    mean = X.mean(axis=0)
+    Xc = X - mean
+    cov = (Xc.T @ Xc) / (len(X) - 1)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:out_dim]
+    comps = vecs[:, order].copy()
+    for j in range(comps.shape[1]):
+        i = int(np.argmax(np.abs(comps[:, j])))
+        if comps[i, j] < 0:
+            comps[:, j] = -comps[:, j]
+    return PcaModel(mean, comps, np.maximum(vals[order], 0.0))
+
+
+def pca_project(
+    df: DataFrame, vec_col: str, model: PcaModel, out_col: str = "proj"
+) -> DataFrame:
+    """Append ``out_col`` = ``(vec - mean) @ components``. Same
+    embarrassingly-parallel matmul as :func:`project_embeddings`."""
+    return df.withColumn(
+        out_col,
+        _matmul_udf(
+            model.components.astype(np.float32), model.mean.astype(np.float32)
+        )(F.col(vec_col)),
+    )
+
+
+def pca_reconstruction_error(
+    df: DataFrame, vec_col: str, model: PcaModel
+) -> float:
+    """Mean squared L2 reconstruction error of projecting onto the model
+    and mapping back (components are orthonormal, so the inverse map is
+    the transpose). One aggregate job — used by validation/invariants."""
+    comps = model.components.astype(np.float32)
+    mean = model.mean.astype(np.float32)
+
+    @F.pandas_udf("double")
+    def _err(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=float)
+        X = np.stack([np.asarray(v, dtype=np.float32) for v in vs]) - mean
+        R = (X @ comps) @ comps.T
+        return pd.Series(((X - R) ** 2).sum(axis=1).astype(np.float64))
+
+    out = df.select(_err(F.col(vec_col)).alias("e")).agg(F.avg("e").alias("mse"))
+    return float(out.first()["mse"])

@@ -166,6 +166,25 @@ def mix_to_weights(
     return df.filter(b < thr.otherwise(F.lit(0)))
 
 
+def temperature_weights(
+    df: DataFrame, domain_col: str, tau: float = 0.5
+) -> dict:
+    """Temperature-scaled domain weights ``w_d = n_d ** tau`` — the
+    multilingual/multi-corpus sampling rule (e.g. mBERT/XLM-R exponential
+    smoothing): ``tau=1`` keeps natural proportions, ``tau=0`` is uniform,
+    intermediate values upweight tail domains without drowning the head.
+    Feed the result to :func:`mix_to_weights`, which resolves it into
+    deterministic hash thresholds (no upsampling; the limiting domain is
+    kept whole).
+
+    One tiny count aggregate (#domains rows); the weight math happens
+    driver-side in IEEE doubles so a SQL oracle recomputing
+    ``pow(n, tau)`` reproduces the thresholds bit-for-bit.
+    """
+    counts = df.groupBy(domain_col).count().collect()
+    return {r[0]: float(r[1]) ** tau for r in counts}
+
+
 def leakage_safe_split(
     df: DataFrame,
     id_col: str,

@@ -1,0 +1,100 @@
+"""Dimensionality reduction: determinism, JL distortion, PCA optimality."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from lanterndb_spark.operators.project import (
+    gaussian_projection,
+    pca_fit,
+    pca_project,
+    pca_reconstruction_error,
+    project_embeddings,
+)
+
+
+def _vectors(spark, n=200, d=32, seed=7):
+    rs = np.random.RandomState(seed)
+    # anisotropic data so PCA has real structure to find
+    scales = np.linspace(3.0, 0.1, d)
+    X = rs.standard_normal((n, d)) * scales
+    rows = [(i, [float(x) for x in X[i]]) for i in range(n)]
+    return spark.createDataFrame(rows, "id long, emb array<float>"), X
+
+
+def test_gaussian_projection_deterministic(spark):
+    a = gaussian_projection(32, 8, seed=1)
+    b = gaussian_projection(32, 8, seed=1)
+    c = gaussian_projection(32, 8, seed=2)
+    assert np.array_equal(a, b)
+    assert not np.array_equal(a, c)
+
+    df, _ = _vectors(spark)
+    p1 = project_embeddings(df, "emb", 8, seed=1).select("id", "proj").collect()
+    p2 = project_embeddings(df, "emb", 8, seed=1).select("id", "proj").collect()
+    assert {r["id"]: list(r["proj"]) for r in p1} == {
+        r["id"]: list(r["proj"]) for r in p2
+    }
+
+
+def test_jl_distortion_bounded(spark):
+    df, X = _vectors(spark, n=100, d=32)
+    out = {
+        r["id"]: np.asarray(r["proj"])
+        for r in project_embeddings(df, "emb", 16, seed=3).collect()
+    }
+    rs = np.random.RandomState(0)
+    ratios = []
+    for _ in range(200):
+        i, j = rs.randint(0, 100, 2)
+        if i == j:
+            continue
+        d0 = np.linalg.norm(X[i] - X[j])
+        d1 = np.linalg.norm(out[i] - out[j])
+        ratios.append(d1 / d0)
+    ratios = np.array(ratios)
+    # E[ratio^2]=1; at out_dim=16 the empirical spread stays well inside
+    # [0.3, 1.9] and the mean near 1
+    assert 0.3 < ratios.min() and ratios.max() < 1.9
+    assert abs(float(np.mean(ratios**2)) - 1.0) < 0.35
+
+
+def test_pca_orthonormal_ordered_and_beats_random(spark):
+    df, X = _vectors(spark, n=300, d=32)
+    model = pca_fit(df, "emb", out_dim=8, sample_limit=10_000, seed=42)
+    G = model.components
+    assert G.shape == (32, 8)
+    assert np.allclose(G.T @ G, np.eye(8), atol=1e-8)
+    ev = model.explained_variance
+    assert all(ev[i] >= ev[i + 1] for i in range(len(ev) - 1))
+
+    # PCA is the optimal rank-8 linear reconstruction: must beat the
+    # gaussian projection's least-squares reconstruction on the same data
+    pca_mse = pca_reconstruction_error(df, "emb", model)
+    R = gaussian_projection(32, 8, seed=5).astype(np.float64)
+    Xc = X - X.mean(axis=0)
+    Y = Xc @ R
+    back = Y @ np.linalg.pinv(R)
+    rand_mse = float(((Xc - back) ** 2).sum(axis=1).mean())
+    assert pca_mse < rand_mse
+
+
+def test_pca_project_matches_numpy(spark):
+    df, X = _vectors(spark, n=120, d=16)
+    model = pca_fit(df, "emb", out_dim=4, sample_limit=10_000, seed=1)
+    got = {
+        r["id"]: np.asarray(r["proj"], dtype=np.float64)
+        for r in pca_project(df, "emb", model).collect()
+    }
+    Xf = X.astype(np.float32)
+    expect = (
+        Xf - model.mean.astype(np.float32)
+    ) @ model.components.astype(np.float32)
+    for i in range(120):
+        assert np.allclose(got[i], expect[i], atol=1e-4)
+
+
+def test_projection_preserves_other_columns(spark):
+    df, _ = _vectors(spark, n=10, d=8)
+    out = project_embeddings(df, "emb", 4, seed=9)
+    assert set(out.columns) == {"id", "emb", "proj"}
+    assert out.filter(F.size("proj") != 4).count() == 0

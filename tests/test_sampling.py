@@ -218,3 +218,67 @@ def test_weighted_sample_drops_bad_weights(spark):
     )
     got = [r["id"] for r in weighted_sample(df, "id", "w", k=10).collect()]
     assert got == [1]
+
+
+def test_temperature_weights_formula(tables):
+    from lanterndb_spark.operators.sampling import temperature_weights
+
+    docs = tables["documents"]
+    n_in = {r["lang"]: r["count"] for r in docs.groupBy("lang").count().collect()}
+    w_half = temperature_weights(docs, "lang", tau=0.5)
+    assert set(w_half) == set(n_in)
+    for d, n in n_in.items():
+        assert w_half[d] == float(n) ** 0.5
+    w_nat = temperature_weights(docs, "lang", tau=1.0)
+    assert all(w_nat[d] == float(n) for d, n in n_in.items())
+    w_uni = temperature_weights(docs, "lang", tau=0.0)
+    assert all(v == 1.0 for v in w_uni.values())
+
+
+def test_temperature_mix_flattens_distribution(tables):
+    from lanterndb_spark.operators.sampling import mix_to_weights, temperature_weights
+
+    docs = tables["documents"]
+    n_in = {r["lang"]: r["count"] for r in docs.groupBy("lang").count().collect()}
+    out = mix_to_weights(docs, "lang", temperature_weights(docs, "lang", 0.5), "doc_id")
+    by = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    tot_in, tot_out = sum(n_in.values()), sum(by.values())
+    head = max(n_in, key=n_in.get)
+    tail = min(n_in, key=n_in.get)
+    # temperature < 1 shrinks the head's share and grows the tail's
+    assert by[head] / tot_out < n_in[head] / tot_in
+    assert by.get(tail, 0) / tot_out >= n_in[tail] / tot_in - 1e-9
+    # tail (limiting) domain is kept whole
+    assert by[tail] == n_in[tail]
+
+
+def test_temperature_cut_math_matches_duckdb(tables):
+    """Pins the float parity the q_mix_temperature oracle relies on:
+    DuckDB pow/min/floor over DOUBLE reproduces the driver-side cut."""
+    import math
+
+    import duckdb
+
+    from lanterndb_spark.operators.sampling import BUCKETS, temperature_weights
+
+    docs = tables["documents"]
+    counts = {r["lang"]: r["count"] for r in docs.groupBy("lang").count().collect()}
+    weights = temperature_weights(docs, "lang", 0.5)
+    total = min(counts[d] / weights[d] for d in counts)
+    py_cuts = {
+        d: int(math.floor(weights[d] * total * BUCKETS / counts[d])) for d in counts
+    }
+    con = duckdb.connect()
+    rows = ", ".join(f"('{d}', {n})" for d, n in counts.items())
+    got = dict(
+        con.execute(
+            f"""
+            WITH n(dom, c) AS (VALUES {rows}),
+            j AS (SELECT dom, CAST(c AS DOUBLE) AS n, pow(CAST(c AS DOUBLE), 0.5) AS wt FROM n),
+            t AS (SELECT min(n / wt) AS tot FROM j)
+            SELECT dom, CAST(floor(wt * tot * {BUCKETS} / n) AS BIGINT)
+            FROM j CROSS JOIN t
+            """
+        ).fetchall()
+    )
+    assert got == py_cuts
