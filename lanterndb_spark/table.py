@@ -399,3 +399,36 @@ class LanternTable:
         from lanterndb_spark.operators.profile import psi_drift
 
         return psi_drift(self.df, other, value_col, bins=bins, **kw)
+
+    def repeated_spans(self, text_col: str = "text", **kw) -> DataFrame:
+        """Substring-level repeated spans over the visible rows — see
+        operators/spans.py repeated_spans."""
+        from lanterndb_spark.operators.spans import repeated_spans
+
+        return repeated_spans(self.df, self.id_col, text_col, **kw)
+
+    def mask_spans(self, text_col: str = "text", **kw) -> DataFrame:
+        """The visible rows with corpus-repeated spans cut out of
+        ``text_col`` — see operators/spans.py mask_repeated_spans."""
+        from lanterndb_spark.operators.spans import mask_repeated_spans
+
+        return mask_repeated_spans(self.df, self.id_col, text_col, **kw)
+
+    def project(self, vec_col: str, out_dim: int, method: str = "jl",
+                **kw) -> DataFrame:
+        """Dimensionality-reduced copy of ``vec_col`` (column ``proj``):
+        ``method='jl'`` seeded gaussian projection, ``'pca'`` sampled
+        PCA — see operators/project.py."""
+        from lanterndb_spark.operators.project import (
+            pca_fit,
+            pca_project,
+            project_embeddings,
+        )
+
+        if method == "jl":
+            return project_embeddings(self.df, vec_col, out_dim, **kw)
+        if method == "pca":
+            fit_kw = {k: kw.pop(k) for k in ("sample_limit", "seed") if k in kw}
+            model = pca_fit(self.df, vec_col, out_dim, **fit_kw)
+            return pca_project(self.df, vec_col, model, **kw)
+        raise ValueError(f"unknown projection method {method!r}")

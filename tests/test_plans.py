@@ -457,3 +457,38 @@ def test_minhash_candidates_scope_prunes_verify_scan(spark):
     plan = _plan(out)
     release(out)
     assert "LeftSemi" in plan
+
+
+def test_repeated_spans_no_quadratic_join(spark):
+    """Span dedup must stay a hash-join + window pipeline: the dup-hash
+    filter joins postings on the md5 key (equi-join, broadcastable),
+    never a nested loop, and the islands merge is ONE window partitioned
+    by doc — no self-join of the corpus anywhere."""
+    from lanterndb_spark.operators.spans import repeated_spans
+    from lanterndb_spark.plans.shape import release
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = repeated_spans(docs, "doc_id", "text", min_len=10, min_docs=2)
+    plan = _plan(out)
+    release(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # prev-end max + island sum: two Window nodes PIPELINED over one
+    # per-doc exchange (same partitioning/ordering, no exchange between)
+    assert plan.count("Window") == 2
+    # shuffles: count-distinct two-stage agg (2) + the windows' per-doc
+    # exchange (1) — the dup-hash set reaches the postings via a
+    # BroadcastHashJoin, not a shuffle
+    assert plan.count("Exchange hashpartitioning") <= 4
+    assert "BroadcastHashJoin" in plan
+
+
+def test_projection_is_shuffle_free(spark):
+    """JL projection is a pure Arrow-batched map: it must ride the scan
+    with zero Exchange (the matrix ships in the UDF closure)."""
+    from lanterndb_spark.operators.project import project_embeddings
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = _plan(project_embeddings(emb, "embedding", 16, seed=42, in_dim=64))
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan

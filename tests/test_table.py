@@ -251,3 +251,20 @@ def test_table_ivfsq_index_route(spark, tables):
     import pytest as _pt
     with _pt.raises(ValueError):
         t.knn("embedding", q, k=5, metric="cos")
+
+
+def test_table_spans_and_project_surface(spark, tables):
+    from lanterndb_spark.table import LanternTable
+
+    t = LanternTable(tables["documents"], "doc_id")
+    spans = t.repeated_spans(min_len=10, min_docs=2)
+    assert set(spans.columns) == {"doc_id", "span_start", "span_end", "span_tokens"}
+    masked = t.mask_spans(min_len=10, min_docs=2)
+    assert "text_deduped" in masked.columns and "tokens_removed" in masked.columns
+
+    e = LanternTable(tables["embeddings"], "vec_id")
+    jl = e.project("embedding", 16, method="jl", seed=1)
+    assert jl.filter(jl["proj"].isNotNull()).count() == tables["embeddings"].count()
+    pca = e.project("embedding", 8, method="pca", seed=1)
+    import pyspark.sql.functions as F
+    assert pca.filter(F.size("proj") != 8).count() == 0

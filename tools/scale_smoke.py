@@ -275,6 +275,38 @@ def main():
 
     timed(f"para_dedup_{args.doc // 1000}k_doc", para_job, out)
 
+    def spans_job():
+        # substring-level dedup at 50k docs: postings = one row per
+        # 10-token window (hashes, not strings, cross the shuffle); every
+        # planted twin shares its >= 20-token base with its source, so
+        # both sides MUST carry a repeated span
+        from lanterndb_spark.operators.spans import repeated_spans
+
+        sp = repeated_spans(docs, "doc_id", "text", min_len=10, min_docs=2)
+        twin_docs = (
+            sp.filter(F.col("doc_id") >= args.doc).select("doc_id").distinct().count()
+        )
+        n = sp.count()
+        release(sp)
+        assert twin_docs >= int(0.9 * n_twins), (
+            f"planted twins missing repeated spans: {twin_docs}/{n_twins}"
+        )
+        return n
+
+    timed(f"repeated_spans_{args.doc // 1000}k_doc", spans_job, out)
+
+    def project_job():
+        # 200k x 64 -> 16 JL projection: closure-shipped matrix, one
+        # numpy matmul per Arrow batch, zero shuffle
+        from lanterndb_spark.operators.project import project_embeddings
+
+        return (
+            project_embeddings(emb, "embedding", 16, seed=42, in_dim=64)
+            .agg(F.sum(F.element_at("proj", 1))).collect()
+        )
+
+    timed(f"jl_project_{args.vec // 1000}k", project_job, out)
+
     def sketch_job():
         # per (type, day) HLL states over the event stream, rolled to type
         from lanterndb_spark.functions.sketches import hll_rollup, hll_sketches
