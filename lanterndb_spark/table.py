@@ -432,3 +432,18 @@ class LanternTable:
             model = pca_fit(self.df, vec_col, out_dim, **fit_kw)
             return pca_project(self.df, vec_col, model, **kw)
         raise ValueError(f"unknown projection method {method!r}")
+
+    def quality_filter(self, label_col: str, text_col: str = "text",
+                       threshold: float | None = None, **fit_kw):
+        """Fit a logistic quality classifier on ``label_col`` (binary) and
+        score the visible rows — see operators/classifier.py. Returns
+        (scored DataFrame, model); with ``threshold`` set, the DataFrame
+        is pre-filtered to quality_prob >= threshold."""
+        from pyspark.sql import functions as F
+
+        from lanterndb_spark.operators.classifier import quality_classifier
+
+        scored, model = quality_classifier(self.df, text_col, label_col, **fit_kw)
+        if threshold is not None:
+            scored = scored.filter(F.col("quality_prob") >= F.lit(threshold))
+        return scored, model
