@@ -739,6 +739,63 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_projknn_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projected two-stage ANN (operators/project.py projected_knn),
+    hash-checked: (a) on a CONSTRUCTED intrinsic-dim-6 corpus the
+    PCA-backed search at oversample=4 equals exact knn row-for-row (low
+    intrinsic dimension is the operator's stated applicability domain —
+    the raw synthetic corpus is isotropic, where the docstring says to
+    prefer IVF/SQ); (b) on the real embeddings the rerank contract
+    holds regardless of coarse quality: k rows out, exact full-dim
+    distances, ascending. DuckDB checks the derivable count + booleans."""
+    import numpy as np
+
+    from lanterndb_spark.functions.distance import l2sq_dist
+    from lanterndb_spark.operators.knn import knn
+    from lanterndb_spark.operators.project import pca_fit, projected_knn
+
+    rs = np.random.RandomState(3)
+    B = rs.standard_normal((6, 32))
+    Z = rs.standard_normal((400, 6)) @ B + 0.01 * rs.standard_normal((400, 32))
+    struct = spark.createDataFrame(
+        [(i, [float(x) for x in Z[i]]) for i in range(400)],
+        "vec_id long, emb array<float>",
+    )
+    q = [float(x) for x in Z[5]]
+    exact = [
+        (r["vec_id"], round(r["dist"], 6))
+        for r in knn(struct, "emb", q, k=10, id_col="vec_id").collect()
+    ]
+    model = pca_fit(struct, "emb", out_dim=8, sample_limit=10_000, seed=1)
+    got = [
+        (r["vec_id"], round(r["dist"], 6))
+        for r in projected_knn(
+            struct, "emb", q, k=10, oversample=4, id_col="vec_id", model=model
+        ).collect()
+    ]
+    structured_exact = got == exact
+
+    emb = _emb(spark, sf_dir)
+    n_vecs = emb.count()
+    rq = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    out = projected_knn(emb, "embedding", rq, k=10, oversample=8, id_col="vec_id")
+    rows = out.collect()
+    k_ok = len(rows) == 10
+    truth = {
+        r["vec_id"]: r["dist"]
+        for r in emb.withColumn(
+            "dist", l2sq_dist(F.col("embedding"), F.array(*[F.lit(x) for x in rq]))
+        ).collect()
+    }
+    rerank_exact = all(abs(r["dist"] - truth[r["vec_id"]]) < 1e-9 for r in rows)
+    ds = [r["dist"] for r in rows]
+    ascending = ds == sorted(ds)
+    return spark.createDataFrame(
+        [(n_vecs, bool(structured_exact), bool(k_ok and rerank_exact and ascending))],
+        "n_vecs bigint, structured_exact boolean, rerank_contract boolean",
+    )
+
+
 # the pinned literal model for q_quality_logreg_score: arbitrary but fixed
 # (the fit path is covered by q_quality_classifier_invariants; THIS row
 # pins the featurize+score parity end-to-end in both engines)
@@ -3704,6 +3761,11 @@ def oracle_sql() -> dict[str, str]:
                    true AS acc_ok, true AS auc_ok
             FROM documents
         """,
+        "projknn_invariants": """
+            SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+                   true AS structured_exact, true AS rerank_contract
+            FROM embeddings
+        """,
         "dedup_exact": """
             SELECT d.doc_id, d.lang, d.source
             FROM documents d
@@ -4798,7 +4860,7 @@ def oracle_sql() -> dict[str, str]:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering is deliberate, not alphabetical: the driver's correctness
     gate evaluates the FIRST 50 entries only (observed in r2: rows stop
-    after entry 50), and 115 of these 126 queries carry a DuckDB oracle.
+    after entry 50), and 116 of these 127 queries carry a DuckDB oracle.
 
     Round-4 rotation rule (amended per VERDICT r3): never-GREEN beats
     never-checked beats stale-green; newest-green age drives the rest.
@@ -4834,7 +4896,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_groups": q_dedup_groups,
         # r2-era newest-green:
         "ivfsq_exact_equiv": q_ivfsq_exact_equiv,
-        "autotune_invariants": q_autotune_invariants,
         "multimodal_invariants": q_multimodal_invariants,
         # new in round 4:
         "jaccard_prefix": q_jaccard_prefix,
@@ -4852,6 +4913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "projection_invariants": q_projection_invariants,
         "quality_logreg_score": q_quality_logreg_score,
         "quality_classifier_invariants": q_quality_classifier_invariants,
+        "projknn_invariants": q_projknn_invariants,
         # (inserted here as they land; each displaces one r3-green filler)
         "minhash_estimate_invariants": q_minhash_estimate_invariants,
         "minhash_incremental_invariants": q_minhash_incremental_invariants,
@@ -4895,6 +4957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_stemmed": q_bm25_topk_stemmed,
         "dedup_sketch_invariants": q_dedup_sketch_invariants,
         "embed_invariants": q_embed_invariants,
+        "autotune_invariants": q_autotune_invariants,
         "bm25_score": q_bm25_score,
         "hybrid_candidate": q_hybrid_candidate,
         "bloom_hot_terms": q_bloom_hot_terms,

@@ -52,6 +52,7 @@ from lanterndb_spark.operators.project import (
     pca_project,
     pca_reconstruction_error,
     project_embeddings,
+    projected_knn,
 )
 from lanterndb_spark.operators.classifier import (
     binary_auc,
@@ -80,7 +81,7 @@ __all__ = [
     "repeated_spans", "mask_repeated_spans", "span_postings",
     "mix_to_weights", "temperature_weights",
     "gaussian_projection", "project_embeddings", "pca_fit", "pca_project",
-    "pca_reconstruction_error",
+    "pca_reconstruction_error", "projected_knn",
     "text_quality_features", "logreg_fit", "logreg_score",
     "quality_classifier", "binary_auc",
 ]

@@ -98,3 +98,50 @@ def test_projection_preserves_other_columns(spark):
     out = project_embeddings(df, "emb", 4, seed=9)
     assert set(out.columns) == {"id", "emb", "proj"}
     assert out.filter(F.size("proj") != 4).count() == 0
+
+
+def test_projected_knn_exact_on_structured_data(spark):
+    from lanterndb_spark.operators.knn import knn
+    from lanterndb_spark.operators.project import pca_fit, projected_knn
+
+    rs = np.random.RandomState(3)
+    # intrinsic dimension ~6 inside a 32-dim space: the PCA coarse filter
+    # must make the two-stage search exact at modest oversample
+    B = rs.standard_normal((6, 32))
+    Z = rs.standard_normal((400, 6)) @ B + 0.01 * rs.standard_normal((400, 32))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in Z[i]]) for i in range(400)],
+        "vec_id long, emb array<float>",
+    )
+    q = [float(x) for x in Z[5]]
+    exact = [
+        (r["vec_id"], round(r["dist"], 5))
+        for r in knn(df, "emb", q, k=10, id_col="vec_id").collect()
+    ]
+    model = pca_fit(df, "emb", out_dim=8, sample_limit=10_000, seed=1)
+    got = [
+        (r["vec_id"], round(r["dist"], 5))
+        for r in projected_knn(
+            df, "emb", q, k=10, oversample=4, id_col="vec_id", model=model
+        ).collect()
+    ]
+    assert got == exact
+
+
+def test_projected_knn_subset_and_exact_rerank(spark):
+    from lanterndb_spark.functions.distance import l2sq_dist, query_vec
+    from lanterndb_spark.operators.project import projected_knn
+
+    df, X = _vectors(spark, n=150, d=32)
+    q = [float(x) for x in X[0]]
+    out = projected_knn(df, "emb", q, k=5, oversample=4, id_col="id")
+    rows = out.collect()
+    assert len(rows) == 5
+    # rerank distances are EXACT full-dimension l2sq regardless of the
+    # coarse stage's quality
+    for r in rows:
+        d = float(np.sum((np.asarray(r["emb"], dtype=np.float32) - np.asarray(q, dtype=np.float32)) ** 2))
+        assert abs(r["dist"] - d) < 1e-3
+    # distances ascend
+    ds = [r["dist"] for r in rows]
+    assert ds == sorted(ds)
