@@ -22,7 +22,7 @@ from lanterndb_spark.operators.paragraphs import (
     tag_duplicate_paragraphs,
 )
 from lanterndb_spark.operators.curate import curate
-from lanterndb_spark.operators.dedup import jaccard_pairs_prefix
+from lanterndb_spark.operators.dedup import containment_pairs, jaccard_pairs_prefix
 from lanterndb_spark.operators.lm import bigram_score, build_bigram_counts, build_vocab, unigram_score
 from lanterndb_spark.operators.scd import scd2_history, scd2_snapshot
 from lanterndb_spark.operators.profile import (
@@ -74,7 +74,7 @@ __all__ = [
     "embedding_near_dup_pairs", "connected_components", "dedup_keep_representatives",
     "embed", "complete", "autotune_ivf", "validate_ann",
     "apply_tombstones", "with_deltas", "compact",
-    "jaccard_pairs_prefix", "bigram_score", "build_bigram_counts",
+    "jaccard_pairs_prefix", "containment_pairs", "bigram_score", "build_bigram_counts",
     "build_vocab", "unigram_score", "scd2_history", "scd2_snapshot",
     "profile_table", "check_constraints", "histogram", "mad_outliers",
     "psi_drift", "zipf_fit",

@@ -178,6 +178,77 @@ def jaccard_pairs(
     return attach_persisted(out, sh)
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_posting: int | None = 10_000,
+) -> DataFrame:
+    """DIRECTED near-subset pairs: containment(A in B) = |A∩B| / |A| >=
+    ``threshold``, emitted as ``(id_sub, id_super, containment)``. Catches
+    the sub-document duplication symmetric Jaccard structurally misses: a
+    short doc fully quoted inside a long one has J ≈ |A|/|B| → 0 but
+    containment(A in B) = 1. Complements :func:`~lanterndb_spark.
+    operators.spans.repeated_spans` (span-level) at the whole-document
+    grain.
+
+    Same inverted-index shape as :func:`jaccard_pairs` — the symmetric
+    intersection is counted ONCE per unordered pair and both directions
+    are derived from it, so the directed output costs no extra join.
+    ``max_posting`` carries jaccard_pairs' cap and its recall caveat.
+    Prefix filtering does NOT transfer (containment has no length lower
+    bound: any tiny subset passes, so there is no prefix pigeonhole) —
+    for exact recall run uncapped, or at corpus scale screen candidates
+    with minhash_lsh_pairs at a low threshold first."""
+    sh = (
+        shingle_table(df, id_col, text_col, n)
+        .withColumn("sz", F.size("sh"))
+        .persist()
+    )
+    sizes = sh.select("id", "sz")
+    ex = explode_nonempty(sh, "sh", "g", "id")
+    if max_posting is not None:
+        hot = (
+            ex.groupBy("g")
+            .agg(F.count("*").alias("__pc"))
+            .filter(F.col("__pc") > max_posting)
+            .select("g")
+        )
+        ex = ex.join(F.broadcast(hot), on="g", how="left_anti")
+    a, b = ex.alias("a"), ex.alias("b")
+    common = (
+        a.join(b, on="g")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sized = common.join(
+        sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a"
+    ).join(
+        sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b"
+    )
+    fwd = sized.select(
+        F.col("id_a").alias("id_sub"),
+        F.col("id_b").alias("id_super"),
+        (F.col("common").cast("double") / F.col("sz_a").cast("double")).alias(
+            "containment"
+        ),
+    )
+    rev = sized.select(
+        F.col("id_b").alias("id_sub"),
+        F.col("id_a").alias("id_super"),
+        (F.col("common").cast("double") / F.col("sz_b").cast("double")).alias(
+            "containment"
+        ),
+    )
+    out = fwd.unionByName(rev).filter(
+        F.col("containment") >= F.lit(float(threshold))
+    )
+    return attach_persisted(out, sh)
+
+
 def jaccard_pairs_prefix(
     df: DataFrame,
     id_col: str,

@@ -430,3 +430,43 @@ def test_jaccard_prefix_short_and_empty_docs(spark):
              for r in jaccard_pairs_prefix(docs, "doc_id", "text",
                                            threshold=0.5).collect()}
     assert pairs == {(1, 2): 1.0}
+
+
+def test_containment_pairs_directed(spark):
+    from lanterndb_spark.operators.dedup import containment_pairs, jaccard_pairs
+
+    short = "alpha beta gamma delta epsilon zeta"           # 4 3-shingles
+    long_ = short + " " + " ".join(f"pad{i}" for i in range(30))
+    other = "totally different content with no overlap at all here"
+    df = spark.createDataFrame(
+        [(1, short), (2, long_), (3, other)], "doc_id long, text string"
+    )
+    got = {
+        (r["id_sub"], r["id_super"]): r["containment"]
+        for r in containment_pairs(
+            df, "doc_id", "text", n=3, threshold=0.8
+        ).collect()
+    }
+    # every shingle of doc1 appears in doc2 -> containment 1.0 forward only
+    assert got == {(1, 2): 1.0}
+    # symmetric jaccard misses the same pair at any usable threshold
+    j = jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.5).collect()
+    assert j == []
+
+
+def test_containment_both_directions_on_twins(spark):
+    t = "one two three four five six seven eight"
+    df = spark.createDataFrame(
+        [(1, t), (2, t)], "doc_id long, text string"
+    )
+    got = {
+        (r["id_sub"], r["id_super"]): r["containment"]
+        for r in containment_pairs_import(df)
+    }
+    assert got == {(1, 2): 1.0, (2, 1): 1.0}
+
+
+def containment_pairs_import(df):
+    from lanterndb_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(df, "doc_id", "text", n=3, threshold=0.9).collect()
