@@ -58,3 +58,33 @@ def test_quality_signals_stream_and_match_batch(spark, tables):
     got = sorted(key(r) for r in spark.sql("SELECT * FROM quality_stream").collect())
     want = sorted(key(r) for r in cols(tables["documents"]).collect())
     assert got == want
+
+
+def test_quality_logreg_score_streams_and_matches_batch(spark, tables):
+    """The classifier's APPLY path is one literal sigmoid expression —
+    stateless, so it must run unchanged under Structured Streaming and
+    agree row-for-row with batch (fit happens offline; a stream scores
+    with a frozen model, the standard train-offline/score-online split)."""
+    import numpy as np
+
+    from lanterndb_spark.operators.classifier import (
+        FEATURE_COLS,
+        LogRegModel,
+        logreg_score,
+        text_quality_features,
+    )
+
+    model = LogRegModel(
+        FEATURE_COLS,
+        np.array([30.0, 5.0, 0.1, 0.9, 0.1]),
+        np.array([10.0, 2.0, 0.1, 0.1, 0.1]),
+        np.array([0.8, -0.5, 1.2, 0.6, -1.5]),
+        -0.25,
+    )
+    score = lambda df: logreg_score(
+        text_quality_features(df, "text"), model, out_col="p"
+    ).select("doc_id", F.round("p", 9).alias("p"))
+    _run(score(_stream_docs(spark)), "logreg_stream")
+    got = {r["doc_id"]: r["p"] for r in spark.sql("SELECT * FROM logreg_stream").collect()}
+    want = {r["doc_id"]: r["p"] for r in score(tables["documents"]).collect()}
+    assert got == want
