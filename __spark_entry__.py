@@ -770,6 +770,35 @@ def q_mask_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation flow over the round-4 additions: cut
+    corpus-repeated spans (operators/spans.py) → recompute quality
+    signals on the CLEANED text (operators/classifier.py features) →
+    drop documents reduced below 5 tokens. Proves the operators compose
+    in one plan; the DuckDB oracle replays the whole flow (span CTE +
+    indexed-lambda cut + feature arithmetic)."""
+    from lanterndb_spark.operators.classifier import text_quality_features
+    from lanterndb_spark.operators.spans import mask_repeated_spans
+
+    docs = _docs(spark, sf_dir)
+    cleaned = mask_repeated_spans(docs, "doc_id", "text", min_len=10, min_docs=2)
+    feat = text_quality_features(
+        cleaned.select("doc_id", "tokens_removed", F.col("text_deduped").alias("text")),
+        "text",
+    )
+    return (
+        feat.filter(F.col("f_tokens") >= 5)
+        .select(
+            "doc_id",
+            "tokens_removed",
+            F.col("f_tokens").cast("bigint").alias("n_tokens"),
+            F.round("f_stop", ROUND).alias("stop_ratio"),
+            F.round("f_dup1", ROUND).alias("dup1"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_projknn_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Projected two-stage ANN (operators/project.py projected_knn),
     hash-checked: (a) on a CONSTRUCTED intrinsic-dim-6 corpus the
@@ -4703,6 +4732,30 @@ def oracle_sql() -> dict[str, str]:
             FROM spans
             ORDER BY doc_id, span_start
         """,
+        "pipeline_spans": f"""
+            WITH {_spans_cte()},
+            spl AS (
+              SELECT doc_id, list(struct_pack(ss := ss, ee := ee)) AS sp
+              FROM spans GROUP BY doc_id
+            ),
+            cut AS (
+              SELECT t.doc_id, t.tk,
+                     CASE WHEN sp IS NULL THEN t.tk
+                          ELSE list_filter(t.tk, (x, i) ->
+                            NOT list_bool_or(list_transform(sp,
+                              s -> i - 1 >= s.ss AND i - 1 < s.ee)))
+                     END AS kept
+              FROM toks t LEFT JOIN spl USING (doc_id)
+            )
+            SELECT doc_id,
+                   CAST(len(tk) - len(kept) AS BIGINT) AS tokens_removed,
+                   CAST(len(kept) AS BIGINT) AS n_tokens,
+                   round(CAST(len(list_filter(kept, t -> t IN {duck_sql_list(STOPWORDS)})) AS DOUBLE)
+                         / CAST(greatest(len(kept), 1) AS DOUBLE), {ROUND}) AS stop_ratio,
+                   round(1.0 - CAST(len(list_distinct(kept)) AS DOUBLE)
+                         / CAST(greatest(len(kept), 1) AS DOUBLE), {ROUND}) AS dup1
+            FROM cut WHERE len(kept) >= 5 ORDER BY doc_id
+        """,
         "containment": f"""
             WITH {_shingles_cte()},
             ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
@@ -4948,7 +5001,7 @@ def oracle_sql() -> dict[str, str]:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering is deliberate, not alphabetical: the driver's correctness
     gate evaluates the FIRST 50 entries only (observed in r2: rows stop
-    after entry 50), and 118 of these 129 queries carry a DuckDB oracle.
+    after entry 50), and 119 of these 130 queries carry a DuckDB oracle.
 
     Round-4 rotation rule (amended per VERDICT r3): never-GREEN beats
     never-checked beats stale-green; newest-green age drives the rest.
@@ -5059,6 +5112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # start at 51+ and rotate in next round
         "mask_spans": q_mask_spans,
         "containment": q_containment,
+        "pipeline_spans": q_pipeline_spans,
         "tpch_q6": q_tpch_q6,
         "tpch_q18": q_tpch_q18,
         "knn_l2sq": q_knn_l2sq,
