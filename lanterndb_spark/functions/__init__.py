@@ -27,6 +27,7 @@ from lanterndb_spark.functions.bloom import (
 from lanterndb_spark.functions.text import (
     STOPWORDS,
     bpe_token_estimate,
+    compression_ratio,
     doc_fingerprint,
     dup_ngram_fraction,
     repetition_signals,
@@ -48,6 +49,7 @@ __all__ += [
     "tokenize", "tokenize_py", "stem_array", "porter_stem",
     "set_user_stopwords", "get_user_stopwords", "STOPWORDS",
     "lang_id", "token_count", "bpe_token_estimate", "quality_score",
+    "compression_ratio",
     "doc_fingerprint", "word_ngrams", "dup_ngram_fraction",
     "top_ngram_fraction", "repetition_signals",
 ]

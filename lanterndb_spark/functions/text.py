@@ -678,3 +678,32 @@ def repetition_signals(col) -> list[Column]:
         dup_ngram_fraction(col, 2).alias("dup_bigram_frac"),
         top_ngram_fraction(col, 2).alias("top_bigram_frac"),
     ]
+
+
+def compression_ratio(col) -> Column:
+    """zlib-compressed size / raw size of the UTF-8 text — the Gopher
+    compressibility signal: templated/repetitive documents compress far
+    below natural prose (~0.4-0.6 for English; near-duplicate boilerplate
+    dips under 0.2), while encrypted/binary junk sits near 1.0.
+
+    This is the ONE quality signal that genuinely needs Python (no
+    codegen'd DEFLATE), so it is an Arrow-batched pandas UDF — zlib
+    itself is C, the per-row Python is a method call. Deterministic for
+    a fixed zlib (level 6, default strategy); pair it with the pure-
+    column signals in operators/classifier.py text_quality_features when
+    a corpus needs the extra discriminator."""
+    import zlib
+
+    @F.pandas_udf("double")
+    def _cr(s: pd.Series) -> pd.Series:
+        def ratio(t):
+            if t is None:
+                return None
+            raw = t.encode("utf-8")
+            if not raw:
+                return 1.0
+            return len(zlib.compress(raw, 6)) / len(raw)
+
+        return s.map(ratio)
+
+    return _cr(_c(col))

@@ -253,3 +253,68 @@ def validate_ann(
         got = [r[id_col] for r in search_fn(q, k).collect()]
         total += recall_at_k(got, truth.get(qi, []))
     return total / len(queries)
+
+
+def autotune_projknn(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+    out_dim_grid: tuple[int, ...] = (8, 16, 32),
+    oversample_grid: tuple[int, ...] = (2, 4, 8),
+    n_queries: int = 10,
+    target_recall: float = 0.9,
+    method: str = "pca",
+    seed: int = 42,
+) -> tuple[TuneResult | None, list[TuneResult]]:
+    """find_best_variant loop over the projected two-stage search's knobs
+    (operators/project.py projected_knn): ``out_dim`` trades coarse-stage
+    fidelity for scan width, ``oversample`` trades rerank breadth for
+    recall. The projection is materialized ONCE per out_dim (the plan a
+    user should ship: store the narrow column, search against it), so the
+    grid pays dim-count builds, not dim×oversample."""
+    from lanterndb_spark.operators.project import (
+        pca_fit,
+        pca_project,
+        project_embeddings,
+        projected_knn,
+    )
+
+    queries = sample_queries(df, vec_col, n=n_queries, seed=seed)
+    truth = exact_topk_batch(df, vec_col, queries, k=k, id_col=id_col)
+    results: list[TuneResult] = []
+    for out_dim in out_dim_grid:
+        t0 = time.monotonic()
+        if method == "pca":
+            model = pca_fit(df, vec_col, out_dim, seed=seed)
+            base = pca_project(df, vec_col, model, "__proj")
+        else:
+            model = None
+            base = project_embeddings(df, vec_col, out_dim, seed, "__proj")
+        base = base.cache()
+        base.count()
+        build_s = time.monotonic() - t0
+        for oversample in oversample_grid:
+            t1 = time.monotonic()
+            recs = []
+            for qi, q in enumerate(queries):
+                rows = projected_knn(
+                    base, vec_col, q, k=k, out_dim=out_dim, seed=seed,
+                    oversample=oversample, id_col=id_col, model=model,
+                    proj_col="__proj",
+                ).collect()
+                recs.append(
+                    recall_at_k([r[id_col] for r in rows], truth.get(qi, []))
+                )
+            results.append(
+                TuneResult(
+                    {"method": method, "out_dim": out_dim, "oversample": oversample},
+                    sum(recs) / len(recs),
+                    (time.monotonic() - t1) / len(queries),
+                    build_s,
+                )
+            )
+        base.unpersist()
+    ok = [r for r in results if r.recall >= target_recall]
+    best = min(ok, key=lambda r: r.latency_s) if ok else None
+    return best, results

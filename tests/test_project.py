@@ -145,3 +145,24 @@ def test_projected_knn_subset_and_exact_rerank(spark):
     # distances ascend
     ds = [r["dist"] for r in rows]
     assert ds == sorted(ds)
+
+
+def test_autotune_projknn_on_structured_data(spark):
+    from lanterndb_spark.operators.autotune import autotune_projknn
+
+    rs = np.random.RandomState(11)
+    B = rs.standard_normal((6, 32))
+    Z = rs.standard_normal((300, 6)) @ B + 0.01 * rs.standard_normal((300, 32))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in Z[i]]) for i in range(300)],
+        "vec_id long, emb array<float>",
+    )
+    best, grid = autotune_projknn(
+        df, "emb", "vec_id", k=5, out_dim_grid=(8,), oversample_grid=(2, 8),
+        n_queries=4, target_recall=0.9, method="pca", seed=2,
+    )
+    assert len(grid) == 2
+    by_os = {r.params["oversample"]: r.recall for r in grid}
+    # wider rerank can only help on average; structured data reaches target
+    assert by_os[8] >= by_os[2]
+    assert best is not None and best.recall >= 0.9

@@ -245,3 +245,35 @@ def test_tsvector_sql_registration(spark):
     ).first()
     assert row["a"] == ["jump"]          # being/over in english.stop
     assert row["b"] == ["jump", "over"]  # rust list lacks 'over'; 'be' dropped
+
+
+def test_compression_ratio_signal(spark):
+    from lanterndb_spark.functions.text import compression_ratio
+
+    import random
+
+    rnd = random.Random(7)
+    noisy = " ".join(
+        "".join(rnd.choice("abcdefghijklmnopqrstuvwxyz0123456789") for _ in range(8))
+        for _ in range(100)
+    )
+    repetitive = "the same boilerplate sentence again and again " * 20
+    df = spark.createDataFrame(
+        [(1, repetitive), (2, noisy), (3, ""), (4, None)],
+        "id long, text string",
+    )
+    got = {
+        r["id"]: r["cr"]
+        for r in df.select("id", compression_ratio("text").alias("cr")).collect()
+    }
+    assert got[1] < 0.2          # boilerplate compresses hard
+    assert got[2] > 0.5          # incompressible noise stays high
+    assert got[1] < got[2]
+    assert got[3] == 1.0         # empty text: defined, not a crash
+    assert got[4] is None
+    # deterministic
+    again = {
+        r["id"]: r["cr"]
+        for r in df.select("id", compression_ratio("text").alias("cr")).collect()
+    }
+    assert got == again
