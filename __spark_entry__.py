@@ -897,6 +897,35 @@ def q_quality_logreg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier operating curve (operators/eval.py
+    precision_recall_curve) over the pinned-literal quality scores
+    against a literal length label (n_chars > 500): one row per distinct
+    score cut with cumulative precision/recall/f1. Full DuckDB oracle —
+    same features, sigmoid, tie-grouping, and cumulative windows."""
+    import numpy as np
+
+    from lanterndb_spark.operators.classifier import (
+        FEATURE_COLS,
+        LogRegModel,
+        logreg_score,
+        text_quality_features,
+    )
+    from lanterndb_spark.operators.eval import precision_recall_curve
+
+    model = LogRegModel(
+        FEATURE_COLS,
+        np.array(_QLR["mean"]),
+        np.array(_QLR["scale"]),
+        np.array(_QLR["weights"]),
+        _QLR["bias"],
+    )
+    docs = _docs(spark, sf_dir)
+    scored = logreg_score(text_quality_features(docs, "text"), model, "p")
+    lab = scored.withColumn("y", (F.col("n_chars") > 500).cast("int"))
+    return precision_recall_curve(lab, "p", "y")
+
+
 def q_quality_classifier_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trainable quality filter (GPT-3/CCNet-style logreg) invariants,
     hash-checked: a deterministic label (n_chars above the exact corpus
@@ -3537,9 +3566,10 @@ def _spans_cte() -> str:
     )"""
 
 
-def _qlr_score_oracle() -> str:
-    """DuckDB twin of q_quality_logreg_score: the five quality features +
-    the pinned literal sigmoid, term order mirroring the Spark loop."""
+def _qlr_cte() -> str:
+    """Shared DuckDB CTEs deriving the five quality features and the
+    pinned-literal sigmoid: ends with ``scored(doc_id, n_chars, prob)``.
+    Term order mirrors the Spark expression loop."""
     tk = duck_tokens("text")
     sw = duck_sql_list(STOPWORDS)
     feats = ["f_tokens", "f_mean_len", "f_stop", "f_alnum", "f_dup1"]
@@ -3548,9 +3578,9 @@ def _qlr_score_oracle() -> str:
         for c, w, m, s in zip(feats, _QLR["weights"], _QLR["mean"], _QLR["scale"])
     )
     return f"""
-    WITH toks AS (SELECT doc_id, text, {tk} AS tk FROM documents),
+    toks AS (SELECT doc_id, text, n_chars, {tk} AS tk FROM documents),
     f AS (
-      SELECT doc_id,
+      SELECT doc_id, n_chars,
         CAST(len(tk) AS DOUBLE) AS f_tokens,
         CAST(coalesce(list_sum(list_transform(tk, t -> length(t))), 0) AS DOUBLE)
           / CAST(greatest(len(tk), 1) AS DOUBLE) AS f_mean_len,
@@ -3561,9 +3591,54 @@ def _qlr_score_oracle() -> str:
         1.0 - CAST(len(list_distinct(tk)) AS DOUBLE)
           / CAST(greatest(len(tk), 1) AS DOUBLE) AS f_dup1
       FROM toks
+    ),
+    scored AS (
+      SELECT doc_id, n_chars, 1.0 / (1.0 + exp(-({z}))) AS prob FROM f
+    )"""
+
+
+def _qlr_score_oracle() -> str:
+    """DuckDB twin of q_quality_logreg_score."""
+    return f"""
+    WITH {_qlr_cte()}
+    SELECT doc_id, round(prob, {ROUND}) AS quality_prob
+    FROM scored ORDER BY doc_id
+    """
+
+
+def _pr_curve_oracle() -> str:
+    """DuckDB twin of q_pr_curve: same scores, tie-grouped thresholds,
+    cumulative precision/recall windows, f1 from the ROUNDED values
+    (mirroring the operator's rounding order)."""
+    return f"""
+    WITH {_qlr_cte()},
+    per AS (
+      SELECT round(prob, 6) AS threshold,
+             sum(CASE WHEN n_chars > 500 THEN 1.0 ELSE 0.0 END) AS pos,
+             count(*) AS n
+      FROM scored GROUP BY 1
+    ),
+    cum AS (
+      SELECT threshold,
+             sum(pos) OVER (ORDER BY threshold DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+             sum(n) OVER (ORDER BY threshold DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS predicted,
+             sum(pos) OVER () AS total_pos
+      FROM per
+    ),
+    pr AS (
+      SELECT threshold,
+             round(tp / predicted, 6) AS precision,
+             round(CASE WHEN total_pos > 0 THEN tp / total_pos ELSE 0.0 END, 6)
+               AS recall
+      FROM cum
     )
-    SELECT doc_id, round(1.0 / (1.0 + exp(-({z}))), {ROUND}) AS quality_prob
-    FROM f ORDER BY doc_id
+    SELECT threshold, precision, recall,
+           round(CASE WHEN precision + recall > 0
+                 THEN 2 * precision * recall / (precision + recall)
+                 ELSE 0.0 END, 6) AS f1
+    FROM pr ORDER BY threshold DESC
     """
 
 
@@ -3857,6 +3932,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_metrics": _text_metrics_oracle(),
         "quality_logreg_score": _qlr_score_oracle(),
+        "pr_curve": _pr_curve_oracle(),
         "quality_classifier_invariants": """
             SELECT CAST(count(*) AS BIGINT) AS n_docs, true AS deterministic,
                    true AS acc_ok, true AS auc_ok
@@ -5001,7 +5077,7 @@ def oracle_sql() -> dict[str, str]:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering is deliberate, not alphabetical: the driver's correctness
     gate evaluates the FIRST 50 entries only (observed in r2: rows stop
-    after entry 50), and 119 of these 130 queries carry a DuckDB oracle.
+    after entry 50), and 120 of these 131 queries carry a DuckDB oracle.
 
     Round-4 rotation rule (amended per VERDICT r3): never-GREEN beats
     never-checked beats stale-green; newest-green age drives the rest.
@@ -5113,6 +5189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mask_spans": q_mask_spans,
         "containment": q_containment,
         "pipeline_spans": q_pipeline_spans,
+        "pr_curve": q_pr_curve,
         "tpch_q6": q_tpch_q6,
         "tpch_q18": q_tpch_q18,
         "knn_l2sq": q_knn_l2sq,

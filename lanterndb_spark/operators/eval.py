@@ -100,3 +100,63 @@ def mean_metrics(per_query: DataFrame) -> DataFrame:
         F.avg("mrr").alias("mean_mrr"),
         F.avg("ndcg").alias("mean_ndcg"),
     )
+
+
+def precision_recall_curve(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Classifier operating curve: one row per distinct score value
+    (descending) with cumulative ``precision``, ``recall``, and ``f1``
+    when thresholding at ``score >= threshold``. Ties collapse into one
+    row (all rows at a score enter together — the curve a sklearn user
+    expects, engine-reproducible because the cut points are the data's
+    own score values, not interpolations).
+
+    Shape: one groupBy(score) — distinct scores, usually far smaller
+    than the eval set — then ONE unpartitioned cumulative window over
+    them. Like ``classifier.binary_auc`` this is an EVAL-set operator
+    (thousands of rows); the single-task window is bounded by distinct
+    scores, not corpus size, but don't point it at a raw corpus either.
+    """
+    y = F.col(label_col).cast("double")
+    per_score = df.select(
+        F.round(F.col(score_col), round_to).alias("threshold"), y.alias("y")
+    ).groupBy("threshold").agg(
+        F.sum("y").alias("pos"), F.count("*").alias("n")
+    )
+    w = Window.orderBy(F.col("threshold").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total_pos = F.sum("pos").over(
+        Window.orderBy(F.lit(1)).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    curve = per_score.select(
+        "threshold",
+        F.sum("pos").over(w).alias("tp"),
+        F.sum("n").over(w).alias("predicted"),
+        total_pos.alias("total_pos"),
+    ).select(
+        "threshold",
+        F.round(F.col("tp") / F.col("predicted"), round_to).alias("precision"),
+        F.round(
+            F.when(F.col("total_pos") > 0, F.col("tp") / F.col("total_pos"))
+            .otherwise(F.lit(0.0)),
+            round_to,
+        ).alias("recall"),
+    ).withColumn(
+        "f1",
+        F.round(
+            F.when(
+                (F.col("precision") + F.col("recall")) > 0,
+                2 * F.col("precision") * F.col("recall")
+                / (F.col("precision") + F.col("recall")),
+            ).otherwise(F.lit(0.0)),
+            round_to,
+        ),
+    )
+    return curve.orderBy(F.col("threshold").desc())

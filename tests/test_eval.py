@@ -60,3 +60,26 @@ def test_rank_is_deterministic_under_ties(spark):
     ranked = rank_results(df, "q_id", [F.col("dist").asc(), F.col("doc_id").asc()])
     got = [r["doc_id"] for r in ranked.orderBy("rank").collect()]
     assert got == [3, 4, 5]
+
+
+def test_precision_recall_curve_hand_computed(spark):
+    from lanterndb_spark.operators.eval import precision_recall_curve
+
+    df = spark.createDataFrame(
+        [(0.9, 1), (0.8, 1), (0.8, 0), (0.4, 0), (0.3, 1), (0.1, 0)],
+        "s double, y int",
+    )
+    rows = precision_recall_curve(df, "s", "y").collect()
+    got = [(r["threshold"], r["precision"], r["recall"]) for r in rows]
+    assert got == [
+        (0.9, 1.0, 0.333333),        # 1 predicted, 1 TP of 3 positives
+        (0.8, 0.666667, 0.666667),   # tie group enters together
+        (0.4, 0.5, 0.666667),
+        (0.3, 0.6, 1.0),
+        (0.1, 0.5, 1.0),
+    ]
+    # recall is monotone non-decreasing as the threshold drops
+    rc = [r["recall"] for r in rows]
+    assert rc == sorted(rc)
+    f1 = {r["threshold"]: r["f1"] for r in rows}
+    assert f1[0.3] == 0.75
