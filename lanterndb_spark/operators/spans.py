@@ -115,6 +115,15 @@ def repeated_spans(
     hits = post.join(dup, on="h").select(
         "id", "s", (F.col("s") + F.lit(min_len)).alias("e")
     )
+    spans = merge_islands(hits, id_col)
+    return attach_persisted(spans, post)
+
+
+def merge_islands(hits: DataFrame, id_col: str) -> DataFrame:
+    """Gaps-and-islands merge of flagged windows ``(id, s, e)`` into
+    maximal disjoint spans ``(id_col, span_start, span_end, span_tokens)``.
+    One per-doc window (prev-end max + island sum pipeline over a single
+    exchange — plan-asserted in test_plans.py)."""
     w = Window.partitionBy("id").orderBy("s")
     prev_end = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
     opened = hits.withColumn(
@@ -123,7 +132,7 @@ def repeated_spans(
     ).withColumn(
         "island", F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0))
     )
-    spans = (
+    return (
         opened.groupBy("id", "island")
         .agg(
             F.min("s").cast("bigint").alias("span_start"),
@@ -136,7 +145,6 @@ def repeated_spans(
             (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
         )
     )
-    return attach_persisted(spans, post)
 
 
 def mask_repeated_spans(

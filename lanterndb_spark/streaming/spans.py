@@ -1,0 +1,116 @@
+"""Streaming repeated-span dedup: boilerplate cut at ingest time.
+
+Composes ``operators.spans`` with Structured Streaming the way
+``streaming/neardup.py`` wraps MinHash: each micro-batch's window hashes
+are checked against the ACCUMULATED gram-count store (earlier corpus
+text is never revisited — only its kilobyte-per-gram counts), the
+arriving documents' repeated spans are emitted, and the batch's counts
+fold into the store.
+
+Semantics — FIRST OCCURRENCE SURVIVES at batch granularity (the CCNet
+rule, matching ``operators/paragraphs.py``): an arriving document's
+window is flagged iff enough earlier-batch plus current-batch documents
+carry its content (``min_docs`` total, counting the arrival itself).
+The first batch to carry a boilerplate block alone keeps it; every
+later carrier gets it flagged at arrival; carriers landing in the SAME
+batch all flag (a micro-batch is an unordered set — there is no
+within-batch arrival order to break the tie with). Retroactive flags on
+earlier documents are deliberately NOT emitted — the first copy is the
+one a curation pipeline keeps. With one-copy-per-batch arrival the
+union of streamed spans is exactly the batch operator's output minus
+the first carrier's spans (pinned in test_streaming_spans.py); in
+general every streamed span is a sub-interval of a batch-operator span
+for the same document (a window flagged at arrival is flagged by the
+full-corpus run a fortiori).
+
+State is the (h, nd) count table — a plain DataFrame a cluster would
+persist as Parquet and compact, not per-key streaming state; no
+watermark. Counts are additive across batches because document ids are
+unique across the stream (the ingest contract every store here shares).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lanterndb_spark.operators.spans import merge_islands, span_postings
+
+
+class SpanDedupIngest:
+    """Mutable handle: gram-count store + spans emitted so far."""
+
+    def __init__(
+        self,
+        id_col: str,
+        text_col: str,
+        min_len: int = 10,
+        min_docs: int = 2,
+        store: DataFrame | None = None,
+    ):
+        self.id_col, self.text_col = id_col, text_col
+        self.min_len, self.min_docs = min_len, min_docs
+        self.store: DataFrame | None = store  # (h, nd)
+        self.spans: DataFrame | None = None
+        self.batches = 0
+
+    def writer(self):
+        def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+            post = span_postings(
+                batch_df, self.id_col, self.text_col, self.min_len
+            ).persist()
+            batch_counts = post.groupBy("h").agg(
+                F.count_distinct("id").alias("bd")
+            )
+            if self.store is None:
+                nd = batch_counts.select("h", F.col("bd").alias("nd"))
+            else:
+                nd = (
+                    batch_counts.join(self.store, on="h", how="full")
+                    .select(
+                        "h",
+                        (
+                            F.coalesce(F.col("bd"), F.lit(0))
+                            + F.coalesce(F.col("nd"), F.lit(0))
+                        ).alias("nd"),
+                    )
+                )
+            dup = nd.filter(F.col("nd") >= self.min_docs).select("h")
+            hits = post.join(dup, on="h").select(
+                "id", "s", (F.col("s") + F.lit(self.min_len)).alias("e")
+            )
+            found = merge_islands(hits, self.id_col).persist()
+            # materialize BEFORE the store mutates (lazy plans must not
+            # see counts from batches after their own)
+            found.count()
+            self.spans = (
+                found if self.spans is None else self.spans.unionByName(found)
+            )
+            new_store = nd.persist()
+            new_store.count()
+            if self.store is not None:
+                self.store.unpersist()
+            self.store = new_store
+            post.unpersist()
+            self.batches += 1
+
+        return write_batch
+
+    def all_spans(self) -> DataFrame:
+        if self.spans is None:
+            raise ValueError("no batches processed yet")
+        return self.spans
+
+
+def span_dedup_ingest_stream(
+    id_col: str = "doc_id", text_col: str = "text", **params
+) -> SpanDedupIngest:
+    """Wire a document stream into streaming span dedup::
+
+        ingest = span_dedup_ingest_stream("doc_id", "text", min_len=10)
+        q = (docs_stream.writeStream.foreachBatch(ingest.writer())
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        boilerplate = ingest.all_spans()
+    """
+    return SpanDedupIngest(id_col, text_col, **params)
