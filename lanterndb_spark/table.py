@@ -447,3 +447,10 @@ class LanternTable:
         if threshold is not None:
             scored = scored.filter(F.col("quality_prob") >= F.lit(threshold))
         return scored, model
+
+    def subset_pairs(self, text_col: str = "text", **kw) -> DataFrame:
+        """Directed near-subset pairs (containment >= threshold) over the
+        visible rows — see operators/dedup.py containment_pairs."""
+        from lanterndb_spark.operators.dedup import containment_pairs
+
+        return containment_pairs(self.df, self.id_col, text_col, **kw)

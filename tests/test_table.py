@@ -268,3 +268,11 @@ def test_table_spans_and_project_surface(spark, tables):
     pca = e.project("embedding", 8, method="pca", seed=1)
     import pyspark.sql.functions as F
     assert pca.filter(F.size("proj") != 8).count() == 0
+
+
+def test_table_subset_pairs_surface(spark, tables):
+    from lanterndb_spark.table import LanternTable
+
+    t = LanternTable(tables["documents"], "doc_id")
+    p = t.subset_pairs(threshold=0.8)
+    assert {"id_sub", "id_super", "containment"} <= set(p.columns)

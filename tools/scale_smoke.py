@@ -295,6 +295,27 @@ def main():
 
     timed(f"repeated_spans_{args.doc // 1000}k_doc", spans_job, out)
 
+    def span_ingest_job():
+        # streaming span dedup: base corpus in batch 1 builds the gram
+        # store; the twins arrive in batch 2 and every one must flag at
+        # arrival (each shares its >= 20-token base with a stored doc)
+        from lanterndb_spark.streaming.spans import span_dedup_ingest_stream
+
+        ingest = span_dedup_ingest_stream("doc_id", "text", min_len=10, min_docs=2)
+        w = ingest.writer()
+        w(docs.filter(F.col("doc_id") < args.doc), 0)
+        w(docs.filter(F.col("doc_id") >= args.doc), 1)
+        flagged = (
+            ingest.all_spans().filter(F.col("doc_id") >= args.doc)
+            .select("doc_id").distinct().count()
+        )
+        assert flagged >= int(0.9 * n_twins), (
+            f"arriving twins not flagged: {flagged}/{n_twins}"
+        )
+        return ingest.all_spans().count()
+
+    timed(f"span_ingest_2batch_{args.doc // 1000}k", span_ingest_job, out)
+
     def project_job():
         # 200k x 64 -> 16 JL projection: closure-shipped matrix, one
         # numpy matmul per Arrow batch, zero shuffle
