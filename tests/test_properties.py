@@ -135,3 +135,99 @@ def test_ivf_assign_matches_build(tables):
     delta = ivf_assign(idx, emb)
     got = {r["vec_id"]: r["cluster_id"] for r in delta.collect()}
     assert got == base
+
+
+def _brute_spans(docs: dict, L: int, min_docs: int) -> dict:
+    """Python reference for repeated_spans: docs = {id: token list}."""
+    from collections import defaultdict
+
+    carriers = defaultdict(set)
+    for d, tk in docs.items():
+        for i in range(len(tk) - L + 1):
+            carriers[tuple(tk[i : i + L])].add(d)
+    flagged = defaultdict(list)
+    for d, tk in docs.items():
+        for i in range(len(tk) - L + 1):
+            if len(carriers[tuple(tk[i : i + L])]) >= min_docs:
+                flagged[d].append((i, i + L))
+    spans = {}
+    for d, wins in flagged.items():
+        merged = []
+        for s, e in sorted(wins):
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        spans[d] = [tuple(m) for m in merged]
+    return spans
+
+
+@SET
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=0, max_size=12),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_repeated_spans_match_brute_force(spark, token_lists):
+    from lanterndb_spark.operators.spans import repeated_spans
+
+    L, MD = 3, 2
+    docs = {i: [f"w{c}" for c in tk] for i, tk in enumerate(token_lists)}
+    df = spark.createDataFrame(
+        [(i, " ".join(tk)) for i, tk in docs.items()], "doc_id long, text string"
+    )
+    got = {}
+    for r in repeated_spans(df, "doc_id", "text", min_len=L, min_docs=MD).collect():
+        got.setdefault(r["doc_id"], []).append((r["span_start"], r["span_end"]))
+    got = {d: sorted(v) for d, v in got.items()}
+    want = _brute_spans(docs, L, MD)
+    want = {d: v for d, v in want.items() if v}
+    assert got == want
+
+
+@SET
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcde"), min_size=0, max_size=10),
+        min_size=1,
+        max_size=7,
+    )
+)
+def test_containment_matches_brute_force(spark, token_lists):
+    from lanterndb_spark.operators.dedup import containment_pairs
+
+    N, T = 2, 0.5
+    docs = {i: [f"w{c}" for c in tk] for i, tk in enumerate(token_lists)}
+    df = spark.createDataFrame(
+        [(i, " ".join(tk)) for i, tk in docs.items()], "doc_id long, text string"
+    )
+    got = {
+        (r["id_sub"], r["id_super"]): round(r["containment"], 9)
+        for r in containment_pairs(
+            df, "doc_id", "text", n=N, threshold=T, max_posting=None
+        ).collect()
+    }
+    # brute force over the SAME shingle definition (distinct n-grams;
+    # short docs collapse to one whole-doc gram, empty docs to none)
+    def sh(tk):
+        if not tk:
+            return set()
+        if len(tk) < N:
+            return {" ".join(tk)}
+        return {" ".join(tk[i : i + N]) for i in range(len(tk) - N + 1)}
+
+    want = {}
+    ids = list(docs)
+    for a in ids:
+        for b in ids:
+            if a == b:
+                continue
+            sa, sb = sh(docs[a]), sh(docs[b])
+            if not sa:
+                continue
+            c = len(sa & sb) / len(sa)
+            if c >= T:
+                want[(a, b)] = round(c, 9)
+    assert got == want
