@@ -247,3 +247,46 @@ def projected_knn(
         .drop("__pdist")
     )
     return out if proj_col else out.drop("__proj")
+
+
+class ProjIndex(NamedTuple):
+    """Projection 'index' artifact for LanternTable routing: the table
+    with its precomputed narrow column (``__proj``), plus everything
+    needed to project queries and late-arriving rows identically."""
+
+    projected: DataFrame
+    model: PcaModel | None  # None = seeded JL
+    out_dim: int
+    seed: int
+    vec_col: str
+
+
+def build_proj(
+    df: DataFrame,
+    vec_col: str,
+    out_dim: int = 16,
+    method: str = "jl",
+    seed: int = 42,
+    sample_limit: int = 100_000,
+) -> ProjIndex:
+    """CREATE INDEX analogue for the projected two-stage search: fit (PCA)
+    or derive (JL) the matrix and materialize the narrow column."""
+    if method == "pca":
+        model = pca_fit(df, vec_col, out_dim, sample_limit=sample_limit, seed=seed)
+        projected = pca_project(df, vec_col, model, "__proj")
+    elif method == "jl":
+        model = None
+        projected = project_embeddings(df, vec_col, out_dim, seed, "__proj")
+    else:
+        raise ValueError(f"unknown projection method {method!r}")
+    return ProjIndex(projected, model, out_dim, seed, vec_col)
+
+
+def proj_apply(index: ProjIndex, df: DataFrame) -> DataFrame:
+    """Project late-arriving rows with the INDEX's matrix (aminsert
+    analogue — no refit, same map as the base table)."""
+    if index.model is not None:
+        return pca_project(df, index.vec_col, index.model, "__proj")
+    return project_embeddings(
+        df, index.vec_col, index.out_dim, index.seed, "__proj"
+    )

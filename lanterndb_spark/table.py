@@ -120,8 +120,14 @@ class LanternTable:
             from lanterndb_spark.operators.lsh import build_srp
 
             index = build_srp(self.df, vec_col, **params)
+        elif kind == "proj":
+            from lanterndb_spark.operators.project import build_proj
+
+            index = build_proj(self.df, vec_col, **params)
         else:
-            raise ValueError(f"unknown index kind {kind!r} (ivf | ivfsq | srp)")
+            raise ValueError(
+                f"unknown index kind {kind!r} (ivf | ivfsq | srp | proj)"
+            )
         self._indexes[vec_col] = (kind, index)
         self._build_params[("index", vec_col)] = {"kind": kind, **params}
         return self
@@ -254,6 +260,31 @@ class LanternTable:
                 base_index, query, k=k, metric=metric, id_col=self.id_col,
                 pred=pred, **search_params,
             )
+        if kind == "proj":
+            from lanterndb_spark.operators.project import (
+                ProjIndex, proj_apply, projected_knn,
+            )
+
+            if metric != "l2sq":
+                raise ValueError("proj index supports metric='l2sq' only")
+            base = index.projected
+            # same delta/tombstone visibility contract as the ivf path:
+            # deltas are projected with the INDEX's matrix (no refit)
+            if self._deltas:
+                for d in self._deltas:
+                    base = base.unionByName(proj_apply(index, d))
+            if self._tombstones:
+                base = maintenance.apply_tombstones(
+                    base, self._tombstones, self.id_col
+                )
+            if pred is not None:
+                base = base.filter(pred)
+            return projected_knn(
+                base, vec_col, query, k=k, out_dim=index.out_dim,
+                seed=index.seed, id_col=self.id_col, model=index.model,
+                proj_col="__proj", **search_params,
+            ).drop("__proj")
+
         from lanterndb_spark.operators.lsh import SrpIndex, srp_search, srp_sketch
 
         # same delta/tombstone visibility contract as the ivf path above

@@ -276,3 +276,41 @@ def test_table_subset_pairs_surface(spark, tables):
     t = LanternTable(tables["documents"], "doc_id")
     p = t.subset_pairs(threshold=0.8)
     assert {"id_sub", "id_super", "containment"} <= set(p.columns)
+
+
+def test_table_proj_index_route(spark):
+    import numpy as np
+    import pytest as _pt
+
+    from lanterndb_spark.operators.knn import knn as exact
+    from lanterndb_spark.table import LanternTable
+
+    rs = np.random.RandomState(9)
+    B = rs.standard_normal((6, 32))
+    Z = rs.standard_normal((300, 6)) @ B + 0.01 * rs.standard_normal((300, 32))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in Z[i]]) for i in range(300)],
+        "vec_id long, emb array<float>",
+    )
+    t = LanternTable(df, id_col="vec_id").create_index(
+        "emb", kind="proj", method="pca", out_dim=8, seed=1
+    )
+    q = [float(x) for x in Z[7]]
+    got = [r["vec_id"] for r in t.knn("emb", q, k=10, oversample=4).collect()]
+    want = [r["vec_id"] for r in exact(df, "emb", q, k=10, id_col="vec_id").collect()]
+    assert got == want
+    cat = {i["column"]: i for i in t.get_indexes()}
+    assert cat["emb"]["kind"] == "proj"
+    with _pt.raises(ValueError):
+        t.knn("emb", q, k=5, metric="cos")
+
+    # visibility contract: an inserted twin of the query surfaces at
+    # rank 1 (projected with the index's matrix, no refit); deleting it
+    # restores the original result
+    twin = spark.createDataFrame([(9_000, q)], "vec_id long, emb array<float>")
+    t2 = t.insert(twin)
+    got2 = [r["vec_id"] for r in t2.knn("emb", q, k=3, oversample=4).collect()]
+    assert 9_000 in got2
+    t3 = t2.delete([9_000])
+    got3 = [r["vec_id"] for r in t3.knn("emb", q, k=10, oversample=4).collect()]
+    assert got3 == want
