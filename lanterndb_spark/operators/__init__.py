@@ -53,6 +53,8 @@ from lanterndb_spark.operators.project import (
     pca_reconstruction_error,
     project_embeddings,
     projected_knn,
+    build_proj,
+    proj_apply,
 )
 from lanterndb_spark.operators.classifier import (
     binary_auc,
@@ -81,7 +83,7 @@ __all__ = [
     "repeated_spans", "mask_repeated_spans", "span_postings",
     "mix_to_weights", "temperature_weights",
     "gaussian_projection", "project_embeddings", "pca_fit", "pca_project",
-    "pca_reconstruction_error", "projected_knn",
+    "pca_reconstruction_error", "projected_knn", "build_proj", "proj_apply",
     "text_quality_features", "logreg_fit", "logreg_score",
     "quality_classifier", "binary_auc",
 ]
