@@ -836,12 +836,21 @@ def connected_components(
     have tiny diameters (a handful of hops), so convergence is fast; each
     iteration is one join + one groupBy at any scale. ``component`` is the
     min id of the cluster.
+
+    LINEAGE CONTRACT (measured, tools/pipeline_demo.py): iteration must
+    TRUNCATE lineage, not merely persist — a cached plan still embeds the
+    full caller subtree as its cache key, so when ``pairs`` carries a deep
+    pipeline (scrub → mask → classify → minhash), per-iteration plans
+    nest it multiplicatively until the driver OOMs just PRINTING a plan
+    tree. Eager ``localCheckpoint`` on the edges and on each label round
+    keeps every iteration's plan constant-sized; on a cluster with a
+    reliable checkpoint dir, ``checkpoint()`` is the durable equivalent.
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("id"))
@@ -858,8 +867,7 @@ def connected_components(
             labels.unionByName(nbr)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
-        ).persist()
-        new_labels.count()
+        ).localCheckpoint(eager=True)
         changed = (
             labels.alias("o")
             .join(new_labels.alias("n"), on="id")
@@ -867,11 +875,9 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
-    edges.unpersist()
     return labels
 
 
