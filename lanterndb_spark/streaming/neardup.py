@@ -46,9 +46,12 @@ class NearDupIngest:
 
     def writer(self):
         def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+            # eager localCheckpoint, not persist: a cached plan still embeds
+            # its full lineage, so after N batches the store would nest N
+            # batch plans (the connected_components lesson, dedup.py)
             new_sigs = minhash_signatures(
                 batch_df, self.id_col, self.text_col, self.num_hashes, self.n
-            ).persist()
+            ).localCheckpoint(eager=True)
             if self.sigs is None:
                 # first batch: only new-vs-new pairs exist; run the
                 # incremental op against an empty store of the same schema
@@ -65,9 +68,9 @@ class NearDupIngest:
                     self.max_bucket,
                 )
             # materialize before the store mutates (lazy plans must not
-            # see signatures of docs that arrived after their batch)
-            found = found.persist()
-            found.count()
+            # see signatures of docs that arrived after their batch) AND
+            # truncate lineage (see new_sigs note)
+            found = found.localCheckpoint(eager=True)
             self.pairs = found if self.pairs is None else self.pairs.unionByName(found)
             self.sigs = new_sigs if self.sigs is None else self.sigs.unionByName(new_sigs)
             self.batches += 1

@@ -99,13 +99,12 @@ class Scd2Ingest:
                     tiebreak_col=self.tiebreak_col,
                 )
                 new_hist = untouched.unionByName(rebuilt)
-            # materialize before the handle mutates: downstream plans must
-            # not lazily recompute against a later history
-            new_hist = new_hist.persist()
-            new_hist.count()
-            if self.history is not None:
-                self.history.unpersist()
-            self.history = new_hist
+            # eager localCheckpoint: materializes before the handle mutates
+            # (downstream plans must not lazily recompute against a later
+            # history) AND truncates lineage — persist alone would nest
+            # every prior batch's plan inside the history forever (the
+            # connected_components lesson, operators/dedup.py)
+            self.history = new_hist.localCheckpoint(eager=True)
             self.batches += 1
 
         return write_batch

@@ -79,18 +79,14 @@ class SpanDedupIngest:
             hits = post.join(dup, on="h").select(
                 "id", "s", (F.col("s") + F.lit(self.min_len)).alias("e")
             )
-            found = merge_islands(hits, self.id_col).persist()
-            # materialize BEFORE the store mutates (lazy plans must not
-            # see counts from batches after their own)
-            found.count()
+            # eager localCheckpoint: materializes BEFORE the store mutates
+            # (lazy plans must not see counts from batches after their own)
+            # AND truncates lineage so N batches never nest N batch plans
+            found = merge_islands(hits, self.id_col).localCheckpoint(eager=True)
             self.spans = (
                 found if self.spans is None else self.spans.unionByName(found)
             )
-            new_store = nd.persist()
-            new_store.count()
-            if self.store is not None:
-                self.store.unpersist()
-            self.store = new_store
+            self.store = nd.localCheckpoint(eager=True)
             post.unpersist()
             self.batches += 1
 
