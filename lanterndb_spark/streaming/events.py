@@ -118,6 +118,11 @@ def embedding_job_stream(
         ok, failed = quarantine_failed(
             embed(batch_df, text_col, model=model, out_col=out_col), out_col
         )
+        # eager localCheckpoint: materialize within the batch (a
+        # micro-batch frame must not be lazily re-read after its batch)
+        # and truncate lineage so N batches never nest N plans
+        ok = ok.localCheckpoint(eager=True)
+        failed = failed.localCheckpoint(eager=True)
         state["ok"] = ok if state["ok"] is None else state["ok"].unionByName(ok)
         state["failed"] = (
             failed if state["failed"] is None else state["failed"].unionByName(failed)
@@ -145,6 +150,8 @@ def incremental_postings_stream(
 
     def write_batch(batch_df: DataFrame, batch_id: int):
         part = build_postings(batch_df, id_col=id_col, text_col=text_col)
+        # same materialize-and-truncate contract as embedding_job_stream
+        part = part.localCheckpoint(eager=True)
         prev = state["postings"]
         state["postings"] = part if prev is None else prev.unionByName(part)
 
