@@ -55,6 +55,7 @@ from lanterndb_spark.operators.project import (
     projected_knn,
     build_proj,
     proj_apply,
+    projected_knn_batch,
 )
 from lanterndb_spark.operators.classifier import (
     binary_auc,
@@ -83,7 +84,7 @@ __all__ = [
     "repeated_spans", "mask_repeated_spans", "span_postings",
     "mix_to_weights", "temperature_weights",
     "gaussian_projection", "project_embeddings", "pca_fit", "pca_project",
-    "pca_reconstruction_error", "projected_knn", "build_proj", "proj_apply",
+    "pca_reconstruction_error", "projected_knn", "build_proj", "proj_apply", "projected_knn_batch",
     "text_quality_features", "logreg_fit", "logreg_score",
     "quality_classifier", "binary_auc",
 ]

@@ -290,3 +290,62 @@ def proj_apply(index: ProjIndex, df: DataFrame) -> DataFrame:
     return project_embeddings(
         df, index.vec_col, index.out_dim, index.seed, "__proj"
     )
+
+
+def projected_knn_batch(
+    index: ProjIndex,
+    queries: list,
+    k: int = 10,
+    oversample: int = 8,
+    id_col: str = "id",
+) -> DataFrame:
+    """Batch form of :func:`projected_knn` over a built :func:`build_proj`
+    index — one distributed job for ALL queries (mirrors
+    ``ivf_search_batch``): queries are projected driver-side with the
+    index's matrix, the coarse stage is one ``knn_join`` against the
+    NARROW column (Arrow matmul path — the wide column is never touched),
+    and the exact rerank re-joins only the ``k*oversample`` survivors per
+    query back to their full vectors. Returns ``(q_id, id_col, dist)``,
+    per-query top-k by exact full-dimension l2sq."""
+    from pyspark.sql import Window
+
+    from lanterndb_spark.operators.knn import knn_join
+
+    spark = index.projected.sparkSession
+    Q = np.array([list(q) for q in queries], dtype=np.float32)
+    if index.model is not None:
+        QP = (Q - index.model.mean.astype(np.float32)) @ index.model.components.astype(
+            np.float32
+        )
+    else:
+        QP = Q @ gaussian_projection(Q.shape[1], index.out_dim, index.seed)
+    qdf = spark.createDataFrame(
+        [(i, [float(x) for x in QP[i]]) for i in range(len(queries))],
+        "q_id int, __qp array<float>",
+    )
+    coarse = knn_join(
+        index.projected.select(id_col, "__proj"),
+        "__proj",
+        qdf,
+        "__qp",
+        k=k * oversample,
+        id_col=id_col,
+    ).select("q_id", id_col)
+    full_q = spark.createDataFrame(
+        [(i, [float(x) for x in queries[i]]) for i in range(len(queries))],
+        "q_id int, __qv array<float>",
+    )
+    from lanterndb_spark.functions.distance import l2sq_dist
+
+    rer = (
+        coarse.join(index.projected.drop("__proj"), on=id_col)
+        .join(F.broadcast(full_q), on="q_id")
+        .withColumn("dist", l2sq_dist(F.col(index.vec_col), F.col("__qv")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("dist").asc(), F.col(id_col).asc())
+    return (
+        rer.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("q_id", id_col, "dist")
+        .orderBy("q_id", "dist", id_col)
+    )

@@ -166,3 +166,29 @@ def test_autotune_projknn_on_structured_data(spark):
     # wider rerank can only help on average; structured data reaches target
     assert by_os[8] >= by_os[2]
     assert best is not None and best.recall >= 0.9
+
+
+def test_projected_knn_batch_matches_single(spark):
+    from lanterndb_spark.operators.knn import knn
+    from lanterndb_spark.operators.project import build_proj, projected_knn_batch
+
+    rs = np.random.RandomState(21)
+    B = rs.standard_normal((6, 32))
+    Z = rs.standard_normal((250, 6)) @ B + 0.01 * rs.standard_normal((250, 32))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in Z[i]]) for i in range(250)],
+        "vec_id long, emb array<float>",
+    )
+    index = build_proj(df, "emb", out_dim=8, method="pca", seed=3)
+    queries = [[float(x) for x in Z[j]] for j in (0, 17, 42)]
+    got = projected_knn_batch(index, queries, k=5, oversample=4, id_col="vec_id")
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["q_id"], []).append((r["vec_id"], round(r["dist"], 5)))
+    assert set(by_q) == {0, 1, 2}
+    for qi, q in enumerate(queries):
+        exact = [
+            (r["vec_id"], round(r["dist"], 5))
+            for r in knn(df, "emb", q, k=5, id_col="vec_id").collect()
+        ]
+        assert by_q[qi] == exact
