@@ -192,3 +192,29 @@ def test_projected_knn_batch_matches_single(spark):
             for r in knn(df, "emb", q, k=5, id_col="vec_id").collect()
         ]
         assert by_q[qi] == exact
+
+
+def test_validate_ann_covers_proj_backend(spark):
+    """The generic recall harness (autotune.validate_ann) accepts the
+    projected backend like any other search_fn — ties kind='proj' into
+    the same validate_index-analogue story as ivf/srp."""
+    from lanterndb_spark.operators.autotune import validate_ann
+    from lanterndb_spark.operators.project import build_proj, projected_knn
+
+    rs = np.random.RandomState(31)
+    B = rs.standard_normal((6, 32))
+    Z = rs.standard_normal((200, 6)) @ B + 0.01 * rs.standard_normal((200, 32))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in Z[i]]) for i in range(200)],
+        "vec_id long, emb array<float>",
+    )
+    index = build_proj(df, "emb", out_dim=8, method="pca", seed=5)
+
+    def search(q, k):
+        return projected_knn(
+            index.projected, "emb", q, k=k, oversample=4, id_col="vec_id",
+            model=index.model, proj_col="__proj",
+        )
+
+    recall = validate_ann(df, "emb", "vec_id", search, k=5, n_queries=4, seed=6)
+    assert recall == 1.0  # low intrinsic dim: two-stage is exact here
