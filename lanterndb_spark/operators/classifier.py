@@ -29,12 +29,14 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from lanterndb_spark.functions.text import STOPWORDS, expr_let, tokenize
+from lanterndb_spark.functions.text import STOPWORDS, tokenize
 
 
 def text_quality_features(df: DataFrame, text_col: str) -> DataFrame:
     """Append the standard quality-signal columns (all pure projections;
-    one let-bound tokenize feeds every token-derived signal):
+    the token array is materialized ONCE as a real intermediate column —
+    a two-step select, the ``shingle_table`` pattern — so tokenize runs
+    once per row, not once per derived feature):
 
     - ``f_tokens``   token count
     - ``f_mean_len`` mean token length in chars
@@ -43,45 +45,34 @@ def text_quality_features(df: DataFrame, text_col: str) -> DataFrame:
     - ``f_dup1``     duplicate-unigram fraction (1 - distinct/total)
     """
     txt = F.col(text_col)
-
-    def feats(toks) -> list[Column]:
-        n_tok = F.size(toks)
-        safe_n = F.greatest(n_tok, F.lit(1)).cast("double")
-        tok_chars = F.coalesce(
-            F.aggregate(
-                toks, F.lit(0).cast("bigint"), lambda a, t: a + F.length(t)
-            ),
-            F.lit(0).cast("bigint"),
-        )
-        sw_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
-        alnum = F.length(F.regexp_replace(txt, "[^a-zA-Z0-9 ]", ""))
-        return [
-            n_tok.cast("double").alias("f_tokens"),
-            (tok_chars.cast("double") / safe_n).alias("f_mean_len"),
-            (sw_hits.cast("double") / safe_n).alias("f_stop"),
-            (
-                alnum.cast("double")
-                / F.greatest(F.length(txt), F.lit(1)).cast("double")
-            ).alias("f_alnum"),
-            (
-                F.lit(1.0)
-                - F.size(F.array_distinct(toks)).cast("double") / safe_n
-            ).alias("f_dup1"),
-        ]
-
-    def pick(idx):
-        # single-arg lambda: PySpark passes the element index to 2-arg
-        # lambdas, which would shadow the closure
-        return lambda t: feats(t)[idx]
-
-    tk = tokenize(text_col, stopwords=None)
-    cols = [df["*"]] + [
-        expr_let(tk, pick(i)).alias(name)
-        for i, name in enumerate(
-            ["f_tokens", "f_mean_len", "f_stop", "f_alnum", "f_dup1"]
-        )
-    ]
-    return df.select(*cols)
+    toks = F.col("__qf_toks")
+    n_tok = F.size(toks)
+    safe_n = F.greatest(n_tok, F.lit(1)).cast("double")
+    tok_chars = F.coalesce(
+        F.aggregate(
+            toks, F.lit(0).cast("bigint"), lambda a, t: a + F.length(t)
+        ),
+        F.lit(0).cast("bigint"),
+    )
+    sw_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    alnum = F.length(F.regexp_replace(txt, "[^a-zA-Z0-9 ]", ""))
+    with_toks = df.select(
+        df["*"], tokenize(text_col, stopwords=None).alias("__qf_toks")
+    )
+    return with_toks.select(
+        *[c for c in df.columns],
+        n_tok.cast("double").alias("f_tokens"),
+        (tok_chars.cast("double") / safe_n).alias("f_mean_len"),
+        (sw_hits.cast("double") / safe_n).alias("f_stop"),
+        (
+            alnum.cast("double")
+            / F.greatest(F.length(txt), F.lit(1)).cast("double")
+        ).alias("f_alnum"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct(toks)).cast("double") / safe_n
+        ).alias("f_dup1"),
+    )
 
 
 FEATURE_COLS = ("f_tokens", "f_mean_len", "f_stop", "f_alnum", "f_dup1")

@@ -825,7 +825,7 @@ def simhash_pairs(
 # ------------------------------------------- embedding cosine near-dup
 
 def connected_components(
-    pairs: DataFrame, max_iter: int = 20
+    pairs: DataFrame, max_iter: int = 20, checkpoint_fn=None
 ) -> DataFrame:
     """(id, component) for every id in a pair list — resolves near-dup
     PAIRS into GROUPS so a pipeline can keep one representative per group.
@@ -843,14 +843,22 @@ def connected_components(
     pipeline (scrub → mask → classify → minhash), per-iteration plans
     nest it multiplicatively until the driver OOMs just PRINTING a plan
     tree. Eager ``localCheckpoint`` on the edges and on each label round
-    keeps every iteration's plan constant-sized; on a cluster with a
-    reliable checkpoint dir, ``checkpoint()`` is the durable equivalent.
+    keeps every iteration's plan constant-sized.
+
+    DURABILITY: ``localCheckpoint`` blocks live only on executors — on a
+    real cluster an executor loss (including dynamic-allocation
+    decommission) makes them unrecoverable mid-iteration. Cluster callers
+    should pass ``checkpoint_fn=lambda df: df.checkpoint(eager=True)``
+    (with ``spark.sparkContext.setCheckpointDir`` pointing at reliable
+    storage) to make every truncation durable; the default stays
+    localCheckpoint for single-box/interactive use where it is ~10×
+    cheaper and loss just means rerun.
     """
-    edges = (
+    ckpt = checkpoint_fn or (lambda df: df.localCheckpoint(eager=True))
+    edges = ckpt(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("id"))
@@ -863,11 +871,11 @@ def connected_components(
             edges.join(labels.withColumnRenamed("id", "dst"), on="dst")
             .select(F.col("src").alias("id"), "component")
         )
-        new_labels = (
+        new_labels = ckpt(
             labels.unionByName(nbr)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
-        ).localCheckpoint(eager=True)
+        )
         changed = (
             labels.alias("o")
             .join(new_labels.alias("n"), on="id")

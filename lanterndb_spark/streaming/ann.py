@@ -44,9 +44,15 @@ class AnnIngest:
         self.deltas: list[DataFrame] = []
         self.tombstone_ids: list = []
         self.batches = 0
+        self._last_batch_id: int | None = None
 
     def writer(self):
         def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+            # at-least-once guard: a foreachBatch retry redelivers the
+            # same batch_id — replaying would append the delta twice
+            if self._last_batch_id is not None and batch_id <= self._last_batch_id:
+                return
+            self._last_batch_id = int(batch_id)
             # assign against the frozen centroids — no retrain, like
             # aminsert appending to the existing graph
             self.deltas.append(ivf_assign(self.index, batch_df))

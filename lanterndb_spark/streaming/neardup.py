@@ -43,9 +43,16 @@ class NearDupIngest:
         self.sigs: DataFrame | None = corpus_sigs
         self.pairs: DataFrame | None = None
         self.batches = 0
+        self._last_batch_id: int | None = None
 
     def writer(self):
         def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+            # at-least-once guard: a foreachBatch retry redelivers the
+            # same batch_id — replaying would duplicate signatures in the
+            # store and re-emit the batch's pairs
+            if self._last_batch_id is not None and batch_id <= self._last_batch_id:
+                return
+            self._last_batch_id = int(batch_id)
             # eager localCheckpoint, not persist: a cached plan still embeds
             # its full lineage, so after N batches the store would nest N
             # batch plans (the connected_components lesson, dedup.py)

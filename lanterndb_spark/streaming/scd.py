@@ -57,6 +57,7 @@ class Scd2Ingest:
         self.tiebreak_col = tiebreak_col
         self.history: DataFrame | None = None
         self.batches = 0
+        self._last_batch_id: int | None = None
 
     def _as_changes(self, hist: DataFrame) -> DataFrame:
         """Versions → change points (the ts that opened each version)."""
@@ -79,6 +80,12 @@ class Scd2Ingest:
 
     def writer(self):
         def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+            # at-least-once guard: a foreachBatch retry redelivers the
+            # same batch_id — re-merging the same changes could mint
+            # duplicate versions for keys whose rows replay
+            if self._last_batch_id is not None and batch_id <= self._last_batch_id:
+                return
+            self._last_batch_id = int(batch_id)
             changes = self._batch_changes(batch_df)
             if self.tiebreak_col is not None:
                 changes = changes.withColumn(

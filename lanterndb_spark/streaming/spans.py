@@ -26,7 +26,9 @@ full-corpus run a fortiori).
 State is the (h, nd) count table — a plain DataFrame a cluster would
 persist as Parquet and compact, not per-key streaming state; no
 watermark. Counts are additive across batches because document ids are
-unique across the stream (the ingest contract every store here shares).
+unique across the stream (the ingest contract every store here shares);
+replayed micro-batches (foreachBatch is at-least-once on retry) are
+skipped by batch_id so a redelivery can never double-count.
 """
 
 from __future__ import annotations
@@ -53,9 +55,17 @@ class SpanDedupIngest:
         self.store: DataFrame | None = store  # (h, nd)
         self.spans: DataFrame | None = None
         self.batches = 0
+        self._last_batch_id: int | None = None
 
     def writer(self):
         def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+            # foreachBatch is at-least-once: a retried micro-batch arrives
+            # with the SAME batch_id — without this skip a replay would
+            # double-count its documents into the gram store and flag
+            # spans below min_docs
+            if self._last_batch_id is not None and batch_id <= self._last_batch_id:
+                return
+            self._last_batch_id = int(batch_id)
             post = span_postings(
                 batch_df, self.id_col, self.text_col, self.min_len
             ).persist()

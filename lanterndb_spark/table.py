@@ -83,6 +83,23 @@ class LanternTable:
                         assigned, self._tombstones, self.id_col
                     )
                 self._indexes[vec_col] = (kind, IvfIndex(assigned, index.centroids, vec_col))
+            elif kind == "ivfsq":
+                from lanterndb_spark.operators.ivf import IvfIndex, ivf_assign
+                from lanterndb_spark.operators.sq import sq8_quantize
+
+                # deltas arrive uncoded: assign to the frozen centroids,
+                # then quantize so their schema matches the coded base
+                # (same order the knn() read path uses)
+                assigned = maintenance.with_deltas(
+                    index.assigned,
+                    *[sq8_quantize(ivf_assign(index, d), vec_col)
+                      for d in self._deltas],
+                )
+                if self._tombstones:
+                    assigned = maintenance.apply_tombstones(
+                        assigned, self._tombstones, self.id_col
+                    )
+                self._indexes[vec_col] = (kind, IvfIndex(assigned, index.centroids, vec_col))
             elif kind == "srp":
                 from lanterndb_spark.operators.lsh import SrpIndex, srp_sketch
 
@@ -95,6 +112,21 @@ class LanternTable:
                     )
                 self._indexes[vec_col] = (
                     kind, SrpIndex(sketched, index.planes, vec_col, index.sig_cols)
+                )
+            elif kind == "proj":
+                from lanterndb_spark.operators.project import ProjIndex, proj_apply
+
+                projected = maintenance.with_deltas(
+                    index.projected, *[proj_apply(index, d) for d in self._deltas]
+                )
+                if self._tombstones:
+                    projected = maintenance.apply_tombstones(
+                        projected, self._tombstones, self.id_col
+                    )
+                self._indexes[vec_col] = (
+                    kind,
+                    ProjIndex(projected, index.model, index.out_dim,
+                              index.seed, index.vec_col),
                 )
         self.base = self.df
         self._deltas, self._tombstones = [], []

@@ -470,3 +470,25 @@ def containment_pairs_import(df):
     from lanterndb_spark.operators.dedup import containment_pairs
 
     return containment_pairs(df, "doc_id", "text", n=3, threshold=0.9).collect()
+
+
+def test_connected_components_durable_checkpoint_fn(spark, tmp_path):
+    """Cluster callers can swap localCheckpoint for reliable checkpoint()
+    via checkpoint_fn — results identical, truncation goes through the
+    hook."""
+    from lanterndb_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22)], "id_a long, id_b long"
+    )
+    calls = []
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+
+    def durable(df):
+        calls.append(1)
+        return df.checkpoint(eager=True)
+
+    comp = {r["id"]: r["component"]
+            for r in connected_components(pairs, checkpoint_fn=durable).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    assert len(calls) >= 2  # edges + at least one label round went durable

@@ -314,3 +314,49 @@ def test_table_proj_index_route(spark):
     t3 = t2.delete([9_000])
     got3 = [r["vec_id"] for r in t3.knn("emb", q, k=10, oversample=4).collect()]
     assert got3 == want
+
+
+def test_compact_folds_proj_and_ivfsq_indexes(spark, tables):
+    """compact() must fold deltas/tombstones into 'proj' and 'ivfsq'
+    index row-sets too — before the fix they were skipped, so a
+    compacted table's proj/ivfsq route silently served deleted rows and
+    missed inserted ones (the staleness compact exists to prevent)."""
+    import numpy as np
+
+    from lanterndb_spark.operators.knn import knn as exact
+    from lanterndb_spark.table import LanternTable
+
+    rs = np.random.RandomState(11)
+    B = rs.standard_normal((6, 32))
+    Z = rs.standard_normal((200, 6)) @ B + 0.01 * rs.standard_normal((200, 32))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in Z[i]]) for i in range(200)],
+        "vec_id long, emb array<float>",
+    )
+    q = [float(x) for x in Z[5]]
+    t = LanternTable(df, id_col="vec_id").create_index(
+        "emb", kind="proj", method="pca", out_dim=8, seed=1
+    )
+    twin = spark.createDataFrame([(9_100, q)], "vec_id long, emb array<float>")
+    t.insert(twin).delete([5]).compact()
+    assert not t._deltas and not t._tombstones
+    got = [r["vec_id"] for r in t.knn("emb", q, k=5, oversample=4).collect()]
+    assert got[0] == 9_100 and 5 not in got  # insert visible, delete gone
+
+    emb = tables["embeddings"]
+    n = emb.count()
+    t2 = LanternTable(emb, id_col="vec_id").create_index(
+        "embedding", kind="ivfsq", nlist=8, seed=42
+    )
+    q2 = [float(x) for x in emb.filter("vec_id = 2").first()["embedding"]]
+    twin2 = spark.createDataFrame(
+        [(9_200, q2)], "vec_id long, embedding array<float>"
+    )
+    t2.insert(twin2).delete([2]).compact()
+    got2 = [r["vec_id"] for r in
+            t2.knn("embedding", q2, k=5, nprobe=8, refine=(n + 9) // 10).collect()]
+    assert got2[0] == 9_200 and 2 not in got2
+    # and the folded index still agrees with exact on the visible rows
+    want2 = [r["vec_id"] for r in
+             exact(t2.df, "embedding", q2, k=5, id_col="vec_id").collect()]
+    assert got2 == want2
