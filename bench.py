@@ -55,8 +55,52 @@ def timed(fn):
     return round(time.monotonic() - t0, 3)
 
 
+def _run_conditions() -> dict:
+    """Ambient-load telemetry so a noisy box self-reports instead of
+    needing human adjudication (r3/r4 both had phantom per-query deltas
+    traced to concurrent Spark sessions). ``load_1m`` is the 1-minute
+    loadavg; ``other_jvms`` counts java processes NOT in this process
+    tree (a concurrent Spark driver/executor is exactly what polluted
+    the r4 q_pq reading)."""
+    cond: dict = {}
+    try:
+        la = os.getloadavg()
+        cond["load_1m"] = round(la[0], 2)
+        cond["load_5m"] = round(la[1], 2)
+    except OSError:
+        pass
+    cond["cpus"] = os.cpu_count()
+    try:
+        import subprocess
+
+        me = os.getpid()
+        out = subprocess.run(
+            ["ps", "-eo", "pid,ppid,comm"], capture_output=True, text=True,
+            timeout=10,
+        ).stdout.splitlines()
+        mine = {me}
+        grew = True
+        rows = [line.split(None, 2) for line in out[1:] if len(line.split()) >= 3]
+        while grew:  # transitive children of this bench process
+            grew = False
+            for pid, ppid, _ in rows:
+                if int(ppid) in mine and int(pid) not in mine:
+                    mine.add(int(pid))
+                    grew = True
+        cond["other_jvms"] = sum(
+            1 for pid, _, comm in rows
+            if "java" in comm and int(pid) not in mine
+        )
+    except Exception:  # noqa: BLE001 — telemetry must never fail the bench
+        pass
+    return cond
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # capture BEFORE our own JVM spins up: load/JVMs seen here are
+    # genuinely ambient, not the bench's own footprint
+    conditions = _run_conditions()
     spark = get_spark(app_name="lanterndb-bench")
     spark.sparkContext.setLogLevel("ERROR")
     t = load_tables(spark, sf_dir)
@@ -258,6 +302,8 @@ def main():
             prev = doc.get("parsed", doc).get("queries", {})
             if not prev:
                 continue
+            if doc.get("parsed", doc).get("sf") not in (None, sf_dir):
+                break  # ad-hoc run at another SF: deltas would be meaningless
             out["delta_vs_prev"] = {
                 k: round(queries[k] - prev[k], 3) for k in queries if k in prev
             }
@@ -265,6 +311,30 @@ def main():
             break
         except (OSError, ValueError, KeyError, AttributeError):
             continue
+    # noise self-report (VERDICT r4 item 5): flag the run when ambient
+    # load or a >2x per-query swing vs the previous round suggests the
+    # numbers were taken under contention — readers then weigh deltas
+    # accordingly instead of adjudicating by hand.
+    out["run_conditions"] = conditions
+    suspects: list[str] = []
+    cpus = conditions.get("cpus") or 1
+    if conditions.get("load_1m", 0.0) > 0.5 * cpus:
+        suspects.append(f"load_1m {conditions['load_1m']} > 50% of {cpus} cpus")
+    if conditions.get("other_jvms", 0) > 0:
+        suspects.append(f"{conditions['other_jvms']} concurrent non-bench JVM(s)")
+    prev = out.get("delta_vs_prev", {})
+    prev_q = {}
+    if prev and "prev_round" in out:
+        with open(os.path.join(here, out["prev_round"])) as f:
+            doc = json.load(f)
+        prev_q = doc.get("parsed", doc).get("queries", {})
+    for k, d in prev.items():
+        base = prev_q.get(k, 0.0)
+        if base >= 0.2 and queries.get(k, 0.0) > 2.0 * base:
+            suspects.append(f"{k} {queries[k]}s > 2x prev {base}s")
+    out["noise_suspect"] = bool(suspects)
+    if suspects:
+        out["noise_reasons"] = suspects
     print(json.dumps(out))
     spark.stop()
 
