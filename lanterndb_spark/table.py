@@ -128,6 +128,22 @@ class LanternTable:
                     ProjIndex(projected, index.model, index.out_dim,
                               index.seed, index.vec_col),
                 )
+            elif kind == "hnsw":
+                from lanterndb_spark.operators.hnsw import hnsw_compact, hnsw_insert
+
+                idx = index
+                if self._deltas:
+                    # true aminsert: deltas grow the existing graphs in
+                    # place (insert.c economics), no retrain
+                    delta = maintenance.with_deltas(
+                        self._deltas[0].select(self.id_col, vec_col),
+                        *[d.select(self.id_col, vec_col) for d in self._deltas[1:]],
+                    )
+                    idx = hnsw_insert(idx, delta)
+                if self._tombstones:
+                    # vacuum: shard-local rebuilds drop the dead rows
+                    idx = hnsw_compact(idx, set(self._tombstones))
+                self._indexes[vec_col] = (kind, idx)
         self.base = self.df
         self._deltas, self._tombstones = [], []
         return self
@@ -156,9 +172,13 @@ class LanternTable:
             from lanterndb_spark.operators.project import build_proj
 
             index = build_proj(self.df, vec_col, **params)
+        elif kind == "hnsw":
+            from lanterndb_spark.operators.hnsw import build_hnsw
+
+            index = build_hnsw(self.df, vec_col, id_col=self.id_col, **params)
         else:
             raise ValueError(
-                f"unknown index kind {kind!r} (ivf | ivfsq | srp | proj)"
+                f"unknown index kind {kind!r} (ivf | ivfsq | srp | proj | hnsw)"
             )
         self._indexes[vec_col] = (kind, index)
         self._build_params[("index", vec_col)] = {"kind": kind, **params}
@@ -184,6 +204,9 @@ class LanternTable:
             elif kind == "srp":
                 params["nbits"] = int(idx.planes.shape[0]) if hasattr(
                     idx.planes, "shape") else len(idx.planes)
+            elif kind == "hnsw":
+                params["m"] = idx.m
+                params["num_shards"] = idx.num_shards
             out.append({"column": col, "kind": kind, "params": params, "stale": stale})
         for col in self._codebooks:
             out.append({"column": col, "kind": "pq", "params": {}, "stale": stale})
@@ -291,6 +314,40 @@ class LanternTable:
             return ivf_search(
                 base_index, query, k=k, metric=metric, id_col=self.id_col,
                 pred=pred, **search_params,
+            )
+        if kind == "hnsw":
+            from lanterndb_spark.operators.hnsw import hnsw_search
+
+            if metric != "l2sq":
+                raise ValueError("hnsw index supports metric='l2sq' only")
+            if pred is not None:
+                raise ValueError(
+                    "hnsw: pass pred-filtered knn through mode='exact' "
+                    "or an ivf index (filter composes before re-rank there)"
+                )
+            # graph answers for the BASE rows (tombstones skipped at emit,
+            # scan.c:294-300); pending deltas aren't in the graphs yet, so
+            # they get an exact side-scan and the two top-k lists merge —
+            # the same visibility the reference gets from unflushed heap
+            # tuples. compact() folds deltas in via hnsw_insert.
+            deleted = set(self._tombstones) if self._tombstones else None
+            graph_top = hnsw_search(
+                index, self.df, query, k=k, deleted=deleted, **search_params
+            )
+            if not self._deltas:
+                return graph_top
+            delta = maintenance.with_deltas(self._deltas[0], *self._deltas[1:])
+            if self._tombstones:
+                delta = maintenance.apply_tombstones(
+                    delta, self._tombstones, self.id_col
+                )
+            delta_top = exact_knn(
+                delta, vec_col, query, k=k, metric=metric, id_col=self.id_col
+            )
+            return (
+                graph_top.unionByName(delta_top)
+                .orderBy(F.col("dist").asc(), F.col(self.id_col).asc())
+                .limit(k)
             )
         if kind == "proj":
             from lanterndb_spark.operators.project import (
