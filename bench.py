@@ -254,6 +254,39 @@ def main():
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
+    # HNSW graph backend (round 5): build + batch-search the same sampled
+    # queries and record recall@10 — kept OUTSIDE the summed suite so
+    # `value` stays comparable to prior rounds; the target is recall
+    # >= 0.95 at wall-clock comparable to q_ivf (VERDICT r4 item 1)
+    hnsw = {}
+    try:
+        from lanterndb_spark.operators.autotune import (
+            _collect_by_query,
+            exact_topk_batch,
+        )
+        from lanterndb_spark.operators.hnsw import build_hnsw, hnsw_search_batch
+
+        t0 = time.monotonic()
+        hidx = build_hnsw(
+            emb, "embedding", id_col="vec_id", m=16, ef_construction=64,
+            num_shards=4, seed=42,
+        )
+        hnsw["build_s"] = round(time.monotonic() - t0, 3)
+        qs_h = state.get("qs") or sample_queries(emb, "embedding", n=10, seed=7)
+        t0 = time.monotonic()
+        res = hnsw_search_batch(hidx, qs_h, k=10, ef=64)
+        got_h = _collect_by_query(res, "vec_id")
+        hnsw["search_s"] = round(time.monotonic() - t0, 3)
+        truth_h = exact_topk_batch(emb, "embedding", qs_h, k=10, id_col="vec_id")
+        recs = [
+            recall_at_k(got_h.get(i, []), truth_h.get(i, []))
+            for i in range(len(qs_h))
+        ]
+        hnsw["recall_at_10"] = round(sum(recs) / len(recs), 4)
+        hidx.graphs.unpersist()
+    except Exception as exc:  # noqa: BLE001
+        errors["hnsw"] = f"{type(exc).__name__}: {exc}"[:300]
+
     # quality metric: IVF recall@10 vs exact on 10 sampled queries (batch)
     try:
         from lanterndb_spark.operators.autotune import _collect_by_query, exact_topk_batch
@@ -279,6 +312,7 @@ def main():
         "runs": RUNS,
         "stat": "median",
         "recall_at_10": recall,
+        "hnsw": hnsw,
         "sf": sf_dir,
     }
     if errors:
