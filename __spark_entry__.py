@@ -1452,6 +1452,32 @@ def q_streaming_neardup_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE semantics through the LanternTable lifecycle (VERDICT r4
+    item 8): updated versions of every 10th customer plus five shifted
+    new keys upsert into the table; the visible result must equal the
+    DuckDB re-derivation (unmatched ∪ updated ∪ inserted) — full
+    row-set hash compare, not an invariant."""
+    from lanterndb_spark.table import LanternTable
+
+    cust = load_tables(spark, sf_dir, ["customer"])["customer"]
+    updates = (
+        cust.filter(F.col("c_custkey") % 10 == 0)
+        .withColumn("c_acctbal", F.col("c_acctbal") + F.lit(100.0))
+        .withColumn("c_mktsegment", F.lit("UPSERTED"))
+    )
+    inserts = cust.filter(F.col("c_custkey") % 50 == 7).withColumn(
+        "c_custkey", F.col("c_custkey") + F.lit(1_000_000)
+    )
+    t = LanternTable(cust, "c_custkey").upsert(updates.unionByName(inserts))
+    t.compact()
+    return t.df.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("seg"),
+        (F.round(F.col("c_acctbal"), ROUND) + F.lit(0.0)).alias("bal"),
+    )
+
+
 def q_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embed documents (deterministic hash runtime) then semantic top-k —
     the create-embeddings → knn pipeline in one query. Rows-only: the
@@ -4067,6 +4093,19 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE doc_id % 7 = 0 AND len({duck_tokens("text")}) > 0
         """,
+        "merge_upsert": f"""
+            SELECT c_custkey, c_mktsegment AS seg,
+                   round(c_acctbal, {ROUND}) + 0.0 AS bal
+            FROM customer WHERE c_custkey % 10 <> 0
+            UNION ALL
+            SELECT c_custkey, 'UPSERTED' AS seg,
+                   round(c_acctbal + 100.0, {ROUND}) + 0.0 AS bal
+            FROM customer WHERE c_custkey % 10 = 0
+            UNION ALL
+            SELECT c_custkey + 1000000 AS c_custkey, c_mktsegment AS seg,
+                   round(c_acctbal, {ROUND}) + 0.0 AS bal
+            FROM customer WHERE c_custkey % 50 = 7
+        """,
         "bloom_hot_terms": f"""
             WITH toks AS (SELECT doc_id, {duck_tokens("text", STOPWORDS)} AS terms FROM documents),
             ex AS (SELECT doc_id, unnest(terms) AS term FROM toks),
@@ -5301,6 +5340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hnsw_invariants": q_hnsw_invariants,
         "streaming_ann_equiv": q_streaming_ann_equiv,
         "streaming_neardup_equiv": q_streaming_neardup_equiv,
+        "merge_upsert": q_merge_upsert,
         # newest-green r2 (the oldest stale greens):
         "bm25_postings": q_bm25_postings,
         "pq_roundtrip": q_pq_roundtrip,
@@ -5344,8 +5384,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_consolidate": q_bm25_consolidate,
         "rag_pipeline": q_rag_pipeline,
         "mix_domains": q_mix_domains,
-        "decontaminate_semantic": q_decontaminate_semantic,
         # -- 51+: r3-green remainder (due next round) ---------------------
+        # (decontaminate_semantic displaced to here by merge_upsert —
+        # never-checked beats stale-green)
+        "decontaminate_semantic": q_decontaminate_semantic,
         "rrf_hybrid": q_rrf_hybrid,
         "chunk_documents": q_chunk_documents,
         "tpch_q8": q_tpch_q8,

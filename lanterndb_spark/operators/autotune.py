@@ -318,3 +318,55 @@ def autotune_projknn(
     ok = [r for r in results if r.recall >= target_recall]
     best = min(ok, key=lambda r: r.latency_s) if ok else None
     return best, results
+
+
+def autotune_hnsw(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+    m_grid: tuple[int, ...] = (8, 16),
+    ef_grid: tuple[int, ...] = (16, 32, 64, 128),
+    n_queries: int = 10,
+    target_recall: float = 0.95,
+    num_shards: int | None = None,
+    seed: int = 42,
+) -> tuple[TuneResult | None, list[TuneResult]]:
+    """find_best_variant loop over the graph backend's knobs — ``m``
+    trades build cost / graph degree, ``ef`` is the reference's search
+    GUC (options.c:337-348). One graph build per m; ef is search-time
+    only, exactly like the reference re-running hnsw.ef without
+    reindexing (index_autotune/mod.rs's grid shape)."""
+    from lanterndb_spark.operators.hnsw import build_hnsw, hnsw_search_batch
+
+    queries = sample_queries(df, vec_col, n=n_queries, seed=seed)
+    truth = exact_topk_batch(df, vec_col, queries, k=k, id_col=id_col)
+    results: list[TuneResult] = []
+    for m in m_grid:
+        t0 = time.monotonic()
+        index = build_hnsw(
+            df, vec_col, id_col=id_col, m=m, ef_construction=max(ef_grid),
+            num_shards=num_shards, seed=seed,
+        )
+        build_s = time.monotonic() - t0
+        for ef in ef_grid:
+            t1 = time.monotonic()
+            got = _collect_by_query(
+                hnsw_search_batch(index, queries, k=k, ef=ef), id_col
+            )
+            recs = [
+                recall_at_k(got.get(qi, []), truth.get(qi, []))
+                for qi in range(len(queries))
+            ]
+            results.append(
+                TuneResult(
+                    {"m": m, "ef": ef},
+                    sum(recs) / len(recs),
+                    (time.monotonic() - t1) / len(queries),
+                    build_s,
+                )
+            )
+        index.graphs.unpersist()
+    ok = [r for r in results if r.recall >= target_recall]
+    best = min(ok, key=lambda r: r.latency_s) if ok else None
+    return best, results

@@ -67,6 +67,23 @@ class LanternTable:
         self._tombstones.extend(ids)
         return self
 
+    def upsert(self, delta: DataFrame) -> "LanternTable":
+        """MERGE-style upsert: rows in ``delta`` REPLACE base rows with
+        the same id; unmatched ids insert. Postgres itself models UPDATE
+        as new-tuple-version + dead-old-tuple, and this is the same
+        moment through this API: tombstone the matched keys, compact
+        (the write barrier — tombstones apply before the new versions
+        land, and every index folds), then insert the delta.
+
+        The matched-key list passes through the driver (one
+        ``delta.select(id).collect()``) — fine for dimension-table-sized
+        upserts; for fact-scale change streams use
+        ``operators/scd.py`` / ``streaming/scd.py``, which keep history
+        instead of overwriting."""
+        keys = [r[0] for r in delta.select(self.id_col).distinct().collect()]
+        self.delete(keys).compact()
+        return self.insert(delta)
+
     def compact(self) -> "LanternTable":
         """Fold deltas+tombstones into a new base AND into every index's
         row set (REINDEX moment — without it the index would keep serving

@@ -147,3 +147,17 @@ def test_table_hnsw_route(emb, spark):
     assert got4 == got3
     # validate_index analogue over the hnsw route
     assert t.validate("embedding", k=10, n_queries=3) >= 0.9
+
+
+def test_autotune_hnsw_grid(emb):
+    from lanterndb_spark.operators.autotune import autotune_hnsw
+
+    best, results = autotune_hnsw(
+        emb, "embedding", "vec_id", k=10, m_grid=(8,), ef_grid=(8, 64),
+        n_queries=3, target_recall=0.5, num_shards=2,
+    )
+    assert len(results) == 2
+    # wider beam never hurts recall on the same graph
+    by_ef = {r.params["ef"]: r.recall for r in results}
+    assert by_ef[64] >= by_ef[8]
+    assert best is not None and best.recall >= 0.5

@@ -360,3 +360,34 @@ def test_compact_folds_proj_and_ivfsq_indexes(spark, tables):
     want2 = [r["vec_id"] for r in
              exact(t2.df, "embedding", q2, k=5, id_col="vec_id").collect()]
     assert got2 == want2
+
+
+def test_upsert_merge_semantics(spark, tables):
+    """upsert(): matched keys replaced, unmatched inserted, untouched
+    rows pass through — and an existing ANN index keeps serving the
+    post-upsert truth."""
+    from pyspark.sql import functions as F
+
+    from lanterndb_spark.table import LanternTable
+
+    cust = tables["customer"]
+    t = LanternTable(cust, "c_custkey")
+    updates = (
+        cust.filter(F.col("c_custkey") % 10 == 0)
+        .withColumn("c_mktsegment", F.lit("UPSERTED"))
+    )
+    inserts = cust.filter(F.col("c_custkey") % 50 == 7).withColumn(
+        "c_custkey", F.col("c_custkey") + F.lit(1_000_000)
+    )
+    n_base = cust.count()
+    n_upd = updates.count()
+    n_new = inserts.count()
+    t.upsert(updates.unionByName(inserts)).compact()
+    assert t.df.count() == n_base + n_new
+    assert t.df.filter(F.col("c_mktsegment") == "UPSERTED").count() == n_upd
+    # matched keys hold the NEW version only
+    assert (
+        t.df.filter((F.col("c_custkey") % 10 == 0)
+                    & (F.col("c_custkey") < 1_000_000)
+                    & (F.col("c_mktsegment") != "UPSERTED")).count() == 0
+    )

@@ -139,12 +139,54 @@ def gen_events(spark, n_evt: int, n_user: int = 10_000, force: bool = False):
     return spark.read.parquet(path)
 
 
+_SPARK = None  # set in main; used by the shuffle-byte snapshot
+
+
+def _shuffle_totals():
+    """(read_bytes, write_bytes) summed over all completed stages via the
+    UI REST API (spark.ui.enabled=true in this tool's session only).
+    Returns (0, 0) when the UI is unreachable — telemetry, never a
+    failure source."""
+    try:
+        import json as _json
+        import urllib.request
+
+        sc = _SPARK.sparkContext
+        url = sc.uiWebUrl
+        if not url:
+            return (0, 0)
+        data = _json.load(
+            urllib.request.urlopen(
+                f"{url}/api/v1/applications/{sc.applicationId}/stages?status=complete",
+                timeout=10,
+            )
+        )
+        return (
+            sum(s.get("shuffleReadBytes", 0) for s in data),
+            sum(s.get("shuffleWriteBytes", 0) for s in data),
+        )
+    except Exception:  # noqa: BLE001
+        return (0, 0)
+
+
 def timed(label, fn, out):
+    r0, w0 = _shuffle_totals()
     t0 = time.monotonic()
     n = fn()
     dt = round(time.monotonic() - t0, 2)
-    out[label] = dt
-    print(f"  {label}: {dt}s" + (f" ({n} rows)" if isinstance(n, int) else ""), file=sys.stderr)
+    r1, w1 = _shuffle_totals()
+    rec = {"s": dt}
+    if (r1, w1) != (0, 0):
+        rec["shuffle_read_mb"] = round((r1 - r0) / 1e6, 1)
+        rec["shuffle_write_mb"] = round((w1 - w0) / 1e6, 1)
+    out[label] = rec
+    print(
+        f"  {label}: {dt}s"
+        + (f" ({n} rows)" if isinstance(n, int) else "")
+        + (f" [shfl r {rec.get('shuffle_read_mb', '?')}MB"
+           f" w {rec.get('shuffle_write_mb', '?')}MB]"),
+        file=sys.stderr,
+    )
 
 
 def main():
@@ -155,7 +197,11 @@ def main():
     ap.add_argument("--force", action="store_true")
     args = ap.parse_args()
 
-    spark = get_spark(app_name="scale-smoke")
+    global _SPARK
+    spark = get_spark(
+        app_name="scale-smoke", extra_conf={"spark.ui.enabled": "true"}
+    )
+    _SPARK = spark
     spark.sparkContext.setLogLevel("ERROR")
     emb, docs = gen(spark, args.vec, args.doc, force=args.force)
     events = gen_events(spark, args.evt, force=args.force)
@@ -170,6 +216,7 @@ def main():
 
     qv = [float(x) for x in emb.first()["embedding"]]
     out: dict = {}
+    quality: dict = {}
 
     timed("knn_200k", lambda: len(knn(emb, "embedding", qv, k=10, id_col="vec_id").collect()), out)
 
@@ -181,6 +228,32 @@ def main():
         return r
 
     timed("ivf_build_search", ivf_job, out)
+
+    def hnsw_job():
+        # graph backend at scale: ~25k rows per shard graph (bounded
+        # executor-local artifacts), batch search = one beam per shard.
+        # Planted check: recall@10 >= 0.95 on 5 sampled queries at the
+        # reference's default ef
+        from lanterndb_spark.operators.autotune import (
+            _collect_by_query, exact_topk_batch, recall_at_k, sample_queries)
+        from lanterndb_spark.operators.hnsw import build_hnsw, hnsw_search_batch
+
+        idx = build_hnsw(
+            emb, "embedding", id_col="vec_id", m=16, ef_construction=64,
+            seed=42,
+        )
+        qs = sample_queries(emb, "embedding", n=5, seed=7)
+        got = _collect_by_query(hnsw_search_batch(idx, qs, k=10, ef=64), "vec_id")
+        truth = exact_topk_batch(emb, "embedding", qs, k=10, id_col="vec_id")
+        rec = sum(
+            recall_at_k(got.get(i, []), truth.get(i, [])) for i in range(len(qs))
+        ) / len(qs)
+        idx.graphs.unpersist()
+        assert rec >= 0.95, f"hnsw recall@10 {rec} < 0.95 at scale"
+        quality["hnsw_recall_at_10"] = round(rec, 4)
+        return int(rec * 1000)
+
+    timed(f"hnsw_build_search_{args.vec // 1000}k", hnsw_job, out)
 
     def knn_join_job():
         qdf = emb.limit(64).select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"))
@@ -211,6 +284,25 @@ def main():
         return n
 
     timed("minhash_auto_50k", minhash_job, out)
+
+    def minhash_scope_job(scope):
+        def job():
+            p = minhash_lsh_pairs(
+                docs, "doc_id", "text", threshold=0.5, verify="exact",
+                verify_scope=scope,
+            )
+            n = p.count()
+            release(p)
+            assert n >= int(0.9 * n_twins), f"{scope}: twins missed {n}/{n_twins}"
+            return n
+        return job
+
+    # verify_scope crossover (VERDICT r4 item 7): corpus-scope re-reads
+    # every doc's shingles for the exact verify; candidates-scope
+    # semi-joins the re-scan down to candidate ids first. The crossover
+    # SF is where candidates wins — record both and diff.
+    timed("minhash_exact_corpus_scope", minhash_scope_job("corpus"), out)
+    timed("minhash_exact_cand_scope", minhash_scope_job("candidates"), out)
 
     def jaccard_job():
         # hot token shared by 40% of docs -> without the cap this join
@@ -460,7 +552,7 @@ def main():
     _inc_sigs.unpersist()
 
     print(json.dumps({"n_vec": args.vec, "n_doc": args.doc, "n_evt": args.evt,
-                      "timings": out}))
+                      "timings": out, "quality": quality}))
     spark.stop()
 
 
