@@ -335,8 +335,12 @@ class LanternTable:
         if kind == "hnsw":
             from lanterndb_spark.operators.hnsw import hnsw_search
 
-            if metric != "l2sq":
-                raise ValueError("hnsw index supports metric='l2sq' only")
+            if metric != index.metric:
+                raise ValueError(
+                    f"hnsw index on {vec_col!r} was built for "
+                    f"metric={index.metric!r}; searched with {metric!r} "
+                    "(rebuild with the wanted metric or use mode='exact')"
+                )
             if pred is not None:
                 raise ValueError(
                     "hnsw: pass pred-filtered knn through mode='exact' "

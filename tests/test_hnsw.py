@@ -161,3 +161,71 @@ def test_autotune_hnsw_grid(emb):
     by_ef = {r.params["ef"]: r.recall for r in results}
     assert by_ef[64] >= by_ef[8]
     assert best is not None and best.recall >= 0.5
+
+
+def test_cos_metric_full_probe_and_recall(emb, spark):
+    """cos graphs navigate normalized l2sq (identical ordering on the
+    unit sphere) and emit dist = cos_dist exactly; full probe must match
+    the exact cos knn."""
+    from lanterndb_spark.operators.autotune import exact_topk_batch, recall_at_k
+
+    idx = build_hnsw(
+        emb, "embedding", id_col="vec_id", m=8, ef_construction=64,
+        num_shards=4, seed=42, metric="cos",
+    )
+    n = emb.count()
+    q = qvec(emb, 4)
+    got = hnsw_search(idx, emb, q, k=10, ef=n).collect()
+    want = knn(emb, "embedding", q, k=10, metric="cos", id_col="vec_id").collect()
+    assert [r["vec_id"] for r in got] == [r["vec_id"] for r in want]
+    for g, w in zip(got, want):
+        # 1e-6: graph vectors round-trip through float32 blob storage
+        assert abs(g["dist"] - w["dist"]) < 1e-6
+
+    # default-ef recall against cos ground truth
+    rows = emb.orderBy(F.rand(3)).limit(5).collect()
+    queries = [[float(x) for x in r["embedding"]] for r in rows]
+    truth = exact_topk_batch(
+        emb, "embedding", queries, k=10, id_col="vec_id", metric="cos"
+    )
+    res = hnsw_search_batch(idx, queries, k=10, ef=64)
+    got_b: dict[int, list] = {}
+    for r in res.orderBy("q_id", "dist", "vec_id").collect():
+        got_b.setdefault(r["q_id"], []).append(r["vec_id"])
+    recs = [recall_at_k(got_b.get(i, []), truth.get(i, []))
+            for i in range(len(queries))]
+    assert sum(recs) / len(recs) >= 0.95
+    idx.graphs.unpersist()
+
+
+def test_cos_metric_route_and_mismatch_guard(emb):
+    from lanterndb_spark.table import LanternTable
+
+    t = LanternTable(emb, "vec_id").create_index(
+        "embedding", kind="hnsw", m=8, ef_construction=64, num_shards=2,
+        seed=42, metric="cos",
+    )
+    n = emb.count()
+    q = qvec(emb, 9)
+    got = [r["vec_id"] for r in
+           t.knn("embedding", q, k=5, metric="cos", ef=n).collect()]
+    want = [r["vec_id"] for r in
+            t.knn("embedding", q, k=5, metric="cos", mode="exact").collect()]
+    assert got == want
+    with pytest.raises(ValueError):
+        t.knn("embedding", q, k=5, metric="l2sq")
+
+
+def test_cos_zero_norm_rows_excluded(spark):
+    """Zero-norm vectors never enter a cos graph (undefined angle = the
+    engine's NULL convention) and a zero-norm query raises."""
+    rows = [(i, [float(i + 1), 1.0]) for i in range(20)] + [(99, [0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    idx = build_hnsw(df, "embedding", id_col="vec_id", num_shards=1,
+                     seed=1, metric="cos")
+    assert idx.graphs.agg(F.sum("n")).first()[0] == 20
+    got = hnsw_search(idx, df, [1.0, 1.0], k=25, ef=100).collect()
+    assert all(r["vec_id"] != 99 for r in got)
+    with pytest.raises(ValueError):
+        hnsw_search(idx, df, [0.0, 0.0], k=5)
+    idx.graphs.unpersist()

@@ -218,7 +218,7 @@ def main():
     out: dict = {}
     quality: dict = {}
 
-    timed("knn_200k", lambda: len(knn(emb, "embedding", qv, k=10, id_col="vec_id").collect()), out)
+    timed(f"knn_{args.vec // 1000}k", lambda: len(knn(emb, "embedding", qv, k=10, id_col="vec_id").collect()), out)
 
     def ivf_job():
         idx = build_ivf(emb, "embedding", nlist=64, seed=42)
@@ -283,7 +283,7 @@ def main():
         assert n >= int(0.9 * n_twins), f"planted twins missed: {n}/{n_twins}"
         return n
 
-    timed("minhash_auto_50k", minhash_job, out)
+    timed(f"minhash_auto_{args.doc // 1000}k", minhash_job, out)
 
     def minhash_scope_job(scope):
         def job():
@@ -317,7 +317,7 @@ def main():
         assert n >= int(0.8 * n_twins), f"planted twins missed by capped jaccard: {n}/{n_twins}"
         return n
 
-    timed("jaccard_capped_50k", jaccard_job, out)
+    timed(f"jaccard_capped_{args.doc // 1000}k", jaccard_job, out)
 
     def jaccard_prefix_job():
         # prefix filtering prunes the same hot-posting cliff WITHOUT the
@@ -331,7 +331,7 @@ def main():
         assert n >= int(0.9 * n_twins), f"planted twins missed by prefix join: {n}/{n_twins}"
         return n
 
-    timed("jaccard_prefix_50k", jaccard_prefix_job, out)
+    timed(f"jaccard_prefix_{args.doc // 1000}k", jaccard_prefix_job, out)
 
     from lanterndb_spark.operators.temporal import asof_join, range_join
 
