@@ -1400,6 +1400,46 @@ def q_streaming_ann_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_hnsw_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming/hnsw.py contract with a FULL hash-compared oracle:
+    stream half the embeddings (real micro-batches) into graphs built on
+    the other half — the graphs grow in place via hnsw_insert, the
+    aminsert daemon analogue on the reference's namesake index — then a
+    full-probe search over the grown graphs must reproduce the exact
+    knn over the WHOLE table. Oracle = DuckDB exact knn."""
+    import tempfile
+
+    from lanterndb_spark.operators.hnsw import build_hnsw
+    from lanterndb_spark.streaming.hnsw import hnsw_ingest_stream
+
+    emb = _emb(spark, sf_dir)
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    arriving = emb.filter(F.col("vec_id") % 2 == 1)
+    idx = build_hnsw(
+        base.select("vec_id", "embedding"), "embedding", id_col="vec_id",
+        m=8, ef_construction=64, num_shards=2, seed=42,
+    )
+    ingest = hnsw_ingest_stream(idx)
+    src = tempfile.mkdtemp(prefix="lantern_hnsw_stream_")
+    arriving.repartition(3).write.mode("overwrite").parquet(src)
+    q = (
+        spark.readStream.schema(_EMB_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select("vec_id", "embedding")
+        .writeStream.foreachBatch(ingest.writer())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    n = emb.count()
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 1).first()["embedding"]]
+    out = ingest.search(emb, qv, k=10, ef=n)
+    ingest.index.graphs.unpersist()
+    return _round_out(out, ["vec_id", "label"], "dist")
+
+
 def q_streaming_neardup_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """streaming/neardup.py contract, computed batch-side: planted twins
     streamed over real micro-batches must yield EXACTLY the pair set of
@@ -4076,6 +4116,7 @@ def oracle_sql() -> dict[str, str]:
         "ivfpq_exact_equiv": _knn_oracle(0, duck_l2sq),
         "ivfsq_exact_equiv": _knn_oracle(0, duck_l2sq),
         "hnsw_exact_equiv": _knn_oracle(0, duck_l2sq),
+        "streaming_hnsw_equiv": _knn_oracle(1, duck_l2sq),
         "hnsw_invariants": """
             SELECT CAST(count(*) AS BIGINT) AS n_vectors, true AS recall_ok,
                    true AS twin_in_top2, true AS tombstone_skipped
@@ -5340,6 +5381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hnsw_invariants": q_hnsw_invariants,
         "streaming_ann_equiv": q_streaming_ann_equiv,
         "streaming_neardup_equiv": q_streaming_neardup_equiv,
+        "streaming_hnsw_equiv": q_streaming_hnsw_equiv,
         "merge_upsert": q_merge_upsert,
         # newest-green r2 (the oldest stale greens):
         "bm25_postings": q_bm25_postings,
@@ -5383,10 +5425,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_nearest": q_asof_nearest,
         "bm25_consolidate": q_bm25_consolidate,
         "rag_pipeline": q_rag_pipeline,
-        "mix_domains": q_mix_domains,
         # -- 51+: r3-green remainder (due next round) ---------------------
-        # (decontaminate_semantic displaced to here by merge_upsert —
-        # never-checked beats stale-green)
+        # (decontaminate_semantic / mix_domains displaced to here by
+        # merge_upsert and streaming_hnsw_equiv — never-checked beats
+        # stale-green)
+        "mix_domains": q_mix_domains,
         "decontaminate_semantic": q_decontaminate_semantic,
         "rrf_hybrid": q_rrf_hybrid,
         "chunk_documents": q_chunk_documents,

@@ -1,0 +1,103 @@
+"""Streaming HNSW index maintenance — the daemon analogue on the
+reference's NAMESAKE index.
+
+The reference's external-index daemon keeps a lantern_hnsw graph current
+as rows arrive: ``aminsert`` appends each vector to the existing graph
+without retraining (lantern_hnsw/src/hnsw/insert.c:51-262), deletes
+tombstone labels that scans skip (delete.c:15-72, scan.c:294-300), and
+REINDEX/vacuum folds the churn.
+
+Where ``streaming/ann.py`` recasts this lifecycle over the IVF layout
+(delta assignment), this module runs it on the GRAPH backend proper:
+each micro-batch cogroups into its shard's existing numpy graph via
+``hnsw_insert`` — the graphs literally grow in place, no retrain, the
+aminsert economics on the same structure the reference uses. Deletes
+tombstone driver-side and are skipped at emit time; ``compact()`` is
+the vacuum moment (shard-local rebuilds without the dead rows).
+
+Because every batch rewrites only the shards it touches (untouched
+shards pass through as their existing blobs), a batch of b rows costs
+O(b·insert) + blob (de)serialization of the touched shards — not a
+table rebuild. The handle persists each generation's graphs and
+unpersists the previous one, so lineage stays one generation deep (the
+localCheckpoint discipline every iterative store here follows, done by
+persist-swap since graphs are small).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from lanterndb_spark.operators.hnsw import (
+    HnswIndex,
+    hnsw_compact,
+    hnsw_insert,
+    hnsw_search,
+    hnsw_search_batch,
+)
+
+
+class HnswIngest:
+    """Mutable handle over a base HnswIndex plus streamed inserts/deletes.
+
+    Use ``writer`` with ``stream.writeStream.foreachBatch(...)``; query
+    through ``search()`` / ``search_batch()`` at any point; ``compact()``
+    folds tombstones out of the graphs."""
+
+    def __init__(self, index: HnswIndex):
+        self.index = index
+        self.tombstone_ids: set = set()
+        self.batches = 0
+        self._last_batch_id: int | None = None
+
+    def writer(self):
+        def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+            # at-least-once guard: a foreachBatch retry redelivers the
+            # same batch_id — replaying would insert the rows twice
+            if self._last_batch_id is not None and batch_id <= self._last_batch_id:
+                return
+            self._last_batch_id = int(batch_id)
+            # grow the existing shard graphs in place (aminsert,
+            # insert.c:51-262) — hnsw_insert persists the new generation
+            # and unpersists the old one
+            self.index = hnsw_insert(self.index, batch_df)
+            self.batches += 1
+
+        return write_batch
+
+    def delete(self, ids: list) -> None:
+        """Tombstone ids (ambulkdelete analogue) — skipped at emit from
+        the next search on (scan.c:294-300); storage reclaimed at
+        compact()."""
+        self.tombstone_ids.update(int(i) for i in ids)
+
+    def search(self, base: DataFrame, query, k: int = 10, **kw) -> DataFrame:
+        return hnsw_search(
+            self.index, base, query, k=k,
+            deleted=self.tombstone_ids or None, **kw,
+        )
+
+    def search_batch(self, queries: list, k: int = 10, **kw) -> DataFrame:
+        return hnsw_search_batch(
+            self.index, queries, k=k,
+            deleted=self.tombstone_ids or None, **kw,
+        )
+
+    def compact(self) -> HnswIndex:
+        """Vacuum: shard-local rebuilds drop the tombstoned rows; the
+        tombstone set retires."""
+        self.index = hnsw_compact(self.index, self.tombstone_ids)
+        self.tombstone_ids = set()
+        return self.index
+
+
+def hnsw_ingest_stream(index: HnswIndex) -> HnswIngest:
+    """Wire a vector stream into an existing HNSW index::
+
+        ingest = hnsw_ingest_stream(idx)
+        q = (vec_stream.writeStream.foreachBatch(ingest.writer())
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        hits = ingest.search_batch(queries, k=10, ef=64)
+    """
+    return HnswIngest(index)

@@ -1,0 +1,60 @@
+"""Streaming HNSW ingest (streaming/hnsw.py): the graphs must grow in
+place per micro-batch (aminsert) and converge to the batch-built index
+— post-ingest search over base ∪ streamed rows equals the full batch
+build's results under full probe."""
+
+from pyspark.sql import functions as F
+
+from lanterndb_spark.operators.hnsw import build_hnsw, hnsw_search
+from lanterndb_spark.operators.knn import knn
+from lanterndb_spark.streaming.hnsw import hnsw_ingest_stream
+
+EMB_SCHEMA = "vec_id bigint, embedding array<float>, label int"
+
+
+def test_stream_grows_graphs_and_converges(spark, tmp_path, tables):
+    emb = tables["embeddings"]
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    arriving = emb.filter(F.col("vec_id") % 2 == 1)
+    idx = build_hnsw(
+        base.select("vec_id", "embedding"), "embedding", id_col="vec_id",
+        m=8, ef_construction=64, num_shards=2, seed=42,
+    )
+    ingest = hnsw_ingest_stream(idx)
+    src = str(tmp_path / "vec_stream")
+    arriving.repartition(3).write.mode("overwrite").parquet(src)
+    q = (
+        spark.readStream.schema(EMB_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select("vec_id", "embedding")
+        .writeStream.foreachBatch(ingest.writer())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert ingest.batches == 3
+    n = emb.count()
+    assert ingest.index.graphs.agg(F.sum("n")).first()[0] == n
+
+    # full probe over the grown graphs == exact knn over the whole table
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 1).first()["embedding"]]
+    got = [r["vec_id"] for r in ingest.search(emb, qv, k=10, ef=n).collect()]
+    want = [r["vec_id"] for r in knn(emb, "embedding", qv, k=10, id_col="vec_id").collect()]
+    assert got == want
+
+    # tombstone then vacuum
+    ingest.delete([1])
+    got2 = [r["vec_id"] for r in ingest.search(emb, qv, k=5, ef=64).collect()]
+    assert 1 not in got2
+    folded = ingest.compact()
+    assert folded.graphs.agg(F.sum("n")).first()[0] == n - 1
+    got3 = [r["vec_id"] for r in
+            hnsw_search(folded, emb, qv, k=5, ef=64).collect()]
+    assert got3 == got2
+
+    # replay guard: re-delivering an old batch_id is a no-op
+    before = ingest.index.graphs.agg(F.sum("n")).first()[0]
+    ingest.writer()(arriving.limit(5).select("vec_id", "embedding"), 0)
+    assert ingest.index.graphs.agg(F.sum("n")).first()[0] == before
+    ingest.index.graphs.unpersist()
