@@ -1400,6 +1400,26 @@ def q_streaming_ann_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hnswivf_exact_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-routed HNSW (the IVF-over-graphs composite — one graph
+    per k-means shard, searches deserialize only the probed shards) at
+    full probe: nprobe = num_shards AND ef >= n must reproduce the exact
+    knn — the same double-degeneracy oracle as ivf_exact_equiv ×
+    hnsw_exact_equiv. Oracle = DuckDB exact knn."""
+    from lanterndb_spark.operators.hnsw import build_hnsw, hnsw_search
+
+    emb = _emb(spark, sf_dir)
+    n = emb.count()
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    idx = build_hnsw(
+        emb, "embedding", id_col="vec_id", m=8, ef_construction=64,
+        num_shards=4, seed=42, routing="cluster",
+    )
+    out = hnsw_search(idx, emb, qv, k=10, ef=n, nprobe=4)
+    idx.graphs.unpersist()
+    return _round_out(out, ["vec_id", "label"], "dist")
+
+
 def q_streaming_hnsw_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """streaming/hnsw.py contract with a FULL hash-compared oracle:
     stream half the embeddings (real micro-batches) into graphs built on
@@ -4116,6 +4136,7 @@ def oracle_sql() -> dict[str, str]:
         "ivfpq_exact_equiv": _knn_oracle(0, duck_l2sq),
         "ivfsq_exact_equiv": _knn_oracle(0, duck_l2sq),
         "hnsw_exact_equiv": _knn_oracle(0, duck_l2sq),
+        "hnswivf_exact_equiv": _knn_oracle(0, duck_l2sq),
         "streaming_hnsw_equiv": _knn_oracle(1, duck_l2sq),
         "hnsw_invariants": """
             SELECT CAST(count(*) AS BIGINT) AS n_vectors, true AS recall_ok,
@@ -5382,6 +5403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_ann_equiv": q_streaming_ann_equiv,
         "streaming_neardup_equiv": q_streaming_neardup_equiv,
         "streaming_hnsw_equiv": q_streaming_hnsw_equiv,
+        "hnswivf_exact_equiv": q_hnswivf_exact_equiv,
         "merge_upsert": q_merge_upsert,
         # newest-green r2 (the oldest stale greens):
         "bm25_postings": q_bm25_postings,
@@ -5424,11 +5446,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_forward": q_asof_forward,
         "asof_nearest": q_asof_nearest,
         "bm25_consolidate": q_bm25_consolidate,
-        "rag_pipeline": q_rag_pipeline,
         # -- 51+: r3-green remainder (due next round) ---------------------
-        # (decontaminate_semantic / mix_domains displaced to here by
-        # merge_upsert and streaming_hnsw_equiv — never-checked beats
-        # stale-green)
+        # (decontaminate_semantic / mix_domains / rag_pipeline displaced
+        # to here by merge_upsert, streaming_hnsw_equiv, and
+        # hnswivf_exact_equiv — never-checked beats stale-green)
+        "rag_pipeline": q_rag_pipeline,
         "mix_domains": q_mix_domains,
         "decontaminate_semantic": q_decontaminate_semantic,
         "rrf_hybrid": q_rrf_hybrid,

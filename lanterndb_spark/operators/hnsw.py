@@ -343,6 +343,7 @@ class HnswIndex(NamedTuple):
     num_shards: int
     seed: int
     metric: str = "l2sq"
+    centroids: object = None  # (num_shards, dim) numpy when cluster-routed
 
 
 def _norm_rows(ids, X):
@@ -369,12 +370,25 @@ def build_hnsw(
     shard_target: int = 25_000,
     seed: int = 42,
     metric: str = "l2sq",
+    routing: str = "hash",
+    sample_limit: int = 50_000,
 ) -> HnswIndex:
     """CREATE INDEX USING lantern_hnsw analogue (build.c:472-716): shard
-    on the id hash, build one numpy HNSW per shard in parallel, keep the
+    the table, build one numpy HNSW per shard in parallel, keep the
     serialized graphs as a tiny DataFrame. ``num_shards`` defaults to
     ~``n / shard_target`` so each graph stays an executor-local artifact
     regardless of table size; raise it for more search parallelism.
+
+    ``routing``:
+
+    - ``'hash'`` (default): shards on the id hash. Every search touches
+      every shard — lossless merge, right up to thousands of shards.
+    - ``'cluster'``: shards on sample-trained k-means centroids (the
+      IVF-over-graphs composite — FAISS's IVF-HNSW layout). A search
+      deserializes only the ``nprobe`` nearest shards' graphs, so query
+      cost scales with nprobe, NOT shard count — the shape that holds
+      when 100 TB means millions of shards. ``nprobe = num_shards``
+      degrades to the lossless hash behavior. l2sq only in this round.
 
     ``metric``: 'l2sq' or 'cos'. Cos graphs store ROW-NORMALIZED vectors
     and navigate with l2sq (identical ordering on the unit sphere:
@@ -382,13 +396,36 @@ def build_hnsw(
     excluded (see _norm_rows)."""
     if metric not in ("l2sq", "cos"):
         raise ValueError("hnsw metric must be 'l2sq' or 'cos'")
+    if routing not in ("hash", "cluster"):
+        raise ValueError("hnsw routing must be 'hash' or 'cluster'")
+    if routing == "cluster" and metric != "l2sq":
+        raise ValueError("cluster routing supports metric='l2sq' only")
     if num_shards is None:
         n = df.count()
         num_shards = max(1, min(1024, (n + shard_target - 1) // shard_target))
+    centroids = None
+    if routing == "cluster":
+        from lanterndb_spark.operators.ivf import _assign_expr
+        from lanterndb_spark.operators.pq import _kmeans_numpy
+
+        rows = (
+            df.select(F.col(vec_col).alias("v"))
+            .orderBy(F.rand(seed))
+            .limit(sample_limit)
+            .collect()
+        )
+        if not rows:
+            raise ValueError("cluster routing needs a non-empty table")
+        x = np.asarray([r["v"] for r in rows], dtype=np.float64)
+        centroids = _kmeans_numpy(x, num_shards, seed=seed).astype(np.float64)
+        num_shards = len(centroids)
+        shard_col = _assign_expr(df.sparkSession, centroids, vec_col)
+    else:
+        shard_col = _shard_expr(id_col, num_shards)
     src = df.select(
         F.col(id_col).cast("bigint").alias("__gid"),
         F.col(vec_col).alias("__gv"),
-        _shard_expr(id_col, num_shards).alias("__shard"),
+        shard_col.alias("__shard"),
     )
 
     def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -410,7 +447,8 @@ def build_hnsw(
     graphs = graphs.persist()
     graphs.count()
     return HnswIndex(
-        graphs, vec_col, id_col, m, ef_construction, num_shards, seed, metric
+        graphs, vec_col, id_col, m, ef_construction, num_shards, seed,
+        metric, centroids,
     )
 
 
@@ -426,17 +464,34 @@ def _prep_query(index: HnswIndex, query):
     return q.tolist(), 1.0
 
 
+def _probe_shards(index: HnswIndex, q, nprobe: int | None):
+    """Cluster-routed probe list (driver-side argmin over the tiny
+    centroid matrix — IVF's probe selection); None = search every shard
+    (hash routing, or nprobe unset/full)."""
+    if index.centroids is None or nprobe is None or nprobe >= index.num_shards:
+        return None
+    d = ((index.centroids - np.asarray(q, dtype=np.float64)[None, :]) ** 2).sum(1)
+    return [int(i) for i in np.argsort(d)[:nprobe]]
+
+
 def hnsw_candidates(
     index: HnswIndex,
     query,
     k: int = 10,
     ef: int = _EF_DEFAULT,
     deleted: set | None = None,
+    nprobe: int | None = None,
 ) -> DataFrame:
-    """(id, dist) of each shard's local top-max(k, ef) — the raw merge
-    input. ``deleted`` ids are skipped at emit (scan.c:294-300)."""
+    """(id, dist) of each probed shard's local top-max(k, ef) — the raw
+    merge input. ``deleted`` ids are skipped at emit (scan.c:294-300).
+    With cluster routing + ``nprobe``, only the probed shards' blobs are
+    ever deserialized (the filter prunes the graphs scan)."""
     q, scale = _prep_query(index, query)
     dead = frozenset(int(i) for i in deleted) if deleted else None
+    probes = _probe_shards(index, q, nprobe)
+    graphs = index.graphs
+    if probes is not None:
+        graphs = graphs.filter(F.col("shard").isin(probes))
 
     def run(batches):
         for pdf in batches:
@@ -446,7 +501,7 @@ def hnsw_candidates(
                 if len(ids):
                     yield pd.DataFrame({"__gid": ids, "dist": ds * scale})
 
-    return index.graphs.mapInPandas(run, "__gid bigint, dist double")
+    return graphs.mapInPandas(run, "__gid bigint, dist double")
 
 
 def hnsw_search(
@@ -456,14 +511,15 @@ def hnsw_search(
     k: int = 10,
     ef: int = _EF_DEFAULT,
     deleted: set | None = None,
+    nprobe: int | None = None,
 ) -> DataFrame:
     """ANN top-k with the base table's columns + ``dist``: shard-local
-    beams → global TakeOrdered over num_shards·ef (id, dist) pairs → one
-    BROADCAST join of the k winner ids back to ``base``. The scan of
+    beams → global TakeOrdered over probed_shards·ef (id, dist) pairs →
+    one BROADCAST join of the k winner ids back to ``base``. The scan of
     ``base`` prunes to the id set (pushed isin), so the full vectors of
     only k rows are ever touched — same economics as IVF's refine step."""
     cand = (
-        hnsw_candidates(index, query, k=k, ef=ef, deleted=deleted)
+        hnsw_candidates(index, query, k=k, ef=ef, deleted=deleted, nprobe=nprobe)
         .orderBy(F.col("dist").asc(), F.col("__gid").asc())
         .limit(k)
     )
@@ -486,25 +542,41 @@ def hnsw_search_batch(
     k: int = 10,
     ef: int = _EF_DEFAULT,
     deleted: set | None = None,
+    nprobe: int | None = None,
 ) -> DataFrame:
     """Batch twin: ONE distributed job answers every query — each shard
-    row runs all beams against its deserialized graph (amortizing the
-    blob load across the batch), emits per-query locals, and one window
-    takes the global per-query top-k. Returns (q_id, id, dist)."""
+    row runs the beams that probe it against its deserialized graph
+    (amortizing the blob load across the batch), emits per-query locals,
+    and one window takes the global per-query top-k. With cluster
+    routing + ``nprobe``, the graphs scan prunes to the union of probed
+    shards and each shard runs only its own queries' beams. Returns
+    (q_id, id, dist)."""
     from pyspark.sql import Window
 
     prepped = [_prep_query(index, q) for q in queries]
     Q = [q for q, _ in prepped]
     scale = prepped[0][1] if prepped else 1.0
     dead = frozenset(int(i) for i in deleted) if deleted else None
+    probe_map = None  # shard -> [q_id]; None = every shard runs every query
+    graphs = index.graphs
+    if index.centroids is not None and nprobe is not None             and nprobe < index.num_shards:
+        probe_map = {}
+        for qi, q in enumerate(Q):
+            for sh in _probe_shards(index, q, nprobe):
+                probe_map.setdefault(sh, []).append(qi)
+        graphs = graphs.filter(F.col("shard").isin(sorted(probe_map)))
 
     def run(batches):
         for pdf in batches:
-            for blob in pdf["blob"]:
+            for shard, blob in zip(pdf["shard"], pdf["blob"]):
+                qids = (
+                    range(len(Q)) if probe_map is None
+                    else probe_map.get(int(shard), ())
+                )
                 g = _Graph.from_blob(blob)
                 frames = []
-                for qi, q in enumerate(Q):
-                    ids, ds = g.search(q, k, ef, skip_ids=dead)
+                for qi in qids:
+                    ids, ds = g.search(Q[qi], k, ef, skip_ids=dead)
                     if len(ids):
                         frames.append(
                             pd.DataFrame(
@@ -514,7 +586,7 @@ def hnsw_search_batch(
                 if frames:
                     yield pd.concat(frames)
 
-    cand = index.graphs.mapInPandas(run, "q_id int, __gid bigint, dist double")
+    cand = graphs.mapInPandas(run, "q_id int, __gid bigint, dist double")
     w = Window.partitionBy("q_id").orderBy(F.col("dist").asc(), F.col("__gid").asc())
     return (
         cand.withColumn("__rn", F.row_number().over(w))
@@ -529,10 +601,18 @@ def hnsw_insert(index: HnswIndex, delta: DataFrame) -> HnswIndex:
     graph grows in place, nothing retrains, untouched shards pass
     through unchanged."""
     m, efc, seed = index.m, index.ef_construction, index.seed
+    if index.centroids is not None:
+        from lanterndb_spark.operators.ivf import _assign_expr
+
+        # cluster routing: the delta assigns to the FROZEN centroids,
+        # exactly like ivf_assign (no re-cluster on insert)
+        route = _assign_expr(delta.sparkSession, index.centroids, index.vec_col)
+    else:
+        route = _shard_expr(index.id_col, index.num_shards)
     src = delta.select(
         F.col(index.id_col).cast("bigint").alias("__gid"),
         F.col(index.vec_col).alias("__gv"),
-        _shard_expr(index.id_col, index.num_shards).alias("__shard"),
+        route.alias("__shard"),
     )
 
     metric = index.metric
@@ -618,12 +698,26 @@ def save_hnsw(index: HnswIndex, path: str) -> None:
         "vec_col string, id_col string, m int, efc int, num_shards int, "
         "seed int, metric string",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    if index.centroids is not None:
+        cents = [(int(i), [float(x) for x in c])
+                 for i, c in enumerate(index.centroids)]
+        spark.createDataFrame(
+            cents, "shard int, centroid array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
 
 
 def load_hnsw(spark, path: str) -> HnswIndex:
     graphs = spark.read.parquet(f"{path}/graphs").persist()
     r = spark.read.parquet(f"{path}/meta").first()
+    centroids = None
+    try:
+        rows = spark.read.parquet(f"{path}/centroids").collect()
+        centroids = np.array(
+            [r["centroid"] for r in sorted(rows, key=lambda r: r["shard"])]
+        )
+    except Exception:  # noqa: BLE001 — hash-routed indexes have none
+        pass
     return HnswIndex(
         graphs, r["vec_col"], r["id_col"], r["m"], r["efc"],
-        r["num_shards"], r["seed"], r["metric"],
+        r["num_shards"], r["seed"], r["metric"], centroids,
     )

@@ -224,6 +224,9 @@ class LanternTable:
             elif kind == "hnsw":
                 params["m"] = idx.m
                 params["num_shards"] = idx.num_shards
+                params["routing"] = (
+                    "cluster" if idx.centroids is not None else "hash"
+                )
             out.append({"column": col, "kind": kind, "params": params, "stale": stale})
         for col in self._codebooks:
             out.append({"column": col, "kind": "pq", "params": {}, "stale": stale})

@@ -229,3 +229,58 @@ def test_cos_zero_norm_rows_excluded(spark):
     with pytest.raises(ValueError):
         hnsw_search(idx, df, [0.0, 0.0], k=5)
     idx.graphs.unpersist()
+
+
+def test_cluster_routing_full_probe_and_pruning(emb, spark):
+    """IVF-over-graphs composite: nprobe=num_shards + ef>=n reproduces
+    the exact knn; nprobe=1 touches only the probed shard's graph and
+    still finds the query's own twin (it routes to its own cluster)."""
+    idx = build_hnsw(
+        emb, "embedding", id_col="vec_id", m=8, ef_construction=64,
+        num_shards=4, seed=42, routing="cluster",
+    )
+    assert idx.centroids is not None and len(idx.centroids) == 4
+    # cluster shards still cover every row exactly once
+    assert idx.graphs.agg(F.sum("n")).first()[0] == emb.count()
+    n = emb.count()
+    q = qvec(emb, 6)
+    got = hnsw_search(idx, emb, q, k=10, ef=n, nprobe=4).collect()
+    want = knn(emb, "embedding", q, k=10, id_col="vec_id").collect()
+    assert [r["vec_id"] for r in got] == [r["vec_id"] for r in want]
+
+    # nprobe=1: the query's own row lives in the probed cluster
+    got1 = hnsw_search(idx, emb, q, k=1, ef=64, nprobe=1).collect()
+    assert got1[0]["vec_id"] == 6
+
+    # batch with routing agrees with single-query on probed shards
+    batch = hnsw_search_batch(idx, [q], k=5, ef=64, nprobe=2)
+    single = hnsw_search(idx, emb, q, k=5, ef=64, nprobe=2).collect()
+    assert [r["vec_id"] for r in batch.orderBy("dist", "vec_id").collect()] == \
+        [r["vec_id"] for r in single]
+
+    # insert routes by FROZEN centroids: a twin of q joins q's cluster,
+    # so even nprobe=1 finds it
+    twin = spark.createDataFrame([(90_003, q)], "vec_id long, embedding array<float>")
+    idx2 = hnsw_insert(idx, twin)
+    got2 = [r["vec_id"] for r in
+            hnsw_search_batch(idx2, [q], k=2, ef=64, nprobe=1).collect()]
+    assert 90_003 in got2
+    idx2.graphs.unpersist()
+    idx.graphs.unpersist()
+
+
+def test_cluster_routing_save_load(emb, tmp_path, spark):
+    idx = build_hnsw(
+        emb, "embedding", id_col="vec_id", m=8, ef_construction=64,
+        num_shards=3, seed=42, routing="cluster",
+    )
+    save_hnsw(idx, str(tmp_path / "chnsw"))
+    idx2 = load_hnsw(spark, str(tmp_path / "chnsw"))
+    assert idx2.centroids is not None
+    import numpy as np
+    assert np.allclose(idx2.centroids, idx.centroids)
+    q = qvec(emb, 8)
+    a = [r["vec_id"] for r in hnsw_search(idx, emb, q, k=5, ef=64, nprobe=2).collect()]
+    b = [r["vec_id"] for r in hnsw_search(idx2, emb, q, k=5, ef=64, nprobe=2).collect()]
+    assert a == b
+    idx.graphs.unpersist(); idx2.graphs.unpersist()
