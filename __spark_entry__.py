@@ -1420,6 +1420,28 @@ def q_hnswivf_exact_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_out(out, ["vec_id", "label"], "dist")
 
 
+def q_hnsw_filtered_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN on the graph route: predicate rechecks outside the
+    access method with streaming-k doubling (scan.c:240-292 +
+    hnsw_select.sql's WHERE + ORDER BY). The predicate here matches
+    FEWER rows than k, so the doubling provably exhausts the graph and
+    the result is the complete exact-filtered set — hash-comparable.
+    Oracle = DuckDB filtered knn."""
+    from lanterndb_spark.operators.hnsw import build_hnsw, hnsw_search_filtered
+
+    emb = _emb(spark, sf_dir)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    idx = build_hnsw(
+        emb, "embedding", id_col="vec_id", m=8, ef_construction=64,
+        num_shards=4, seed=42,
+    )
+    out = hnsw_search_filtered(
+        idx, emb, qv, F.col("vec_id") % 97 == 1, k=10, ef=8,
+    )
+    idx.graphs.unpersist()
+    return _round_out(out, ["vec_id", "label"], "dist")
+
+
 def q_streaming_hnsw_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """streaming/hnsw.py contract with a FULL hash-compared oracle:
     stream half the embeddings (real micro-batches) into graphs built on
@@ -4137,6 +4159,7 @@ def oracle_sql() -> dict[str, str]:
         "ivfsq_exact_equiv": _knn_oracle(0, duck_l2sq),
         "hnsw_exact_equiv": _knn_oracle(0, duck_l2sq),
         "hnswivf_exact_equiv": _knn_oracle(0, duck_l2sq),
+        "hnsw_filtered_equiv": _knn_oracle(0, duck_l2sq, "WHERE vec_id % 97 = 1"),
         "streaming_hnsw_equiv": _knn_oracle(1, duck_l2sq),
         "hnsw_invariants": """
             SELECT CAST(count(*) AS BIGINT) AS n_vectors, true AS recall_ok,
@@ -5404,6 +5427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_neardup_equiv": q_streaming_neardup_equiv,
         "streaming_hnsw_equiv": q_streaming_hnsw_equiv,
         "hnswivf_exact_equiv": q_hnswivf_exact_equiv,
+        "hnsw_filtered_equiv": q_hnsw_filtered_equiv,
         "merge_upsert": q_merge_upsert,
         # newest-green r2 (the oldest stale greens):
         "bm25_postings": q_bm25_postings,
@@ -5445,11 +5469,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "asof_forward": q_asof_forward,
         "asof_nearest": q_asof_nearest,
-        "bm25_consolidate": q_bm25_consolidate,
         # -- 51+: r3-green remainder (due next round) ---------------------
-        # (decontaminate_semantic / mix_domains / rag_pipeline displaced
-        # to here by merge_upsert, streaming_hnsw_equiv, and
-        # hnswivf_exact_equiv — never-checked beats stale-green)
+        # (decontaminate_semantic / mix_domains / rag_pipeline /
+        # bm25_consolidate displaced to here by the four extra round-5
+        # additions — never-checked beats stale-green)
+        "bm25_consolidate": q_bm25_consolidate,
         "rag_pipeline": q_rag_pipeline,
         "mix_domains": q_mix_domains,
         "decontaminate_semantic": q_decontaminate_semantic,

@@ -536,6 +536,62 @@ def hnsw_search(
     return out.orderBy(F.col("dist").asc(), F.col(index.id_col).asc()).limit(k)
 
 
+def hnsw_search_filtered(
+    index: HnswIndex,
+    base: DataFrame,
+    query,
+    pred,
+    k: int = 10,
+    ef: int = _EF_DEFAULT,
+    deleted: set | None = None,
+    nprobe: int | None = None,
+) -> DataFrame:
+    """Filtered ANN on the graph — the reference's own shape: the index
+    returns candidates, the predicate rechecks OUTSIDE the access
+    method, and when the filter starves the result the scan re-searches
+    with a doubled k (streaming-k, scan.c:240-292 + hnsw_select.sql's
+    WHERE + ORDER BY). Each round is one candidate sweep + one pruned
+    base join; the width doubles until k survivors exist or the graph is
+    exhausted (at which point the result is exact-filtered by
+    construction)."""
+    width = max(int(ef), int(k))
+    probe = nprobe
+    n_total = int(index.graphs.agg(F.sum("n")).first()[0] or 0)
+    spark = base.sparkSession
+    while True:
+        cand = (
+            hnsw_candidates(
+                index, query, k=width, ef=width, deleted=deleted, nprobe=probe
+            )
+            .orderBy(F.col("dist").asc(), F.col("__gid").asc())
+            .collect()
+        )
+        ids = [int(r["__gid"]) for r in cand]
+        dd = spark.createDataFrame(
+            [(int(r["__gid"]), float(r["dist"])) for r in cand],
+            f"{index.id_col} bigint, dist double",
+        )
+        out = (
+            base.filter(F.col(index.id_col).isin(ids))
+            .join(F.broadcast(dd), on=index.id_col)
+            .filter(pred)
+            .orderBy(F.col("dist").asc(), F.col(index.id_col).asc())
+            .limit(k)
+        )
+        exhausted = width >= n_total and (
+            probe is None or probe >= index.num_shards
+        )
+        if exhausted or len(out.take(k)) >= k:
+            return out
+        # the init_k doubling (options.h:44-45 caps the GUC at 1000; here
+        # the natural cap is the graph itself). Cluster routing widens
+        # BOTH knobs: a starved filter may need cells beyond the first
+        # nprobe as much as it needs a wider beam.
+        width *= 2
+        if probe is not None:
+            probe = min(index.num_shards, probe * 2)
+
+
 def hnsw_search_batch(
     index: HnswIndex,
     queries: list,

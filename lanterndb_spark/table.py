@@ -336,7 +336,10 @@ class LanternTable:
                 pred=pred, **search_params,
             )
         if kind == "hnsw":
-            from lanterndb_spark.operators.hnsw import hnsw_search
+            from lanterndb_spark.operators.hnsw import (
+                hnsw_search,
+                hnsw_search_filtered,
+            )
 
             if metric != index.metric:
                 raise ValueError(
@@ -344,20 +347,24 @@ class LanternTable:
                     f"metric={index.metric!r}; searched with {metric!r} "
                     "(rebuild with the wanted metric or use mode='exact')"
                 )
-            if pred is not None:
-                raise ValueError(
-                    "hnsw: pass pred-filtered knn through mode='exact' "
-                    "or an ivf index (filter composes before re-rank there)"
-                )
             # graph answers for the BASE rows (tombstones skipped at emit,
-            # scan.c:294-300); pending deltas aren't in the graphs yet, so
-            # they get an exact side-scan and the two top-k lists merge —
-            # the same visibility the reference gets from unflushed heap
-            # tuples. compact() folds deltas in via hnsw_insert.
+            # scan.c:294-300; predicates recheck outside the access method
+            # with streaming-k doubling, scan.c:240-292); pending deltas
+            # aren't in the graphs yet, so they get an exact side-scan and
+            # the two top-k lists merge — the same visibility the
+            # reference gets from unflushed heap tuples. compact() folds
+            # deltas in via hnsw_insert.
             deleted = set(self._tombstones) if self._tombstones else None
-            graph_top = hnsw_search(
-                index, self.df, query, k=k, deleted=deleted, **search_params
-            )
+            if pred is not None:
+                graph_top = hnsw_search_filtered(
+                    index, self.df, query, pred, k=k, deleted=deleted,
+                    **search_params,
+                )
+            else:
+                graph_top = hnsw_search(
+                    index, self.df, query, k=k, deleted=deleted,
+                    **search_params,
+                )
             if not self._deltas:
                 return graph_top
             delta = maintenance.with_deltas(self._deltas[0], *self._deltas[1:])
@@ -365,6 +372,8 @@ class LanternTable:
                 delta = maintenance.apply_tombstones(
                     delta, self._tombstones, self.id_col
                 )
+            if pred is not None:
+                delta = delta.filter(pred)
             delta_top = exact_knn(
                 delta, vec_col, query, k=k, metric=metric, id_col=self.id_col
             )

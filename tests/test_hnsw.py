@@ -284,3 +284,40 @@ def test_cluster_routing_save_load(emb, tmp_path, spark):
     b = [r["vec_id"] for r in hnsw_search(idx2, emb, q, k=5, ef=64, nprobe=2).collect()]
     assert a == b
     idx.graphs.unpersist(); idx2.graphs.unpersist()
+
+
+def test_filtered_search_streaming_k_doubling(emb, index):
+    """WHERE + ORDER BY on the graph route: predicate rechecks outside
+    the access method; a starving filter triggers the width doubling
+    until k survivors exist (scan.c:240-292); at exhaustion the result
+    equals the exact filtered knn."""
+    from lanterndb_spark.operators.hnsw import hnsw_search_filtered
+
+    q = qvec(emb, 0)
+    # label == 3 keeps ~1/7 of rows -> ef=8 must starve and double
+    pred = F.col("label") == 3
+    got = hnsw_search_filtered(index, emb, q, pred, k=10, ef=8).collect()
+    want = knn(emb, "embedding", q, k=10, id_col="vec_id", pred=pred).collect()
+    assert [r["vec_id"] for r in got] == [r["vec_id"] for r in want]
+    assert all(r["label"] == 3 for r in got)
+
+    # ultra-selective: fewer matches than k -> exhaustion returns ALL
+    # matches, exact-filtered
+    pred1 = F.col("vec_id") % 100 == 1
+    got2 = hnsw_search_filtered(index, emb, q, pred1, k=10, ef=8).collect()
+    want2 = knn(emb, "embedding", q, k=10, id_col="vec_id", pred=pred1).collect()
+    assert [r["vec_id"] for r in got2] == [r["vec_id"] for r in want2]
+
+
+def test_filtered_search_through_table_route(emb):
+    from lanterndb_spark.table import LanternTable
+
+    t = LanternTable(emb, "vec_id").create_index(
+        "embedding", kind="hnsw", m=8, ef_construction=64, num_shards=4, seed=42
+    )
+    q = qvec(emb, 0)
+    pred = F.col("label") == 3
+    got = [r["vec_id"] for r in t.knn("embedding", q, k=10, pred=pred, ef=16).collect()]
+    want = [r["vec_id"] for r in
+            t.knn("embedding", q, k=10, pred=pred, mode="exact").collect()]
+    assert got == want
