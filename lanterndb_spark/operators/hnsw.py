@@ -701,7 +701,9 @@ def hnsw_insert(index: HnswIndex, delta: DataFrame) -> HnswIndex:
         .persist()
     )
     graphs.count()
-    index.graphs.unpersist()
+    # the SOURCE index stays persisted and fully usable (immutable-handle
+    # semantics — the caller may keep serving from it); unpersist the old
+    # generation yourself when you retire it
     return index._replace(graphs=graphs)
 
 
@@ -736,7 +738,7 @@ def hnsw_compact(index: HnswIndex, deleted: set) -> HnswIndex:
         .persist()
     )
     graphs.count()
-    index.graphs.unpersist()
+    # source index left persisted — see hnsw_insert
     return index._replace(graphs=graphs)
 
 

@@ -58,9 +58,12 @@ class HnswIngest:
                 return
             self._last_batch_id = int(batch_id)
             # grow the existing shard graphs in place (aminsert,
-            # insert.c:51-262) — hnsw_insert persists the new generation
-            # and unpersists the old one
-            self.index = hnsw_insert(self.index, batch_df)
+            # insert.c:51-262); this handle OWNS its generations, so the
+            # superseded one unpersists here — lineage stays one
+            # generation deep
+            old = self.index
+            self.index = hnsw_insert(old, batch_df)
+            old.graphs.unpersist()
             self.batches += 1
 
         return write_batch
@@ -86,7 +89,10 @@ class HnswIngest:
     def compact(self) -> HnswIndex:
         """Vacuum: shard-local rebuilds drop the tombstoned rows; the
         tombstone set retires."""
-        self.index = hnsw_compact(self.index, self.tombstone_ids)
+        old = self.index
+        self.index = hnsw_compact(old, self.tombstone_ids)
+        if self.index is not old:
+            old.graphs.unpersist()
         self.tombstone_ids = set()
         return self.index
 

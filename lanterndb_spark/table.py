@@ -160,6 +160,8 @@ class LanternTable:
                 if self._tombstones:
                     # vacuum: shard-local rebuilds drop the dead rows
                     idx = hnsw_compact(idx, set(self._tombstones))
+                if idx is not index:
+                    index.graphs.unpersist()  # retire the pre-fold generation
                 self._indexes[vec_col] = (kind, idx)
         self.base = self.df
         self._deltas, self._tombstones = [], []
