@@ -331,12 +331,16 @@ def autotune_hnsw(
     target_recall: float = 0.95,
     num_shards: int | None = None,
     seed: int = 42,
+    routing: str = "hash",
+    nprobe_grid: tuple[int, ...] = (None,),
 ) -> tuple[TuneResult | None, list[TuneResult]]:
     """find_best_variant loop over the graph backend's knobs — ``m``
     trades build cost / graph degree, ``ef`` is the reference's search
-    GUC (options.c:337-348). One graph build per m; ef is search-time
-    only, exactly like the reference re-running hnsw.ef without
-    reindexing (index_autotune/mod.rs's grid shape)."""
+    GUC (options.c:337-348), and under ``routing='cluster'`` the
+    ``nprobe_grid`` sweeps the IVF-style shard-probe knob too. One
+    graph build per m; ef/nprobe are search-time only, exactly like the
+    reference re-running hnsw.ef without reindexing
+    (index_autotune/mod.rs's grid shape)."""
     from lanterndb_spark.operators.hnsw import build_hnsw, hnsw_search_batch
 
     queries = sample_queries(df, vec_col, n=n_queries, seed=seed)
@@ -346,26 +350,31 @@ def autotune_hnsw(
         t0 = time.monotonic()
         index = build_hnsw(
             df, vec_col, id_col=id_col, m=m, ef_construction=max(ef_grid),
-            num_shards=num_shards, seed=seed,
+            num_shards=num_shards, seed=seed, routing=routing,
         )
         build_s = time.monotonic() - t0
         for ef in ef_grid:
-            t1 = time.monotonic()
-            got = _collect_by_query(
-                hnsw_search_batch(index, queries, k=k, ef=ef), id_col
-            )
-            recs = [
-                recall_at_k(got.get(qi, []), truth.get(qi, []))
-                for qi in range(len(queries))
-            ]
-            results.append(
-                TuneResult(
-                    {"m": m, "ef": ef},
-                    sum(recs) / len(recs),
-                    (time.monotonic() - t1) / len(queries),
-                    build_s,
+            for nprobe in nprobe_grid:
+                t1 = time.monotonic()
+                got = _collect_by_query(
+                    hnsw_search_batch(index, queries, k=k, ef=ef, nprobe=nprobe),
+                    id_col,
                 )
-            )
+                recs = [
+                    recall_at_k(got.get(qi, []), truth.get(qi, []))
+                    for qi in range(len(queries))
+                ]
+                params = {"m": m, "ef": ef}
+                if nprobe is not None:
+                    params["nprobe"] = nprobe
+                results.append(
+                    TuneResult(
+                        params,
+                        sum(recs) / len(recs),
+                        (time.monotonic() - t1) / len(queries),
+                        build_s,
+                    )
+                )
         index.graphs.unpersist()
     ok = [r for r in results if r.recall >= target_recall]
     best = min(ok, key=lambda r: r.latency_s) if ok else None

@@ -27,6 +27,15 @@ the table and builds ONE NUMPY HNSW GRAPH PER SHARD:
 - delete: tombstoned ids are skipped at emit time (scan.c:294-300's
   INVALID_ELEMENT_LABEL skip); ``hnsw_compact`` is the vacuum moment —
   shard-local rebuilds without the dead rows.
+- filtered search: the predicate rechecks OUTSIDE the access method and
+  a starved top-k re-searches with doubled width
+  (``hnsw_search_filtered`` — the reference's streaming-k,
+  scan.c:240-292).
+- routing='cluster': shards are k-means cells instead of hash buckets
+  (the IVF-over-graphs composite); searches deserialize only the
+  ``nprobe`` nearest cells' graphs, so query cost scales with nprobe,
+  not shard count — the regime that holds when 100 TB means millions of
+  shards.
 
 100 TB shape: each shard graph is a bounded self-contained artifact
 (cap shard size via ``num_shards``; save/load round-trips them as

@@ -321,3 +321,17 @@ def test_filtered_search_through_table_route(emb):
     want = [r["vec_id"] for r in
             t.knn("embedding", q, k=10, pred=pred, mode="exact").collect()]
     assert got == want
+
+
+def test_autotune_hnsw_cluster_nprobe_grid(emb):
+    from lanterndb_spark.operators.autotune import autotune_hnsw
+
+    best, results = autotune_hnsw(
+        emb, "embedding", "vec_id", k=10, m_grid=(8,), ef_grid=(64,),
+        nprobe_grid=(1, 4), n_queries=3, target_recall=0.5,
+        num_shards=4, routing="cluster",
+    )
+    assert len(results) == 2
+    by_np = {r.params["nprobe"]: r.recall for r in results}
+    assert by_np[4] >= by_np[1]  # more probes never hurt recall
+    assert best is not None
