@@ -39,6 +39,7 @@ def _index_candidate_ids(idx, q, ef: int, id_col: str) -> DataFrame:
     """Top-ef ids for one term from an ANN index (the reference's
     candidate queries run against the per-column HNSW indexes,
     lantern.sql:769-806 — here the IVF / SRP backends stand in)."""
+    from lanterndb_spark.operators.hnsw import HnswIndex, hnsw_candidates
     from lanterndb_spark.operators.ivf import IvfIndex, ivf_search
     from lanterndb_spark.operators.lsh import SrpIndex, srp_search
 
@@ -48,6 +49,15 @@ def _index_candidate_ids(idx, q, ef: int, id_col: str) -> DataFrame:
         return srp_search(idx, q, k=ef, id_col=id_col).select(id_col)
     if isinstance(idx, IvfIndex):
         return ivf_search(idx, q, k=ef, id_col=id_col).select(id_col)
+    if isinstance(idx, HnswIndex):
+        # the graph backend IS the reference's per-column candidate index
+        # (lantern.sql:769-806 runs these against lantern_hnsw indexes)
+        return (
+            hnsw_candidates(idx, q, k=ef, ef=ef)
+            .orderBy(F.col("dist").asc(), F.col("__gid").asc())
+            .limit(ef)
+            .select(F.col("__gid").alias(id_col))
+        )
     raise TypeError(f"unsupported index type for hybrid candidates: {type(idx)!r}")
 
 

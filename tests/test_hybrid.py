@@ -98,3 +98,31 @@ def test_hybrid_index_backed_candidates_match_exact_scan(tables):
     assert [round(r["joint_dist"], 9) for r in got] == [
         round(r["joint_dist"], 9) for r in exact_scan
     ]
+
+
+def test_weighted_search_hnsw_candidate_index(spark, tables):
+    """weighted_search candidate mode probes a column's HNSW index —
+    the reference's per-column index-backed candidate queries
+    (lantern.sql:769-806) on the namesake backend. With ef spanning the
+    table, candidate mode must equal the exact run."""
+    from pyspark.sql import functions as F
+
+    from lanterndb_spark.operators.hybrid import weighted_vector_search
+    from lanterndb_spark.table import LanternTable
+
+    emb = tables["embeddings"]
+    df = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("v1"),
+        F.reverse("embedding").alias("v2"),
+    )
+    q1 = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    terms = [(1.0, "v1", q1), (0.5, "v2", list(reversed(q1)))]
+    t = LanternTable(df, "id").create_index(
+        "v1", kind="hnsw", m=8, ef_construction=64, num_shards=2, seed=42
+    )
+    n = df.count()
+    got = [r["id"] for r in t.weighted_search(terms, ef=n, limit=10).collect()]
+    want = [r["id"] for r in weighted_vector_search(
+        df, terms, id_col="id", ef=n, limit=10, exact=True).collect()]
+    assert got == want
