@@ -399,6 +399,15 @@ def build_hnsw(
       when 100 TB means millions of shards. ``nprobe = num_shards``
       degrades to the lossless hash behavior. l2sq only in this round.
 
+      WHEN IT HELPS (measured, DESIGN.md round 5): cluster routing
+      assumes the anisotropic geometry real-model embeddings have — on
+      a structured 200k corpus nprobe=2 of 8 cells keeps recall 1.0; on
+      ISOTROPIC iid-gaussian vectors neighbors scatter across cells and
+      nprobe=16 of 80 drops recall to 0.65 (the projected_knn
+      distance-concentration failure mode). Validate nprobe with
+      ``autotune_hnsw(routing='cluster', nprobe_grid=...)`` before
+      relying on it; prefer hash routing below thousands of shards.
+
     ``metric``: 'l2sq' or 'cos'. Cos graphs store ROW-NORMALIZED vectors
     and navigate with l2sq (identical ordering on the unit sphere:
     ||â-q̂||² = 2·cos_dist), emitting dist = raw/2; zero-norm rows are
