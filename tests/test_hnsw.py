@@ -335,3 +335,20 @@ def test_autotune_hnsw_cluster_nprobe_grid(emb):
     by_np = {r.params["nprobe"]: r.recall for r in results}
     assert by_np[4] >= by_np[1]  # more probes never hurt recall
     assert best is not None
+
+
+def test_empty_and_single_row_builds(spark):
+    """Empty build is valid (ldb_ambuildunlogged analogue, build.c:653-727
+    — searches return empty); a single-row graph serves itself."""
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    idx = build_hnsw(empty, "embedding", id_col="vec_id", num_shards=2, seed=1)
+    assert idx.graphs.count() == 0
+    assert hnsw_search(idx, empty, [1.0, 2.0], k=5).collect() == []
+    assert hnsw_search_batch(idx, [[1.0, 2.0]], k=5).collect() == []
+    idx.graphs.unpersist()
+
+    one = spark.createDataFrame([(7, [1.0, 2.0])], "vec_id long, embedding array<float>")
+    idx1 = build_hnsw(one, "embedding", id_col="vec_id", num_shards=2, seed=1)
+    got = hnsw_search(idx1, one, [1.0, 2.0], k=5).collect()
+    assert [r["vec_id"] for r in got] == [7]
+    idx1.graphs.unpersist()
