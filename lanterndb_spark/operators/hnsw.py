@@ -369,6 +369,28 @@ def _shard_expr(id_col: str, num_shards: int):
     return F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_shards)).cast("int")
 
 
+def _cluster_route_expr(spark, centroids: np.ndarray, vec_col: str, metric: str):
+    """Arrow-batched nearest-centroid id (the ivf._assign_expr shape);
+    under cos the rows are normalized INSIDE the UDF first — centroids
+    live in the unit-sphere space (spherical k-means), and a zero-norm
+    row routes to cell 0 (it never enters the graph anyway)."""
+    bc = spark.sparkContext.broadcast(centroids)
+    is_cos = metric == "cos"
+
+    @F.pandas_udf("int")
+    def assign(s: pd.Series) -> pd.Series:
+        c = bc.value
+        xs = np.asarray(s.tolist(), dtype=np.float64)
+        if is_cos:
+            nrm = np.linalg.norm(xs, axis=1, keepdims=True)
+            nrm[nrm == 0.0] = 1.0
+            xs = xs / nrm
+        d = (xs**2).sum(1)[:, None] - 2.0 * xs @ c.T + (c**2).sum(1)[None, :]
+        return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+    return assign(F.col(vec_col))
+
+
 def build_hnsw(
     df: DataFrame,
     vec_col: str,
@@ -397,7 +419,9 @@ def build_hnsw(
       deserializes only the ``nprobe`` nearest shards' graphs, so query
       cost scales with nprobe, NOT shard count — the shape that holds
       when 100 TB means millions of shards. ``nprobe = num_shards``
-      degrades to the lossless hash behavior. l2sq only in this round.
+      degrades to the lossless hash behavior. Under cos the cells are
+      spherical k-means (trained, assigned, and probed on the unit
+      sphere).
 
       WHEN IT HELPS (measured, DESIGN.md round 5): cluster routing
       assumes the anisotropic geometry real-model embeddings have — on
@@ -416,14 +440,11 @@ def build_hnsw(
         raise ValueError("hnsw metric must be 'l2sq' or 'cos'")
     if routing not in ("hash", "cluster"):
         raise ValueError("hnsw routing must be 'hash' or 'cluster'")
-    if routing == "cluster" and metric != "l2sq":
-        raise ValueError("cluster routing supports metric='l2sq' only")
     if num_shards is None:
         n = df.count()
         num_shards = max(1, min(1024, (n + shard_target - 1) // shard_target))
     centroids = None
     if routing == "cluster":
-        from lanterndb_spark.operators.ivf import _assign_expr
         from lanterndb_spark.operators.pq import _kmeans_numpy
 
         rows = (
@@ -435,9 +456,16 @@ def build_hnsw(
         if not rows:
             raise ValueError("cluster routing needs a non-empty table")
         x = np.asarray([r["v"] for r in rows], dtype=np.float64)
+        if metric == "cos":
+            # spherical: train on the unit sphere (zero rows dropped),
+            # the same space the graphs and probe argmin live in
+            nrm = np.linalg.norm(x, axis=1)
+            x = x[nrm > 0] / nrm[nrm > 0][:, None]
+            if not len(x):
+                raise ValueError("cluster routing needs non-zero vectors")
         centroids = _kmeans_numpy(x, num_shards, seed=seed).astype(np.float64)
         num_shards = len(centroids)
-        shard_col = _assign_expr(df.sparkSession, centroids, vec_col)
+        shard_col = _cluster_route_expr(df.sparkSession, centroids, vec_col, metric)
     else:
         shard_col = _shard_expr(id_col, num_shards)
     src = df.select(
@@ -676,11 +704,12 @@ def hnsw_insert(index: HnswIndex, delta: DataFrame) -> HnswIndex:
     through unchanged."""
     m, efc, seed = index.m, index.ef_construction, index.seed
     if index.centroids is not None:
-        from lanterndb_spark.operators.ivf import _assign_expr
-
         # cluster routing: the delta assigns to the FROZEN centroids,
-        # exactly like ivf_assign (no re-cluster on insert)
-        route = _assign_expr(delta.sparkSession, index.centroids, index.vec_col)
+        # exactly like ivf_assign (no re-cluster on insert); cos deltas
+        # normalize inside the route UDF like the base build did
+        route = _cluster_route_expr(
+            delta.sparkSession, index.centroids, index.vec_col, index.metric
+        )
     else:
         route = _shard_expr(index.id_col, index.num_shards)
     src = delta.select(

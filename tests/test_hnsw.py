@@ -352,3 +352,28 @@ def test_empty_and_single_row_builds(spark):
     got = hnsw_search(idx1, one, [1.0, 2.0], k=5).collect()
     assert [r["vec_id"] for r in got] == [7]
     idx1.graphs.unpersist()
+
+
+def test_cos_cluster_routing_full_probe(emb, spark):
+    """Spherical cluster routing: cos metric + k-means cells on the unit
+    sphere. Full probe == exact cos knn; a twin inserted through the
+    frozen-centroid route lands in its query's cell (nprobe=1 finds it)."""
+    idx = build_hnsw(
+        emb, "embedding", id_col="vec_id", m=8, ef_construction=64,
+        num_shards=3, seed=42, metric="cos", routing="cluster",
+    )
+    assert idx.centroids is not None
+    n = emb.count()
+    assert idx.graphs.agg(F.sum("n")).first()[0] == n
+    q = qvec(emb, 11)
+    got = hnsw_search(idx, emb, q, k=10, ef=n, nprobe=3).collect()
+    want = knn(emb, "embedding", q, k=10, metric="cos", id_col="vec_id").collect()
+    assert [r["vec_id"] for r in got] == [r["vec_id"] for r in want]
+
+    twin = spark.createDataFrame([(90_004, q)], "vec_id long, embedding array<float>")
+    idx2 = hnsw_insert(idx, twin)
+    got2 = [r["vec_id"] for r in
+            hnsw_search_batch(idx2, [q], k=2, ef=64, nprobe=1).collect()]
+    assert 90_004 in got2
+    idx2.graphs.unpersist()
+    idx.graphs.unpersist()
