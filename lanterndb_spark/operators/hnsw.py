@@ -272,7 +272,10 @@ class _Graph:
             skip = {int(i) for i, g in enumerate(self.ids) if int(g) in skip_ids}
         q = np.asarray(q, dtype=np.float64)
         qnorm = float(q @ q)
-        width = max(int(ef), int(k))
+        # tombstones are dropped AFTER the beam (scan.c's label skip), so
+        # widen by the skip count — otherwise deleting the m nearest rows
+        # could starve the survivors below k while live rows exist
+        width = max(int(ef), int(k) + (len(skip) if skip else 0))
         if width >= n:
             ds = self.norms - 2.0 * (self.X @ q) + qnorm
             order = np.argsort(ds, kind="stable")
@@ -514,6 +517,8 @@ def _probe_shards(index: HnswIndex, q, nprobe: int | None):
     """Cluster-routed probe list (driver-side argmin over the tiny
     centroid matrix — IVF's probe selection); None = search every shard
     (hash routing, or nprobe unset/full)."""
+    if nprobe is not None and nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
     if index.centroids is None or nprobe is None or nprobe >= index.num_shards:
         return None
     d = ((index.centroids - np.asarray(q, dtype=np.float64)[None, :]) ** 2).sum(1)
@@ -602,7 +607,8 @@ def hnsw_search_filtered(
     construction)."""
     width = max(int(ef), int(k))
     probe = nprobe
-    n_total = int(index.graphs.agg(F.sum("n")).first()[0] or 0)
+    n_total = None  # computed lazily on first starvation — the common
+    # round-1-success case never pays the extra aggregation job
     spark = base.sparkSession
     while True:
         cand = (
@@ -624,11 +630,12 @@ def hnsw_search_filtered(
             .orderBy(F.col("dist").asc(), F.col(index.id_col).asc())
             .limit(k)
         )
-        exhausted = width >= n_total and (
-            probe is None or probe >= index.num_shards
-        )
-        if exhausted or len(out.take(k)) >= k:
+        if len(out.take(k)) >= k:
             return out
+        if n_total is None:
+            n_total = int(index.graphs.agg(F.sum("n")).first()[0] or 0)
+        if width >= n_total and (probe is None or probe >= index.num_shards):
+            return out  # graph exhausted: result is exact-filtered
         # the init_k doubling (options.h:44-45 caps the GUC at 1000; here
         # the natural cap is the graph itself). Cluster routing widens
         # BOTH knobs: a starved filter may need cells beyond the first
@@ -815,12 +822,18 @@ def load_hnsw(spark, path: str) -> HnswIndex:
     graphs = spark.read.parquet(f"{path}/graphs").persist()
     r = spark.read.parquet(f"{path}/meta").first()
     centroids = None
+    from pyspark.errors import AnalysisException
+
     try:
         rows = spark.read.parquet(f"{path}/centroids").collect()
         centroids = np.array(
             [r["centroid"] for r in sorted(rows, key=lambda r: r["shard"])]
         )
-    except Exception:  # noqa: BLE001 — hash-routed indexes have none
+    except AnalysisException:
+        # path absent = a hash-routed index (no centroids saved). Any
+        # OTHER failure must raise: silently degrading a cluster-routed
+        # index to hash routing would misroute every future insert and
+        # make nprobe searches permanently lossy.
         pass
     return HnswIndex(
         graphs, r["vec_col"], r["id_col"], r["m"], r["efc"],

@@ -52,11 +52,14 @@ class AnnIngest:
             # same batch_id — replaying would append the delta twice
             if self._last_batch_id is not None and batch_id <= self._last_batch_id:
                 return
-            self._last_batch_id = int(batch_id)
             # assign against the frozen centroids — no retrain, like
             # aminsert appending to the existing graph
             self.deltas.append(ivf_assign(self.index, batch_df))
             self.batches += 1
+            # marker moves ONLY after success: a failed batch must stay
+            # replayable (recording it up front would turn at-least-once
+            # into silent at-most-once on retry)
+            self._last_batch_id = int(batch_id)
 
         return write_batch
 

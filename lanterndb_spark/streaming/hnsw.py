@@ -56,7 +56,6 @@ class HnswIngest:
             # same batch_id — replaying would insert the rows twice
             if self._last_batch_id is not None and batch_id <= self._last_batch_id:
                 return
-            self._last_batch_id = int(batch_id)
             # grow the existing shard graphs in place (aminsert,
             # insert.c:51-262); this handle OWNS its generations, so the
             # superseded one unpersists here — lineage stays one
@@ -65,6 +64,8 @@ class HnswIngest:
             self.index = hnsw_insert(old, batch_df)
             old.graphs.unpersist()
             self.batches += 1
+            # marker moves ONLY after success (see streaming/ann.py)
+            self._last_batch_id = int(batch_id)
 
         return write_batch
 

@@ -52,7 +52,6 @@ class NearDupIngest:
             # store and re-emit the batch's pairs
             if self._last_batch_id is not None and batch_id <= self._last_batch_id:
                 return
-            self._last_batch_id = int(batch_id)
             # eager localCheckpoint, not persist: a cached plan still embeds
             # its full lineage, so after N batches the store would nest N
             # batch plans (the connected_components lesson, dedup.py)
@@ -81,6 +80,8 @@ class NearDupIngest:
             self.pairs = found if self.pairs is None else self.pairs.unionByName(found)
             self.sigs = new_sigs if self.sigs is None else self.sigs.unionByName(new_sigs)
             self.batches += 1
+            # marker moves ONLY after success (see streaming/ann.py)
+            self._last_batch_id = int(batch_id)
 
         return write_batch
 

@@ -85,7 +85,6 @@ class Scd2Ingest:
             # duplicate versions for keys whose rows replay
             if self._last_batch_id is not None and batch_id <= self._last_batch_id:
                 return
-            self._last_batch_id = int(batch_id)
             changes = self._batch_changes(batch_df)
             if self.tiebreak_col is not None:
                 changes = changes.withColumn(
@@ -113,6 +112,8 @@ class Scd2Ingest:
             # connected_components lesson, operators/dedup.py)
             self.history = new_hist.localCheckpoint(eager=True)
             self.batches += 1
+            # marker moves ONLY after success (see streaming/ann.py)
+            self._last_batch_id = int(batch_id)
 
         return write_batch
 

@@ -65,7 +65,6 @@ class SpanDedupIngest:
             # spans below min_docs
             if self._last_batch_id is not None and batch_id <= self._last_batch_id:
                 return
-            self._last_batch_id = int(batch_id)
             post = span_postings(
                 batch_df, self.id_col, self.text_col, self.min_len
             ).persist()
@@ -91,14 +90,20 @@ class SpanDedupIngest:
             )
             # eager localCheckpoint: materializes BEFORE the store mutates
             # (lazy plans must not see counts from batches after their own)
-            # AND truncates lineage so N batches never nest N batch plans
+            # AND truncates lineage so N batches never nest N batch plans.
+            # BOTH Spark actions run before ANY self-mutation, so a failed
+            # batch leaves the handle exactly as it was and the retry
+            # replays cleanly.
             found = merge_islands(hits, self.id_col).localCheckpoint(eager=True)
+            new_store = nd.localCheckpoint(eager=True)
             self.spans = (
                 found if self.spans is None else self.spans.unionByName(found)
             )
-            self.store = nd.localCheckpoint(eager=True)
+            self.store = new_store
             post.unpersist()
             self.batches += 1
+            # marker moves ONLY after success (see streaming/ann.py)
+            self._last_batch_id = int(batch_id)
 
         return write_batch
 

@@ -89,28 +89,22 @@ class LanternTable:
         row set (REINDEX moment — without it the index would keep serving
         deleted rows and miss inserted ones after the lists reset)."""
         for vec_col, (kind, index) in list(self._indexes.items()):
-            if kind == "ivf":
+            if kind in ("ivf", "ivfsq"):
                 from lanterndb_spark.operators.ivf import IvfIndex, ivf_assign
 
-                assigned = maintenance.with_deltas(
-                    index.assigned, *[ivf_assign(index, d) for d in self._deltas]
-                )
-                if self._tombstones:
-                    assigned = maintenance.apply_tombstones(
-                        assigned, self._tombstones, self.id_col
-                    )
-                self._indexes[vec_col] = (kind, IvfIndex(assigned, index.centroids, vec_col))
-            elif kind == "ivfsq":
-                from lanterndb_spark.operators.ivf import IvfIndex, ivf_assign
-                from lanterndb_spark.operators.sq import sq8_quantize
+                if kind == "ivfsq":
+                    # deltas arrive uncoded: assign to the frozen
+                    # centroids, then quantize so their schema matches
+                    # the coded base (same order the knn() read path uses)
+                    from lanterndb_spark.operators.sq import sq8_quantize
 
-                # deltas arrive uncoded: assign to the frozen centroids,
-                # then quantize so their schema matches the coded base
-                # (same order the knn() read path uses)
+                    def prep(d):
+                        return sq8_quantize(ivf_assign(index, d), vec_col)
+                else:
+                    def prep(d):
+                        return ivf_assign(index, d)
                 assigned = maintenance.with_deltas(
-                    index.assigned,
-                    *[sq8_quantize(ivf_assign(index, d), vec_col)
-                      for d in self._deltas],
+                    index.assigned, *[prep(d) for d in self._deltas]
                 )
                 if self._tombstones:
                     assigned = maintenance.apply_tombstones(
@@ -159,7 +153,13 @@ class LanternTable:
                     idx = hnsw_insert(idx, delta)
                 if self._tombstones:
                     # vacuum: shard-local rebuilds drop the dead rows
+                    mid = idx
                     idx = hnsw_compact(idx, set(self._tombstones))
+                    if mid is not index and idx is not mid:
+                        # the insert-fold generation was superseded in the
+                        # same compact — retire it too (CacheManager never
+                        # auto-evicts persisted blobs)
+                        mid.graphs.unpersist()
                 if idx is not index:
                     index.graphs.unpersist()  # retire the pre-fold generation
                 self._indexes[vec_col] = (kind, idx)

@@ -377,3 +377,39 @@ def test_cos_cluster_routing_full_probe(emb, spark):
     assert 90_004 in got2
     idx2.graphs.unpersist()
     idx.graphs.unpersist()
+
+
+def test_tombstones_cannot_starve_topk(emb, index):
+    """Deleting many of the nearest neighbors must not shrink the result
+    below k while live rows exist — the beam widens by the skip count
+    (the emit-time label skip would otherwise eat the whole beam)."""
+    q = qvec(emb, 0)
+    # tombstone the 60 nearest — more than ef=64 leaves room for
+    nearest = [r["vec_id"] for r in
+               knn(emb, "embedding", q, k=60, id_col="vec_id").collect()]
+    dead = set(nearest)
+    got = hnsw_search(index, emb, q, k=10, ef=64, deleted=dead).collect()
+    assert len(got) == 10
+    assert not dead & {r["vec_id"] for r in got}
+    # and the survivors are the TRUE next-best: equal to exact knn over
+    # the live rows (full probe)
+    n = emb.count()
+    got_full = [r["vec_id"] for r in
+                hnsw_search(index, emb, q, k=10, ef=n, deleted=dead).collect()]
+    want = [r["vec_id"] for r in
+            knn(emb.filter(~F.col("vec_id").isin(list(dead))), "embedding",
+                q, k=10, id_col="vec_id").collect()]
+    assert got_full == want
+
+
+def test_nprobe_validation(emb):
+    idx = build_hnsw(
+        emb, "embedding", id_col="vec_id", m=8, ef_construction=64,
+        num_shards=3, seed=42, routing="cluster",
+    )
+    q = qvec(emb, 0)
+    with pytest.raises(ValueError):
+        hnsw_search(idx, emb, q, k=5, nprobe=0)
+    with pytest.raises(ValueError):
+        hnsw_search_batch(idx, [q], k=5, nprobe=-1)
+    idx.graphs.unpersist()
