@@ -231,3 +231,78 @@ def test_containment_matches_brute_force(spark, token_lists):
             if c >= T:
                 want[(a, b)] = round(c, 9)
     assert got == want
+
+
+# ------------------------------------------------ HNSW graph-core properties
+# Pure-numpy (no Spark job per example), so examples can be plentiful.
+
+GRAPH_SET = settings(max_examples=25, deadline=None)
+
+
+@GRAPH_SET
+@given(
+    n=st.integers(min_value=1, max_value=300),
+    d=st.integers(min_value=2, max_value=24),
+    m=st.sampled_from([4, 8, 16]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_hnsw_full_probe_is_exact(n, d, m, seed):
+    """ef >= n must reproduce the brute-force ranking for ANY graph shape
+    — the degenerate contract every exact-equiv oracle row leans on."""
+    from lanterndb_spark.operators.hnsw import _Graph
+
+    rs = np.random.RandomState(seed)
+    X = rs.standard_normal((n, d))
+    ids = np.arange(n, dtype=np.int64) * 3 + 1
+    g = _Graph(ids, X, m, 32, seed)
+    q = rs.standard_normal(d)
+    got, gd = g.search(q, min(10, n), n)
+    ds = ((X - q) ** 2).sum(1)
+    order = np.argsort(ds, kind="stable")
+    want = ids[order[: len(got)]]
+    assert got.tolist() == want.tolist()
+    assert np.allclose(gd, ds[order[: len(got)]])
+
+
+@GRAPH_SET
+@given(
+    n=st.integers(min_value=2, max_value=200),
+    n_add=st.integers(min_value=1, max_value=50),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_hnsw_incremental_add_full_probe_exact(n, n_add, seed):
+    """build(X).add(Y) must serve X ∪ Y exactly under full probe — the
+    aminsert contract (insert.c: the grown graph is a first-class
+    graph, not a side set)."""
+    from lanterndb_spark.operators.hnsw import _Graph
+
+    rs = np.random.RandomState(seed)
+    d = 8
+    X, Y = rs.standard_normal((n, d)), rs.standard_normal((n_add, d))
+    g = _Graph(np.arange(n, dtype=np.int64), X, 8, 32, seed)
+    g.add(np.arange(n, n + n_add, dtype=np.int64), Y, seed)
+    q = rs.standard_normal(d)
+    total = n + n_add
+    got, _ = g.search(q, min(10, total), total)
+    A = np.vstack([X, Y])
+    ds = ((A - q) ** 2).sum(1)
+    want = np.argsort(ds, kind="stable")[: len(got)]
+    assert got.tolist() == want.tolist()
+
+
+@GRAPH_SET
+@given(
+    n=st.integers(min_value=1, max_value=150),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_hnsw_blob_roundtrip_preserves_search(n, seed):
+    from lanterndb_spark.operators.hnsw import _Graph
+
+    rs = np.random.RandomState(seed)
+    X = rs.standard_normal((n, 6))
+    g = _Graph(np.arange(n, dtype=np.int64), X, 8, 32, seed)
+    g2 = _Graph.from_blob(g.to_blob())
+    q = rs.standard_normal(6)
+    a, _ = g.search(q, min(5, n), 16)
+    b, _ = g2.search(q, min(5, n), 16)
+    assert a.tolist() == b.tolist()
