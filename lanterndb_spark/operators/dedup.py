@@ -411,7 +411,7 @@ def minhash_lsh_pairs(
     verify: bool | str = True,
     auto_estimate_threshold: int = 200_000,
     max_bucket: int | None = 1_000,
-    verify_scope: str = "corpus",
+    verify_scope: str = "auto",
 ) -> DataFrame:
     """Near-dup pairs via banded MinHash LSH.
 
@@ -421,14 +421,16 @@ def minhash_lsh_pairs(
 
     - ``verify=True`` / ``"exact"``: join shingle sets back, exact
       Jaccard ≥ threshold — full precision. ``verify_scope`` picks how
-      the shingles reach the join: ``"corpus"`` (default) re-tokenizes
-      the whole input in one streaming pass — zero extra jobs, the right
-      trade up to corpora where a second pass is material; or
-      ``"candidates"`` — a broadcast semi-join on the candidate ids
-      prunes the re-scan so the verify join touches a candidate-sized
-      shingle table, never a corpus-sized one (true near-dups are
-      sparse), the right trade at cluster scale where ~2 s of fixed
-      pruning overhead is nothing against a full second pass.
+      the shingles reach the join: ``"corpus"`` re-tokenizes the whole
+      input in one streaming pass — zero extra jobs, the right trade for
+      small corpora; ``"candidates"`` — a broadcast semi-join on the
+      candidate ids prunes the re-scan so the verify join touches a
+      candidate-sized shingle table, never a corpus-sized one (true
+      near-dups are sparse), the right trade at scale where the
+      semi-join's fixed overhead is nothing against a full second pass;
+      ``"auto"`` (default) picks by the measured ~20k-doc crossover
+      (DESIGN.md round 5) using one cheap count over the persisted
+      signatures.
     - ``verify="estimate"``: estimated Jaccard = fraction of agreeing
       minhash coordinates — zero extra joins (signatures are already in
       hand from banding), stderr ≈ 1/√num_hashes (~0.125 at 64). The
@@ -554,6 +556,13 @@ def minhash_lsh_pairs(
             .select("id_a", "id_b", "jaccard")
         )
         return attach_persisted(out, *persisted, cand)
+    if verify_scope == "auto":
+        # measured crossover (DESIGN.md round 5): corpus-scope wins at
+        # 5k docs (3.3 vs 4.0 s — the semi-join's fixed overhead
+        # dominates), candidates-scope wins from ~50k (7.4 vs 13.0 s at
+        # 50k; 15.7 vs 24.3 s at 500k). The doc count is one cheap job
+        # over the already-persisted signature projection.
+        verify_scope = "candidates" if wide.count() >= 20_000 else "corpus"
     if verify_scope == "candidates":
         # re-shingle ONLY the docs that appear in a candidate pair. True
         # near-dups are sparse, so |candidate docs| << |corpus|;
