@@ -1442,6 +1442,29 @@ def q_hnsw_filtered_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_out(out, ["vec_id", "label"], "dist")
 
 
+def q_hnsw_hamming_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming metric on the graph backend: int32 rows expand to 0/1
+    bits and l2sq-of-bits IS the hamming distance (hnsw.c:308-319 bit
+    layout), so full probe must reproduce the exact hamming knn with
+    integer-exact distances. Oracle = the knn_hamming DuckDB query."""
+    from lanterndb_spark.operators.hnsw import build_hnsw, hnsw_search
+
+    emb = _emb(spark, sf_dir).withColumn(
+        "iv", F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") * 10).cast("int")
+        )
+    ).select("vec_id", "label", "iv")
+    n = emb.count()
+    q = [int(x) for x in emb.filter(F.col("vec_id") == 3).first()["iv"]]
+    idx = build_hnsw(
+        emb, "iv", id_col="vec_id", m=8, ef_construction=64,
+        num_shards=3, seed=42, metric="hamming",
+    )
+    out = hnsw_search(idx, emb, q, k=10, ef=n)
+    idx.graphs.unpersist()
+    return out.select("vec_id", "label", F.col("dist").cast("int").alias("dist"))
+
+
 def q_streaming_hnsw_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """streaming/hnsw.py contract with a FULL hash-compared oracle:
     stream half the embeddings (real micro-batches) into graphs built on
@@ -4066,6 +4089,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_cos": _knn_oracle(7, duck_cos),
         "knn_filtered": _knn_oracle(0, duck_l2sq, where="WHERE label = 3"),
         "knn_hamming": hamming,
+        "hnsw_hamming_equiv": hamming,
         "knn_join": f"""
             SELECT q_id, vec_id, label, round(d, {ROUND}) + 0.0 AS dist FROM (
               SELECT q.vec_id AS q_id, t.vec_id, t.label, t.d
@@ -5400,11 +5424,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     - Entries 1-50 (the round-5 window): the four rows that have never
       gone driver-green (containment/mask_spans/pipeline_spans/pr_curve
-      were added in r4's 51+ overflow), the EIGHT queries new this round
-      (six hnsw/streaming equivalences + hnsw_invariants +
+      were added in r4's 51+ overflow), the NINE queries new this round
+      (seven hnsw/streaming equivalences + hnsw_invariants +
       merge_upsert), all seventeen rows whose newest green is round 2,
-      and twenty-one of the forty-nine round-3-green rows
-      (machinery-diverse picks; the other twenty-eight rotate in next
+      and twenty of the forty-nine round-3-green rows
+      (machinery-diverse picks; the other twenty-nine rotate in next
       round).
     - Entries 51+: the remaining r3-green rows, then the fifty rows the
       driver just proved green in round 4 (youngest green — safest to
@@ -5429,6 +5453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hnsw_equiv": q_streaming_hnsw_equiv,
         "hnswivf_exact_equiv": q_hnswivf_exact_equiv,
         "hnsw_filtered_equiv": q_hnsw_filtered_equiv,
+        "hnsw_hamming_equiv": q_hnsw_hamming_equiv,
         "merge_upsert": q_merge_upsert,
         # newest-green r2 (the oldest stale greens):
         "bm25_postings": q_bm25_postings,
@@ -5448,7 +5473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q7": q_tpch_q7,
         "tpch_q10": q_tpch_q10,
         "tpch_q18": q_tpch_q18,
-        # newest-green r3 (21 of 49 after the four displacements below;
+        # newest-green r3 (20 of 49 after the five displacements below;
         # rest rotate next round):
         "knn_l2sq": q_knn_l2sq,
         "knn_join": q_knn_join,
@@ -5470,11 +5495,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlap_join": q_overlap_join,
         "sessionize": q_sessionize,
         "asof_forward": q_asof_forward,
-        "asof_nearest": q_asof_nearest,
         # -- 51+: r3-green remainder (due next round) ---------------------
         # (decontaminate_semantic / mix_domains / rag_pipeline /
-        # bm25_consolidate displaced to here by the four extra round-5
-        # additions — never-checked beats stale-green)
+        # bm25_consolidate / asof_nearest displaced to here by the five
+        # extra round-5 additions — never-checked beats stale-green)
+        "asof_nearest": q_asof_nearest,
         "bm25_consolidate": q_bm25_consolidate,
         "rag_pipeline": q_rag_pipeline,
         "mix_domains": q_mix_domains,

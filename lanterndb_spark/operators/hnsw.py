@@ -358,6 +358,18 @@ class HnswIndex(NamedTuple):
     centroids: object = None  # (num_shards, dim) numpy when cluster-routed
 
 
+def _bits_rows(arrs) -> np.ndarray:
+    """int32-array rows -> 0/1 float64 bit matrix (32 bits per element,
+    sign-masked — the reference's bit layout, hnsw.c:308-319). l2sq of
+    0/1 vectors IS the hamming distance, so the hamming metric reuses
+    the entire l2 graph core unchanged; the cost is memory (8 B per bit
+    in the live graph, 4 B in the blob vs the reference's packed bits) —
+    cap ``shard_target`` lower for wide binary vectors."""
+    A = np.asarray(arrs, dtype=np.int64) & 0xFFFFFFFF
+    u = A.astype(np.uint32)
+    return np.unpackbits(u.view(np.uint8), axis=1).astype(np.float64)
+
+
 def _norm_rows(ids, X):
     """(ids, row-normalized X) with zero-norm rows DROPPED — the cos
     graph analogue of the engine's NULL-on-zero-norm convention
@@ -378,16 +390,18 @@ def _cluster_route_expr(spark, centroids: np.ndarray, vec_col: str, metric: str)
     live in the unit-sphere space (spherical k-means), and a zero-norm
     row routes to cell 0 (it never enters the graph anyway)."""
     bc = spark.sparkContext.broadcast(centroids)
-    is_cos = metric == "cos"
 
     @F.pandas_udf("int")
     def assign(s: pd.Series) -> pd.Series:
         c = bc.value
-        xs = np.asarray(s.tolist(), dtype=np.float64)
-        if is_cos:
-            nrm = np.linalg.norm(xs, axis=1, keepdims=True)
-            nrm[nrm == 0.0] = 1.0
-            xs = xs / nrm
+        if metric == "hamming":
+            xs = _bits_rows(s.tolist())
+        else:
+            xs = np.asarray(s.tolist(), dtype=np.float64)
+            if metric == "cos":
+                nrm = np.linalg.norm(xs, axis=1, keepdims=True)
+                nrm[nrm == 0.0] = 1.0
+                xs = xs / nrm
         d = (xs**2).sum(1)[:, None] - 2.0 * xs @ c.T + (c**2).sum(1)[None, :]
         return pd.Series(d.argmin(axis=1).astype(np.int32))
 
@@ -439,8 +453,8 @@ def build_hnsw(
     and navigate with l2sq (identical ordering on the unit sphere:
     ||â-q̂||² = 2·cos_dist), emitting dist = raw/2; zero-norm rows are
     excluded (see _norm_rows)."""
-    if metric not in ("l2sq", "cos"):
-        raise ValueError("hnsw metric must be 'l2sq' or 'cos'")
+    if metric not in ("l2sq", "cos", "hamming"):
+        raise ValueError("hnsw metric must be 'l2sq', 'cos', or 'hamming'")
     if routing not in ("hash", "cluster"):
         raise ValueError("hnsw routing must be 'hash' or 'cluster'")
     if num_shards is None:
@@ -458,7 +472,10 @@ def build_hnsw(
         )
         if not rows:
             raise ValueError("cluster routing needs a non-empty table")
-        x = np.asarray([r["v"] for r in rows], dtype=np.float64)
+        if metric == "hamming":
+            x = _bits_rows([r["v"] for r in rows])
+        else:
+            x = np.asarray([r["v"] for r in rows], dtype=np.float64)
         if metric == "cos":
             # spherical: train on the unit sphere (zero rows dropped),
             # the same space the graphs and probe argmin live in
@@ -480,9 +497,12 @@ def build_hnsw(
     def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(pdf["__shard"].iloc[0])
         ids = pdf["__gid"].to_numpy()
-        X = np.asarray(pdf["__gv"].tolist(), dtype=np.float64)
-        if metric == "cos":
-            ids, X = _norm_rows(ids, X)
+        if metric == "hamming":
+            X = _bits_rows(pdf["__gv"].tolist())
+        else:
+            X = np.asarray(pdf["__gv"].tolist(), dtype=np.float64)
+            if metric == "cos":
+                ids, X = _norm_rows(ids, X)
         g = _Graph(ids, X, m, ef_construction, seed ^ shard)
         return pd.DataFrame(
             {"shard": [shard], "n": [len(ids)], "blob": [g.to_blob()]}
@@ -503,7 +523,10 @@ def build_hnsw(
 
 def _prep_query(index: HnswIndex, query):
     """(query-as-searched, dist scale): cos normalizes the query and
-    halves the unit-sphere l2sq (= cos_dist exactly)."""
+    halves the unit-sphere l2sq (= cos_dist exactly); hamming expands
+    the int32 query to its 0/1 bits (l2sq of bits = hamming exactly)."""
+    if index.metric == "hamming":
+        return _bits_rows([list(query)])[0].tolist(), 1.0
     q = np.asarray([float(x) for x in query], dtype=np.float64)
     if index.metric == "cos":
         n = float(np.linalg.norm(q))
@@ -734,7 +757,9 @@ def hnsw_insert(index: HnswIndex, delta: DataFrame) -> HnswIndex:
             np.asarray(dpdf["__gv"].tolist(), dtype=np.float64)
             if len(dpdf) else np.empty((0, 0))
         )
-        if metric == "cos" and len(dids):
+        if metric == "hamming" and len(dids):
+            dX = _bits_rows(dpdf["__gv"].tolist())
+        elif metric == "cos" and len(dids):
             dids, dX = _norm_rows(dids, dX)
         if len(gpdf) == 0:
             # brand-new shard (possible when the base build saw no rows

@@ -413,3 +413,34 @@ def test_nprobe_validation(emb):
     with pytest.raises(ValueError):
         hnsw_search_batch(idx, [q], k=5, nprobe=-1)
     idx.graphs.unpersist()
+
+
+def test_hamming_metric_full_probe_and_insert(emb, spark):
+    """Hamming graphs: int32 rows expand to 0/1 bits and l2sq-of-bits IS
+    the hamming distance (hnsw.c:308-319 bit layout), so full probe must
+    equal the exact hamming knn, including the emitted integer
+    distances."""
+    iv = emb.withColumn(
+        "iv", F.transform("embedding",
+                          lambda x: F.floor(x.cast("double") * 10).cast("int"))
+    ).select("vec_id", "label", "iv")
+    idx = build_hnsw(
+        iv, "iv", id_col="vec_id", m=8, ef_construction=64,
+        num_shards=3, seed=42, metric="hamming",
+    )
+    n = iv.count()
+    q = [int(x) for x in iv.filter(F.col("vec_id") == 3).first()["iv"]]
+    got = hnsw_search(idx, iv, q, k=10, ef=n).collect()
+    want = knn(iv, "iv", q, k=10, metric="hamming", id_col="vec_id").collect()
+    assert [r["vec_id"] for r in got] == [r["vec_id"] for r in want]
+    for g, w in zip(got, want):
+        assert int(g["dist"]) == int(w["dist"])  # integer-exact
+
+    # aminsert: a bit-identical twin lands at distance 0
+    twin = spark.createDataFrame([(90_005, q)], "vec_id long, iv array<int>")
+    idx2 = hnsw_insert(idx, twin)
+    top = hnsw_search_batch(idx2, [q], k=2, ef=64).collect()
+    assert {r["vec_id"] for r in top} >= {90_005}
+    assert min(r["dist"] for r in top) == 0.0
+    idx2.graphs.unpersist()
+    idx.graphs.unpersist()
