@@ -1346,6 +1346,7 @@ def q_hnsw_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  deleted={TWIN}).collect()]
     tomb_ok = TWIN not in skipped
     idx2.graphs.unpersist()
+    idx.graphs.unpersist()  # the pre-insert generation is persisted too
     return spark.createDataFrame(
         [(emb.count(), recall_ok, twin_ok, tomb_ok)],
         "n_vectors bigint, recall_ok boolean, twin_in_top2 boolean, "
