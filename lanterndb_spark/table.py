@@ -204,7 +204,10 @@ class LanternTable:
         return self
 
     def drop_index(self, vec_col: str) -> "LanternTable":
-        self._indexes.pop(vec_col, None)
+        dropped = self._indexes.pop(vec_col, None)
+        if dropped is not None and dropped[0] == "hnsw":
+            # graph blobs are persisted; CacheManager never auto-evicts
+            dropped[1].graphs.unpersist()
         return self
 
     def get_indexes(self) -> list[dict]:
@@ -246,9 +249,11 @@ class LanternTable:
         after heavy churn."""
         self.base = self.df
         self._deltas, self._tombstones = [], []
-        for vec_col, (kind, _idx) in list(self._indexes.items()):
+        for vec_col, (kind, old_idx) in list(self._indexes.items()):
             params = dict(self._build_params.get(("index", vec_col), {"kind": kind}))
             self.create_index(vec_col, **params)
+            if kind == "hnsw":
+                old_idx.graphs.unpersist()  # retire the replaced generation
         for vec_col in list(self._codebooks):
             self.create_pq(vec_col, **self._build_params.get(("pq", vec_col), {}))
         for text_col in list(self._postings):

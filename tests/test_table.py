@@ -391,3 +391,27 @@ def test_upsert_merge_semantics(spark, tables):
                     & (F.col("c_custkey") < 1_000_000)
                     & (F.col("c_mktsegment") != "UPSERTED")).count() == 0
     )
+
+
+def test_reindex_and_drop_retire_hnsw_graphs(spark, tables):
+    """reindex() and drop_index() must unpersist the replaced/dropped
+    hnsw generations (persisted blobs are never auto-evicted)."""
+    from pyspark.sql import functions as F
+
+    from lanterndb_spark.table import LanternTable
+
+    emb = tables["embeddings"]
+    t = LanternTable(emb, "vec_id").create_index(
+        "embedding", kind="hnsw", m=8, ef_construction=64, num_shards=2, seed=42
+    )
+    old_graphs = t._indexes["embedding"][1].graphs
+    t.reindex()
+    assert t._indexes["embedding"][1].graphs is not old_graphs
+    assert old_graphs.storageLevel.useMemory is False  # unpersisted
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    got = [r["vec_id"] for r in t.knn("embedding", q, k=5, ef=emb.count()).collect()]
+    want = [r["vec_id"] for r in t.knn("embedding", q, k=5, mode="exact").collect()]
+    assert got == want  # rebuilt index still serves exactly
+    cur = t._indexes["embedding"][1].graphs
+    t.drop_index("embedding")
+    assert cur.storageLevel.useMemory is False
