@@ -715,6 +715,8 @@ def hnsw_search_batch(
     (q_id, id, dist)."""
     from pyspark.sql import Window
 
+    if nprobe is not None and nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
     prepped = [_prep_query(index, q) for q in queries]
     Q = [q for q, _ in prepped]
     scale = prepped[0][1] if prepped else 1.0
@@ -783,14 +785,14 @@ def hnsw_insert(index: HnswIndex, delta: DataFrame) -> HnswIndex:
     def merge(key, gpdf: pd.DataFrame, dpdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(key[0])
         dids = dpdf["__gid"].to_numpy() if len(dpdf) else np.empty(0, np.int64)
-        dX = (
-            np.asarray(dpdf["__gv"].tolist(), dtype=np.float64)
-            if len(dpdf) else np.empty((0, 0))
-        )
-        if metric == "hamming" and len(dids):
+        if not len(dids):
+            dX = np.empty((0, 0))
+        elif metric == "hamming":
             dX = _bits_rows(dpdf["__gv"].tolist())
-        elif metric == "cos" and len(dids):
-            dids, dX = _norm_rows(dids, dX)
+        else:
+            dX = np.asarray(dpdf["__gv"].tolist(), dtype=np.float64)
+            if metric == "cos":
+                dids, dX = _norm_rows(dids, dX)
         if len(gpdf) == 0:
             # brand-new shard (possible when the base build saw no rows
             # hashing here): build fresh

@@ -68,44 +68,50 @@ class SpanDedupIngest:
             post = span_postings(
                 batch_df, self.id_col, self.text_col, self.min_len
             ).persist()
-            batch_counts = post.groupBy("h").agg(
-                F.count_distinct("id").alias("bd")
-            )
-            if self.store is None:
-                nd = batch_counts.select("h", F.col("bd").alias("nd"))
-            else:
-                nd = (
-                    batch_counts.join(self.store, on="h", how="full")
-                    .select(
-                        "h",
-                        (
-                            F.coalesce(F.col("bd"), F.lit(0))
-                            + F.coalesce(F.col("nd"), F.lit(0))
-                        ).alias("nd"),
-                    )
-                )
-            dup = nd.filter(F.col("nd") >= self.min_docs).select("h")
-            hits = post.join(dup, on="h").select(
-                "id", "s", (F.col("s") + F.lit(self.min_len)).alias("e")
-            )
-            # eager localCheckpoint: materializes BEFORE the store mutates
-            # (lazy plans must not see counts from batches after their own)
-            # AND truncates lineage so N batches never nest N batch plans.
-            # BOTH Spark actions run before ANY self-mutation, so a failed
-            # batch leaves the handle exactly as it was and the retry
-            # replays cleanly.
-            found = merge_islands(hits, self.id_col).localCheckpoint(eager=True)
-            new_store = nd.localCheckpoint(eager=True)
-            self.spans = (
-                found if self.spans is None else self.spans.unionByName(found)
-            )
-            self.store = new_store
-            post.unpersist()
-            self.batches += 1
-            # marker moves ONLY after success (see streaming/ann.py)
-            self._last_batch_id = int(batch_id)
+            try:
+                self._process(post, batch_id)
+            finally:
+                # a failed batch must not strand the cached postings
+                post.unpersist()
 
         return write_batch
+
+    def _process(self, post: DataFrame, batch_id: int) -> None:
+        batch_counts = post.groupBy("h").agg(
+            F.count_distinct("id").alias("bd")
+        )
+        if self.store is None:
+            nd = batch_counts.select("h", F.col("bd").alias("nd"))
+        else:
+            nd = (
+                batch_counts.join(self.store, on="h", how="full")
+                .select(
+                    "h",
+                    (
+                        F.coalesce(F.col("bd"), F.lit(0))
+                        + F.coalesce(F.col("nd"), F.lit(0))
+                    ).alias("nd"),
+                )
+            )
+        dup = nd.filter(F.col("nd") >= self.min_docs).select("h")
+        hits = post.join(dup, on="h").select(
+            "id", "s", (F.col("s") + F.lit(self.min_len)).alias("e")
+        )
+        # eager localCheckpoint: materializes BEFORE the store mutates
+        # (lazy plans must not see counts from batches after their own)
+        # AND truncates lineage so N batches never nest N batch plans.
+        # BOTH Spark actions run before ANY self-mutation, so a failed
+        # batch leaves the handle exactly as it was and the retry
+        # replays cleanly.
+        found = merge_islands(hits, self.id_col).localCheckpoint(eager=True)
+        new_store = nd.localCheckpoint(eager=True)
+        self.spans = (
+            found if self.spans is None else self.spans.unionByName(found)
+        )
+        self.store = new_store
+        self.batches += 1
+        # marker moves ONLY after success (see streaming/ann.py)
+        self._last_batch_id = int(batch_id)
 
     def all_spans(self) -> DataFrame:
         if self.spans is None:

@@ -199,6 +199,11 @@ class LanternTable:
             raise ValueError(
                 f"unknown index kind {kind!r} (ivf | ivfsq | srp | proj | hnsw)"
             )
+        replaced = self._indexes.get(vec_col)
+        if replaced is not None and replaced[0] == "hnsw":
+            # retire the replaced generation AT the replacement point —
+            # persisted graph blobs are never auto-evicted
+            replaced[1].graphs.unpersist()
         self._indexes[vec_col] = (kind, index)
         self._build_params[("index", vec_col)] = {"kind": kind, **params}
         return self
@@ -249,11 +254,10 @@ class LanternTable:
         after heavy churn."""
         self.base = self.df
         self._deltas, self._tombstones = [], []
-        for vec_col, (kind, old_idx) in list(self._indexes.items()):
+        for vec_col, (kind, _old_idx) in list(self._indexes.items()):
             params = dict(self._build_params.get(("index", vec_col), {"kind": kind}))
+            # create_index retires the replaced hnsw generation itself
             self.create_index(vec_col, **params)
-            if kind == "hnsw":
-                old_idx.graphs.unpersist()  # retire the replaced generation
         for vec_col in list(self._codebooks):
             self.create_pq(vec_col, **self._build_params.get(("pq", vec_col), {}))
         for text_col in list(self._postings):

@@ -415,3 +415,19 @@ def test_reindex_and_drop_retire_hnsw_graphs(spark, tables):
     cur = t._indexes["embedding"][1].graphs
     t.drop_index("embedding")
     assert cur.storageLevel.useMemory is False
+
+
+def test_create_index_replacement_retires_hnsw_graphs(spark, tables):
+    """Rebuilding an hnsw index over the same column (e.g. to change m)
+    must unpersist the replaced generation at the replacement point."""
+    from lanterndb_spark.table import LanternTable
+
+    emb = tables["embeddings"]
+    t = LanternTable(emb, "vec_id").create_index(
+        "embedding", kind="hnsw", m=8, ef_construction=64, num_shards=2, seed=42
+    )
+    old_graphs = t._indexes["embedding"][1].graphs
+    t.create_index("embedding", kind="hnsw", m=4, ef_construction=32,
+                   num_shards=2, seed=42)
+    assert old_graphs.storageLevel.useMemory is False
+    t.drop_index("embedding")
