@@ -64,6 +64,7 @@ from pyspark.sql import functions as F
 _M_DEFAULT = 16          # options.h:14-45 m default
 _EFC_DEFAULT = 128       # ef_construction default (options.h)
 _EF_DEFAULT = 64         # ef search default (options.h)
+_CHUNK = 128             # lockstep insert batch (hnswlib-concurrency analogue)
 
 
 # --------------------------------------------------------------- graph core
@@ -128,39 +129,51 @@ def _beam(X, norms, arr, cnt, q, qnorm, ef, starts, skip=None, gen=None, cur=0):
     return out
 
 
+def _select_arrays(dq, cand, mm, X, norms):
+    """Heuristic neighbor selection (Algorithm 4), array-native: keep
+    candidates closer to the new node than to any already-kept neighbor
+    — preserves graph navigability on clustered data — then fill with
+    skipped candidates up to ``mm`` (keepPrunedConnections). ``dq`` must
+    be ascending. The candidate-pairwise distances come from ONE small
+    matmul; the greedy scan is the DOMINATION form — keeping candidate j
+    marks every candidate nearer to j than to q as dominated in one
+    vectorized row op, so the scan is O(kept) vector ops instead of
+    O(|res|·kept) Python compares. Returns (kept_dists, kept_nodes),
+    nearest-first."""
+    nc = len(cand)
+    if nc <= 1:
+        return dq, cand
+    sub = X[cand]
+    sn = norms[cand]
+    D = sn[:, None] + sn[None, :] - 2.0 * (sub @ sub.T)
+    dom = np.zeros(nc, dtype=bool)
+    kept: list[int] = []
+    for j in range(nc):
+        if dom[j]:
+            continue
+        kept.append(j)
+        if len(kept) >= mm:
+            break
+        dom |= D[j] < dq  # j dominates every candidate nearer to it than to q
+    if len(kept) < mm:  # fill with pruned (dominated) candidates, nearest first
+        dom[kept] = False
+        fill = np.flatnonzero(dom)[: mm - len(kept)]
+        # dq is ascending, so index order IS distance order — sorted
+        # indices keep the merged list nearest-first
+        kept = np.sort(np.concatenate([np.asarray(kept, np.int64), fill]))
+    kept = np.asarray(kept, dtype=np.int64)
+    return dq[kept], cand[kept]
+
+
 def _select_neighbors(res, mm, X, norms):
-    """Heuristic neighbor selection (Algorithm 4): keep candidates closer
-    to the new node than to any already-kept neighbor — preserves graph
-    navigability on clustered data — then fill with skipped candidates
-    up to ``mm`` (keepPrunedConnections). The candidate-pairwise
-    distances come from ONE small matmul; the greedy scan is numpy row
-    checks, no per-pair Python dots."""
+    """List-of-(d, v) wrapper over ``_select_arrays`` (sequential-insert
+    and prune call sites)."""
     if len(res) <= 1:
         return list(res)
-    cand = [v for _, v in res]
-    dq = [d for d, _ in res]
-    sub = X[np.asarray(cand)]
-    sn = norms[np.asarray(cand)]
-    # candidate-pairwise distance matrix as plain Python floats: the
-    # greedy scan below runs ~|res|·mm compares — float compares beat
-    # numpy fancy-indexing overhead by ~10× at these sizes
-    D = (sn[:, None] + sn[None, :] - 2.0 * (sub @ sub.T)).tolist()
-    kept: list[int] = []
-    for j in range(len(cand)):
-        Dj, dj = D[j], dq[j]
-        if all(Dj[o] >= dj for o in kept):
-            kept.append(j)
-            if len(kept) >= mm:
-                return [(dq[j], cand[j]) for j in kept]
-    if len(kept) < mm:  # fill with pruned candidates, nearest first
-        in_kept = set(kept)
-        for j in range(len(cand)):
-            if j not in in_kept:
-                kept.append(j)
-                if len(kept) >= mm:
-                    break
-        kept.sort(key=lambda j: dq[j])
-    return [(dq[j], cand[j]) for j in kept]
+    dq = np.asarray([d for d, _ in res], dtype=np.float64)
+    cand = np.asarray([v for _, v in res], dtype=np.int64)
+    kd, kv = _select_arrays(dq, cand, mm, X, norms)
+    return list(zip(kd.tolist(), kv.tolist()))
 
 
 def _prune(node, arr, cnt, mm, X, norms):
@@ -169,13 +182,12 @@ def _prune(node, arr, cnt, mm, X, norms):
     c = cnt[node]
     if c <= mm:
         return
-    na = arr[node, :c].copy()
+    na = arr[node, :c].astype(np.int64)
     ds = _dists(X, norms, na, X[node], norms[node])
     order = np.argsort(ds, kind="stable")
-    res = [(float(ds[j]), int(na[j])) for j in order]
-    kept = [v for _, v in _select_neighbors(res, mm, X, norms)]
-    arr[node, :len(kept)] = kept
-    cnt[node] = len(kept)
+    kd, kv = _select_arrays(ds[order], na[order], mm, X, norms)
+    arr[node, : len(kv)] = kv
+    cnt[node] = len(kv)
 
 
 class _Graph:
@@ -202,12 +214,21 @@ class _Graph:
         self.entry, self.entry_lvl = -1, -1
         self._gen = np.zeros(n, dtype=np.int64)  # beam visited stamps
         self._ctr = 0
-        for i in range(n):
-            self._insert(i)
+        self._vis2d = None  # (chunk, n) visited stamps for lockstep beams
+        self._vis_ctr = 0
+        self._X32 = None    # f32 scoring copies for insert-time beams
+        self._n32 = None
+        self._X16 = None    # contiguous 16-dim prefix (screen, see batch)
+        self._n16 = None
+        self._insert_range(0, n)
 
     def _cap(self, l: int) -> int:
+        # level 0 carries +_CHUNK slack so chunk commits can defer every
+        # backlink prune to chunk end: rows are <= 2·mm after each chunk
+        # and gain at most _CHUNK backlinks within one, so mid-chunk
+        # overflow is impossible by construction
         mm = 2 * self.m if l == 0 else self.m
-        return 2 * mm + 1
+        return 2 * mm + 1 + (_CHUNK if l == 0 else 0)
 
     def _ensure_level(self, l: int):
         while len(self.nbr_arr) <= l:
@@ -217,10 +238,355 @@ class _Graph:
             )
             self.nbr_cnt.append(np.zeros(len(self.ids), dtype=np.int32))
 
+    def _insert_range(self, start, end):
+        """Insert nodes [start, end) in CHUNKS: every chunk member runs
+        its level-0 search in lockstep against the chunk-start graph
+        (one einsum scores every pending node's beam frontier — the
+        vectorization that takes ms/insert to the tens of µs), then the
+        level-0 links commit sequentially in chunk order. Nodes drawing
+        a level above 0 (~6% at m=16) first run their upper-level
+        descents/beams/links sequentially (the upper graphs hold ~1/m
+        of the nodes, so that path is cheap), seeding their level-0
+        lockstep row with the level-1 beam result. Equivalent to
+        hnswlib's concurrent insert semantics (a batch of in-flight
+        inserts searches the graph as of batch start); chunk size ramps
+        with graph size so a chunk never outnumbers the graph it
+        searches. Deterministic for a given insertion order."""
+        i = start
+        while i < end:
+            if self.entry < 0:  # first node of an empty graph
+                self._insert(i)
+                i += 1
+                continue
+            lim = min(end, i + min(_CHUNK, max(1, i)))
+            todo = list(range(i, lim))
+            pend = set(todo)
+            seeds = {}
+            new_entry = None
+            for j in todo:
+                if self.levels[j] > 0:
+                    seeds[j] = self._insert_upper(j, pend)
+                    if self.levels[j] > self.entry_lvl and (
+                        new_entry is None
+                        or self.levels[j] > self.levels[new_entry]
+                    ):
+                        new_entry = j
+            self._insert_batch_l0(todo, seeds)
+            if new_entry is not None:
+                self.entry, self.entry_lvl = new_entry, int(
+                    self.levels[new_entry]
+                )
+            i = lim
+
+    def _insert_upper(self, i, pend):
+        """Sequential part of a level>=1 node's insert: greedy descents
+        from the entry, then an efc beam + link commit at every level
+        li..1. Returns the level-1 beam result (chunk-pending mates
+        filtered out — they have no level-0 adjacency yet) as the seed
+        for the node's lockstep level-0 row. The entry-point update is
+        the CALLER's job (deferred to chunk end so chunk-mates keep a
+        fully-linked descent start)."""
+        li = int(self.levels[i])
+        self._ensure_level(li)
+        X, norms = self._ensure32()
+        m, efc = self.m, self.efc
+        q, qnorm = X[i], norms[i]
+        ep = [self.entry]
+        res = None
+        for l in range(self.entry_lvl, li, -1):
+            ep = [self._run_beam32(l, q, qnorm, 1, ep)[0][1]]
+        for l in range(min(self.entry_lvl, li), 0, -1):
+            res = self._run_beam32(l, q, qnorm, efc, ep)
+            sel = _select_neighbors(res, m, X, norms)
+            arr, cnt = self.nbr_arr[l], self.nbr_cnt[l]
+            ws = np.asarray([v for _, v in sel], dtype=np.int32)
+            arr[i, : len(ws)] = ws
+            cnt[i] = len(ws)
+            arr[ws, cnt[ws]] = i
+            cnt[ws] += 1
+            for w in ws[cnt[ws] > 2 * m].tolist():
+                _prune(w, arr, cnt, m, X, norms)
+            ep = [v for _, v in res]
+        if res is None:
+            return [self.entry]
+        out = [v for _, v in res if v not in pend]
+        return out or [self.entry]
+
+    def _insert_batch_l0(self, todo, seeds=None, wave: int = 8):
+        """Lockstep level-0 insert for a whole chunk: batched greedy
+        descents (entry level -> 1) for level-0 nodes, seed rows from
+        ``seeds`` for level>=1 nodes (their upper phase already ran),
+        then every query's efc beam advances in vectorized waves — per
+        wave, each query expands its ``wave`` closest unexpanded beam
+        members and ONE einsum scores the union of their neighbor
+        frontiers. Beam state is three (P, efc) matrices (dist / node /
+        expanded; inf marks an open slot), so wave selection and the
+        top-efc prune are each one argpartition over the whole chunk —
+        no per-query Python in the search phase. Scoring runs in
+        float32 (a cached copy of X): insert beams only steer graph
+        construction, while every SEARCH distance the engine emits
+        stays float64."""
+        m, efc = self.m, self.efc
+        n = len(self.ids)
+        X32, n32 = self._ensure32()
+        # prefix-distance screen (wide vectors only): the first-16-dim
+        # distance is a LOWER bound on the full distance, and scaled by
+        # the dataset's prefix energy share it predicts it well — rows
+        # whose scaled prefix distance exceeds 1.5x the beam bound skip
+        # full scoring (the 16-dim slab is contiguous, so the screen
+        # reads 1/4 the bytes of the scoring it avoids)
+        use16 = X32.shape[1] >= 32
+        if use16:
+            if self._X16 is None or len(self._X16) != n:
+                self._X16 = np.ascontiguousarray(X32[:, :16])
+                self._n16 = np.einsum("nd,nd->n", self._X16, self._X16)
+            X16, n16 = self._X16, self._n16
+            sc = np.float32(n32.mean() / max(float(n16.mean()), 1e-30))
+        P = len(todo)
+        seeds = seeds or {}
+        qi = np.asarray(todo, dtype=np.int64)
+        Q = X32[qi]
+        Qn = n32[qi]
+        if use16:
+            Q16 = np.ascontiguousarray(Q[:, :16])
+            Q16n = np.einsum("nd,nd->n", Q16, Q16)
+        # per-(query, node) visited stamps, reused across chunks
+        if self._vis2d is None or self._vis2d.shape[0] < P \
+                or self._vis2d.shape[1] != n:
+            self._vis2d = np.zeros((max(P, _CHUNK), n), dtype=np.int32)
+            self._vis_ctr = 0
+        self._vis_ctr += 1
+        vis, stamp = self._vis2d, self._vis_ctr
+        arr0, cnt0 = self.nbr_arr[0], self.nbr_cnt[0]
+        ent = self.entry
+        # ---- lockstep greedy descent: entry_lvl -> 1, ef=1 per level,
+        # for the seedless (level-0) queries only
+        noseed = np.asarray(
+            [p for p, i in enumerate(todo) if i not in seeds], dtype=np.int64
+        )
+        cur = np.full(P, ent, dtype=np.int64)
+        curd = n32[cur] - 2.0 * (Q @ X32[ent]) + Qn
+        for l in range(self.entry_lvl, 0, -1):
+            arr, cnt = self.nbr_arr[l], self.nbr_cnt[l]
+            act = noseed[cnt[cur[noseed]] > 0]
+            while len(act):
+                us = cur[act]
+                cs = cnt[us]
+                capm = int(cs.max())
+                nb = arr[us, :capm].astype(np.int64)
+                fb = nb.reshape(-1)
+                d = (
+                    n32[fb]
+                    - 2.0 * np.einsum(
+                        "nd,nd->n", X32[fb], np.repeat(Q[act], capm, axis=0)
+                    )
+                    + np.repeat(Qn[act], capm)
+                ).reshape(len(act), capm)
+                d[np.arange(capm)[None, :] >= cs[:, None]] = np.inf
+                j = d.argmin(1)
+                nd = d[np.arange(len(act)), j]
+                better = nd < curd[act]
+                sel = act[better]
+                cur[sel] = nb[better, j[better]]
+                curd[sel] = nd[better]
+                act = sel[cnt[cur[sel]] > 0]
+        # a descent (or seed fallback) may land on a node with no
+        # level-0 links yet — a chunk-pending mate reachable through
+        # its freshly-committed upper-level backlinks; restart those
+        # rows at the chunk-start entry so the beam has edges to walk
+        bad = noseed[cnt0[cur[noseed]] == 0]
+        if len(bad) and cnt0[ent] > 0:
+            cur[bad] = ent
+            curd[bad] = n32[ent] - 2.0 * (Q[bad] @ X32[ent]) + Qn[bad]
+        # ---- lockstep level-0 beam, width efc, fixed-width 2D state.
+        # BV packs the node id with an "expanded" sign-bit flag (open
+        # slots are flagged too), so the merge moves just TWO matrices;
+        # vis packs (chunk stamp << 32 | wave row) so within-wave dedup
+        # is one scatter + one gather instead of a sort-based unique.
+        FLAG = np.int32(-2147483648)
+        BD = np.full((P, efc), np.inf, dtype=np.float32)
+        BV = np.full((P, efc), FLAG, dtype=np.int32)
+        BD[noseed, 0] = curd[noseed]
+        BV[noseed, 0] = cur[noseed].astype(np.int32)
+        vis[noseed, cur[noseed]] = stamp
+        for p, i in enumerate(todo):
+            s = seeds.get(i)
+            if s is None:
+                continue
+            sv = np.asarray(s[:efc], dtype=np.int64)
+            sd = n32[sv] - 2.0 * (X32[sv] @ Q[p]) + Qn[p]
+            BD[p, : len(sv)] = sd
+            BV[p, : len(sv)] = sv.astype(np.int32)
+            vis[p, sv] = stamp
+        wave = min(wave, efc)
+        # rows compact as queries converge: ``aliv`` maps matrix row ->
+        # original query; finished rows flush into FD/FV and drop out,
+        # so straggler waves stop paying whole-chunk matrix costs
+        aliv = np.arange(P)
+        FD = np.full((P, efc), np.inf, dtype=np.float32)
+        FV = np.full((P, efc), FLAG, dtype=np.int32)
+        while True:
+            tmp = np.where(BV < 0, np.inf, BD)
+            part = np.argpartition(tmp, wave - 1, axis=1)[:, :wave]
+            lv = np.isfinite(np.take_along_axis(tmp, part, 1))
+            rowhas = lv.any(1)
+            if not rowhas.all():
+                done = ~rowhas
+                FD[aliv[done]] = BD[done]
+                FV[aliv[done]] = BV[done]
+                if not rowhas.any():
+                    break
+                BD, BV = BD[rowhas], BV[rowhas]
+                part, lv = part[rowhas], lv[rowhas]
+                aliv = aliv[rowhas]
+            pa = len(aliv)
+            live = lv.ravel()
+            wq = np.repeat(np.arange(pa), wave)[live]
+            cols = part.ravel()[live]
+            us = BV[wq, cols].astype(np.int64)
+            BV[wq, cols] |= FLAG  # mark expanded
+            # read at most 2·mm neighbors per row: rows widened by the
+            # chunk's deferred backlink prunes would otherwise triple the
+            # scored frontier; the tail holds only this chunk's newest
+            # backlinks, which stay reachable through their other edges
+            cs = np.minimum(cnt0[us], np.int32(4 * m))
+            has = cs > 0
+            us, wq, cs = us[has], wq[has], cs[has]
+            if not len(us):
+                continue
+            capm = int(cs.max())
+            nb = arr0[us, :capm].astype(np.int64)
+            fnb = nb[np.arange(capm)[None, :] < cs[:, None]]
+            fq = np.repeat(wq, cs)
+            gq = aliv[fq]  # original query index (vis rows / Q rows)
+            fresh = vis[gq, fnb] != stamp
+            fnb, fq = fnb[fresh], fq[fresh]
+            if not len(fnb):
+                continue
+            key = np.unique(fq * n + fnb)  # dedup within the wave
+            fq, fnb = key // n, key % n
+            gq = aliv[fq]
+            vis[gq, fnb] = stamp
+            # per-query bound: worst of the current beam (inf while the
+            # row still has open slots — exactly the |W| < ef admit rule)
+            bnd = BD.max(1)[fq]
+            if use16:
+                pd = (
+                    n16[fnb]
+                    - 2.0 * np.einsum("nd,nd->n", X16[fnb], Q16[gq])
+                    + Q16n[gq]
+                )
+                pre = pd * sc < np.float32(1.5) * bnd
+                fq, fnb, gq, bnd = fq[pre], fnb[pre], gq[pre], bnd[pre]
+                if not len(fq):
+                    continue
+            nd = (
+                n32[fnb]
+                - 2.0 * np.einsum("nd,nd->n", X32[fnb], Q[gq])
+                + Qn[gq]
+            )
+            keep = nd < bnd
+            fq, fnb, nd = fq[keep], fnb[keep], nd[keep]
+            if not len(fq):
+                continue
+            # scatter the admitted candidates to a padded block, merge,
+            # and prune every row back to efc in one argpartition
+            pos = np.arange(len(fq)) - np.searchsorted(fq, np.arange(pa))[fq]
+            mx = int(pos.max()) + 1
+            ND = np.full((pa, mx), np.inf, dtype=np.float32)
+            NV = np.full((pa, mx), FLAG, dtype=np.int32)
+            ND[fq, pos] = nd
+            NV[fq, pos] = fnb.astype(np.int32)
+            allD = np.hstack([BD, ND])
+            allV = np.hstack([BV, NV])
+            sel = np.argpartition(allD, efc - 1, axis=1)[:, :efc]
+            BD = np.take_along_axis(allD, sel, 1)
+            BV = np.take_along_axis(allV, sel, 1)
+        # ---- LOCKSTEP commit (Algorithm 4 + backlinks, whole chunk):
+        # every query's heuristic selection runs simultaneously — one
+        # batched gemm for all pairwise candidate grams, then a rank-
+        # lockstep domination scan (rank r is one vector op over the
+        # whole chunk). Own rows and backlinks land via flat scatters;
+        # backlink prunes DEFER to chunk end (rows carry _CHUNK slack,
+        # see _cap), so a hot row is pruned once per chunk instead of
+        # once per overflowing insert.
+        mm = 2 * m
+        order = np.argsort(FD, axis=1, kind="stable")
+        FD = np.take_along_axis(FD, order, 1)
+        FV = np.take_along_axis(FV, order, 1)
+        C = FD.shape[1]
+        V = (FV & np.int32(0x7FFFFFFF)).astype(np.int64)
+        pad = ~np.isfinite(FD)
+        SUB = X32[V]                             # (P, C, d)
+        SN = n32[V].astype(np.float32)           # (P, C)
+        SN[pad] = np.float32(np.inf)
+        G = np.matmul(SUB, SUB.transpose(0, 2, 1))  # (P, C, C) grams
+        dom = pad.copy()
+        kcnt = np.zeros(P, dtype=np.int64)
+        K = np.zeros((P, C), dtype=bool)
+        for r in range(C):
+            active = ~dom[:, r] & (kcnt < mm)
+            if not active.any():
+                if (kcnt >= mm).all() or (dom | K)[:, r:].all():
+                    break
+                continue
+            K[:, r] = active
+            kcnt += active
+            Dr = SN[:, r, None] + SN - 2.0 * G[:, r, :]
+            dom |= (Dr < FD) & active[:, None]
+        # keepPrunedConnections fill for rows domination left short
+        for p in np.flatnonzero(kcnt < mm).tolist():
+            free = np.flatnonzero(~K[p] & ~pad[p])[: mm - int(kcnt[p])]
+            K[p, free] = True
+            kcnt[p] += len(free)
+        # own rows: arr0[i, :kc] = kept nodes, rank (= distance) order
+        kflat = np.flatnonzero(K.ravel())
+        ws_all = V.ravel()[kflat].astype(np.int32)
+        rows = np.repeat(qi, kcnt)
+        cols = np.concatenate(
+            [np.arange(int(c_)) for c_ in kcnt]
+        ) if len(kcnt) else np.empty(0, np.int64)
+        arr0[rows, cols] = ws_all
+        cnt0[qi] = kcnt
+        # backlinks: one append per (kept w <- new node) pair; stable
+        # sort by w keeps chunk order within each row, positions are
+        # cnt0[w] + rank-in-group
+        src = np.repeat(qi, kcnt).astype(np.int32)
+        o = np.argsort(ws_all, kind="stable")
+        wsrt, ssrt = ws_all[o], src[o]
+        uw, starts_w, gcnt = np.unique(
+            wsrt, return_index=True, return_counts=True
+        )
+        rank = np.arange(len(wsrt)) - starts_w[
+            np.searchsorted(uw, wsrt)
+        ]
+        arr0[wsrt, cnt0[wsrt] + rank] = ssrt
+        cnt0[uw] += gcnt.astype(np.int32)
+        over = uw[cnt0[uw] > 2 * mm]
+        for w in over.tolist():
+            _prune(w, arr0, cnt0, mm, X32, n32)
+
     def _run_beam(self, lvl, q, qnorm, ef, starts, skip=None):
         self._ctr += 1
         return _beam(
             self.X, self.norms, self.nbr_arr[lvl], self.nbr_cnt[lvl],
+            q, qnorm, ef, starts, skip=skip, gen=self._gen, cur=self._ctr,
+        )
+
+    def _ensure32(self):
+        """(X32, norms32) scoring copies for insert-time beams — search
+        distances the engine EMITS always come from the f64 arrays."""
+        if self._X32 is None or len(self._X32) != len(self.ids):
+            self._X32 = self.X.astype(np.float32)
+            self._n32 = np.einsum("nd,nd->n", self._X32, self._X32)
+        return self._X32, self._n32
+
+    def _run_beam32(self, lvl, q, qnorm, ef, starts, skip=None):
+        """Construction-only beam over the f32 scoring copies."""
+        X32, n32 = self._ensure32()
+        self._ctr += 1
+        return _beam(
+            X32, n32, self.nbr_arr[lvl], self.nbr_cnt[lvl],
             q, qnorm, ef, starts, skip=skip, gen=self._gen, cur=self._ctr,
         )
 
@@ -240,18 +606,20 @@ class _Graph:
             mm = 2 * m if l == 0 else m
             sel = _select_neighbors(res, mm, X, norms)
             arr, cnt = self.nbr_arr[l], self.nbr_cnt[l]
-            arr[i, :len(sel)] = [v for _, v in sel]
-            cnt[i] = len(sel)
-            for _, w in sel:
-                arr[w, cnt[w]] = i
-                cnt[w] += 1
-                # LAZY pruning: let backlink rows overflow to 2·mm and
-                # heuristically shrink back to mm in one batch — ~mm×
-                # fewer prune passes than prune-on-every-append with the
-                # same asymptotic degree bound (search just sees slightly
-                # denser rows between prunes, which only helps recall)
-                if cnt[w] > 2 * mm:
-                    _prune(w, arr, cnt, mm, X, norms)
+            ws = np.asarray([v for _, v in sel], dtype=np.int32)
+            arr[i, :len(ws)] = ws
+            cnt[i] = len(ws)
+            # vectorized backlink append (sel nodes are unique, so the
+            # fancy-index assignment has no write collisions)
+            arr[ws, cnt[ws]] = i
+            cnt[ws] += 1
+            # LAZY pruning: let backlink rows overflow to 2·mm and
+            # heuristically shrink back to mm in one batch — ~mm×
+            # fewer prune passes than prune-on-every-append with the
+            # same asymptotic degree bound (search just sees slightly
+            # denser rows between prunes, which only helps recall)
+            for w in ws[cnt[ws] > 2 * mm].tolist():
+                _prune(w, arr, cnt, mm, X, norms)
             ep = [v for _, v in res]
         if li > self.entry_lvl:
             self.entry, self.entry_lvl = i, li
@@ -276,17 +644,22 @@ class _Graph:
         self.levels = np.concatenate([self.levels, lv])
         self._gen = np.zeros(len(self.ids), dtype=np.int64)
         self._ctr = 0
+        self._vis2d = None  # n changed — lockstep stamps + f32 copies rebuild
+        self._vis_ctr = 0
+        self._X32 = None
+        self._n32 = None
+        self._X16 = None
+        self._n16 = None
         grow = len(self.ids) - n0
         for l in range(len(self.nbr_arr)):
-            self.nbr_arr[l] = np.vstack(
-                [self.nbr_arr[l],
-                 np.zeros((grow, self.nbr_arr[l].shape[1]), dtype=np.int32)]
-            )
+            width = max(self.nbr_arr[l].shape[1], self._cap(l))
+            na = np.zeros((len(self.ids), width), dtype=np.int32)
+            na[:n0, : self.nbr_arr[l].shape[1]] = self.nbr_arr[l]
+            self.nbr_arr[l] = na
             self.nbr_cnt[l] = np.concatenate(
                 [self.nbr_cnt[l], np.zeros(grow, dtype=np.int32)]
             )
-        for i in range(n0, len(self.ids)):
-            self._insert(i)
+        self._insert_range(n0, len(self.ids))
 
     def search(self, q, k, ef, skip_ids=None):
         """(ids, dists) of the shard-local top-max(k, ef); beam width
@@ -356,11 +729,20 @@ class _Graph:
         g.entry, g.entry_lvl = d["entry"], d["entry_lvl"]
         g._gen = np.zeros(len(g.ids), dtype=np.int64)
         g._ctr = 0
+        g._vis2d = None
+        g._vis_ctr = 0
+        g._X32 = None
+        g._n32 = None
+        g._X16 = None
+        g._n16 = None
         g.nbr_arr, g.nbr_cnt = [], []
         n = len(g.ids)
         for l, (indptr, indices) in enumerate(d["csr"]):
             cnt = np.diff(indptr).astype(np.int32)
-            cap = max(g._cap(l), int(cnt.max()) if len(cnt) else 0)
+            # tight width for a loaded graph (search never appends; add()
+            # re-widens to _cap before inserting)
+            mm = 2 * g.m if l == 0 else g.m
+            cap = max(2 * mm + 1, int(cnt.max()) if len(cnt) else 0)
             arr = np.zeros((n, cap), dtype=np.int32)
             if len(indices):
                 mask = np.arange(cap)[None, :] < cnt[:, None]
@@ -793,14 +1175,19 @@ def hnsw_insert(index: HnswIndex, delta: DataFrame) -> HnswIndex:
             dX = np.asarray(dpdf["__gv"].tolist(), dtype=np.float64)
             if metric == "cos":
                 dids, dX = _norm_rows(dids, dX)
+        if not len(dids) and len(gpdf):
+            # untouched shard: its existing blob BYTES pass through
+            # verbatim — no deserialize/re-serialize, so a micro-batch
+            # costs O(touched shards), not O(total shards), exactly the
+            # economics the millions-of-shards cluster routing needs
+            return gpdf[["shard", "n", "blob"]]
         if len(gpdf) == 0:
             # brand-new shard (possible when the base build saw no rows
             # hashing here): build fresh
             g = _Graph(dids, dX, m, efc, seed ^ shard)
         else:
             g = _Graph.from_blob(gpdf["blob"].iloc[0])
-            if len(dids):
-                g.add(dids, dX, seed ^ shard)
+            g.add(dids, dX, seed ^ shard)
         return pd.DataFrame(
             {"shard": [shard], "n": [len(g.ids)], "blob": [g.to_blob()]}
         )

@@ -93,6 +93,22 @@ def test_insert_is_incremental_and_visible(index, emb, spark):
     idx2.graphs.unpersist()
 
 
+def test_insert_passes_untouched_shards_through_verbatim(index, emb, spark):
+    """A delta that routes to one shard must NOT re-serialize the others:
+    their blob BYTES come through identical (cost O(touched shards) per
+    micro-batch — the streaming/hnsw.py contract)."""
+    q = qvec(emb, 3)
+    twin = spark.createDataFrame([(90_002, q)], "vec_id long, embedding array<float>")
+    before = {r["shard"]: bytes(r["blob"]) for r in index.graphs.collect()}
+    idx2 = hnsw_insert(index, twin)
+    after = {r["shard"]: bytes(r["blob"]) for r in idx2.graphs.collect()}
+    changed = [s for s in before if after[s] != before[s]]
+    assert len(changed) == 1  # exactly the twin's shard
+    untouched = [s for s in before if s not in changed]
+    assert untouched and all(after[s] == before[s] for s in untouched)
+    idx2.graphs.unpersist()
+
+
 def test_tombstone_skip_and_compact(index, emb):
     q = qvec(emb, 5)
     got = hnsw_search(index, emb, q, k=3, ef=64, deleted={5}).collect()
