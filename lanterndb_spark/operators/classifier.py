@@ -45,7 +45,12 @@ def text_quality_features(df: DataFrame, text_col: str) -> DataFrame:
     - ``f_dup1``     duplicate-unigram fraction (1 - distinct/total)
     """
     txt = F.col(text_col)
-    toks = F.col("__qf_toks")
+    # collision-safe intermediate name (an input that already carries a
+    # __qf_toks column — e.g. a re-applied pipeline — must not collide)
+    tok_name = "__qf_toks"
+    while tok_name in df.columns:
+        tok_name += "_"
+    toks = F.col(tok_name)
     n_tok = F.size(toks)
     safe_n = F.greatest(n_tok, F.lit(1)).cast("double")
     tok_chars = F.coalesce(
@@ -57,7 +62,7 @@ def text_quality_features(df: DataFrame, text_col: str) -> DataFrame:
     sw_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
     alnum = F.length(F.regexp_replace(txt, "[^a-zA-Z0-9 ]", ""))
     with_toks = df.select(
-        df["*"], tokenize(text_col, stopwords=None).alias("__qf_toks")
+        df["*"], tokenize(text_col, stopwords=None).alias(tok_name)
     )
     return with_toks.select(
         *[c for c in df.columns],

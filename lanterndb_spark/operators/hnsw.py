@@ -350,10 +350,15 @@ class _Graph:
         if use16:
             Q16 = np.ascontiguousarray(Q[:, :16])
             Q16n = np.einsum("nd,nd->n", Q16, Q16)
-        # per-(query, node) visited stamps, reused across chunks
+        # per-(query, node) visited stamps, reused across chunks — int8
+        # keeps the matrix cache-resident under 32 parallel shard builds
+        # (the stamp wraps at 127 with one memset, ~every 127 chunks)
         if self._vis2d is None or self._vis2d.shape[0] < P \
                 or self._vis2d.shape[1] != n:
-            self._vis2d = np.zeros((max(P, _CHUNK), n), dtype=np.int32)
+            self._vis2d = np.zeros((max(P, _CHUNK), n), dtype=np.int8)
+            self._vis_ctr = 0
+        if self._vis_ctr >= 127:
+            self._vis2d[:] = 0
             self._vis_ctr = 0
         self._vis_ctr += 1
         vis, stamp = self._vis2d, self._vis_ctr
@@ -872,6 +877,14 @@ def build_hnsw(
     if num_shards is None:
         n = df.count()
         num_shards = max(1, min(1024, (n + shard_target - 1) // shard_target))
+        # align the shard count to the cluster's parallelism: build waves
+        # run num_shards/cores rounds, so 80 shards on 32 cores strands a
+        # third of the machine in the tail. Round UP to whole waves (never
+        # below ~512 rows/shard) — on a 1000-executor cluster the same
+        # rule yields shards ≈ k·cores, full utilization every wave.
+        par = df.sparkSession.sparkContext.defaultParallelism or 1
+        aligned = -(-num_shards // par) * par
+        num_shards = max(1, min(1024, aligned, max(num_shards, n // 512)))
     centroids = None
     if routing == "cluster":
         from lanterndb_spark.operators.pq import _kmeans_numpy
@@ -1022,6 +1035,38 @@ def hnsw_search(
     return out.orderBy(F.col("dist").asc(), F.col(index.id_col).asc()).limit(k)
 
 
+def _exact_filtered(index, base, query, pred, k, deleted):
+    """Exact filtered top-k straight off the base table — the escape
+    hatch when streaming-k escalation would exhaust the graph anyway:
+    one distributed scan with the Catalyst distance expression, no
+    candidate list ever touches the driver. cos rows with a NULL
+    distance (zero norm) are excluded, matching the graph's behavior."""
+    from lanterndb_spark.functions.distance import distance as dist_expr
+    from lanterndb_spark.functions.distance import query_vec
+
+    et = "int" if index.metric == "hamming" else "double"
+    out = base
+    if deleted:
+        out = out.filter(
+            ~F.col(index.id_col).isin([int(i) for i in deleted])
+        )
+    out = (
+        out.withColumn(
+            "dist",
+            dist_expr(
+                index.metric, F.col(index.vec_col), query_vec(list(query), et)
+            ).cast("double"),
+        )
+        .filter(F.col("dist").isNotNull())
+        .filter(pred)
+        .orderBy(F.col("dist").asc(), F.col(index.id_col).asc())
+        .limit(k)
+    )
+    # column order matches the candidate-join path: id, base cols, dist
+    cols = [index.id_col] + [c for c in base.columns if c != index.id_col]
+    return out.select(*cols, "dist")
+
+
 def hnsw_search_filtered(
     index: HnswIndex,
     base: DataFrame,
@@ -1031,26 +1076,34 @@ def hnsw_search_filtered(
     ef: int = _EF_DEFAULT,
     deleted: set | None = None,
     nprobe: int | None = None,
+    driver_cap: int = 20_000,
 ) -> DataFrame:
     """Filtered ANN on the graph — the reference's own shape: the index
     returns candidates, the predicate rechecks OUTSIDE the access
     method, and when the filter starves the result the scan re-searches
     with a doubled k (streaming-k, scan.c:240-292 + hnsw_select.sql's
-    WHERE + ORDER BY). Each round is one candidate sweep + one pruned
-    base join; the width doubles until k survivors exist or the graph is
-    exhausted (at which point the result is exact-filtered by
-    construction)."""
+    WHERE + ORDER BY). Each round is one DISTRIBUTED top-width candidate
+    merge (limit before collect, so the driver never holds more than
+    ``driver_cap`` (id, dist) pairs) + one pruned base join; the width
+    doubles until k survivors exist. Escalation past ``driver_cap`` — a
+    selective predicate on a big table — switches to ``_exact_filtered``,
+    one distributed exact scan with no driver-side candidate list at
+    all. Satisfied rounds return their k rows MATERIALIZED (no plan
+    re-execution on consume)."""
     width = max(int(ef), int(k))
     probe = nprobe
     n_total = None  # computed lazily on first starvation — the common
     # round-1-success case never pays the extra aggregation job
     spark = base.sparkSession
     while True:
+        if width > driver_cap:
+            return _exact_filtered(index, base, query, pred, k, deleted)
         cand = (
             hnsw_candidates(
                 index, query, k=width, ef=width, deleted=deleted, nprobe=probe
             )
             .orderBy(F.col("dist").asc(), F.col("__gid").asc())
+            .limit(width)  # distributed top-width merge, driver-bounded
             .collect()
         )
         ids = [int(r["__gid"]) for r in cand]
@@ -1065,16 +1118,20 @@ def hnsw_search_filtered(
             .orderBy(F.col("dist").asc(), F.col(index.id_col).asc())
             .limit(k)
         )
-        if len(out.take(k)) >= k:
-            return out
+        rows = out.take(k)
+        if len(rows) >= k:
+            # k rows already on the driver: hand them back materialized
+            # instead of returning a plan that would re-run the round
+            return spark.createDataFrame(rows, out.schema)
         if n_total is None:
             n_total = int(index.graphs.agg(F.sum("n")).first()[0] or 0)
         if width >= n_total and (probe is None or probe >= index.num_shards):
-            return out  # graph exhausted: result is exact-filtered
+            # graph exhausted: result is exact-filtered by construction
+            return spark.createDataFrame(rows, out.schema)
         # the init_k doubling (options.h:44-45 caps the GUC at 1000; here
-        # the natural cap is the graph itself). Cluster routing widens
-        # BOTH knobs: a starved filter may need cells beyond the first
-        # nprobe as much as it needs a wider beam.
+        # the caps are the graph itself and driver_cap). Cluster routing
+        # widens BOTH knobs: a starved filter may need cells beyond the
+        # first nprobe as much as it needs a wider beam.
         width *= 2
         if probe is not None:
             probe = min(index.num_shards, probe * 2)

@@ -50,8 +50,21 @@ class AnnIngest:
         def write_batch(batch_df: DataFrame, batch_id: int) -> None:
             # at-least-once guard: a foreachBatch retry redelivers the
             # same batch_id — replaying would append the delta twice
-            if self._last_batch_id is not None and batch_id <= self._last_batch_id:
-                return
+            if self._last_batch_id is not None:
+                if batch_id < self._last_batch_id:
+                    # a batch id going BACKWARDS is not a retry — it means
+                    # a fresh query (ids restart at 0) was wired to this
+                    # handle, e.g. after a checkpoint wipe; skipping would
+                    # silently drop its data, so fail loudly instead.
+                    # Contract: one streaming query per handle.
+                    raise RuntimeError(
+                        f"batch_id regression ({batch_id} after "
+                        f"{self._last_batch_id}): this handle is bound to "
+                        "one streaming query - create a fresh handle for a "
+                        "fresh query"
+                    )
+                if batch_id == self._last_batch_id:
+                    return  # at-least-once retry of the same micro-batch
             # assign against the frozen centroids — no retrain, like
             # aminsert appending to the existing graph
             self.deltas.append(ivf_assign(self.index, batch_df))

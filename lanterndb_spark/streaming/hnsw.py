@@ -54,8 +54,21 @@ class HnswIngest:
         def write_batch(batch_df: DataFrame, batch_id: int) -> None:
             # at-least-once guard: a foreachBatch retry redelivers the
             # same batch_id — replaying would insert the rows twice
-            if self._last_batch_id is not None and batch_id <= self._last_batch_id:
-                return
+            if self._last_batch_id is not None:
+                if batch_id < self._last_batch_id:
+                    # a batch id going BACKWARDS is not a retry — it means
+                    # a fresh query (ids restart at 0) was wired to this
+                    # handle, e.g. after a checkpoint wipe; skipping would
+                    # silently drop its data, so fail loudly instead.
+                    # Contract: one streaming query per handle.
+                    raise RuntimeError(
+                        f"batch_id regression ({batch_id} after "
+                        f"{self._last_batch_id}): this handle is bound to "
+                        "one streaming query - create a fresh handle for a "
+                        "fresh query"
+                    )
+                if batch_id == self._last_batch_id:
+                    return  # at-least-once retry of the same micro-batch
             # grow the existing shard graphs in place (aminsert,
             # insert.c:51-262); this handle OWNS its generations, so the
             # superseded one unpersists here — lineage stays one

@@ -50,8 +50,21 @@ class NearDupIngest:
             # at-least-once guard: a foreachBatch retry redelivers the
             # same batch_id — replaying would duplicate signatures in the
             # store and re-emit the batch's pairs
-            if self._last_batch_id is not None and batch_id <= self._last_batch_id:
-                return
+            if self._last_batch_id is not None:
+                if batch_id < self._last_batch_id:
+                    # a batch id going BACKWARDS is not a retry — it means
+                    # a fresh query (ids restart at 0) was wired to this
+                    # handle, e.g. after a checkpoint wipe; skipping would
+                    # silently drop its data, so fail loudly instead.
+                    # Contract: one streaming query per handle.
+                    raise RuntimeError(
+                        f"batch_id regression ({batch_id} after "
+                        f"{self._last_batch_id}): this handle is bound to "
+                        "one streaming query - create a fresh handle for a "
+                        "fresh query"
+                    )
+                if batch_id == self._last_batch_id:
+                    return  # at-least-once retry of the same micro-batch
             # eager localCheckpoint, not persist: a cached plan still embeds
             # its full lineage, so after N batches the store would nest N
             # batch plans (the connected_components lesson, dedup.py)

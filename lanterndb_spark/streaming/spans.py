@@ -63,8 +63,21 @@ class SpanDedupIngest:
             # with the SAME batch_id — without this skip a replay would
             # double-count its documents into the gram store and flag
             # spans below min_docs
-            if self._last_batch_id is not None and batch_id <= self._last_batch_id:
-                return
+            if self._last_batch_id is not None:
+                if batch_id < self._last_batch_id:
+                    # a batch id going BACKWARDS is not a retry — it means
+                    # a fresh query (ids restart at 0) was wired to this
+                    # handle, e.g. after a checkpoint wipe; skipping would
+                    # silently drop its data, so fail loudly instead.
+                    # Contract: one streaming query per handle.
+                    raise RuntimeError(
+                        f"batch_id regression ({batch_id} after "
+                        f"{self._last_batch_id}): this handle is bound to "
+                        "one streaming query - create a fresh handle for a "
+                        "fresh query"
+                    )
+                if batch_id == self._last_batch_id:
+                    return  # at-least-once retry of the same micro-batch
             post = span_postings(
                 batch_df, self.id_col, self.text_col, self.min_len
             ).persist()

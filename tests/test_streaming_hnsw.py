@@ -53,8 +53,18 @@ def test_stream_grows_graphs_and_converges(spark, tmp_path, tables):
             hnsw_search(folded, emb, qv, k=5, ef=64).collect()]
     assert got3 == got2
 
-    # replay guard: re-delivering an old batch_id is a no-op
+    # replay guard: re-delivering the LAST batch_id (a foreachBatch
+    # retry) is a silent no-op...
     before = ingest.index.graphs.agg(F.sum("n")).first()[0]
-    ingest.writer()(arriving.limit(5).select("vec_id", "embedding"), 0)
+    last = ingest._last_batch_id
+    ingest.writer()(arriving.limit(5).select("vec_id", "embedding"), last)
+    assert ingest.index.graphs.agg(F.sum("n")).first()[0] == before
+    # ...but a batch_id going BACKWARDS means a fresh query (ids restart
+    # at 0) got wired to this handle — silent skip would drop its data,
+    # so the handle raises (one-query-per-handle contract)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="batch_id regression"):
+        ingest.writer()(arriving.limit(5).select("vec_id", "embedding"), 0)
     assert ingest.index.graphs.agg(F.sum("n")).first()[0] == before
     ingest.index.graphs.unpersist()
