@@ -1401,6 +1401,121 @@ def q_streaming_ann_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hnswsq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar quantization INSIDE the graph (quant_bits analogue —
+    lantern_hnsw/src/hnsw/options.c:137-158, test hnsw_sq.sql): blobs
+    store i8 codes with frozen per-dim affine params instead of f32.
+    The reference's sq test is functional + recall, never a hash of ANN
+    output — mirrored here: (a) recall@10 over 5 sampled queries >= 0.9
+    against the exact scan, (b) the i8 index's serialized bytes are
+    strictly smaller than the uncompressed f32 build's, (c) an inserted
+    twin still surfaces (the frozen params survive aminsert)."""
+    from lanterndb_spark.operators.autotune import (
+        exact_topk_batch,
+        recall_at_k,
+        sample_queries,
+    )
+    from lanterndb_spark.operators.hnsw import (
+        build_hnsw,
+        hnsw_insert,
+        hnsw_search_batch,
+    )
+
+    emb = _emb(spark, sf_dir)
+    kw = dict(m=16, ef_construction=128, num_shards=2, seed=42)
+    idx32 = build_hnsw(emb, "embedding", id_col="vec_id", quant="f32", **kw)
+    idx8 = build_hnsw(emb, "embedding", id_col="vec_id", quant="i8", **kw)
+    sz32 = sum(len(bytes(r["blob"])) for r in idx32.graphs.collect())
+    sz8 = sum(len(bytes(r["blob"])) for r in idx8.graphs.collect())
+    queries = sample_queries(emb, "embedding", n=5, seed=7)
+    truth = exact_topk_batch(emb, "embedding", queries, k=10, id_col="vec_id")
+    got: dict[int, list] = {}
+    for r in hnsw_search_batch(idx8, queries, k=10, ef=64).orderBy(
+        "q_id", "dist", "vec_id"
+    ).collect():
+        got.setdefault(r["q_id"], []).append(r["vec_id"])
+    recs = [recall_at_k(got.get(i, []), truth.get(i, []))
+            for i in range(len(queries))]
+    recall_ok = sum(recs) / len(recs) >= 0.9
+    TWIN = 900_003
+    idx8b = hnsw_insert(
+        idx8,
+        spark.createDataFrame(
+            [(TWIN, queries[0])], "vec_id long, embedding array<float>"
+        ),
+    )
+    top2 = [r["vec_id"] for r in
+            hnsw_search_batch(idx8b, [queries[0]], k=2, ef=64).collect()]
+    idx8b.graphs.unpersist()
+    idx8.graphs.unpersist()
+    idx32.graphs.unpersist()
+    return spark.createDataFrame(
+        [(emb.count(), recall_ok, sz8 < sz32, TWIN in top2)],
+        "n_vectors bigint, recall_ok boolean, blob_smaller boolean, "
+        "twin_in_top2 boolean",
+    )
+
+
+def q_hnswpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization INSIDE the graph (pq=true reloption —
+    build.c:497-501, scan.c:75-81, test hnsw_pq_index.sql): blobs store
+    per-shard PQ codes + a FROZEN codebook; beams score via the ADC
+    lookup table (exact distance to the reconstruction), and the join
+    back to the raw table RE-RANKS an 8x-oversampled candidate set with
+    exact distances. Same recall-threshold shape as the reference's pq
+    test: (a) reranked recall@10 >= 0.9 over 5 sampled queries, (b) the
+    live search structure is codes (S bytes/vector), (c) an inserted
+    twin encodes against the frozen codebook and surfaces."""
+    from lanterndb_spark.operators.autotune import (
+        exact_topk_batch,
+        recall_at_k,
+        sample_queries,
+    )
+    from lanterndb_spark.operators.hnsw import (
+        _Graph,
+        build_hnsw,
+        hnsw_insert,
+        hnsw_search_batch,
+    )
+
+    emb = _emb(spark, sf_dir)
+    idx = build_hnsw(
+        emb, "embedding", id_col="vec_id", m=16, ef_construction=128,
+        num_shards=2, seed=42, quant="pq",
+    )
+    g0 = _Graph.from_blob(bytes(idx.graphs.first()["blob"]))
+    codes_live = g0.storage == "pq" and g0.codes is not None
+    queries = sample_queries(emb, "embedding", n=5, seed=7)
+    truth = exact_topk_batch(emb, "embedding", queries, k=10, id_col="vec_id")
+    got: dict[int, list] = {}
+    for r in hnsw_search_batch(idx, queries, k=10, ef=64, base=emb).orderBy(
+        "q_id", "dist", "vec_id"
+    ).collect():
+        got.setdefault(r["q_id"], []).append(r["vec_id"])
+    recs = [recall_at_k(got.get(i, []), truth.get(i, []))
+            for i in range(len(queries))]
+    recall_ok = sum(recs) / len(recs) >= 0.9
+    TWIN = 900_004
+    idx2 = hnsw_insert(
+        idx,
+        spark.createDataFrame(
+            [(TWIN, queries[0])], "vec_id long, embedding array<float>"
+        ),
+    )
+    # twin check on the ADC path (no base): the twin's codes are the
+    # query's own encoding, so its reconstruction distance is minimal —
+    # and the raw table doesn't hold the twin row to re-rank against
+    top2 = [r["vec_id"] for r in
+            hnsw_search_batch(idx2, [queries[0]], k=2, ef=64).collect()]
+    idx2.graphs.unpersist()
+    idx.graphs.unpersist()
+    return spark.createDataFrame(
+        [(emb.count(), recall_ok, codes_live, TWIN in top2)],
+        "n_vectors bigint, recall_ok boolean, codes_live boolean, "
+        "twin_in_top2 boolean",
+    )
+
+
 def q_hnswivf_exact_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-routed HNSW (the IVF-over-graphs composite — one graph
     per k-means shard, searches deserialize only the probed shards) at
@@ -4191,6 +4306,19 @@ def oracle_sql() -> dict[str, str]:
                    true AS twin_in_top2, true AS tombstone_skipped
             FROM embeddings
         """,
+        # in-graph compression rows follow the reference's own sq/pq test
+        # shape (hnsw_sq.sql / hnsw_pq_index.sql): functional booleans +
+        # a recall threshold, never a hash of ANN output
+        "hnswsq_recall": """
+            SELECT CAST(count(*) AS BIGINT) AS n_vectors, true AS recall_ok,
+                   true AS blob_smaller, true AS twin_in_top2
+            FROM embeddings
+        """,
+        "hnswpq_recall": """
+            SELECT CAST(count(*) AS BIGINT) AS n_vectors, true AS recall_ok,
+                   true AS codes_live, true AS twin_in_top2
+            FROM embeddings
+        """,
         "streaming_ann_equiv": """
             SELECT CAST(count(*) AS BIGINT) AS n_vectors,
                    true AS micro_batched, true AS assignments_equal
@@ -5449,6 +5577,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 5:
         "hnsw_exact_equiv": q_hnsw_exact_equiv,
         "hnsw_invariants": q_hnsw_invariants,
+        "hnswsq_recall": q_hnswsq_recall,
+        "hnswpq_recall": q_hnswpq_recall,
         "streaming_ann_equiv": q_streaming_ann_equiv,
         "streaming_neardup_equiv": q_streaming_neardup_equiv,
         "streaming_hnsw_equiv": q_streaming_hnsw_equiv,

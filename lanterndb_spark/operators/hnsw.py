@@ -78,10 +78,19 @@ def _dists(X, norms, idx, q, qnorm):
     return norms[idx] - 2.0 * (X[idx] @ q) + qnorm
 
 
-def _beam(X, norms, arr, cnt, q, qnorm, ef, starts, skip=None, gen=None, cur=0):
+# byte -> popcount lookup (packed-bit hamming scoring, hnsw.c:308-319's
+# bit layout re-expressed as numpy LUT gathers)
+_POP = np.unpackbits(
+    np.arange(256, dtype=np.uint8)[:, None], axis=1
+).sum(1).astype(np.uint8)
+
+
+def _beam(score, n, arr, cnt, ef, starts, skip=None, gen=None, cur=0):
     """Best-first beam search at one level: returns [(dist, node)] sorted
-    ascending, at most ``ef`` entries. ``skip`` nodes are traversed but
-    never returned (tombstone skip, scan.c:294-300).
+    ascending, at most ``ef`` entries. ``score(idx) -> dists`` abstracts
+    the vector storage — dense l2sq, packed-bit popcount, or a PQ ADC
+    LUT all plug in unchanged. ``skip`` nodes are traversed but never
+    returned (tombstone skip, scan.c:294-300).
 
     Visited tracking uses a GENERATION-STAMPED int array (``gen[v] ==
     cur`` means visited this call) with vectorized neighbor filtering;
@@ -89,10 +98,10 @@ def _beam(X, norms, arr, cnt, q, qnorm, ef, starts, skip=None, gen=None, cur=0):
     VIEW — no per-expansion list→array conversion). The two together
     measure ~2.4× over the original set + dict-of-lists shape."""
     if gen is None:
-        gen = np.zeros(len(X), dtype=np.int64)
+        gen = np.zeros(n, dtype=np.int64)
         cur = 1
     sa = np.asarray(starts)
-    ds = _dists(X, norms, sa, q, qnorm)
+    ds = score(sa)
     gen[sa] = cur
     cand = list(zip(ds.tolist(), starts))
     heapq.heapify(cand)
@@ -112,7 +121,7 @@ def _beam(X, norms, arr, cnt, q, qnorm, ef, starts, skip=None, gen=None, cur=0):
         if not len(fresh):
             continue
         gen[fresh] = cur
-        nd = _dists(X, norms, fresh, q, qnorm)
+        nd = score(fresh)
         full = len(best) >= ef
         bound = -best[0][0]
         for v, dv in zip(fresh.tolist(), nd.tolist()):
@@ -220,6 +229,11 @@ class _Graph:
         self._n32 = None
         self._X16 = None    # contiguous 16-dim prefix (screen, see batch)
         self._n16 = None
+        self.storage = "dense"  # 'dense' | 'bits' | 'pq' (live layout)
+        self.quant = "f32"      # blob format: f32|f64|f16|i8|b1|pq
+        self.q_min = self.q_scale = None  # frozen i8 affine params
+        self.cb = None          # frozen pq codebook (S, K, dsub)
+        self.codes = self.Xb = self.nbits = None
         self._insert_range(0, n)
 
     def _cap(self, l: int) -> int:
@@ -573,9 +587,11 @@ class _Graph:
 
     def _run_beam(self, lvl, q, qnorm, ef, starts, skip=None):
         self._ctr += 1
+        X, norms = self.X, self.norms
         return _beam(
-            self.X, self.norms, self.nbr_arr[lvl], self.nbr_cnt[lvl],
-            q, qnorm, ef, starts, skip=skip, gen=self._gen, cur=self._ctr,
+            lambda idx: _dists(X, norms, idx, q, qnorm), len(self.ids),
+            self.nbr_arr[lvl], self.nbr_cnt[lvl],
+            ef, starts, skip=skip, gen=self._gen, cur=self._ctr,
         )
 
     def _ensure32(self):
@@ -591,8 +607,9 @@ class _Graph:
         X32, n32 = self._ensure32()
         self._ctr += 1
         return _beam(
-            X32, n32, self.nbr_arr[lvl], self.nbr_cnt[lvl],
-            q, qnorm, ef, starts, skip=skip, gen=self._gen, cur=self._ctr,
+            lambda idx: _dists(X32, n32, idx, q, qnorm), len(self.ids),
+            self.nbr_arr[lvl], self.nbr_cnt[lvl],
+            ef, starts, skip=skip, gen=self._gen, cur=self._ctr,
         )
 
     def _insert(self, i):
@@ -631,7 +648,11 @@ class _Graph:
 
     def add(self, new_ids, newX, seed):
         """Append rows to the EXISTING graph (aminsert, insert.c:51-262:
-        no retrain, new nodes link into the current structure)."""
+        no retrain, new nodes link into the current structure). A graph
+        loaded from a quantized blob first materializes its dense form
+        (bits unpack / pq decode) — construction navigates dense; the
+        next to_blob re-encodes with the FROZEN quant params."""
+        self._ensure_dense()
         n0 = len(self.ids)
         new_ids = np.asarray(new_ids, dtype=np.int64)
         newX = np.asarray(newX, dtype=np.float64)
@@ -666,6 +687,29 @@ class _Graph:
             )
         self._insert_range(n0, len(self.ids))
 
+    def _make_score(self, q):
+        """Per-query scoring closure ``score(idx) -> f64 dists`` over the
+        live storage: dense l2sq, packed-bit popcount (hamming exactly),
+        or a PQ ADC lookup table (= exact l2sq to the RECONSTRUCTION, so
+        LUT scoring and decoded scoring are the same number)."""
+        if self.storage == "bits":
+            qb = np.packbits(
+                np.asarray(q, dtype=np.float64).astype(np.uint8)
+            )
+            Xb = self.Xb
+            return lambda idx: _POP[Xb[idx] ^ qb].sum(1).astype(np.float64)
+        if self.storage == "pq":
+            S, K, dsub = self.cb.shape
+            qq = np.asarray(q, dtype=np.float64)[: S * dsub]
+            lut = ((self.cb.astype(np.float64) - qq.reshape(S, 1, dsub)) ** 2).sum(2)
+            codes = self.codes
+            sidx = np.arange(S)[None, :]
+            return lambda idx: lut[sidx, codes[idx]].sum(1)
+        qq = np.asarray(q, dtype=np.float64)
+        qn = float(qq @ qq)
+        X, norms = self.X, self.norms
+        return lambda idx: _dists(X, norms, idx, qq, qn)
+
     def search(self, q, k, ef, skip_ids=None):
         """(ids, dists) of the shard-local top-max(k, ef); beam width
         max(ef, k). ``ef >= n`` short-circuits to the exact scan — the
@@ -677,26 +721,125 @@ class _Graph:
         skip = None
         if skip_ids:
             skip = {int(i) for i, g in enumerate(self.ids) if int(g) in skip_ids}
-        q = np.asarray(q, dtype=np.float64)
-        qnorm = float(q @ q)
+        score = self._make_score(q)
         # tombstones are dropped AFTER the beam (scan.c's label skip), so
         # widen by the skip count — otherwise deleting the m nearest rows
         # could starve the survivors below k while live rows exist
         width = max(int(ef), int(k) + (len(skip) if skip else 0))
         if width >= n:
-            ds = self.norms - 2.0 * (self.X @ q) + qnorm
+            ds = score(np.arange(n))
             order = np.argsort(ds, kind="stable")
             if skip:
                 order = np.asarray([i for i in order if i not in skip], dtype=np.int64)
             return self.ids[order[:width]], ds[order[:width]]
         ep = [self.entry]
         for l in range(self.entry_lvl, 0, -1):
-            ep = [self._run_beam(l, q, qnorm, 1, ep)[0][1]]
-        res = self._run_beam(0, q, qnorm, width, ep, skip=skip)
+            self._ctr += 1
+            ep = [_beam(
+                score, n, self.nbr_arr[l], self.nbr_cnt[l], 1, ep,
+                gen=self._gen, cur=self._ctr,
+            )[0][1]]
+        self._ctr += 1
+        res = _beam(
+            score, n, self.nbr_arr[0], self.nbr_cnt[0], width, ep,
+            skip=skip, gen=self._gen, cur=self._ctr,
+        )
         idx = np.asarray([v for _, v in res], dtype=np.int64)
         return self.ids[idx], np.asarray([d for d, _ in res])
 
+    # ---- storage / quantization (the reference's in-index compression:
+    # quant_bits f16/i8 — options.c:137-158, hnsw_sq.sql — pq=true codes
+    # with ADC scoring — build.c:497-501, scan.c:75-81, hnsw_pq_index.sql
+    # — and real packed bits for hamming instead of 8 B/bit)
+
+    def _ensure_dense(self):
+        """Materialize dense f64 X/norms (construction needs them):
+        unpack bits, or decode PQ codes to their reconstructions."""
+        if self.storage == "bits":
+            self.X = np.unpackbits(self.Xb, axis=1)[
+                :, : self.nbits
+            ].astype(np.float64)
+            self.norms = self.X.sum(1)  # 0/1 rows: norm == popcount
+            self.storage = "dense"
+        elif self.storage == "pq":
+            S, K, dsub = self.cb.shape
+            cbf = self.cb.astype(np.float64)
+            self.X = np.concatenate(
+                [cbf[s][self.codes[:, s]] for s in range(S)], axis=1
+            )
+            self.norms = (self.X * self.X).sum(1)
+            self.storage = "dense"
+
+    def freeze_pq(self, splits=None, clusters=256, seed=0, sample=20_000):
+        """Train a per-shard PQ codebook on the graph's own vectors and
+        switch the blob format to codes+codebook (pq=true). The codebook
+        FREEZES here — later inserts encode against it, never retrain
+        (the reference's pq index contract)."""
+        from lanterndb_spark.operators.pq import _kmeans_numpy
+
+        d = self.X.shape[1]
+        if splits is None:
+            splits = next(s for s in (8, 4, 2, 1) if d % s == 0)
+        if d % splits:
+            raise ValueError(f"pq splits {splits} must divide dim {d}")
+        dsub = d // splits
+        rng = np.random.RandomState(seed)
+        fit = self.X
+        if len(fit) > sample:
+            fit = fit[rng.choice(len(fit), sample, replace=False)]
+        self.cb = np.stack([
+            _kmeans_numpy(fit[:, s * dsub:(s + 1) * dsub], clusters, seed + s)
+            for s in range(splits)
+        ]).astype(np.float32)
+        self.quant = "pq"
+
+    def _encode_pq(self):
+        S, K, dsub = self.cb.shape
+        cbf = self.cb.astype(np.float64)
+        codes = np.empty((len(self.ids), S), dtype=np.uint8)
+        for s in range(S):
+            sub = self.X[:, s * dsub:(s + 1) * dsub]
+            d = (
+                (sub * sub).sum(1)[:, None]
+                - 2.0 * sub @ cbf[s].T
+                + (cbf[s] ** 2).sum(1)[None, :]
+            )
+            codes[:, s] = d.argmin(1)
+        return codes
+
+    def _encode_X(self):
+        """Blob payload for the vector matrix, by ``quant``."""
+        if self.quant == "f64":
+            return {"X": self.X}
+        if self.quant == "f16":
+            return {"X": self.X.astype(np.float16)}
+        if self.quant == "i8":
+            if self.q_min is None:
+                mn = self.X.min(0)
+                scale = (self.X.max(0) - mn) / 255.0
+                scale[scale == 0.0] = 1.0
+                # freeze the affine params at first encode so re-encodes
+                # after add() never drift existing rows
+                self.q_min = mn.astype(np.float32)
+                self.q_scale = scale.astype(np.float32)
+            codes = np.clip(
+                np.rint(
+                    (self.X - self.q_min.astype(np.float64))
+                    / self.q_scale.astype(np.float64)
+                ), 0, 255,
+            ).astype(np.uint8)
+            return {"Xq": codes, "q_min": self.q_min, "q_scale": self.q_scale}
+        if self.quant == "b1":
+            return {
+                "Xb": np.packbits(self.X.astype(np.uint8), axis=1),
+                "nbits": self.X.shape[1],
+            }
+        if self.quant == "pq":
+            return {"codes": self._encode_pq(), "cb": self.cb}
+        return {"X": self.X.astype(np.float32)}
+
     def to_blob(self) -> bytes:
+        self._ensure_dense()
         csr = []
         for arr, cnt in zip(self.nbr_arr, self.nbr_cnt):
             # per-level CSR over ALL node slots (absent nodes = empty)
@@ -708,27 +851,51 @@ class _Graph:
             else:
                 indices = np.empty(0, np.int32)
             csr.append((indptr, indices))
-        return pickle.dumps(
-            {
-                "ids": self.ids,
-                "X": self.X.astype(np.float32),
-                "levels": self.levels,
-                "csr": csr,
-                "entry": self.entry,
-                "entry_lvl": self.entry_lvl,
-                "m": self.m,
-                "efc": self.efc,
-            },
-            protocol=4,
-        )
+        payload = {
+            "ids": self.ids,
+            "levels": self.levels,
+            "csr": csr,
+            "entry": self.entry,
+            "entry_lvl": self.entry_lvl,
+            "m": self.m,
+            "efc": self.efc,
+            "quant": self.quant,
+        }
+        payload.update(self._encode_X())
+        return pickle.dumps(payload, protocol=4)
 
     @classmethod
     def from_blob(cls, blob: bytes) -> "_Graph":
         d = pickle.loads(blob)
         g = cls.__new__(cls)
         g.ids = d["ids"]
-        g.X = d["X"].astype(np.float64)
-        g.norms = (g.X * g.X).sum(1)
+        g.quant = d.get("quant", "f32")
+        g.q_min = d.get("q_min")
+        g.q_scale = d.get("q_scale")
+        g.cb = d.get("cb")
+        g.codes = g.Xb = g.nbits = None
+        g.X = g.norms = None
+        if g.quant == "b1":
+            # live packed bits + popcount scoring: 1 bit per bit instead
+            # of the dense 8 B/bit expansion
+            g.storage = "bits"
+            g.Xb = d["Xb"]
+            g.nbits = int(d["nbits"])
+        elif g.quant == "pq":
+            # live PQ codes + per-query ADC LUT: S bytes per vector
+            g.storage = "pq"
+            g.codes = d["codes"]
+        else:
+            g.storage = "dense"
+            if g.quant == "i8":
+                g.X = (
+                    d["Xq"].astype(np.float64)
+                    * g.q_scale.astype(np.float64)
+                    + g.q_min.astype(np.float64)
+                )
+            else:
+                g.X = d["X"].astype(np.float64)
+            g.norms = (g.X * g.X).sum(1)
         g.levels = d["levels"]
         g.m, g.efc = d["m"], d["efc"]
         g.entry, g.entry_lvl = d["entry"], d["entry_lvl"]
@@ -773,6 +940,7 @@ class HnswIndex(NamedTuple):
     seed: int
     metric: str = "l2sq"
     centroids: object = None  # (num_shards, dim) numpy when cluster-routed
+    quant: str = "f32"        # blob format: f32|f64|f16|i8|b1|pq
 
 
 def _bits_rows(arrs) -> np.ndarray:
@@ -837,6 +1005,9 @@ def build_hnsw(
     metric: str = "l2sq",
     routing: str = "hash",
     sample_limit: int = 50_000,
+    quant: str | None = None,
+    pq_splits: int | None = None,
+    pq_clusters: int = 256,
 ) -> HnswIndex:
     """CREATE INDEX USING lantern_hnsw analogue (build.c:472-716): shard
     the table, build one numpy HNSW per shard in parallel, keep the
@@ -874,6 +1045,22 @@ def build_hnsw(
         raise ValueError("hnsw metric must be 'l2sq', 'cos', or 'hamming'")
     if routing not in ("hash", "cluster"):
         raise ValueError("hnsw routing must be 'hash' or 'cluster'")
+    # in-graph compression (quant_bits / pq=true, options.c:137-158 +
+    # build.c:497-501). Defaults: hamming packs to REAL bits (popcount
+    # scoring, lossless); cos stores f64 (normalized rows would lose
+    # ~1e-7 through an f32 roundtrip); l2sq stores f32 (raw embeddings
+    # are f32 at the source, so lossless in practice).
+    allowed = (
+        {None, "b1", "f32", "f64"} if metric == "hamming"
+        else {None, "f32", "f64", "f16", "i8", "pq"}
+    )
+    if quant not in allowed:
+        raise ValueError(
+            f"quant {quant!r} not supported for metric {metric!r} "
+            f"(one of {sorted(str(a) for a in allowed)})"
+        )
+    if quant is None:
+        quant = {"hamming": "b1", "cos": "f64"}.get(metric, "f32")
     if num_shards is None:
         n = df.count()
         num_shards = max(1, min(1024, (n + shard_target - 1) // shard_target))
@@ -929,6 +1116,10 @@ def build_hnsw(
             if metric == "cos":
                 ids, X = _norm_rows(ids, X)
         g = _Graph(ids, X, m, ef_construction, seed ^ shard)
+        if quant == "pq":
+            g.freeze_pq(pq_splits, pq_clusters, seed ^ shard)
+        else:
+            g.quant = quant
         return pd.DataFrame(
             {"shard": [shard], "n": [len(ids)], "blob": [g.to_blob()]}
         )
@@ -942,7 +1133,7 @@ def build_hnsw(
     graphs.count()
     return HnswIndex(
         graphs, vec_col, id_col, m, ef_construction, num_shards, seed,
-        metric, centroids,
+        metric, centroids, quant,
     )
 
 
@@ -1016,22 +1207,54 @@ def hnsw_search(
     beams → global TakeOrdered over probed_shards·ef (id, dist) pairs →
     one BROADCAST join of the k winner ids back to ``base``. The scan of
     ``base`` prunes to the id set (pushed isin), so the full vectors of
-    only k rows are ever touched — same economics as IVF's refine step."""
+    only k rows are ever touched — same economics as IVF's refine step.
+
+    A ``quant='pq'`` index RE-RANKS: the graph returns an 8x-oversampled
+    candidate set ordered by ADC distance, and the join back to ``base``
+    re-scores those rows with the exact Catalyst distance expression
+    (FAISS's IVFPQ+refine shape) — ADC misranking is confined to the
+    candidate cut, so recall survives the compression."""
+    oversample = 8 if index.quant == "pq" else 1
+    kk = int(k) * oversample
     cand = (
-        hnsw_candidates(index, query, k=k, ef=ef, deleted=deleted, nprobe=nprobe)
+        hnsw_candidates(
+            index, query, k=kk, ef=max(int(ef), kk), deleted=deleted,
+            nprobe=nprobe,
+        )
         .orderBy(F.col("dist").asc(), F.col("__gid").asc())
-        .limit(k)
+        .limit(kk)
     )
-    winners = cand.collect()  # ≤ k rows — the merge result, driver-tiny
+    winners = cand.collect()  # ≤ kk rows — the merge result, driver-tiny
     ids = [int(r["__gid"]) for r in winners]
-    dmap = {int(r["__gid"]): float(r["dist"]) for r in winners}
     spark = base.sparkSession
-    dd = spark.createDataFrame(
-        [(i, dmap[i]) for i in ids], f"{index.id_col} bigint, dist double"
-    )
-    out = base.filter(F.col(index.id_col).isin(ids)).join(
-        F.broadcast(dd), on=index.id_col
-    )
+    if oversample > 1:
+        from lanterndb_spark.functions.distance import distance as dist_expr
+        from lanterndb_spark.functions.distance import query_vec
+
+        out = (
+            base.filter(F.col(index.id_col).isin(ids))
+            .withColumn(
+                "dist",
+                dist_expr(
+                    index.metric, F.col(index.vec_col),
+                    query_vec(list(query), "double"),
+                ).cast("double"),
+            )
+            .filter(F.col("dist").isNotNull())
+            .select(
+                index.id_col,
+                *[c for c in base.columns if c != index.id_col],
+                "dist",
+            )
+        )
+    else:
+        dmap = {int(r["__gid"]): float(r["dist"]) for r in winners}
+        dd = spark.createDataFrame(
+            [(i, dmap[i]) for i in ids], f"{index.id_col} bigint, dist double"
+        )
+        out = base.filter(F.col(index.id_col).isin(ids)).join(
+            F.broadcast(dd), on=index.id_col
+        )
     return out.orderBy(F.col("dist").asc(), F.col(index.id_col).asc()).limit(k)
 
 
@@ -1107,14 +1330,34 @@ def hnsw_search_filtered(
             .collect()
         )
         ids = [int(r["__gid"]) for r in cand]
-        dd = spark.createDataFrame(
-            [(int(r["__gid"]), float(r["dist"])) for r in cand],
-            f"{index.id_col} bigint, dist double",
-        )
+        if index.quant == "pq":
+            # ADC candidates re-score exactly against the raw vectors
+            from lanterndb_spark.functions.distance import (
+                distance as dist_expr,
+            )
+            from lanterndb_spark.functions.distance import query_vec
+
+            out = (
+                base.filter(F.col(index.id_col).isin(ids))
+                .withColumn(
+                    "dist",
+                    dist_expr(
+                        index.metric, F.col(index.vec_col),
+                        query_vec(list(query), "double"),
+                    ).cast("double"),
+                )
+                .filter(F.col("dist").isNotNull())
+            )
+        else:
+            dd = spark.createDataFrame(
+                [(int(r["__gid"]), float(r["dist"])) for r in cand],
+                f"{index.id_col} bigint, dist double",
+            )
+            out = base.filter(F.col(index.id_col).isin(ids)).join(
+                F.broadcast(dd), on=index.id_col
+            )
         out = (
-            base.filter(F.col(index.id_col).isin(ids))
-            .join(F.broadcast(dd), on=index.id_col)
-            .filter(pred)
+            out.filter(pred)
             .orderBy(F.col("dist").asc(), F.col(index.id_col).asc())
             .limit(k)
         )
@@ -1144,6 +1387,7 @@ def hnsw_search_batch(
     ef: int = _EF_DEFAULT,
     deleted: set | None = None,
     nprobe: int | None = None,
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """Batch twin: ONE distributed job answers every query — each shard
     row runs the beams that probe it against its deserialized graph
@@ -1151,11 +1395,19 @@ def hnsw_search_batch(
     and one window takes the global per-query top-k. With cluster
     routing + ``nprobe``, the graphs scan prunes to the union of probed
     shards and each shard runs only its own queries' beams. Returns
-    (q_id, id, dist)."""
+    (q_id, id, dist).
+
+    ``quant='pq'`` indexes return ADC (reconstruction) distances; pass
+    ``base`` (the raw table) to RE-RANK an 8x-oversampled candidate set
+    with exact distances — blobs store codes only, so the raw vectors
+    must come from the caller's table."""
     from pyspark.sql import Window
 
     if nprobe is not None and nprobe < 1:
         raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    rerank = index.quant == "pq" and base is not None
+    kk = k * 8 if rerank else k
+    ef = max(ef, kk)
     prepped = [_prep_query(index, q) for q in queries]
     Q = [q for q, _ in prepped]
     scale = prepped[0][1] if prepped else 1.0
@@ -1179,7 +1431,7 @@ def hnsw_search_batch(
                 g = _Graph.from_blob(blob)
                 frames = []
                 for qi in qids:
-                    ids, ds = g.search(Q[qi], k, ef, skip_ids=dead)
+                    ids, ds = g.search(Q[qi], kk, ef, skip_ids=dead)
                     if len(ids):
                         frames.append(
                             pd.DataFrame(
@@ -1191,10 +1443,43 @@ def hnsw_search_batch(
 
     cand = graphs.mapInPandas(run, "q_id int, __gid bigint, dist double")
     w = Window.partitionBy("q_id").orderBy(F.col("dist").asc(), F.col("__gid").asc())
-    return (
+    top = (
         cand.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
+        .filter(F.col("__rn") <= kk)
         .select("q_id", F.col("__gid").alias(index.id_col), "dist")
+    )
+    if not rerank:
+        return top
+    # exact re-rank of the oversampled ADC candidates against the raw
+    # vectors (broadcast of nq tiny query literals; candidate set is
+    # nq·8k rows)
+    from lanterndb_spark.functions.distance import distance as dist_expr
+
+    spark = base.sparkSession
+    qdf = spark.createDataFrame(
+        [(i, [float(x) for x in q]) for i, q in enumerate(queries)],
+        "q_id int, __qv array<double>",
+    )
+    vecs = base.select(
+        F.col(index.id_col), F.col(index.vec_col).alias("__bv")
+    )
+    rescored = (
+        top.drop("dist")
+        .join(F.broadcast(qdf), on="q_id")
+        .join(vecs, on=index.id_col)
+        .withColumn(
+            "dist",
+            dist_expr(index.metric, F.col("__bv"), F.col("__qv")).cast("double"),
+        )
+        .filter(F.col("dist").isNotNull())
+    )
+    w2 = Window.partitionBy("q_id").orderBy(
+        F.col("dist").asc(), F.col(index.id_col).asc()
+    )
+    return (
+        rescored.withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") <= k)
+        .select("q_id", index.id_col, "dist")
     )
 
 
@@ -1220,6 +1505,7 @@ def hnsw_insert(index: HnswIndex, delta: DataFrame) -> HnswIndex:
     )
 
     metric = index.metric
+    quant = index.quant
 
     def merge(key, gpdf: pd.DataFrame, dpdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(key[0])
@@ -1240,8 +1526,12 @@ def hnsw_insert(index: HnswIndex, delta: DataFrame) -> HnswIndex:
             return gpdf[["shard", "n", "blob"]]
         if len(gpdf) == 0:
             # brand-new shard (possible when the base build saw no rows
-            # hashing here): build fresh
+            # hashing here): build fresh, same blob format as the index
             g = _Graph(dids, dX, m, efc, seed ^ shard)
+            if quant == "pq":
+                g.freeze_pq(seed=seed ^ shard)
+            else:
+                g.quant = quant
         else:
             g = _Graph.from_blob(gpdf["blob"].iloc[0])
             g.add(dids, dX, seed ^ shard)
@@ -1281,9 +1571,13 @@ def hnsw_compact(index: HnswIndex, deleted: set) -> HnswIndex:
                 continue
             if not keep.any():
                 continue  # shard fully deleted
+            g._ensure_dense()  # quantized shards rebuild from decoded rows
             ng = _Graph(
                 g.ids[keep], g.X[keep], m, efc, seed ^ int(row["shard"])
             )
+            # carry the blob format + frozen quant params forward
+            ng.quant = g.quant
+            ng.q_min, ng.q_scale, ng.cb = g.q_min, g.q_scale, g.cb
             out.append((int(row["shard"]), int(keep.sum()), ng.to_blob()))
         return pd.DataFrame(out, columns=["shard", "n", "blob"])
 
@@ -1304,12 +1598,12 @@ def save_hnsw(index: HnswIndex, path: str) -> None:
     spark = index.graphs.sparkSession
     meta = [(
         index.vec_col, index.id_col, index.m, index.ef_construction,
-        index.num_shards, index.seed, index.metric,
+        index.num_shards, index.seed, index.metric, index.quant,
     )]
     spark.createDataFrame(
         meta,
         "vec_col string, id_col string, m int, efc int, num_shards int, "
-        "seed int, metric string",
+        "seed int, metric string, quant string",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
     if index.centroids is not None:
         cents = [(int(i), [float(x) for x in c])
@@ -1336,7 +1630,8 @@ def load_hnsw(spark, path: str) -> HnswIndex:
         # index to hash routing would misroute every future insert and
         # make nprobe searches permanently lossy.
         pass
+    quant = r["quant"] if "quant" in r.__fields__ else "f32"
     return HnswIndex(
         graphs, r["vec_col"], r["id_col"], r["m"], r["efc"],
-        r["num_shards"], r["seed"], r["metric"], centroids,
+        r["num_shards"], r["seed"], r["metric"], centroids, quant,
     )

@@ -460,3 +460,115 @@ def test_hamming_metric_full_probe_and_insert(emb, spark):
     assert min(r["dist"] for r in top) == 0.0
     idx2.graphs.unpersist()
     idx.graphs.unpersist()
+
+
+# ---- in-graph compression (quant_bits / pq=true — options.c:137-158,
+# build.c:497-501; tests hnsw_sq.sql / hnsw_pq_index.sql)
+
+
+def test_quant_blob_roundtrip_and_sizes():
+    from lanterndb_spark.operators.hnsw import _Graph
+
+    rs = np.random.RandomState(3)
+    n, d = 1500, 64
+    X = rs.standard_normal((n, d))
+    g = _Graph(np.arange(n, dtype=np.int64), X, 8, 32, 3)
+    base = g.to_blob()
+    q = rs.standard_normal(d)
+    want, _ = _Graph.from_blob(base).search(q, 10, 64)
+    sizes = {"f32": len(base)}
+    for quant in ("f16", "i8"):
+        g.quant = quant
+        g.q_min = g.q_scale = None
+        b = g.to_blob()
+        sizes[quant] = len(b)
+        got, _ = _Graph.from_blob(b).search(q, 10, 64)
+        # lossy storage may perturb the tail, never the top hit
+        assert got[0] == want[0]
+    g.quant = None
+    g.freeze_pq(seed=11, clusters=64)
+    bpq = g.to_blob()
+    gq = _Graph.from_blob(bpq)
+    assert gq.storage == "pq" and gq.codes.shape == (n, 8)
+    # the vector payload shrinks monotonically with the format
+    assert sizes["f16"] < sizes["f32"]
+    assert sizes["i8"] < sizes["f16"]
+
+
+def test_b1_packed_hamming_exact_and_small():
+    from lanterndb_spark.operators.hnsw import _Graph
+
+    rs = np.random.RandomState(5)
+    n, bits = 800, 128
+    B = (rs.rand(n, bits) > 0.5).astype(np.float64)
+    g = _Graph(np.arange(n, dtype=np.int64), B, 8, 32, 5)
+    dense = g.to_blob()
+    g.quant = "b1"
+    packed = g.to_blob()
+    assert len(packed) < len(dense) - n * bits * 3  # ≥ ~24 of 32 bits saved
+    gb = _Graph.from_blob(packed)
+    assert gb.storage == "bits"
+    q = (rs.rand(bits) > 0.5).astype(np.float64)
+    got, ds = gb.search(q, 10, n)  # full probe == exact hamming, lossless
+    exact = np.argsort(np.abs(B - q).sum(1), kind="stable")[:10]
+    assert got[:10].tolist() == exact.tolist()
+    assert all(float(x).is_integer() for x in ds[:10])
+    # aminsert on the packed graph: unpack -> insert -> repack, lossless
+    newB = (rs.rand(20, bits) > 0.5).astype(np.float64)
+    gb.add(np.arange(n, n + 20, dtype=np.int64), newB, 7)
+    got2, ds2 = gb.search(q, 10, n + 20)
+    allB = np.vstack([B, newB])
+    exact2 = np.argsort(np.abs(allB - q).sum(1), kind="stable")[:10]
+    assert got2[:10].tolist() == exact2.tolist()
+    # and the repacked blob round-trips the appended rows bit-exactly
+    gb2 = _Graph.from_blob(gb.to_blob())
+    assert np.array_equal(
+        np.unpackbits(gb2.Xb, axis=1)[:, :bits], allB.astype(np.uint8)
+    )
+
+
+def test_quant_spark_surface_and_insert(emb, spark):
+    q3 = qvec(emb, 3)
+    for quant in ("i8", "pq"):
+        idx = build_hnsw(
+            emb, "embedding", id_col="vec_id", m=8, ef_construction=64,
+            num_shards=2, seed=42, quant=quant,
+        )
+        assert idx.quant == quant
+        got = hnsw_search(idx, emb, q3, k=3, ef=64).collect()
+        assert got[0]["vec_id"] == 3  # self-query top hit survives quant
+        twin = spark.createDataFrame(
+            [(90_010, q3)], "vec_id long, embedding array<float>"
+        )
+        idx2 = hnsw_insert(idx, twin)
+        top = [r["vec_id"] for r in
+               hnsw_search_batch(idx2, [q3], k=2, ef=64).collect()]
+        assert 90_010 in top  # frozen quant params survive aminsert
+        idx2.graphs.unpersist()
+        idx.graphs.unpersist()
+
+
+def test_hamming_defaults_to_packed_bits(emb, spark):
+    hv = emb.selectExpr(
+        "vec_id", "transform(embedding, x -> int(x * 1000)) as hv"
+    )
+    idx = build_hnsw(hv, "hv", id_col="vec_id", metric="hamming",
+                     num_shards=2, seed=42)
+    assert idx.quant == "b1"
+    from lanterndb_spark.operators.hnsw import _Graph
+
+    g = _Graph.from_blob(bytes(idx.graphs.first()["blob"]))
+    assert g.storage == "bits" and g.Xb.dtype == np.uint8
+    q = [int(x * 1000) for x in qvec(emb, 7)]
+    got = hnsw_search(idx, hv, q, k=3, ef=hv.count()).collect()
+    assert got[0]["vec_id"] == 7 and got[0]["dist"] == 0.0
+    idx.graphs.unpersist()
+
+
+def test_quant_validation(emb):
+    with pytest.raises(ValueError, match="quant"):
+        build_hnsw(emb, "embedding", id_col="vec_id", quant="pq",
+                   metric="hamming", num_shards=2)
+    with pytest.raises(ValueError, match="quant"):
+        build_hnsw(emb, "embedding", id_col="vec_id", quant="b1",
+                   metric="l2sq", num_shards=2)
