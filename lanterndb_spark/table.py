@@ -43,6 +43,9 @@ class LanternTable:
         self._build_params: dict[tuple[str, str], dict] = {}  # (kind, col) -> params
         self._tombstones: list = []
         self._deltas: list[DataFrame] = []
+        # vec_col -> tuned search-time defaults chosen by target_recall
+        # index selection (knn merges them under explicit overrides)
+        self._tuned_search: dict[str, dict] = {}
 
     # ------------------------------------------------------------ data
 
@@ -169,7 +172,65 @@ class LanternTable:
 
     # --------------------------------------------------------- indexes
 
-    def create_index(self, vec_col: str, kind: str = "ivf", **params) -> "LanternTable":
+    def create_index(
+        self,
+        vec_col: str,
+        kind: str = "ivf",
+        target_recall: float | None = None,
+        tune_sample: int = 20_000,
+        tune_queries: int = 10,
+        **params,
+    ) -> "LanternTable":
+        """Build an ANN index on ``vec_col``. With ``target_recall`` set
+        (hnsw only), runs the autotune grid on a ``tune_sample``-row
+        sample first — the reference's find_best_variant loop
+        (lantern_cli/src/index_autotune/mod.rs:161-186): cheapest
+        (m, ef[, nprobe]) meeting the recall target wins, the index
+        builds with the chosen m, and the chosen search-time knobs
+        become this column's knn defaults (explicit knn(...) kwargs
+        still override). Falls back to the highest-recall grid point,
+        recorded in get_indexes()['params'], when no point meets the
+        target. Grid knobs: m_grid / ef_grid / nprobe_grid."""
+        if target_recall is not None:
+            if kind != "hnsw":
+                raise ValueError(
+                    "target_recall index selection runs on kind='hnsw' "
+                    "(the reference's autotune picks among hnsw variants)"
+                )
+            from lanterndb_spark.operators.autotune import autotune_hnsw
+
+            seed = params.get("seed", 42)
+            ef_grid = tuple(params.pop("ef_grid", (16, 32, 64, 128)))
+            sample = self.df.orderBy(F.rand(seed)).limit(tune_sample)
+            best, results = autotune_hnsw(
+                sample, vec_col, self.id_col,
+                m_grid=tuple(params.pop("m_grid", (8, 16))),
+                ef_grid=ef_grid,
+                nprobe_grid=tuple(params.pop("nprobe_grid", (None,))),
+                n_queries=tune_queries,
+                target_recall=target_recall,
+                routing=params.get("routing", "hash"),
+                num_shards=params.get("num_shards"),
+                seed=seed,
+            )
+            chosen = best if best is not None else max(
+                results, key=lambda r: r.recall
+            )
+            params["m"] = chosen.params["m"]
+            # autotune searched graphs built at efc = max(ef_grid); build
+            # the real index the same way so the measured recall carries
+            params.setdefault("ef_construction", max(ef_grid))
+            tuned = {"ef": chosen.params["ef"]}
+            if "nprobe" in chosen.params:
+                tuned["nprobe"] = chosen.params["nprobe"]
+            self._tuned_search[vec_col] = tuned
+            params["_autotune"] = {
+                "target_recall": target_recall,
+                "achieved_recall": round(chosen.recall, 4),
+                "met_target": best is not None,
+                **tuned,
+            }
+        tune_meta = params.pop("_autotune", None)
         if kind == "ivf":
             from lanterndb_spark.operators.ivf import build_ivf
 
@@ -205,7 +266,10 @@ class LanternTable:
             # persisted graph blobs are never auto-evicted
             replaced[1].graphs.unpersist()
         self._indexes[vec_col] = (kind, index)
-        self._build_params[("index", vec_col)] = {"kind": kind, **params}
+        rec = {"kind": kind, **params}
+        if tune_meta is not None:
+            rec["autotune"] = tune_meta
+        self._build_params[("index", vec_col)] = rec
         return self
 
     def drop_index(self, vec_col: str) -> "LanternTable":
@@ -237,6 +301,9 @@ class LanternTable:
                 params["routing"] = (
                     "cluster" if idx.centroids is not None else "hash"
                 )
+                rec = self._build_params.get(("index", col), {})
+                if "autotune" in rec:  # target_recall selection outcome
+                    params["autotune"] = rec["autotune"]
             out.append({"column": col, "kind": kind, "params": params, "stale": stale})
         for col in self._codebooks:
             out.append({"column": col, "kind": "pq", "params": {}, "stale": stale})
@@ -351,6 +418,11 @@ class LanternTable:
                 hnsw_search,
                 hnsw_search_filtered,
             )
+
+            # target_recall-chosen defaults; explicit kwargs win
+            search_params = {
+                **self._tuned_search.get(vec_col, {}), **search_params
+            }
 
             if metric != index.metric:
                 raise ValueError(

@@ -431,3 +431,40 @@ def test_create_index_replacement_retires_hnsw_graphs(spark, tables):
                    num_shards=2, seed=42)
     assert old_graphs.storageLevel.useMemory is False
     t.drop_index("embedding")
+
+
+def test_create_index_target_recall_selection(tables, spark):
+    """find_best_variant analogue (index_autotune/mod.rs:161-186): with
+    target_recall set, create_index runs the grid on a sample, builds
+    with the winning m, and the chosen ef becomes the column's knn
+    default — while explicit kwargs still override."""
+    from lanterndb_spark.table import LanternTable
+
+    emb = tables["embeddings"]
+    t = LanternTable(emb, "vec_id").create_index(
+        "embedding", kind="hnsw", target_recall=0.9,
+        m_grid=(8,), ef_grid=(8, 64), tune_queries=3,
+        num_shards=2, seed=42,
+    )
+    cat = {i["column"]: i for i in t.get_indexes()}
+    tune = cat["embedding"]["params"]["autotune"]
+    assert tune["target_recall"] == 0.9
+    assert 0.0 <= tune["achieved_recall"] <= 1.0
+    assert tune["ef"] in (8, 64)
+    assert t._tuned_search["embedding"]["ef"] == tune["ef"]
+    # the tuned default actually applies (and can be overridden)
+    q = [float(x) for x in emb.first()["embedding"]]
+    got = [r["vec_id"] for r in t.knn("embedding", q, k=5).collect()]
+    assert emb.first()["vec_id"] in got
+    got2 = [r["vec_id"] for r in
+            t.knn("embedding", q, k=5, ef=emb.count()).collect()]
+    exact = [r["vec_id"] for r in
+             t.knn("embedding", q, k=5, mode="exact").collect()]
+    assert got2 == exact
+    # non-hnsw kinds refuse the knob loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="target_recall"):
+        LanternTable(emb, "vec_id").create_index(
+            "embedding", kind="ivf", target_recall=0.9
+        )

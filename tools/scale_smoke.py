@@ -408,6 +408,57 @@ def main():
 
     timed(f"span_ingest_2batch_{args.doc // 1000}k", span_ingest_job, out)
 
+    def hnsw_ingest_job():
+        # streaming GRAPH ingest at scale (VERDICT r6 item 7): build on
+        # 3/4 of the vectors, stream the last quarter in 4 micro-batches
+        # through hnsw_insert's cogroup; per-batch wall recorded, then
+        # stream==batch equality: a full-probe search over the grown
+        # index must equal the exact knn over ALL vectors. With the
+        # untouched-shard passthrough, each batch costs O(touched
+        # shards) — at this tier every shard is touched (uniform ids),
+        # so the meaningful number is wall per batch vs the full build.
+        from lanterndb_spark.operators.hnsw import build_hnsw, hnsw_search_batch
+        from lanterndb_spark.streaming.hnsw import hnsw_ingest_stream
+
+        cut = int(args.vec * 3 / 4)
+        base = emb.filter(F.col("vec_id") < cut)
+        t0 = time.time()
+        idx = build_hnsw(
+            base, "embedding", id_col="vec_id", m=16, ef_construction=64,
+            seed=42,
+        )
+        quality["hnsw_ingest_base_build_s"] = round(time.time() - t0, 1)
+        ingest = hnsw_ingest_stream(idx)
+        w = ingest.writer()
+        step = (args.vec - cut + 3) // 4
+        walls = []
+        for b in range(4):
+            lo = cut + b * step
+            hi = min(args.vec, lo + step)
+            tb = time.time()
+            w(emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+              .select("vec_id", "embedding"), b)
+            walls.append(round(time.time() - tb, 1))
+        quality["hnsw_ingest_batch_walls_s"] = walls
+        total = ingest.index.graphs.agg(F.sum("n")).first()[0]
+        assert total == args.vec, f"grown index holds {total} != {args.vec}"
+        # stream==batch: full probe over ONE sampled query == exact knn
+        from lanterndb_spark.operators.autotune import (
+            _collect_by_query, exact_topk_batch, sample_queries)
+        qs = sample_queries(emb, "embedding", n=2, seed=7)
+        got = _collect_by_query(
+            hnsw_search_batch(ingest.index, qs, k=10, ef=64), "vec_id")
+        truth = exact_topk_batch(emb, "embedding", qs, k=10, id_col="vec_id")
+        from lanterndb_spark.operators.autotune import recall_at_k
+        rec = sum(recall_at_k(got.get(i, []), truth.get(i, []))
+                  for i in range(len(qs))) / len(qs)
+        ingest.index.graphs.unpersist()
+        assert rec >= 0.9, f"post-ingest recall {rec} < 0.9"
+        quality["hnsw_ingest_recall_at_10"] = round(rec, 3)
+        return int(total)
+
+    timed(f"hnsw_ingest_4batch_{args.vec // 1000}k", hnsw_ingest_job, out)
+
     def project_job():
         # 200k x 64 -> 16 JL projection: closure-shipped matrix, one
         # numpy matmul per Arrow batch, zero shuffle
