@@ -343,27 +343,11 @@ class _Graph:
         m, efc = self.m, self.efc
         n = len(self.ids)
         X32, n32 = self._ensure32()
-        # prefix-distance screen (wide vectors only): the first-16-dim
-        # distance is a LOWER bound on the full distance, and scaled by
-        # the dataset's prefix energy share it predicts it well — rows
-        # whose scaled prefix distance exceeds 1.5x the beam bound skip
-        # full scoring (the 16-dim slab is contiguous, so the screen
-        # reads 1/4 the bytes of the scoring it avoids)
-        use16 = X32.shape[1] >= 32
-        if use16:
-            if self._X16 is None or len(self._X16) != n:
-                self._X16 = np.ascontiguousarray(X32[:, :16])
-                self._n16 = np.einsum("nd,nd->n", self._X16, self._X16)
-            X16, n16 = self._X16, self._n16
-            sc = np.float32(n32.mean() / max(float(n16.mean()), 1e-30))
         P = len(todo)
         seeds = seeds or {}
         qi = np.asarray(todo, dtype=np.int64)
         Q = X32[qi]
         Qn = n32[qi]
-        if use16:
-            Q16 = np.ascontiguousarray(Q[:, :16])
-            Q16n = np.einsum("nd,nd->n", Q16, Q16)
         # per-(query, node) visited stamps, reused across chunks — int8
         # keeps the matrix cache-resident under 32 parallel shard builds
         # (the stamp wraps at 127 with one memset, ~every 127 chunks)
@@ -487,18 +471,11 @@ class _Graph:
             gq = aliv[fq]
             vis[gq, fnb] = stamp
             # per-query bound: worst of the current beam (inf while the
-            # row still has open slots — exactly the |W| < ef admit rule)
+            # row still has open slots — exactly the |W| < ef admit rule).
+            # NOTE a 16-dim prefix-distance screen was tried here and
+            # REMOVED: on a quiet box it cost 78% of the full scoring it
+            # avoided (random-row gather latency dominates, not bytes).
             bnd = BD.max(1)[fq]
-            if use16:
-                pd = (
-                    n16[fnb]
-                    - 2.0 * np.einsum("nd,nd->n", X16[fnb], Q16[gq])
-                    + Q16n[gq]
-                )
-                pre = pd * sc < np.float32(1.5) * bnd
-                fq, fnb, gq, bnd = fq[pre], fnb[pre], gq[pre], bnd[pre]
-                if not len(fq):
-                    continue
             nd = (
                 n32[fnb]
                 - 2.0 * np.einsum("nd,nd->n", X32[fnb], Q[gq])
@@ -1000,7 +977,7 @@ def build_hnsw(
     m: int = _M_DEFAULT,
     ef_construction: int = _EFC_DEFAULT,
     num_shards: int | None = None,
-    shard_target: int = 25_000,
+    shard_target: int = 5_000,
     seed: int = 42,
     metric: str = "l2sq",
     routing: str = "hash",
@@ -1013,7 +990,13 @@ def build_hnsw(
     the table, build one numpy HNSW per shard in parallel, keep the
     serialized graphs as a tiny DataFrame. ``num_shards`` defaults to
     ~``n / shard_target`` so each graph stays an executor-local artifact
-    regardless of table size; raise it for more search parallelism.
+    regardless of table size (capped at 1024 shards — very large tables
+    grow their shards past the target instead). The 5k default is
+    MEASURED (DESIGN.md round 6): smaller graphs keep each build
+    worker's arrays cache-resident under full-machine parallelism — at
+    2M vectors the sweep read 25k/96sh 98s, 12.5k/160sh 84s, 8k/256sh
+    67s, 5k/416sh 56s, all at recall@10 1.0, with BATCH search flat and
+    single-query latency slightly BETTER (blob loads parallelize).
 
     ``routing``:
 
