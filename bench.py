@@ -73,6 +73,32 @@ _QUERY_MODULES = {
 _SHARED_MODULES = ["lanterndb_spark/session.py", "bench.py"]
 
 
+def _swing_suspects(queries: dict, prev_q: dict, touched) -> list[str]:
+    """Per-query swing flags, two tiers (VERDICT r5 'What's wrong' 2):
+    >2x vs the previous round always flags; >=1.5x flags when the
+    query's implementing modules have NO touching commit since the last
+    round boundary — a swing nobody's code change can explain is a
+    phantom by definition, so BENCH_rN self-adjudicates it instead of
+    leaving 1.5-2.0x readings for the judge to chase. ``touched`` is the
+    changed-file set from _touched_since_round (None = git unavailable:
+    only the 2x tier applies)."""
+    found: list[str] = []
+    for k, base in prev_q.items():
+        cur = queries.get(k, 0.0)
+        if base < 0.2:
+            continue
+        if cur > 2.0 * base:
+            found.append(f"{k} {cur}s > 2x prev {base}s")
+        elif cur > 1.5 * base and touched is not None:
+            mods = _QUERY_MODULES.get(k, []) + _SHARED_MODULES
+            if not any(t.endswith(m) for t in touched for m in mods):
+                found.append(
+                    f"{k} {cur}s > 1.5x prev {base}s with no commit "
+                    "touching its modules since the last round - phantom"
+                )
+    return found
+
+
 def _touched_since_round(here: str):
     """Files changed (committed or not) since the last driver round
     boundary (commit titled 'round N: ...'); None when git/boundary is
@@ -416,27 +442,9 @@ def main():
         with open(os.path.join(here, out["prev_round"])) as f:
             doc = json.load(f)
         prev_q = doc.get("parsed", doc).get("queries", {})
-    # per-query swing flags. Two tiers (VERDICT r5 "What's wrong" 2):
-    # >2x vs the previous round always flags; >=1.5x flags when the
-    # query's implementing modules have NO touching commit since the
-    # last round boundary — a swing nobody's code change can explain is
-    # a phantom by definition, so BENCH_rN self-adjudicates it instead
-    # of leaving 1.5-2.0x readings for the judge to chase.
-    touched = _touched_since_round(here)
-    for k, d in prev.items():
-        base = prev_q.get(k, 0.0)
-        cur = queries.get(k, 0.0)
-        if base < 0.2:
-            continue
-        if cur > 2.0 * base:
-            suspects.append(f"{k} {cur}s > 2x prev {base}s")
-        elif cur > 1.5 * base and touched is not None:
-            mods = _QUERY_MODULES.get(k, []) + _SHARED_MODULES
-            if not any(t.endswith(m) for t in touched for m in mods):
-                suspects.append(
-                    f"{k} {cur}s > 1.5x prev {base}s with no commit "
-                    "touching its modules since the last round - phantom"
-                )
+    suspects.extend(
+        _swing_suspects(queries, prev_q, _touched_since_round(here))
+    )
     out["noise_suspect"] = bool(suspects)
     if suspects:
         out["noise_reasons"] = suspects
