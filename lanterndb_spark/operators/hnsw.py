@@ -65,6 +65,7 @@ _M_DEFAULT = 16          # options.h:14-45 m default
 _EFC_DEFAULT = 128       # ef_construction default (options.h)
 _EF_DEFAULT = 64         # ef search default (options.h)
 _CHUNK = 128             # lockstep insert batch (hnswlib-concurrency analogue)
+_UPPER_EXACT = 4096      # upper-level graphs below this size search exactly
 
 
 # --------------------------------------------------------------- graph core
@@ -292,14 +293,34 @@ class _Graph:
                 )
             i = lim
 
+    def _level_members_below(self, l, i):
+        """Inserted nodes participating at level ``l`` (insertion order
+        IS index order, so that's indices < i with level >= l; chunk-
+        pending level-0 mates have level 0 and drop out by construction,
+        while hi chunk-mates processed earlier have their upper links
+        committed and correctly appear)."""
+        if getattr(self, "_lvl_idx", None) is None or \
+                self._lvl_idx_n != len(self.ids):
+            mx = int(self.levels.max()) if len(self.levels) else 0
+            self._lvl_idx = [
+                np.flatnonzero(self.levels >= lv) for lv in range(mx + 1)
+            ]
+            self._lvl_idx_n = len(self.ids)
+        mem = self._lvl_idx[l] if l < len(self._lvl_idx) else \
+            np.empty(0, np.int64)
+        return mem[: np.searchsorted(mem, i)]
+
     def _insert_upper(self, i, pend):
-        """Sequential part of a level>=1 node's insert: greedy descents
-        from the entry, then an efc beam + link commit at every level
-        li..1. Returns the level-1 beam result (chunk-pending mates
-        filtered out — they have no level-0 adjacency yet) as the seed
-        for the node's lockstep level-0 row. The entry-point update is
-        the CALLER's job (deferred to chunk end so chunk-mates keep a
-        fully-linked descent start)."""
+        """Sequential part of a level>=1 node's insert: link commit at
+        every level li..1. Upper-level graphs hold only ~n/m^l nodes, so
+        below _UPPER_EXACT members the 'search' is ONE exact gemv over
+        the level's member list (cheaper AND better than a beam; the
+        beam path remains for the huge-single-graph regime). Returns the
+        level-1 result (chunk-pending mates filtered out — they have no
+        level-0 adjacency yet) as the seed for the node's lockstep
+        level-0 row. The entry-point update is the CALLER's job
+        (deferred to chunk end so chunk-mates keep a fully-linked
+        descent start)."""
         li = int(self.levels[i])
         self._ensure_level(li)
         X, norms = self._ensure32()
@@ -307,10 +328,22 @@ class _Graph:
         q, qnorm = X[i], norms[i]
         ep = [self.entry]
         res = None
-        for l in range(self.entry_lvl, li, -1):
-            ep = [self._run_beam32(l, q, qnorm, 1, ep)[0][1]]
         for l in range(min(self.entry_lvl, li), 0, -1):
-            res = self._run_beam32(l, q, qnorm, efc, ep)
+            mem = self._level_members_below(l, i)
+            if len(mem) <= _UPPER_EXACT:
+                ds = _dists(X, norms, mem, q, qnorm)
+                order = np.argsort(ds, kind="stable")[:efc]
+                res = list(zip(ds[order].tolist(), mem[order].tolist()))
+            else:
+                # huge level graph: the level above (smaller) already
+                # produced res — its top-efc seeds the beam; otherwise
+                # greedy-descend from the entry like the classic path
+                if res is not None:
+                    ep = [v for _, v in res]
+                else:
+                    for dl in range(self.entry_lvl, l, -1):
+                        ep = [self._run_beam32(dl, q, qnorm, 1, ep)[0][1]]
+                res = self._run_beam32(l, q, qnorm, efc, ep)
             sel = _select_neighbors(res, m, X, norms)
             arr, cnt = self.nbr_arr[l], self.nbr_cnt[l]
             ws = np.asarray([v for _, v in sel], dtype=np.int32)
@@ -320,7 +353,6 @@ class _Graph:
             cnt[ws] += 1
             for w in ws[cnt[ws] > 2 * m].tolist():
                 _prune(w, arr, cnt, m, X, norms)
-            ep = [v for _, v in res]
         if res is None:
             return [self.entry]
         out = [v for _, v in res if v not in pend]
