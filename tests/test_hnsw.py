@@ -572,3 +572,25 @@ def test_quant_validation(emb):
     with pytest.raises(ValueError, match="quant"):
         build_hnsw(emb, "embedding", id_col="vec_id", quant="b1",
                    metric="l2sq", num_shards=2)
+
+
+def test_cluster_routing_composes_with_pq(emb, spark):
+    """IVF-over-graphs x in-graph PQ: cluster-routed shards each carry
+    their own frozen codebook; nprobe-pruned search + exact rerank still
+    finds the self-query, and insert routes to the frozen centroids."""
+    idx = build_hnsw(
+        emb, "embedding", id_col="vec_id", m=8, ef_construction=64,
+        num_shards=4, seed=42, routing="cluster", quant="pq",
+    )
+    q = qvec(emb, 11)
+    got = hnsw_search(idx, emb, q, k=3, ef=64, nprobe=4).collect()
+    assert got[0]["vec_id"] == 11
+    twin = spark.createDataFrame(
+        [(90_020, q)], "vec_id long, embedding array<float>"
+    )
+    idx2 = hnsw_insert(idx, twin)
+    top = [r["vec_id"] for r in
+           hnsw_search_batch(idx2, [q], k=2, ef=64, nprobe=4).collect()]
+    assert 90_020 in top
+    idx2.graphs.unpersist()
+    idx.graphs.unpersist()
