@@ -1478,10 +1478,12 @@ def hnsw_search_batch(
     vecs = base.select(
         F.col(index.id_col), F.col(index.vec_col).alias("__bv")
     )
+    # candidates (nq·8k rows) BROADCAST onto the raw table — the base
+    # scan prunes through the hash join and never shuffles, the same
+    # economics as hnsw_search's isin pushback
+    cand_q = top.drop("dist").join(F.broadcast(qdf), on="q_id")
     rescored = (
-        top.drop("dist")
-        .join(F.broadcast(qdf), on="q_id")
-        .join(vecs, on=index.id_col)
+        vecs.join(F.broadcast(cand_q), on=index.id_col)
         .withColumn(
             "dist",
             dist_expr(index.metric, F.col("__bv"), F.col("__qv")).cast("double"),

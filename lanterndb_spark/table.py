@@ -301,6 +301,8 @@ class LanternTable:
                 params["routing"] = (
                     "cluster" if idx.centroids is not None else "hash"
                 )
+                params["quant"] = idx.quant  # blob format (ldb_get_indexes
+                # surfaces index options; quant is ours)
                 rec = self._build_params.get(("index", col), {})
                 if "autotune" in rec:  # target_recall selection outcome
                     params["autotune"] = rec["autotune"]
