@@ -306,3 +306,84 @@ def test_hnsw_blob_roundtrip_preserves_search(n, seed):
     a, _ = g.search(q, min(5, n), 16)
     b, _ = g2.search(q, min(5, n), 16)
     assert a.tolist() == b.tolist()
+
+
+@GRAPH_SET
+@given(
+    n=st.integers(min_value=2, max_value=200),
+    bits=st.sampled_from([32, 64, 96]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_hnsw_b1_full_probe_is_exact_hamming(n, bits, seed):
+    """Packed-bit graphs (quant='b1', the hamming default) are LOSSLESS:
+    full probe over the popcount path must reproduce the brute-force
+    hamming ranking for any bit matrix."""
+    from lanterndb_spark.operators.hnsw import _Graph
+
+    rs = np.random.RandomState(seed)
+    B = (rs.rand(n, bits) > 0.5).astype(np.float64)
+    g = _Graph(np.arange(n, dtype=np.int64), B, 8, 32, seed)
+    g.quant = "b1"
+    g2 = _Graph.from_blob(g.to_blob())
+    assert g2.storage == "bits"
+    q = (rs.rand(bits) > 0.5).astype(np.float64)
+    got, gd = g2.search(q, min(10, n), n)
+    ds = np.abs(B - q).sum(1)
+    order = np.argsort(ds, kind="stable")
+    assert got.tolist() == order[: len(got)].tolist()
+    assert np.array_equal(gd, ds[order[: len(got)]])
+
+
+@GRAPH_SET
+@given(
+    n=st.integers(min_value=2, max_value=150),
+    quant=st.sampled_from(["f16", "i8"]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_hnsw_quant_full_probe_exact_on_reconstruction(n, quant, seed):
+    """Scalar-quantized graphs keep the degenerate contract RELATIVE TO
+    THEIR RECONSTRUCTION: full probe == brute force over the decoded
+    matrix (the quantizer bounds the error; the graph machinery adds
+    none)."""
+    from lanterndb_spark.operators.hnsw import _Graph
+
+    rs = np.random.RandomState(seed)
+    X = rs.standard_normal((n, 8))
+    g = _Graph(np.arange(n, dtype=np.int64), X, 8, 32, seed)
+    g.quant = quant
+    g2 = _Graph.from_blob(g.to_blob())
+    q = rs.standard_normal(8)
+    got, gd = g2.search(q, min(10, n), n)
+    ds = ((g2.X - q) ** 2).sum(1)  # decoded matrix IS the search space
+    order = np.argsort(ds, kind="stable")
+    assert got.tolist() == order[: len(got)].tolist()
+    assert np.allclose(gd, ds[order[: len(got)]])
+
+
+@GRAPH_SET
+@given(
+    n=st.integers(min_value=4, max_value=150),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_hnsw_pq_full_probe_is_adc_exact(n, seed):
+    """PQ graphs: the ADC lookup-table distance IS the exact l2sq to the
+    reconstruction, so full probe must equal brute force over the
+    decoded codes — the invariant that makes the exact-rerank design
+    sound."""
+    from lanterndb_spark.operators.hnsw import _Graph
+
+    rs = np.random.RandomState(seed)
+    X = rs.standard_normal((n, 8))
+    g = _Graph(np.arange(n, dtype=np.int64), X, 8, 32, seed)
+    g.freeze_pq(seed=seed, clusters=min(16, n))
+    g2 = _Graph.from_blob(g.to_blob())
+    assert g2.storage == "pq"
+    q = rs.standard_normal(8)
+    got, gd = g2.search(q, min(10, n), n)
+    S, K, dsub = g2.cb.shape
+    cbf = g2.cb.astype(np.float64)
+    dec = np.concatenate([cbf[s][g2.codes[:, s]] for s in range(S)], axis=1)
+    ds = ((dec - q) ** 2).sum(1)
+    order = np.argsort(ds, kind="stable")
+    assert got.tolist() == order[: len(got)].tolist()
+    assert np.allclose(gd, ds[order[: len(got)]])
