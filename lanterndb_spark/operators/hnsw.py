@@ -741,6 +741,10 @@ class _Graph:
             if skip:
                 order = np.asarray([i for i in order if i not in skip], dtype=np.int64)
             return self.ids[order[:width]], ds[order[:width]]
+        if self.storage == "dense":
+            # same lockstep core as batch search: single == batch by
+            # construction (per-query lockstep state is independent)
+            return self._lockstep_search([q], width, skip)[0]
         ep = [self.entry]
         for l in range(self.entry_lvl, 0, -1):
             self._ctr += 1
@@ -755,6 +759,162 @@ class _Graph:
         )
         idx = np.asarray([v for _, v in res], dtype=np.int64)
         return self.ids[idx], np.asarray([d for d, _ in res])
+
+    def search_many(self, Qs, k, ef, skip_ids=None):
+        """Lockstep multi-query search: every query's level-0 beam
+        advances in SHARED vectorized waves (one einsum scores the union
+        of all queries' frontiers — the same machinery that batches
+        construction), amortizing the per-wave numpy overhead across a
+        shard's whole query batch. Per-query lockstep state is fully
+        independent, so each query's result is IDENTICAL to a solo
+        ``search`` — batch == single holds by construction. Ordering
+        runs on the f32 scoring copies; RETURNED distances re-score the
+        winners in f64, so emitted values stay oracle-exact. Packed-bit
+        and PQ graphs (and the full-probe degenerate path) fall back to
+        per-query ``search``."""
+        n = len(self.ids)
+        if not len(Qs):
+            return []
+        skip = None
+        if skip_ids:
+            skip = {int(i) for i, g in enumerate(self.ids) if int(g) in skip_ids}
+        width = max(int(ef), int(k) + (len(skip) if skip else 0))
+        if n == 0 or width >= n or self.storage != "dense":
+            return [self.search(q, k, ef, skip_ids=skip_ids) for q in Qs]
+        return self._lockstep_search(Qs, width, skip)
+
+    def _lockstep_search(self, Qs, width, skip):
+        """Dense-storage lockstep beam core shared by ``search`` (P=1)
+        and ``search_many``; ``width < n`` guaranteed by callers.
+        Returns [(global_ids, f64_dists)] per query, ascending."""
+        n = len(self.ids)
+        X32, n32 = self._ensure32()
+        P = len(Qs)
+        Q = np.asarray(Qs, dtype=np.float32)
+        Qn = np.einsum("nd,nd->n", Q, Q)
+        if self._vis2d is None or self._vis2d.shape[0] < P \
+                or self._vis2d.shape[1] != n:
+            self._vis2d = np.zeros((max(P, _CHUNK), n), dtype=np.int8)
+            self._vis_ctr = 0
+        if self._vis_ctr >= 127:
+            self._vis2d[:] = 0
+            self._vis_ctr = 0
+        self._vis_ctr += 1
+        vis, stamp = self._vis2d, self._vis_ctr
+        arr0, cnt0 = self.nbr_arr[0], self.nbr_cnt[0]
+        ent = self.entry
+        # lockstep greedy descents entry_lvl -> 1
+        cur = np.full(P, ent, dtype=np.int64)
+        curd = n32[cur] - 2.0 * (Q @ X32[ent]) + Qn
+        for l in range(self.entry_lvl, 0, -1):
+            arr, cnt = self.nbr_arr[l], self.nbr_cnt[l]
+            act = np.flatnonzero(cnt[cur] > 0)
+            while len(act):
+                us = cur[act]
+                cs = cnt[us]
+                capm = int(cs.max())
+                nb = arr[us, :capm].astype(np.int64)
+                fb = nb.reshape(-1)
+                d = (
+                    n32[fb]
+                    - 2.0 * np.einsum(
+                        "nd,nd->n", X32[fb], np.repeat(Q[act], capm, axis=0)
+                    )
+                    + np.repeat(Qn[act], capm)
+                ).reshape(len(act), capm)
+                d[np.arange(capm)[None, :] >= cs[:, None]] = np.inf
+                j = d.argmin(1)
+                nd = d[np.arange(len(act)), j]
+                better = nd < curd[act]
+                sel = act[better]
+                cur[sel] = nb[better, j[better]]
+                curd[sel] = nd[better]
+                act = sel[cnt[cur[sel]] > 0]
+        # level-0 lockstep beam, same wave machinery as construction
+        wave = min(8, width)
+        FLAG = np.int32(-2147483648)
+        BD = np.full((P, width), np.inf, dtype=np.float32)
+        BV = np.full((P, width), FLAG, dtype=np.int32)
+        BD[:, 0] = curd
+        BV[:, 0] = cur.astype(np.int32)
+        vis[np.arange(P), cur] = stamp
+        aliv = np.arange(P)
+        FD = np.full((P, width), np.inf, dtype=np.float32)
+        FV = np.full((P, width), FLAG, dtype=np.int32)
+        while True:
+            tmp = np.where(BV < 0, np.inf, BD)
+            part = np.argpartition(tmp, wave - 1, axis=1)[:, :wave]
+            lv = np.isfinite(np.take_along_axis(tmp, part, 1))
+            rowhas = lv.any(1)
+            if not rowhas.all():
+                done = ~rowhas
+                FD[aliv[done]] = BD[done]
+                FV[aliv[done]] = BV[done]
+                if not rowhas.any():
+                    break
+                BD, BV = BD[rowhas], BV[rowhas]
+                part, lv = part[rowhas], lv[rowhas]
+                aliv = aliv[rowhas]
+            pa = len(aliv)
+            live = lv.ravel()
+            wq = np.repeat(np.arange(pa), wave)[live]
+            cols = part.ravel()[live]
+            us = BV[wq, cols].astype(np.int64)
+            BV[wq, cols] |= FLAG
+            cs = cnt0[us]
+            has = cs > 0
+            us, wq, cs = us[has], wq[has], cs[has]
+            if not len(us):
+                continue
+            capm = int(cs.max())
+            nb = arr0[us, :capm].astype(np.int64)
+            fnb = nb[np.arange(capm)[None, :] < cs[:, None]]
+            fq = np.repeat(wq, cs)
+            gq = aliv[fq]
+            fresh = vis[gq, fnb] != stamp
+            fnb, fq = fnb[fresh], fq[fresh]
+            if not len(fnb):
+                continue
+            key = np.unique(fq * n + fnb)
+            fq, fnb = key // n, key % n
+            gq = aliv[fq]
+            vis[gq, fnb] = stamp
+            bnd = BD.max(1)[fq]
+            nd = (
+                n32[fnb]
+                - 2.0 * np.einsum("nd,nd->n", X32[fnb], Q[gq])
+                + Qn[gq]
+            )
+            keep = nd < bnd
+            fq, fnb, nd = fq[keep], fnb[keep], nd[keep]
+            if not len(fq):
+                continue
+            pos = np.arange(len(fq)) - np.searchsorted(fq, np.arange(pa))[fq]
+            mx = int(pos.max()) + 1
+            ND = np.full((pa, mx), np.inf, dtype=np.float32)
+            NV = np.full((pa, mx), FLAG, dtype=np.int32)
+            ND[fq, pos] = nd
+            NV[fq, pos] = fnb.astype(np.int32)
+            allD = np.hstack([BD, ND])
+            allV = np.hstack([BV, NV])
+            sel = np.argpartition(allD, width - 1, axis=1)[:, :width]
+            BD = np.take_along_axis(allD, sel, 1)
+            BV = np.take_along_axis(allV, sel, 1)
+        # per-query: drop tombstones, RESCORE the winners in f64, sort
+        X, norms = self.X, self.norms
+        out = []
+        for p in range(P):
+            fin = np.isfinite(FD[p])
+            pos = (FV[p, fin] & np.int32(0x7FFFFFFF)).astype(np.int64)
+            if skip:
+                pos = np.asarray(
+                    [v for v in pos.tolist() if v not in skip], dtype=np.int64
+                )
+            qq = np.asarray(Qs[p], dtype=np.float64)
+            d64 = _dists(X, norms, pos, qq, float(qq @ qq))
+            order = np.lexsort((pos, d64))[:width]
+            out.append((self.ids[pos[order]], d64[order]))
+        return out
 
     # ---- storage / quantization (the reference's in-index compression:
     # quant_bits f16/i8 — options.c:137-158, hnsw_sq.sql — pq=true codes
@@ -1439,14 +1599,21 @@ def hnsw_search_batch(
     def run(batches):
         for pdf in batches:
             for shard, blob in zip(pdf["shard"], pdf["blob"]):
-                qids = (
+                qids = list(
                     range(len(Q)) if probe_map is None
                     else probe_map.get(int(shard), ())
                 )
+                if not qids:
+                    continue
                 g = _Graph.from_blob(blob)
+                # all of this shard's queries advance in LOCKSTEP — one
+                # einsum per wave scores every query's frontier, so the
+                # blob amortizes AND the beam overhead amortizes
+                results = g.search_many(
+                    [Q[qi] for qi in qids], kk, ef, skip_ids=dead
+                )
                 frames = []
-                for qi in qids:
-                    ids, ds = g.search(Q[qi], kk, ef, skip_ids=dead)
+                for qi, (ids, ds) in zip(qids, results):
                     if len(ids):
                         frames.append(
                             pd.DataFrame(
