@@ -65,6 +65,7 @@ _M_DEFAULT = 16          # options.h:14-45 m default
 _EFC_DEFAULT = 128       # ef_construction default (options.h)
 _EF_DEFAULT = 64         # ef search default (options.h)
 _CHUNK = 128             # lockstep insert batch (hnswlib-concurrency analogue)
+_MAX_BATCH_QUERIES = 100_000  # driver-list search cap (knn.py contract)
 _UPPER_EXACT = 4096      # upper-level graphs below this size search exactly
 
 
@@ -771,7 +772,14 @@ class _Graph:
         runs on the f32 scoring copies; RETURNED distances re-score the
         winners in f64, so emitted values stay oracle-exact. Packed-bit
         and PQ graphs (and the full-probe degenerate path) fall back to
-        per-query ``search``."""
+        per-query ``search``.
+
+        Memory is BOUNDED in the batch size: queries advance in
+        wave-sets of ``_CHUNK``, so the lockstep state (the ``(P, n)``
+        visited matrix + ``(P, width)`` beams) never exceeds
+        ``_CHUNK``-many queries regardless of how many a 100 TB eval
+        pass routes to this shard — per-query state is independent, so
+        chunking changes nothing about each query's result."""
         n = len(self.ids)
         if not len(Qs):
             return []
@@ -781,7 +789,10 @@ class _Graph:
         width = max(int(ef), int(k) + (len(skip) if skip else 0))
         if n == 0 or width >= n or self.storage != "dense":
             return [self.search(q, k, ef, skip_ids=skip_ids) for q in Qs]
-        return self._lockstep_search(Qs, width, skip)
+        out = []
+        for s in range(0, len(Qs), _CHUNK):
+            out.extend(self._lockstep_search(Qs[s:s + _CHUNK], width, skip))
+        return out
 
     def _lockstep_search(self, Qs, width, skip):
         """Dense-storage lockstep beam core shared by ``search`` (P=1)
@@ -1110,6 +1121,11 @@ class HnswIndex(NamedTuple):
     metric: str = "l2sq"
     centroids: object = None  # (num_shards, dim) numpy when cluster-routed
     quant: str = "f32"        # blob format: f32|f64|f16|i8|b1|pq
+    # pq geometry the index was BUILT with — new shards created by
+    # hnsw_insert must freeze codebooks of the same shape, or sibling
+    # shards' ADC distances aren't comparable at the candidate cut
+    pq_splits: int | None = None
+    pq_clusters: int = 256
 
 
 def _bits_rows(arrs) -> np.ndarray:
@@ -1308,7 +1324,7 @@ def build_hnsw(
     graphs.count()
     return HnswIndex(
         graphs, vec_col, id_col, m, ef_construction, num_shards, seed,
-        metric, centroids, quant,
+        metric, centroids, quant, pq_splits, pq_clusters,
     )
 
 
@@ -1489,6 +1505,12 @@ def hnsw_search_filtered(
     all. Satisfied rounds return their k rows MATERIALIZED (no plan
     re-execution on consume)."""
     width = max(int(ef), int(k))
+    if index.quant == "pq":
+        # ADC misranks near the cut; oversample the candidate round 8x
+        # (same factor as hnsw_search) so the exact rescore below sees
+        # the true top-k — without this, filtered recall on pq indexes
+        # is systematically below unfiltered
+        width *= 8
     probe = nprobe
     n_total = None  # computed lazily on first starvation — the common
     # round-1-success case never pays the extra aggregation job
@@ -1580,6 +1602,16 @@ def hnsw_search_batch(
 
     if nprobe is not None and nprobe < 1:
         raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    # the driver-list form ships every query in the task closure — fine
+    # for the documented ≤100k contract, a multi-hundred-MB closure to
+    # every task beyond it. Enforce rather than silently degrade
+    # (knn.py's MAX_BROADCAST_QUERIES contract).
+    if len(queries) > _MAX_BATCH_QUERIES:
+        raise ValueError(
+            f"hnsw_search_batch ships the query list in the task closure; "
+            f"got {len(queries)} > {_MAX_BATCH_QUERIES} queries. Use "
+            f"hnsw_search_df, which shuffles queries as a DataFrame."
+        )
     rerank = index.quant == "pq" and base is not None
     kk = k * 8 if rerank else k
     ef = max(ef, kk)
@@ -1667,6 +1699,185 @@ def hnsw_search_batch(
     )
 
 
+def hnsw_search_df(
+    index: HnswIndex,
+    queries: DataFrame,
+    k: int = 10,
+    ef: int = _EF_DEFAULT,
+    deleted: set | None = None,
+    nprobe: int | None = None,
+    base: DataFrame | None = None,
+    q_id_col: str = "q_id",
+    q_vec_col: str = "query",
+) -> DataFrame:
+    """DataFrame-native batch ANN: queries arrive as a DataFrame and
+    are SHUFFLED to their probed shards instead of shipped in a task
+    closure, so the query volume is unbounded — the 100 TB eval /
+    hard-negative-mining shape (10^5-10^6 queries) that the driver-list
+    ``hnsw_search_batch`` guards against at 100k.
+
+    Plan: one ``mapInPandas`` preps + routes each query (cos normalize /
+    hamming bit-expand; cluster routing picks its nprobe nearest
+    centroids, hash routing fans out to every shard), one cogroup by
+    shard runs each shard's routed queries through the SAME lockstep
+    ``search_many`` core as the driver-list form (so results are
+    identical by construction, and per-task memory is bounded at
+    ``_CHUNK`` queries per wave-set regardless of batch size), and one
+    window takes the per-query global top-k. ``quant='pq'`` + ``base``
+    re-ranks an 8x-oversampled ADC candidate set exactly, like
+    ``hnsw_search_batch``.
+
+    Returns (q_id bigint, <id_col>, dist). cos queries with zero norm
+    are DROPPED (undefined angle, distance.py's NULL convention).
+    Reference parity: scan.c:167-238 is per-query; this is the batch
+    recast that scales it."""
+    from pyspark.sql import Window
+
+    if nprobe is not None and nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    rerank = index.quant == "pq" and base is not None
+    kk = k * 8 if rerank else k
+    ef = max(ef, kk)
+    dead = frozenset(int(i) for i in deleted) if deleted else None
+    metric = index.metric
+    scale = 0.5 if metric == "cos" else 1.0
+    cents = index.centroids
+    num_shards = index.num_shards
+    routed_probe = (
+        cents is not None and nprobe is not None and nprobe < num_shards
+    )
+    np_eff = int(nprobe) if routed_probe else 0
+
+    qsel = queries.select(
+        F.col(q_id_col).cast("long").alias("__qid"),
+        F.col(q_vec_col).alias("__q"),
+    )
+
+    def prep_block(pdf: pd.DataFrame):
+        """(qids int64, prepped float64 matrix) for one arrow batch."""
+        qids = pdf["__qid"].to_numpy()
+        raw = pdf["__q"].tolist()
+        if metric == "hamming":
+            return qids, _bits_rows(raw)
+        Qp = np.asarray(raw, dtype=np.float64)
+        if metric == "cos":
+            return _norm_rows(qids, Qp)
+        return qids, Qp
+
+    if routed_probe:
+        def route(batches):
+            for pdf in batches:
+                qids, Qp = prep_block(pdf)
+                if not len(qids):
+                    continue
+                # block the centroid scoring so the (B, S) distance
+                # matrix stays <=~256 MB even at millions of shards
+                blk = max(1, (1 << 25) // max(len(cents), 1))
+                cn = np.einsum("sd,sd->s", cents, cents)
+                for s in range(0, len(qids), blk):
+                    Qb = Qp[s:s + blk]
+                    d = cn[None, :] - 2.0 * (Qb @ cents.T)
+                    sh = np.argpartition(d, np_eff - 1, axis=1)[:, :np_eff]
+                    B = len(Qb)
+                    yield pd.DataFrame({
+                        "__qid": np.repeat(qids[s:s + blk], np_eff),
+                        "__q": [Qb[i].tolist() for i in range(B)
+                                for _ in range(np_eff)],
+                        "__shard": sh.reshape(-1).astype(np.int32),
+                    })
+
+        routed = qsel.mapInPandas(
+            route, "__qid long, __q array<double>, __shard int"
+        )
+    else:
+        def prep(batches):
+            for pdf in batches:
+                qids, Qp = prep_block(pdf)
+                if len(qids):
+                    yield pd.DataFrame({
+                        "__qid": qids,
+                        "__q": [r.tolist() for r in Qp],
+                    })
+
+        prepped = qsel.mapInPandas(prep, "__qid long, __q array<double>")
+        # hash routing / full probe: every query visits every existing
+        # shard — the fan-out is declarative (broadcast of the tiny
+        # shard-id list), never a driver collect
+        routed = prepped.crossJoin(
+            F.broadcast(index.graphs.select(F.col("shard").alias("__shard")))
+        )
+
+    def run_shard(key, gpdf: pd.DataFrame, qpdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(gpdf) or not len(qpdf):
+            return pd.DataFrame(
+                {"q_id": pd.Series(dtype="int64"),
+                 "__gid": pd.Series(dtype="int64"),
+                 "dist": pd.Series(dtype="float64")}
+            )
+        g = _Graph.from_blob(gpdf["blob"].iloc[0])
+        qids = qpdf["__qid"].to_numpy()
+        results = g.search_many(qpdf["__q"].tolist(), kk, ef, skip_ids=dead)
+        frames = []
+        for qi, (ids, ds) in zip(qids, results):
+            if len(ids):
+                frames.append(pd.DataFrame(
+                    {"q_id": int(qi), "__gid": ids, "dist": ds * scale}
+                ))
+        if not frames:
+            return pd.DataFrame(
+                {"q_id": pd.Series(dtype="int64"),
+                 "__gid": pd.Series(dtype="int64"),
+                 "dist": pd.Series(dtype="float64")}
+            )
+        return pd.concat(frames)
+
+    cand = (
+        index.graphs.groupBy("shard")
+        .cogroup(routed.groupBy("__shard"))
+        .applyInPandas(run_shard, "q_id long, __gid bigint, dist double")
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("dist").asc(), F.col("__gid").asc()
+    )
+    top = (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= kk)
+        .select("q_id", F.col("__gid").alias(index.id_col), "dist")
+    )
+    if not rerank:
+        return top
+    # exact re-rank: candidates join their ORIGINAL query vector (by
+    # q_id) and the raw base row (by id); both joins are plain equi-joins
+    # AQE can broadcast when small — no driver-side query list anywhere
+    from lanterndb_spark.functions.distance import distance as dist_expr
+
+    qdf = queries.select(
+        F.col(q_id_col).cast("long").alias("q_id"),
+        F.col(q_vec_col).cast("array<double>").alias("__qv"),
+    )
+    vecs = base.select(
+        F.col(index.id_col), F.col(index.vec_col).alias("__bv")
+    )
+    rescored = (
+        top.drop("dist")
+        .join(qdf, on="q_id")
+        .join(vecs, on=index.id_col)
+        .withColumn(
+            "dist",
+            dist_expr(metric, F.col("__bv"), F.col("__qv")).cast("double"),
+        )
+        .filter(F.col("dist").isNotNull())
+    )
+    w2 = Window.partitionBy("q_id").orderBy(
+        F.col("dist").asc(), F.col(index.id_col).asc()
+    )
+    return (
+        rescored.withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") <= k)
+        .select("q_id", index.id_col, "dist")
+    )
+
+
 def hnsw_insert(index: HnswIndex, delta: DataFrame) -> HnswIndex:
     """aminsert analogue (insert.c:51-262): cogroup the delta rows with
     their shard's existing blob and run the SAME insertion routine — the
@@ -1690,6 +1901,7 @@ def hnsw_insert(index: HnswIndex, delta: DataFrame) -> HnswIndex:
 
     metric = index.metric
     quant = index.quant
+    pq_splits, pq_clusters = index.pq_splits, index.pq_clusters
 
     def merge(key, gpdf: pd.DataFrame, dpdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(key[0])
@@ -1713,7 +1925,9 @@ def hnsw_insert(index: HnswIndex, delta: DataFrame) -> HnswIndex:
             # hashing here): build fresh, same blob format as the index
             g = _Graph(dids, dX, m, efc, seed ^ shard)
             if quant == "pq":
-                g.freeze_pq(seed=seed ^ shard)
+                # same codebook geometry as the base build, so this
+                # shard's ADC distances merge fairly with its siblings
+                g.freeze_pq(pq_splits, pq_clusters, seed ^ shard)
             else:
                 g.quant = quant
         else:
@@ -1783,11 +1997,13 @@ def save_hnsw(index: HnswIndex, path: str) -> None:
     meta = [(
         index.vec_col, index.id_col, index.m, index.ef_construction,
         index.num_shards, index.seed, index.metric, index.quant,
+        index.pq_splits, index.pq_clusters,
     )]
     spark.createDataFrame(
         meta,
         "vec_col string, id_col string, m int, efc int, num_shards int, "
-        "seed int, metric string, quant string",
+        "seed int, metric string, quant string, pq_splits int, "
+        "pq_clusters int",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
     if index.centroids is not None:
         cents = [(int(i), [float(x) for x in c])
@@ -1815,7 +2031,12 @@ def load_hnsw(spark, path: str) -> HnswIndex:
         # make nprobe searches permanently lossy.
         pass
     quant = r["quant"] if "quant" in r.__fields__ else "f32"
+    pq_splits = r["pq_splits"] if "pq_splits" in r.__fields__ else None
+    pq_clusters = (
+        r["pq_clusters"] if "pq_clusters" in r.__fields__ else 256
+    ) or 256
     return HnswIndex(
         graphs, r["vec_col"], r["id_col"], r["m"], r["efc"],
         r["num_shards"], r["seed"], r["metric"], centroids, quant,
+        pq_splits, pq_clusters,
     )

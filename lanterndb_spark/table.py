@@ -191,6 +191,10 @@ class LanternTable:
         still override). Falls back to the highest-recall grid point,
         recorded in get_indexes()['params'], when no point meets the
         target. Grid knobs: m_grid / ef_grid / nprobe_grid."""
+        # a rebuild without target_recall invalidates knobs tuned for
+        # the previous build of this column
+        if target_recall is None:
+            self._tuned_search.pop(vec_col, None)
         if target_recall is not None:
             if kind != "hnsw":
                 raise ValueError(
@@ -274,6 +278,9 @@ class LanternTable:
 
     def drop_index(self, vec_col: str) -> "LanternTable":
         dropped = self._indexes.pop(vec_col, None)
+        # tuned ef/nprobe were measured against the dropped index's
+        # build; they must not become defaults for a future index
+        self._tuned_search.pop(vec_col, None)
         if dropped is not None and dropped[0] == "hnsw":
             # graph blobs are persisted; CacheManager never auto-evicts
             dropped[1].graphs.unpersist()

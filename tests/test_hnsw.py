@@ -594,3 +594,190 @@ def test_cluster_routing_composes_with_pq(emb, spark):
     assert 90_020 in top
     idx2.graphs.unpersist()
     idx.graphs.unpersist()
+
+
+def test_insert_new_pq_shard_inherits_codebook_geometry(emb, spark):
+    """ADVICE r6: a brand-new shard created by hnsw_insert must freeze a
+    codebook with the SAME pq_splits/pq_clusters the index was built
+    with, or sibling shards' ADC distances aren't comparable."""
+    from lanterndb_spark.operators.hnsw import _Graph
+
+    idx = build_hnsw(
+        emb.limit(200), "embedding", id_col="vec_id", m=8,
+        ef_construction=64, num_shards=2, seed=42, quant="pq",
+        pq_splits=4, pq_clusters=16,
+    )
+    assert idx.pq_splits == 4 and idx.pq_clusters == 16
+    # force a brand-new shard: hash routing with ids that land in a
+    # shard the 2-shard base build might not have seen is not reliable,
+    # so instead rebuild with num_shards chosen to leave a shard empty
+    empty_base = build_hnsw(
+        emb.limit(40), "embedding", id_col="vec_id", m=8,
+        ef_construction=64, num_shards=8, seed=42, quant="pq",
+        pq_splits=4, pq_clusters=16,
+    )
+    have = {r["shard"] for r in empty_base.graphs.select("shard").collect()}
+    missing = sorted(set(range(8)) - have)
+    if missing:
+        rows = emb.limit(400).collect()
+        import pyspark.sql.functions as SF
+        tgt = missing[0]
+        fresh = [
+            (int(r["vec_id"]) + 1_000_000, list(r["embedding"]))
+            for r in rows
+        ]
+        delta = spark.createDataFrame(
+            fresh, "vec_id long, embedding array<float>"
+        ).filter(SF.pmod(SF.xxhash64(SF.col("vec_id")), SF.lit(8)) == tgt)
+        if delta.count() > 0:
+            idx2 = hnsw_insert(empty_base, delta)
+            g = _Graph.from_blob(
+                bytes(idx2.graphs.filter(F.col("shard") == tgt)
+                      .first()["blob"])
+            )
+            # codebook geometry matches the build, not freeze_pq defaults
+            assert g.cb.shape[0] == 4        # pq_splits
+            assert g.cb.shape[1] == 16       # pq_clusters
+            idx2.graphs.unpersist()
+    empty_base.graphs.unpersist()
+    idx.graphs.unpersist()
+
+
+def test_save_load_roundtrips_pq_geometry(emb, spark, tmp_path):
+    idx = build_hnsw(
+        emb.limit(100), "embedding", id_col="vec_id", m=8,
+        ef_construction=64, num_shards=2, seed=42, quant="pq",
+        pq_splits=4, pq_clusters=16,
+    )
+    save_hnsw(idx, str(tmp_path / "pqidx"))
+    back = load_hnsw(spark, str(tmp_path / "pqidx"))
+    assert back.pq_splits == 4 and back.pq_clusters == 16
+    back.graphs.unpersist()
+    idx.graphs.unpersist()
+
+
+def test_filtered_pq_search_matches_exact(emb):
+    """ADVICE r6: pq filtered search oversamples the ADC candidate
+    round 8x before the exact rescore, so filtered top-k on a pq index
+    matches the exact filtered answer at full probe width."""
+    from lanterndb_spark.operators.hnsw import hnsw_search_filtered
+
+    idx = build_hnsw(
+        emb, "embedding", id_col="vec_id", m=8, ef_construction=64,
+        num_shards=2, seed=42, quant="pq", pq_splits=4, pq_clusters=16,
+    )
+    q = qvec(emb, 3)
+    pred = F.col("vec_id") % 2 == 1
+    n = emb.count()
+    got = [r["vec_id"] for r in
+           hnsw_search_filtered(idx, emb, q, pred, k=10, ef=n).collect()]
+    exact = [r["vec_id"] for r in
+             knn(emb, "embedding", q, k=10, id_col="vec_id",
+                 pred=pred).collect()]
+    assert got == exact
+    idx.graphs.unpersist()
+
+
+def _pairs_by_q(rows):
+    out = {}
+    for r in rows:
+        out.setdefault(int(r["q_id"]), []).append(
+            (int(r["vec_id"]), round(float(r["dist"]), 9))
+        )
+    return {q: sorted(v) for q, v in out.items()}
+
+
+def test_search_df_equals_batch(index, emb, spark):
+    """hnsw_search_df (queries as a DataFrame, shuffled to shards) must
+    return exactly what the driver-list hnsw_search_batch returns — same
+    lockstep core, same tie-breaks."""
+    from lanterndb_spark.operators.hnsw import (
+        hnsw_search_batch, hnsw_search_df,
+    )
+
+    qs = [qvec(emb, i) for i in (1, 5, 9, 23, 44)]
+    got_b = hnsw_search_batch(index, qs, k=5, ef=32).collect()
+    qdf = spark.createDataFrame(
+        [(i, q) for i, q in enumerate(qs)], "q_id long, query array<double>"
+    )
+    got_d = hnsw_search_df(index, qdf, k=5, ef=32).collect()
+    assert _pairs_by_q(got_d) == _pairs_by_q(got_b)
+
+
+def test_search_df_cluster_routed_and_pq(emb, spark):
+    """DF-native search composes with cluster routing (nprobe pruning)
+    and pq rerank, matching the driver-list twin on both."""
+    from lanterndb_spark.operators.hnsw import (
+        hnsw_search_batch, hnsw_search_df,
+    )
+
+    idx = build_hnsw(
+        emb, "embedding", id_col="vec_id", m=8, ef_construction=64,
+        num_shards=4, seed=42, routing="cluster", quant="pq",
+        pq_splits=4, pq_clusters=16,
+    )
+    qs = [qvec(emb, i) for i in (2, 7, 31)]
+    got_b = hnsw_search_batch(
+        idx, qs, k=4, ef=48, nprobe=2, base=emb
+    ).collect()
+    qdf = spark.createDataFrame(
+        [(i, q) for i, q in enumerate(qs)], "q_id long, query array<double>"
+    )
+    got_d = hnsw_search_df(
+        idx, qdf, k=4, ef=48, nprobe=2, base=emb
+    ).collect()
+    assert _pairs_by_q(got_d) == _pairs_by_q(got_b)
+    idx.graphs.unpersist()
+
+
+def test_search_df_cos_drops_zero_norm(emb, spark):
+    from lanterndb_spark.operators.hnsw import hnsw_search_df
+
+    idx = build_hnsw(
+        emb, "embedding", id_col="vec_id", m=8, ef_construction=64,
+        num_shards=2, seed=42, metric="cos",
+    )
+    dim = len(qvec(emb, 1))
+    qdf = spark.createDataFrame(
+        [(0, qvec(emb, 1)), (1, [0.0] * dim)],
+        "q_id long, query array<double>",
+    )
+    rows = hnsw_search_df(idx, qdf, k=3, ef=32).collect()
+    got = _pairs_by_q(rows)
+    assert 1 not in got                       # zero-norm query dropped
+    assert got[0][0] == min(got[0])           # well-formed result set
+    assert any(v == 1 for v, _ in got[0]) or len(got[0]) == 3
+    idx.graphs.unpersist()
+
+
+def test_batch_query_guard(index):
+    """>100k driver-list queries must refuse loudly (closure-size
+    contract) and point at hnsw_search_df."""
+    from lanterndb_spark.operators.hnsw import hnsw_search_batch
+
+    class _FakeLen(list):
+        def __len__(self):
+            return 100_001
+
+    with pytest.raises(ValueError, match="hnsw_search_df"):
+        hnsw_search_batch(index, _FakeLen(), k=1)
+
+
+def test_search_many_chunks_bound_state(emb):
+    """search_many's lockstep state stays bounded at _CHUNK queries per
+    wave-set: a 300-query batch still matches per-query search."""
+    from lanterndb_spark.operators.hnsw import _CHUNK, _Graph
+
+    rows = emb.limit(400).collect()
+    ids = np.asarray([int(r["vec_id"]) for r in rows])
+    X = np.asarray([list(r["embedding"]) for r in rows], dtype=np.float64)
+    g = _Graph(ids, X, 8, 64, 42)
+    Qs = [X[i].tolist() for i in range(300)]
+    res = g.search_many(Qs, 5, 32)
+    assert len(res) == 300
+    assert g._vis2d.shape[0] <= max(_CHUNK, 300 % _CHUNK or _CHUNK)
+    assert g._vis2d.shape[0] == _CHUNK
+    for i in (0, 150, 299):
+        sid, sd = g.search(Qs[i], 5, 32)
+        assert list(res[i][0]) == list(sid)
+        np.testing.assert_allclose(res[i][1], sd)

@@ -468,3 +468,31 @@ def test_create_index_target_recall_selection(tables, spark):
         LanternTable(emb, "vec_id").create_index(
             "embedding", kind="ivf", target_recall=0.9
         )
+
+
+def test_tuned_knobs_cleared_on_drop_and_rebuild(tables, spark):
+    """ADVICE r6: autotuned ef must not survive drop_index or a rebuild
+    without target_recall — stale knobs measured against a different
+    build would silently become knn defaults."""
+    from lanterndb_spark.table import LanternTable
+
+    emb = tables["embeddings"]
+    t = LanternTable(emb, "vec_id").create_index(
+        "embedding", kind="hnsw", target_recall=0.5,
+        m_grid=(8,), ef_grid=(8,), tune_queries=2,
+        num_shards=2, seed=42,
+    )
+    assert "embedding" in t._tuned_search
+    t.drop_index("embedding")
+    assert "embedding" not in t._tuned_search
+    # rebuild with target_recall repopulates; an untuned rebuild clears
+    t.create_index(
+        "embedding", kind="hnsw", target_recall=0.5,
+        m_grid=(8,), ef_grid=(8,), tune_queries=2,
+        num_shards=2, seed=42,
+    )
+    assert "embedding" in t._tuned_search
+    t.create_index("embedding", kind="hnsw", m=8, ef_construction=32,
+                   num_shards=2, seed=42)
+    assert "embedding" not in t._tuned_search
+    t.drop_index("embedding")
