@@ -109,6 +109,15 @@ def word_shingles(col, n: int = 3) -> Column:
 
 # ----------------------------------------------- exact n-gram Jaccard
 
+# Measured capped-vs-prefix crossover (tools/scale_smoke.py corpora,
+# local[32]): capped inverted-index 6.4 s @ 50k docs / 170 s @ 500k;
+# prefix filtering 15.1 s @ 50k / 128-145 s @ 500k — the curves cross
+# between those tiers (r7 midpoint measurements recorded in DESIGN.md).
+# Past this size the capped join's hot-posting shuffle is both slower
+# AND recall-lossy, so jaccard_pairs auto-routes to the prefix plan.
+JACCARD_PREFIX_CROSSOVER = 100_000
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -116,6 +125,7 @@ def jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_posting: int | None = 10_000,
+    exact: bool = False,
 ) -> DataFrame:
     """All pairs with Jaccard(shingles_a, shingles_b) >= threshold, via
     shingle inverted-index self-join (explode → join on shingle → count
@@ -134,7 +144,17 @@ def jaccard_pairs(
     MinHash-LSH verified). On corpora where near-dups share mostly
     ultra-common shingles, use minhash_lsh_pairs (banding doesn't care
     about per-shingle frequency). None disables the cap (exact oracle
-    mode)."""
+    mode).
+
+    AUTO-ROUTING: past ``JACCARD_PREFIX_CROSSOVER`` docs (one cheap
+    count), the call routes to :func:`jaccard_pairs_prefix` — identical
+    (id_a, id_b, jaccard) schema, recall-LOSSLESS (it returns the full
+    uncapped answer, a superset of what the capped join would emit), and
+    measured faster at that size. ``exact=True`` pins this inverted-index
+    plan regardless of corpus size (the escape hatch for oracles and
+    plan-pinned tests)."""
+    if not exact and df.count() > JACCARD_PREFIX_CROSSOVER:
+        return jaccard_pairs_prefix(df, id_col, text_col, n, threshold)
     # persist: the shingle expression is referenced by BOTH sides of the
     # self-join below; higher-order-function exprs don't enter whole-stage
     # codegen, so re-evaluating them per branch is the dominant cost. At

@@ -492,3 +492,38 @@ def test_connected_components_durable_checkpoint_fn(spark, tmp_path):
             for r in connected_components(pairs, checkpoint_fn=durable).collect()}
     assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
     assert len(calls) >= 2  # edges + at least one label round went durable
+
+
+def test_jaccard_auto_routes_past_crossover(dup_docs, monkeypatch):
+    """VERDICT r6 item 5: past JACCARD_PREFIX_CROSSOVER docs,
+    jaccard_pairs routes to the recall-lossless prefix plan; exact=True
+    pins the inverted-index plan."""
+    import lanterndb_spark.operators.dedup as dd
+
+    monkeypatch.setattr(dd, "JACCARD_PREFIX_CROSSOVER", 2)
+    calls = {}
+    real_prefix = dd.jaccard_pairs_prefix
+
+    def spy(*a, **kw):
+        calls["routed"] = True
+        return real_prefix(*a, **kw)
+
+    monkeypatch.setattr(dd, "jaccard_pairs_prefix", spy)
+    routed = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 6))
+        for r in dd.jaccard_pairs(dup_docs, "doc_id", "text",
+                                  threshold=0.5).collect()
+    }
+    assert calls.get("routed")
+    # routed output == uncapped exact output (recall-lossless)
+    exact = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 6))
+        for r in dd.jaccard_pairs(dup_docs, "doc_id", "text", threshold=0.5,
+                                  max_posting=None, exact=True).collect()
+    }
+    assert routed == exact
+    # exact=True never routes, even above the crossover
+    calls.clear()
+    dd.jaccard_pairs(dup_docs, "doc_id", "text", threshold=0.5,
+                     exact=True).collect()
+    assert "routed" not in calls
