@@ -52,7 +52,9 @@ DuckDB oracle is at the 6-dp rounding every ANN row already uses.
 
 from __future__ import annotations
 
+import collections
 import heapq
+import os
 import pickle
 from typing import NamedTuple
 
@@ -67,6 +69,14 @@ _EF_DEFAULT = 64         # ef search default (options.h)
 _CHUNK = 128             # lockstep insert batch (hnswlib-concurrency analogue)
 _MAX_BATCH_QUERIES = 100_000  # driver-list search cap (knn.py contract)
 _UPPER_EXACT = 4096      # upper-level graphs below this size search exactly
+
+# Blob header: 4-byte magic + 16 random bytes stamped at serialization
+# time — the blob's GENERATION uid. Blob bytes are immutable per
+# generation (hnsw_insert/compact pass untouched shards through
+# verbatim; touched shards re-serialize and get a fresh uid), so the uid
+# is a collision-free cache key that costs no hashing of multi-MB bytes.
+_BLOB_MAGIC = b"LDB\x01"
+_BLOB_HDR = 20
 
 
 # --------------------------------------------------------------- graph core
@@ -1129,11 +1139,14 @@ class _Graph:
             "quant": self.quant,
         }
         payload.update(self._encode_X())
-        return pickle.dumps(payload, protocol=4)
+        return _BLOB_MAGIC + os.urandom(16) + pickle.dumps(payload, protocol=4)
 
     @classmethod
     def from_blob(cls, blob: bytes) -> "_Graph":
-        d = pickle.loads(blob)
+        if bytes(blob[:4]) == _BLOB_MAGIC:
+            d = pickle.loads(memoryview(blob)[_BLOB_HDR:])
+        else:  # pre-header blob (raw pickle)
+            d = pickle.loads(blob)
         g = cls.__new__(cls)
         g.ids = d["ids"]
         g.quant = d.get("quant", "f32")
@@ -1192,6 +1205,75 @@ class _Graph:
 
 
 # ------------------------------------------------------------ Spark surface
+
+
+# ------------------------------------------------- worker-side blob cache
+# Per-Python-worker LRU of deserialized shard graphs. Spark reuses worker
+# processes across tasks (spark.python.worker.reuse, on by default), so
+# workloads that re-search the same index generation — autotune grids
+# (autotune.py), target_recall index selection (table.py), filtered
+# search's streaming-k escalation rounds, iterative eval passes — skip
+# re-deserializing + re-decoding the same multi-MB blobs on every task.
+# The buffer-cache economics of the reference's Postgres side (hot index
+# pages stay pinned across scans) recast for immutable shard artifacts.
+
+_GRAPH_CACHE: "collections.OrderedDict[bytes, tuple[_Graph, int]]" = (
+    collections.OrderedDict()
+)
+_GRAPH_CACHE_BYTES = 0
+# Budget is PER PYTHON WORKER PROCESS (an executor runs one worker per
+# core): the hot set is only shards-landing-on-this-worker, so 512 MB
+# holds several generations while staying polite at 16-32 workers/node.
+_GRAPH_CACHE_BUDGET = int(
+    float(os.environ.get("LDB_GRAPH_CACHE_MB", "512")) * 2**20
+)
+
+
+def _graph_mem(g: "_Graph") -> int:
+    """Resident-size estimate of a deserialized graph: live arrays +
+    50% headroom for the lazily-built f32 mirrors, + the steady-state
+    lockstep scratch ((chunk, n) int8 visited + int32 dedup rows)."""
+    total = 0
+    for a in (g.X, g.norms, g.Xb, g.codes, g.cb, g.ids, g.levels,
+              g.q_min, g.q_scale):
+        if isinstance(a, np.ndarray):
+            total += a.nbytes
+    for arr in g.nbr_arr:
+        total += arr.nbytes
+    for cnt in g.nbr_cnt:
+        total += cnt.nbytes
+    return int(total * 1.5) + 5 * _CHUNK * len(g.ids) + 4096
+
+
+def _graph_from_blob_cached(blob) -> "_Graph":
+    """READ-ONLY deserialization through the worker LRU, keyed by the
+    blob's generation uid. Search paths only: hnsw_insert / hnsw_compact
+    mutate graphs in place and must keep calling ``_Graph.from_blob`` —
+    a cached object they touched would answer later searches with a
+    graph its own uid no longer describes. Per-search scratch (visited
+    stamps, skip sets, beam state) is call-local by construction, so a
+    cached graph answers repeat searches identically (test_blob_cache
+    pins skip-set non-stickiness). Budget: LDB_GRAPH_CACHE_MB per worker
+    process (default 1024; <=0 disables). Workers are single-threaded,
+    so no locking."""
+    global _GRAPH_CACHE_BYTES
+    if bytes(blob[:4]) != _BLOB_MAGIC or _GRAPH_CACHE_BUDGET <= 0:
+        return _Graph.from_blob(blob)
+    uid = bytes(blob[4:_BLOB_HDR])
+    hit = _GRAPH_CACHE.get(uid)
+    if hit is not None:
+        _GRAPH_CACHE.move_to_end(uid)
+        return hit[0]
+    g = _Graph.from_blob(blob)
+    cost = _graph_mem(g)
+    if cost > _GRAPH_CACHE_BUDGET:
+        return g
+    _GRAPH_CACHE[uid] = (g, cost)
+    _GRAPH_CACHE_BYTES += cost
+    while _GRAPH_CACHE_BYTES > _GRAPH_CACHE_BUDGET:
+        _, (_, c) = _GRAPH_CACHE.popitem(last=False)
+        _GRAPH_CACHE_BYTES -= c
+    return g
 
 
 class HnswIndex(NamedTuple):
@@ -1464,7 +1546,7 @@ def hnsw_candidates(
     def run(batches):
         for pdf in batches:
             for blob in pdf["blob"]:
-                g = _Graph.from_blob(blob)
+                g = _graph_from_blob_cached(blob)
                 ids, ds = g.search(q, k, ef, skip_ids=dead)
                 if len(ids):
                     yield pd.DataFrame({"__gid": ids, "dist": ds * scale})
@@ -1724,7 +1806,7 @@ def hnsw_search_batch(
                 )
                 if not qids:
                     continue
-                g = _Graph.from_blob(blob)
+                g = _graph_from_blob_cached(blob)
                 # all of this shard's queries advance in LOCKSTEP — one
                 # einsum per wave scores every query's frontier, so the
                 # blob amortizes AND the beam overhead amortizes
@@ -1905,7 +1987,7 @@ def hnsw_search_df(
                  "__gid": pd.Series(dtype="int64"),
                  "dist": pd.Series(dtype="float64")}
             )
-        g = _Graph.from_blob(gpdf["blob"].iloc[0])
+        g = _graph_from_blob_cached(gpdf["blob"].iloc[0])
         qids = qpdf["__qid"].to_numpy()
         results = g.search_many(qpdf["__q"].tolist(), kk, ef, skip_ids=dead)
         # vectorized assembly, truncated to the global cut kk: a shard
