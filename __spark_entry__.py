@@ -1301,6 +1301,34 @@ def q_hnsw_exact_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_out(out, ["vec_id", "label"], "dist")
 
 
+def q_hnswdf_exact_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame-native batch ANN == exact knn: with ef >= n each
+    shard's lockstep beam degenerates to its exact local scan, so
+    ``hnsw_search_df`` (queries SHUFFLED to shards as a DataFrame — the
+    unbounded-query-volume form) must reproduce the plain knn for EVERY
+    query in the batch. Same equivalence contract as hnsw_exact_equiv
+    (hnsw_correct.sql:17-48) extended over the batch recast of the
+    reference's per-query scan (scan.c:167-238). Oracle = DuckDB exact
+    knn per query id, unioned."""
+    from lanterndb_spark.operators.hnsw import build_hnsw, hnsw_search_df
+
+    emb = _emb(spark, sf_dir)
+    n = emb.count()
+    qdf = emb.filter(F.col("vec_id").isin([0, 7, 13])).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("query")
+    )
+    idx = build_hnsw(
+        emb, "embedding", id_col="vec_id", m=8, ef_construction=64,
+        num_shards=4, seed=42,
+    )
+    out = _round_out(
+        hnsw_search_df(idx, qdf, k=10, ef=n), ["q_id", "vec_id"], "dist"
+    )
+    rows = out.collect()  # materialize before unpersisting the graphs
+    idx.graphs.unpersist()
+    return spark.createDataFrame(rows, out.schema)
+
+
 def q_hnsw_cos_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-probe cos-metric HNSW == exact cos knn THROUGH a save/load
     roundtrip — the graph stores f64 blobs for cos precisely so the
@@ -4333,6 +4361,17 @@ def oracle_sql() -> dict[str, str]:
         "ivfpq_exact_equiv": _knn_oracle(0, duck_l2sq),
         "ivfsq_exact_equiv": _knn_oracle(0, duck_l2sq),
         "hnsw_exact_equiv": _knn_oracle(0, duck_l2sq),
+        "hnswdf_exact_equiv": " UNION ALL ".join(
+            f"""SELECT q_id, vec_id, round(dist, {ROUND}) + 0.0 AS dist
+            FROM (
+              SELECT {qid} AS q_id, vec_id,
+                     {duck_l2sq('embedding',
+                         f'(SELECT embedding FROM embeddings WHERE vec_id = {qid})')}
+                     AS dist
+              FROM embeddings ORDER BY dist, vec_id LIMIT 10
+            ) t{qid}"""
+            for qid in (0, 7, 13)
+        ),
         "hnsw_cos_equiv": _knn_oracle(7, duck_cos),
         "hnswivf_exact_equiv": _knn_oracle(0, duck_l2sq),
         "hnsw_filtered_equiv": _knn_oracle(0, duck_l2sq, "WHERE vec_id % 97 = 1"),
@@ -5587,14 +5626,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     keeping every oracle-backed row's newest driver-green <= 3 rounds
     old where the 50-slot window allows.
 
-    - Entries 1-50 (the round-7 window): the ONE row new this round
+    - Entries 1-50 (the round-7 window): the TWO rows new this round
       (hnsw_cos_equiv — cos graph save/load vs exact, VERDICT r6 item
-      4), all thirty-one rows whose newest green is round 4 (age 3 —
-      due now), and eighteen of the fifty round-5-green rows (the
-      oldest-listed; the remaining thirty-two are due next round).
-    - Entries 51+: the thirty-two remaining r5-green rows (next round's
-      window core), then the fifty rows the driver proved green in
-      round 6 (youngest green — safest to park). Still checked every
+      4; hnswdf_exact_equiv — the DataFrame-native batch search form,
+      VERDICT r6 item 1), all thirty-one rows whose newest green is
+      round 4 (age 3 — due now), and seventeen of the fifty
+      round-5-green rows (the oldest-listed; the remaining thirty-three
+      are due next round).
+    - Entries 51+: the thirty-three remaining r5-green rows (next
+      round's window core), then the fifty rows the driver proved green
+      in round 6 (youngest green — safest to park). Still checked every
       round by tools/check_oracle.py and pytest.
     - Final block: rows-only queries with no SQL-expressible oracle,
       each shadowed by an oracle-backed *_exact_equiv / *_invariants /
@@ -5602,8 +5643,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- 1-50: the driver-checked window ------------------------------
-        # never driver-green first (new this round — cos graph roundtrip)
+        # never driver-green first (new this round — cos graph roundtrip,
+        # DataFrame-native batch search)
         "hnsw_cos_equiv": q_hnsw_cos_equiv,
+        "hnswdf_exact_equiv": q_hnswdf_exact_equiv,
         # newest-green r4 (all 31 — age 3, due):
         "grouped_linreg": q_grouped_linreg,
         "quantile_bin": q_quantile_bin,
@@ -5654,8 +5697,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_roundtrip": q_pq_roundtrip,
         "bm25_topk_stemmed": q_bm25_topk_stemmed,
         "dedup_sketch_invariants": q_dedup_sketch_invariants,
-        "autotune_invariants": q_autotune_invariants,
         # -- 51+: r5-green remainder (due next round at age 3) ------------
+        "autotune_invariants": q_autotune_invariants,
         "embed_invariants": q_embed_invariants,
         "bm25_score": q_bm25_score,
         "hybrid_candidate": q_hybrid_candidate,
