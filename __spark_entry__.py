@@ -1057,6 +1057,40 @@ def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a", "id_b", (F.round("cos_dist", ROUND) + F.lit(0.0)).alias("cos_dist"))
 
 
+def q_semdedup_ann_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN-backed semantic near-dup (the SemDeDup shape: cos HNSW graph,
+    corpus re-queried through hnsw_search_df, threshold on the exact
+    rescored distance) == brute-force threshold self-join, on a corpus
+    with planted direction-preserving twins (cos_dist(v, 2v) = 0; the
+    natural pair floor in this table is ~0.49, so the twin set IS the
+    answer). Full probe (ef >= n) makes every shard beam exact, hence
+    equality, not approximation. Oracle = DuckDB brute self-join over
+    the same corpus construction."""
+    from lanterndb_spark.operators.dedup import embedding_near_dup_pairs
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    twins = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    corpus = emb.unionByName(twins)
+    n = corpus.count()
+    out = embedding_near_dup_pairs(
+        corpus, "vec_id", "embedding", max_cos_dist=0.05, method="ann",
+        ef=n, index_params={"num_shards": 4},
+    )
+    res = out.select(
+        "id_a", "id_b", (F.round("cos_dist", ROUND) + F.lit(0.0)).alias("cos_dist")
+    )
+    rows = res.collect()  # materialize, then free the graph cache
+    from lanterndb_spark.plans.shape import release
+
+    release(out)
+    return spark.createDataFrame(rows, res.schema)
+
+
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only: Spark murmur3 signatures aren't reproducible in DuckDB;
     # correctness = verified-jaccard equality with the exact operator (tests)
@@ -4580,6 +4614,21 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE {duck_cos('a.embedding', 'b.embedding')} <= 0.6
         """,
+        "semdedup_ann_equiv": f"""
+            WITH c AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings
+              UNION ALL
+              SELECT vec_id + 100000,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE) * 2.0)
+              FROM embeddings
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round({duck_cos('a.v', 'b.v')}, {ROUND}) + 0.0 AS cos_dist
+            FROM c a JOIN c b ON a.vec_id < b.vec_id
+            WHERE {duck_cos('a.v', 'b.v')} <= 0.05
+        """,
         "tpch_q1": _tpch_q1_oracle(),
         "window_rownum": """
             SELECT event_id, user_id, event_type, CAST(rn AS INT) AS rn FROM (
@@ -5626,14 +5675,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     keeping every oracle-backed row's newest driver-green <= 3 rounds
     old where the 50-slot window allows.
 
-    - Entries 1-50 (the round-7 window): the TWO rows new this round
+    - Entries 1-50 (the round-7 window): the THREE rows new this round
       (hnsw_cos_equiv — cos graph save/load vs exact, VERDICT r6 item
       4; hnswdf_exact_equiv — the DataFrame-native batch search form,
-      VERDICT r6 item 1), all thirty-one rows whose newest green is
-      round 4 (age 3 — due now), and seventeen of the fifty
-      round-5-green rows (the oldest-listed; the remaining thirty-three
+      VERDICT r6 item 1; semdedup_ann_equiv — ANN-backed semantic
+      dedup vs brute), all thirty-one rows whose newest green is
+      round 4 (age 3 — due now), and sixteen of the fifty
+      round-5-green rows (the oldest-listed; the remaining thirty-four
       are due next round).
-    - Entries 51+: the thirty-three remaining r5-green rows (next
+    - Entries 51+: the thirty-four remaining r5-green rows (next
       round's window core), then the fifty rows the driver proved green
       in round 6 (youngest green — safest to park). Still checked every
       round by tools/check_oracle.py and pytest.
@@ -5644,9 +5694,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- 1-50: the driver-checked window ------------------------------
         # never driver-green first (new this round — cos graph roundtrip,
-        # DataFrame-native batch search)
+        # DataFrame-native batch search, ANN-backed semantic dedup)
         "hnsw_cos_equiv": q_hnsw_cos_equiv,
         "hnswdf_exact_equiv": q_hnswdf_exact_equiv,
+        "semdedup_ann_equiv": q_semdedup_ann_equiv,
         # newest-green r4 (all 31 — age 3, due):
         "grouped_linreg": q_grouped_linreg,
         "quantile_bin": q_quantile_bin,
@@ -5696,8 +5747,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_postings": q_bm25_postings,
         "pq_roundtrip": q_pq_roundtrip,
         "bm25_topk_stemmed": q_bm25_topk_stemmed,
-        "dedup_sketch_invariants": q_dedup_sketch_invariants,
         # -- 51+: r5-green remainder (due next round at age 3) ------------
+        "dedup_sketch_invariants": q_dedup_sketch_invariants,
         "autotune_invariants": q_autotune_invariants,
         "embed_invariants": q_embed_invariants,
         "bm25_score": q_bm25_score,

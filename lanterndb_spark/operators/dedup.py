@@ -944,22 +944,67 @@ def embedding_near_dup_pairs(
     n_planes: int = 8,
     seed: int = 42,
     auto_brute_limit: int = 100_000,
+    k_neighbors: int = 10,
+    ef: int = 64,
+    nprobe: int | None = None,
+    index_params: dict | None = None,
 ) -> DataFrame:
     """Semantic near-dup pairs: cos_dist(a,b) <= max_cos_dist.
 
     method='brute': full self-join — exact, oracle-checkable, O(n²):
     fine up to ~10⁵ rows / for verification samples.
+    method='ann': the SemDeDup shape — build a cos-metric HNSW graph
+    over the corpus and run the corpus back through it as a
+    DataFrame-native query batch (``hnsw_search_df``): each doc emits
+    its ``k_neighbors`` nearest, the threshold filter keeps true pairs
+    (every emitted pair is verified by its REAL cos distance, so
+    precision is exact). Cost is n·log-ish instead of n² — the 100 TB
+    path. Recall caveat, stated honestly: a doc in a near-dup GROUP
+    larger than ``k_neighbors`` links only to its k nearest members, so
+    giant groups may fragment into sub-components (same property as
+    SemDeDup's per-cluster top-k); size ``k_neighbors`` at the expected
+    max group size, like minhash's ``max_bucket``. With cluster routing
+    (``index_params={'routing': 'cluster'}`` + ``nprobe``) query cost
+    scales with nprobe, not shard count.
     method='lsh': random-hyperplane signatures bucket the join (pairs
-    agreeing on all sign bits); loses recall near bucket boundaries but
-    prunes the quadratic blowup — the 100 TB path.
+    agreeing on all sign bits); loses recall near bucket boundaries AND
+    keeps a quadratic self-join within each bucket (2^n_planes buckets —
+    at 10M+ rows the per-bucket blowup returns), so 'ann' supersedes it
+    as the scale path; kept for the cheap-sketch use case.
     method='auto' (default): brute below ``auto_brute_limit`` rows
-    (limit-capped count — never a full count job), lsh above, so callers
+    (limit-capped count — never a full count job), ann above, so callers
     who never chose get the scale-safe path when it matters.
     """
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     if method == "auto":
         small = base.limit(auto_brute_limit + 1).count() <= auto_brute_limit
-        method = "brute" if small else "lsh"
+        method = "brute" if small else "ann"
+    if method == "ann":
+        from lanterndb_spark.operators.hnsw import build_hnsw, hnsw_search_df
+
+        params = {"m": 16, "ef_construction": 64, "seed": seed}
+        params.update(index_params or {})
+        index = build_hnsw(base, "v", id_col="id", metric="cos", **params)
+        queries = base.select(
+            F.col("id").alias("q_id"), F.col("v").alias("query")
+        )
+        res = hnsw_search_df(
+            index, queries, k=k_neighbors, ef=ef, nprobe=nprobe
+        )
+        pairs = (
+            res.filter(F.col("dist") <= max_cos_dist)
+            .filter(F.col("q_id") != F.col("id"))
+            .select(
+                F.least("q_id", "id").alias("id_a"),
+                F.greatest("q_id", "id").alias("id_b"),
+                F.col("dist").alias("cos_dist"),
+            )
+            # a pair usually surfaces from both endpoints' k-NN lists;
+            # the distances are identical (one exact rescore), min dedups
+            .groupBy("id_a", "id_b")
+            .agg(F.min("cos_dist").alias("cos_dist"))
+        )
+        return attach_persisted(pairs, index.graphs)
     if method == "lsh":
         import numpy as np
 

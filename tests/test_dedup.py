@@ -101,6 +101,46 @@ def test_embedding_near_dup(tables):
     assert {(r["id_a"], r["id_b"]) for r in lsh} <= brute_keys
 
 
+def test_embedding_near_dup_ann(tables):
+    from pyspark.sql import functions as F
+
+    emb = (
+        tables["embeddings"].limit(100)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    )
+    # planted twins: scaling preserves direction, so cos_dist(v, 2v) = 0
+    # while the corpus's natural pair floor is ~0.49
+    twins = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    corpus = emb.unionByName(twins)
+    n = corpus.count()
+    ids = [r["vec_id"] for r in emb.select("vec_id").collect()]
+    # full probe: every shard's beam is its exact scan, so ann == brute
+    ann = embedding_near_dup_pairs(
+        corpus, "vec_id", "embedding", max_cos_dist=0.05, method="ann",
+        ef=n, index_params={"num_shards": 4},
+    )
+    keys = {(r["id_a"], r["id_b"]) for r in ann.collect()}
+    assert keys == {(i, i + 100000) for i in ids}
+    brute = embedding_near_dup_pairs(
+        corpus, "vec_id", "embedding", max_cos_dist=0.05, method="brute"
+    )
+    assert keys == {(r["id_a"], r["id_b"]) for r in brute.collect()}
+    # default-knob ann (ef=64): exact-precision property holds regardless
+    # (every emitted pair carries its REAL rescored cos distance), and
+    # the planted twins are each other's nearest neighbor so recall is
+    # full here too
+    ann_lo = embedding_near_dup_pairs(
+        corpus, "vec_id", "embedding", max_cos_dist=0.05, method="ann",
+        k_neighbors=3, index_params={"num_shards": 4},
+    )
+    lo = ann_lo.collect()
+    assert {(r["id_a"], r["id_b"]) for r in lo} == keys
+    assert all(r["cos_dist"] <= 0.05 for r in lo)
+
+
 def test_connected_components_chain_and_islands(spark):
     from lanterndb_spark.operators.dedup import connected_components
 

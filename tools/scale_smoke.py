@@ -602,6 +602,48 @@ def main():
     timed(f"minhash_incremental_{args.doc // 20000}k_new", minhash_incremental_job, out)
     _inc_sigs.unpersist()
 
+    def semdedup_ann_job():
+        # ANN-backed semantic dedup at scale: cos HNSW with CLUSTER
+        # routing, corpus re-queried as a DataFrame, nprobe bounds the
+        # per-query cost (n x nprobe shard visits, never n x shards).
+        # Planted check: 1% direction-preserving twins (cos_dist = 0;
+        # twin routes to its source's cell by construction) must ALL
+        # surface as pairs.
+        from lanterndb_spark.operators.dedup import embedding_near_dup_pairs
+
+        sem_n = min(args.vec, 500_000)  # every doc queries the graph, so
+        sem = emb.filter(F.col("vec_id") < sem_n)  # bound the job's wall
+        n_twin = sem_n // 100
+        src = sem.filter(F.col("vec_id") < n_twin)
+        twins = src.select(
+            (F.col("vec_id") + 10_000_000).alias("vec_id"),
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: x * F.lit(2.0),
+            ).alias("embedding"),
+        )
+        corpus = (
+            sem.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+            .unionByName(twins)
+        )
+        pairs = embedding_near_dup_pairs(
+            corpus, "vec_id", "embedding", max_cos_dist=0.05, method="ann",
+            k_neighbors=3, nprobe=4,
+            index_params={"routing": "cluster"},
+        )
+        found = {
+            (r["id_a"], r["id_b"])
+            for r in pairs.filter(F.col("id_b") >= 10_000_000).collect()
+        }
+        release(pairs)
+        want = {(i, i + 10_000_000) for i in range(n_twin)}
+        missing = len(want - found)
+        assert not missing, f"semdedup: {missing}/{n_twin} planted twins missed"
+        quality["semdedup_twin_recall"] = 1.0
+        return len(found)
+
+    timed(f"semdedup_ann_{min(args.vec, 500_000) // 1000}k", semdedup_ann_job, out)
+
     print(json.dumps({"n_vec": args.vec, "n_doc": args.doc, "n_evt": args.evt,
                       "timings": out, "quality": quality}))
     spark.stop()
