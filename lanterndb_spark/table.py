@@ -515,6 +515,130 @@ class LanternTable:
             base_index = SrpIndex(sketched, index.planes, vec_col, index.sig_cols)
         return srp_search(base_index, query, k=k, metric=metric, id_col=self.id_col, **search_params)
 
+    def knn_batch(
+        self,
+        vec_col: str,
+        queries: DataFrame,
+        k: int = 10,
+        metric: str = "l2sq",
+        mode: str = "auto",
+        q_id_col: str = "q_id",
+        q_vec_col: str = "query",
+        **search_params,
+    ) -> DataFrame:
+        """Top-k for EVERY row of ``queries`` (a DataFrame with
+        ``q_id_col`` + ``q_vec_col``) — the eval-pass / hard-negative-
+        mining shape. Returns (q_id, id, dist), one row per neighbor.
+
+        mode='auto' routes by the column's index, same planner rule as
+        ``knn``: hnsw -> the DataFrame-native graph batch
+        (``hnsw_search_df`` — queries shuffle to shards, so the batch
+        size is unbounded); ivf -> ``ivf_search_batch`` (queries
+        broadcast; driver-list contract, ≤100k); exact / no index ->
+        ``knn_join`` (the reference's LATERAL shape,
+        hnsw_select.sql:66-67, as one distributed job). Backends without
+        a batch recast (srp / proj / ivfsq) run the exact lateral join —
+        same answers at exact recall, just not index-accelerated.
+        Delta/tombstone visibility matches ``knn``: graphs answer for
+        base rows minus tombstones, pending deltas get an exact
+        side-scan, and the two lists merge per query."""
+        from lanterndb_spark.operators.knn import knn_join
+
+        if mode == "auto":
+            mode = self._indexes.get(vec_col, ("exact",))[0]
+        if (
+            mode == "exact"
+            or vec_col not in self._indexes
+            or self._indexes[vec_col][0] in ("srp", "proj", "ivfsq")
+        ):
+            out = knn_join(
+                self.df, vec_col, queries, q_vec_col, k=k, metric=metric,
+                id_col=self.id_col, q_id_col=q_id_col,
+            )
+            return out.select(q_id_col, self.id_col, "dist")
+        kind, index = self._indexes[vec_col]
+        if kind == "ivf":
+            from lanterndb_spark.operators.ivf import (
+                IvfIndex, ivf_search_batch,
+            )
+
+            rows = queries.select(q_id_col, q_vec_col).limit(100_001).collect()
+            if len(rows) > 100_000:
+                raise ValueError(
+                    "knn_batch over an ivf index broadcasts the query "
+                    "list (>100k rows); chunk the batch or use an hnsw "
+                    "index (hnsw_search_df shuffles queries instead)"
+                )
+            qids = [r[q_id_col] for r in rows]
+            qvecs = [[float(x) for x in r[q_vec_col]] for r in rows]
+            base_index = index
+            if self._deltas:
+                from lanterndb_spark.operators.ivf import ivf_assign
+
+                deltas = [ivf_assign(index, d) for d in self._deltas]
+                assigned = maintenance.with_deltas(index.assigned, *deltas)
+                base_index = IvfIndex(assigned, index.centroids, vec_col)
+            if self._tombstones:
+                assigned = maintenance.apply_tombstones(
+                    base_index.assigned, self._tombstones, self.id_col
+                )
+                base_index = IvfIndex(assigned, index.centroids, vec_col)
+            out = ivf_search_batch(
+                base_index, qvecs, k=k, metric=metric, id_col=self.id_col,
+                **search_params,
+            )
+            # ivf_search_batch q_ids are list positions; map them back
+            spark = self.df.sparkSession
+            qmap = spark.createDataFrame(
+                [(i, q) for i, q in enumerate(qids)],
+                f"__pos int, {q_id_col} {'bigint' if isinstance(qids[0], int) else 'string'}",
+            )
+            return (
+                out.withColumnRenamed("q_id", "__pos")
+                .join(F.broadcast(qmap), on="__pos")
+                .select(q_id_col, self.id_col, "dist")
+            )
+        # hnsw
+        from lanterndb_spark.operators.hnsw import hnsw_search_df
+
+        search_params = {
+            **self._tuned_search.get(vec_col, {}), **search_params
+        }
+        search_params.pop("init_k", None)  # single-query knob
+        if metric != index.metric:
+            raise ValueError(
+                f"hnsw index on {vec_col!r} was built for "
+                f"metric={index.metric!r}; searched with {metric!r}"
+            )
+        deleted = set(self._tombstones) if self._tombstones else None
+        base = self.base if index.quant == "pq" else None
+        graph_top = hnsw_search_df(
+            index, queries, k=k, deleted=deleted, base=base,
+            q_id_col=q_id_col, q_vec_col=q_vec_col, **search_params,
+        ).select(q_id_col, self.id_col, "dist")
+        if not self._deltas:
+            return graph_top
+        delta = maintenance.with_deltas(self._deltas[0], *self._deltas[1:])
+        if self._tombstones:
+            delta = maintenance.apply_tombstones(
+                delta, self._tombstones, self.id_col
+            )
+        delta_top = knn_join(
+            delta, vec_col, queries, q_vec_col, k=k, metric=metric,
+            id_col=self.id_col, q_id_col=q_id_col,
+        ).select(q_id_col, self.id_col, "dist")
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(q_id_col).orderBy(
+            F.col("dist").asc(), F.col(self.id_col).asc()
+        )
+        return (
+            graph_top.unionByName(delta_top)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+
     def search_bm25(self, query: str, text_col: str = "text", limit: int = 10, **kw) -> DataFrame:
         from lanterndb_spark.operators.bm25 import search_bm25
 

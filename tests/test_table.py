@@ -496,3 +496,71 @@ def test_tuned_knobs_cleared_on_drop_and_rebuild(tables, spark):
                    num_shards=2, seed=42)
     assert "embedding" not in t._tuned_search
     t.drop_index("embedding")
+
+
+def _qdf(spark, emb, ids):
+    return (
+        emb.filter(F.col("vec_id").isin(ids))
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("query"))
+    )
+
+
+def _by_q(rows):
+    out = {}
+    for r in rows:
+        out.setdefault(r["q_id"], []).append((r["vec_id"], round(r["dist"], 6)))
+    return out
+
+
+def test_knn_batch_routes_and_agrees(tables, spark):
+    emb = tables["embeddings"]
+    qdf = _qdf(spark, emb, [0, 7, 13])
+    # exact route (no index) is the ground truth
+    t0 = LanternTable(emb, "vec_id")
+    exact = _by_q(t0.knn_batch("embedding", qdf, k=5).collect())
+    assert set(exact) == {0, 7, 13} and all(len(v) == 5 for v in exact.values())
+    # hnsw route at full probe == exact
+    n = emb.count()
+    th = LanternTable(emb, "vec_id").create_index(
+        "embedding", kind="hnsw", num_shards=4, seed=42
+    )
+    got_h = _by_q(th.knn_batch("embedding", qdf, k=5, ef=n).collect())
+    assert got_h == exact
+    # ivf route at nprobe=nlist == exact
+    ti = LanternTable(emb, "vec_id").create_index(
+        "embedding", kind="ivf", nlist=4, seed=42
+    )
+    got_i = _by_q(ti.knn_batch("embedding", qdf, k=5, nprobe=4).collect())
+    assert got_i == exact
+    # srp falls back to the exact lateral join
+    ts = LanternTable(emb, "vec_id").create_index("embedding", kind="srp", seed=42)
+    got_s = _by_q(ts.knn_batch("embedding", qdf, k=5).collect())
+    assert got_s == exact
+
+
+def test_knn_batch_delta_tombstone_visibility(tables, spark):
+    emb = tables["embeddings"]
+    n = emb.count()
+    qdf = _qdf(spark, emb, [0])
+    t = LanternTable(emb, "vec_id").create_index(
+        "embedding", kind="hnsw", num_shards=2, seed=42
+    )
+    base_ids = [r["vec_id"] for r in t.knn_batch("embedding", qdf, k=5, ef=n).collect()]
+    assert base_ids[0] == 0
+    # tombstone the top hit: it must vanish from the batch results
+    t.delete([0])
+    after = [r["vec_id"] for r in t.knn_batch("embedding", qdf, k=5, ef=n).collect()]
+    assert 0 not in after
+    # insert a twin of the query vector: it must surface at rank 1
+    twin = emb.filter(F.col("vec_id") == 7).select(
+        F.lit(990001).cast("bigint").alias("vec_id"),
+        F.col("label"), F.col("embedding"),
+    ).select(*emb.columns)
+    qdf7 = _qdf(spark, emb, [7])
+    t.insert(twin)
+    rows = sorted(
+        t.knn_batch("embedding", qdf7, k=3, ef=n).collect(),
+        key=lambda r: (r["dist"], r["vec_id"]),
+    )
+    top2 = {r["vec_id"] for r in rows[:2]}
+    assert top2 == {7, 990001}
