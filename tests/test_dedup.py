@@ -567,3 +567,34 @@ def test_jaccard_auto_routes_past_crossover(dup_docs, monkeypatch):
     dd.jaccard_pairs(dup_docs, "doc_id", "text", threshold=0.5,
                      exact=True).collect()
     assert "routed" not in calls
+
+
+def test_embedding_near_dup_auto_routes_to_ann(tables):
+    from pyspark.sql import functions as F
+
+    emb = tables["embeddings"].limit(120).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    n = emb.count()
+    # force the "large corpus" branch with a tiny limit: auto must take
+    # the ann path (not lsh), and with full probe it equals brute
+    out = embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", max_cos_dist=0.75, method="auto",
+        auto_brute_limit=50, ef=n, k_neighbors=20,
+        index_params={"num_shards": 2},
+    )
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    brute = embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", max_cos_dist=0.75, method="brute"
+    )
+    want = {(r["id_a"], r["id_b"]) for r in brute.collect()}
+    # ann is top-k_neighbors per doc: every found pair is true (exact
+    # precision), and any miss can only come from the k cut
+    assert got <= want
+    assert len(want) > 0
+    deg = {}
+    for a, b in want:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    if max(deg.values()) <= 20:
+        assert got == want  # under the k cut, full probe IS exact
