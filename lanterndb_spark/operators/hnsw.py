@@ -2080,6 +2080,111 @@ def hnsw_search_df(
     )
 
 
+def hnsw_search_df_filtered(
+    index: HnswIndex,
+    base: DataFrame,
+    queries: DataFrame,
+    pred,
+    k: int = 10,
+    ef: int = _EF_DEFAULT,
+    deleted: set | None = None,
+    nprobe: int | None = None,
+    q_id_col: str = "q_id",
+    q_vec_col: str = "query",
+    max_rounds: int = 3,
+) -> DataFrame:
+    """Filtered ANN for a whole query DataFrame — the batch recast of
+    ``hnsw_search_filtered``'s streaming-k (scan.c:240-292): the graph
+    returns candidates, ``pred`` rechecks OUTSIDE the access method
+    against ``base``, and queries whose top-k starved re-search with a
+    DOUBLED width next round; after ``max_rounds`` doublings the
+    still-starved remainder switches to the exact lateral join over the
+    pred-filtered base (recall-lossless, same escape hatch as the
+    driver form's ``_exact_filtered``).
+
+    Wholly DataFrame-native: the starved set is carried as a DataFrame
+    (anti-join against the satisfied q_ids, lineage truncated per round
+    — the connected_components lesson), never a driver-side list, so
+    the batch size is unbounded like ``hnsw_search_df``'s. Exception:
+    the final exact fallback runs through ``knn_join``, which enforces
+    its ≤100k broadcast contract — if more than 100k queries are STILL
+    starved after ``max_rounds`` doublings, it raises rather than
+    silently collecting (raise ``ef``/``max_rounds`` or pre-filter).
+
+    Each round's satisfied rows are persisted (the round boundary is a
+    materialization point, mirroring the driver form's materialized
+    returns); pass the result through ``plans.shape.release`` after
+    materializing to free them.
+
+    Returns (q_id, <id_col>, <base columns...>, dist)."""
+    from pyspark.sql import Window
+
+    from lanterndb_spark.plans.shape import attach_persisted
+
+    width = max(int(ef), int(k))
+    qsel = queries.select(
+        F.col(q_id_col).cast("long").alias(q_id_col),
+        F.col(q_vec_col).alias(q_vec_col),
+    )
+    out_cols = (
+        ["q_id", index.id_col]
+        + [c for c in base.columns if c != index.id_col]
+        + ["dist"]
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("dist").asc(), F.col(index.id_col).asc()
+    )
+    rerank_base = base if index.quant == "pq" else None
+    parts: list[DataFrame] = []
+    persisted: list[DataFrame] = []
+    remaining = qsel
+    for _ in range(max_rounds):
+        cand = hnsw_search_df(
+            index, remaining, k=width, ef=max(width, int(ef)),
+            deleted=deleted, nprobe=nprobe, base=rerank_base,
+            q_id_col=q_id_col, q_vec_col=q_vec_col,
+        )
+        scored = (
+            cand.join(base, on=index.id_col)
+            .filter(pred)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn")
+            .persist()
+        )
+        persisted.append(scored)
+        counts = scored.groupBy("q_id").agg(F.count("*").alias("__cnt"))
+        sat_q = counts.filter(F.col("__cnt") >= k).select("q_id")
+        parts.append(scored.join(sat_q, on="q_id", how="left_semi"))
+        remaining = remaining.join(
+            sat_q.withColumnRenamed("q_id", q_id_col),
+            on=q_id_col, how="left_anti",
+        ).localCheckpoint(eager=True)  # truncate the per-round anti-join chain
+        if remaining.limit(1).count() == 0:
+            remaining = None
+            break
+        width *= 2
+    if remaining is not None:
+        # exact fallback for the still-starved queries: one distributed
+        # lateral scan of the pred-filtered base, no candidate escalation
+        from lanterndb_spark.operators.knn import knn_join
+
+        fb = base.filter(pred)
+        if deleted:
+            fb = fb.filter(
+                ~F.col(index.id_col).isin([int(i) for i in deleted])
+            )
+        exact = knn_join(
+            fb, index.vec_col, remaining, q_vec_col, k=k,
+            metric=index.metric, id_col=index.id_col, q_id_col=q_id_col,
+        ).withColumnRenamed(q_id_col, "q_id")
+        parts.append(exact)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p.select(*out.columns))
+    return attach_persisted(out.select(*out_cols), *persisted)
+
+
 def hnsw_insert(index: HnswIndex, delta: DataFrame) -> HnswIndex:
     """aminsert analogue (insert.c:51-262): cogroup the delta rows with
     their shard's existing blob and run the SAME insertion routine — the

@@ -522,6 +522,7 @@ class LanternTable:
         k: int = 10,
         metric: str = "l2sq",
         mode: str = "auto",
+        pred: Column | None = None,
         q_id_col: str = "q_id",
         q_vec_col: str = "query",
         **search_params,
@@ -529,6 +530,10 @@ class LanternTable:
         """Top-k for EVERY row of ``queries`` (a DataFrame with
         ``q_id_col`` + ``q_vec_col``) — the eval-pass / hard-negative-
         mining shape. Returns (q_id, id, dist), one row per neighbor.
+        ``pred`` filters like ``knn``'s: rechecked OUTSIDE the access
+        method (hnsw runs the batch streaming-k,
+        ``hnsw_search_df_filtered``; ivf composes the filter before its
+        re-rank; exact paths just pre-filter the scan).
 
         mode='auto' routes by the column's index, same planner rule as
         ``knn``: hnsw -> the DataFrame-native graph batch
@@ -551,8 +556,9 @@ class LanternTable:
             or vec_col not in self._indexes
             or self._indexes[vec_col][0] in ("srp", "proj", "ivfsq")
         ):
+            data = self.df.filter(pred) if pred is not None else self.df
             out = knn_join(
-                self.df, vec_col, queries, q_vec_col, k=k, metric=metric,
+                data, vec_col, queries, q_vec_col, k=k, metric=metric,
                 id_col=self.id_col, q_id_col=q_id_col,
             )
             return out.select(q_id_col, self.id_col, "dist")
@@ -585,7 +591,7 @@ class LanternTable:
                 base_index = IvfIndex(assigned, index.centroids, vec_col)
             out = ivf_search_batch(
                 base_index, qvecs, k=k, metric=metric, id_col=self.id_col,
-                **search_params,
+                pred=pred, **search_params,
             )
             # ivf_search_batch q_ids are list positions; map them back
             spark = self.df.sparkSession
@@ -611,11 +617,27 @@ class LanternTable:
                 f"metric={index.metric!r}; searched with {metric!r}"
             )
         deleted = set(self._tombstones) if self._tombstones else None
-        base = self.base if index.quant == "pq" else None
-        graph_top = hnsw_search_df(
-            index, queries, k=k, deleted=deleted, base=base,
-            q_id_col=q_id_col, q_vec_col=q_vec_col, **search_params,
-        ).select(q_id_col, self.id_col, "dist")
+        if pred is not None:
+            from lanterndb_spark.operators.hnsw import hnsw_search_df_filtered
+
+            search_params.pop("base", None)
+            graph_top = hnsw_search_df_filtered(
+                index, self.base, queries, pred, k=k, deleted=deleted,
+                q_id_col=q_id_col, q_vec_col=q_vec_col, **search_params,
+            )
+            inner = graph_top.__dict__.get("_lantern_persisted", [])
+            # the graph batch forms emit a literal "q_id" column; restore
+            # the caller's name so the delta merge and output agree
+            graph_top = graph_top.select(
+                F.col("q_id").alias(q_id_col), self.id_col, "dist"
+            )
+            graph_top.__dict__["_lantern_persisted"] = inner
+        else:
+            base = self.base if index.quant == "pq" else None
+            graph_top = hnsw_search_df(
+                index, queries, k=k, deleted=deleted, base=base,
+                q_id_col=q_id_col, q_vec_col=q_vec_col, **search_params,
+            ).select(F.col("q_id").alias(q_id_col), self.id_col, "dist")
         if not self._deltas:
             return graph_top
         delta = maintenance.with_deltas(self._deltas[0], *self._deltas[1:])
@@ -623,6 +645,8 @@ class LanternTable:
             delta = maintenance.apply_tombstones(
                 delta, self._tombstones, self.id_col
             )
+        if pred is not None:
+            delta = delta.filter(pred)
         delta_top = knn_join(
             delta, vec_col, queries, q_vec_col, k=k, metric=metric,
             id_col=self.id_col, q_id_col=q_id_col,

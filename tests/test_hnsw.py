@@ -781,3 +781,61 @@ def test_search_many_chunks_bound_state(emb):
         sid, sd = g.search(Qs[i], 5, 32)
         assert list(res[i][0]) == list(sid)
         np.testing.assert_allclose(res[i][1], sd)
+
+
+def test_search_df_filtered_equals_driver_form(emb, spark):
+    """Batch streaming-k == the per-query driver form, including the
+    escalation rounds a selective predicate forces."""
+    from pyspark.sql import functions as F
+
+    from lanterndb_spark.operators.hnsw import (
+        build_hnsw, hnsw_search_df_filtered, hnsw_search_filtered,
+    )
+    from lanterndb_spark.plans.shape import release
+
+    idx = build_hnsw(
+        emb, "embedding", id_col="vec_id", m=8, ef_construction=64,
+        num_shards=4, seed=42,
+    )
+    qids = [0, 7, 13]
+    pred = F.col("label") == 1  # selective: starves small-ef rounds
+    qdf = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("query")
+    )
+    got = hnsw_search_df_filtered(
+        idx, emb, qdf, pred, k=5, ef=8, max_rounds=2
+    )
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["q_id"], set()).add(
+            (r["vec_id"], round(r["dist"], 9))
+        )
+    release(got)
+    for qi in qids:
+        qv = [float(x) for x in
+              emb.filter(F.col("vec_id") == qi).first()["embedding"]]
+        want = {
+            (r["vec_id"], round(r["dist"], 9))
+            for r in hnsw_search_filtered(
+                idx, emb, qv, pred, k=5, ef=8
+            ).collect()
+        }
+        assert by_q.get(qi, set()) == want, f"q {qi}"
+    # zero-match predicate: exact-fallback path, empty result
+    none = hnsw_search_df_filtered(
+        idx, emb, qdf, F.col("label") == -99, k=3, ef=8, max_rounds=1
+    )
+    assert none.count() == 0
+    release(none)
+    # tombstones respected through both rounds and the exact fallback
+    top1 = hnsw_search_df_filtered(idx, emb, qdf, pred, k=1, ef=8)
+    first = {r["q_id"]: r["vec_id"] for r in top1.collect()}
+    release(top1)
+    dead = set(first.values())
+    got2 = hnsw_search_df_filtered(
+        idx, emb, qdf, pred, k=3, ef=8, deleted=dead, max_rounds=1
+    )
+    ids2 = {r["vec_id"] for r in got2.collect()}
+    release(got2)
+    assert not (ids2 & dead)
+    idx.graphs.unpersist()

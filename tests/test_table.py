@@ -564,3 +564,30 @@ def test_knn_batch_delta_tombstone_visibility(tables, spark):
     )
     top2 = {r["vec_id"] for r in rows[:2]}
     assert top2 == {7, 990001}
+
+
+def test_knn_batch_pred_filtered(tables, spark):
+    emb = tables["embeddings"]
+    n = emb.count()
+    qdf = _qdf(spark, emb, [0, 7])
+    pred = F.col("label") == 1
+    # ground truth: exact lateral over the pre-filtered table
+    t0 = LanternTable(emb, "vec_id")
+    want = _by_q(t0.knn_batch("embedding", qdf, k=4, pred=pred).collect())
+    assert all(len(v) == 4 for v in want.values())
+    # hnsw route: batch streaming-k, full-probe rounds converge to exact
+    th = LanternTable(emb, "vec_id").create_index(
+        "embedding", kind="hnsw", num_shards=2, seed=42
+    )
+    got_h = _by_q(
+        th.knn_batch("embedding", qdf, k=4, pred=pred, ef=n).collect()
+    )
+    assert got_h == want
+    # ivf route at nprobe=nlist: filter composes before the re-rank
+    ti = LanternTable(emb, "vec_id").create_index(
+        "embedding", kind="ivf", nlist=4, seed=42
+    )
+    got_i = _by_q(
+        ti.knn_batch("embedding", qdf, k=4, pred=pred, nprobe=4).collect()
+    )
+    assert got_i == want
