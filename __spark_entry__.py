@@ -1655,6 +1655,40 @@ def q_hnsw_filtered_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_out(out, ["vec_id", "label"], "dist")
 
 
+def q_hnswdf_filtered_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH filtered ANN (hnsw_search_df_filtered): the whole query
+    DataFrame runs the streaming-k rounds together, starved queries
+    alone escalate, and a predicate matching fewer rows than k provably
+    exhausts into the exact fallback — so the result is the complete
+    exact-filtered set per query, hash-comparable (same construction as
+    hnsw_filtered_equiv, batched). Oracle = per-query DuckDB filtered
+    knn, unioned."""
+    from lanterndb_spark.operators.hnsw import (
+        build_hnsw, hnsw_search_df_filtered,
+    )
+    from lanterndb_spark.plans.shape import release
+
+    emb = _emb(spark, sf_dir)
+    qdf = emb.filter(F.col("vec_id").isin([0, 7, 13])).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("query")
+    )
+    idx = build_hnsw(
+        emb, "embedding", id_col="vec_id", m=8, ef_construction=64,
+        num_shards=4, seed=42,
+    )
+    out = hnsw_search_df_filtered(
+        idx, emb, qdf, F.col("vec_id") % 97 == 1, k=10, ef=8, max_rounds=2,
+    )
+    res = out.select(
+        "q_id", "vec_id", "label",
+        (F.round("dist", ROUND) + F.lit(0.0)).alias("dist"),
+    )
+    rows = res.collect()  # materialize before freeing round caches/graphs
+    release(out)
+    idx.graphs.unpersist()
+    return spark.createDataFrame(rows, res.schema)
+
+
 def q_hnsw_hamming_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hamming metric on the graph backend: int32 rows expand to 0/1
     bits and l2sq-of-bits IS the hamming distance (hnsw.c:308-319 bit
@@ -4409,6 +4443,18 @@ def oracle_sql() -> dict[str, str]:
         "hnsw_cos_equiv": _knn_oracle(7, duck_cos),
         "hnswivf_exact_equiv": _knn_oracle(0, duck_l2sq),
         "hnsw_filtered_equiv": _knn_oracle(0, duck_l2sq, "WHERE vec_id % 97 = 1"),
+        "hnswdf_filtered_equiv": " UNION ALL ".join(
+            f"""SELECT q_id, vec_id, label, round(dist, {ROUND}) + 0.0 AS dist
+            FROM (
+              SELECT {qid} AS q_id, vec_id, label,
+                     {duck_l2sq('embedding',
+                         f'(SELECT embedding FROM embeddings WHERE vec_id = {qid})')}
+                     AS dist
+              FROM embeddings WHERE vec_id % 97 = 1
+              ORDER BY dist, vec_id LIMIT 10
+            ) t{qid}"""
+            for qid in (0, 7, 13)
+        ),
         "streaming_hnsw_equiv": _knn_oracle(1, duck_l2sq),
         "hnsw_invariants": """
             SELECT CAST(count(*) AS BIGINT) AS n_vectors, true AS recall_ok,
@@ -5747,7 +5793,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_postings": q_bm25_postings,
         "pq_roundtrip": q_pq_roundtrip,
         "bm25_topk_stemmed": q_bm25_topk_stemmed,
-        # -- 51+: r5-green remainder (due next round at age 3) ------------
+        # -- 51+: never-green rows added after the r7 window filled (front
+        # of next round's window), then the r5-green remainder (due at
+        # age 3) -----------------------------------------------------------
+        "hnswdf_filtered_equiv": q_hnswdf_filtered_equiv,
         "dedup_sketch_invariants": q_dedup_sketch_invariants,
         "autotune_invariants": q_autotune_invariants,
         "embed_invariants": q_embed_invariants,
