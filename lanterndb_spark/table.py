@@ -656,12 +656,18 @@ class LanternTable:
         w = Window.partitionBy(q_id_col).orderBy(
             F.col("dist").asc(), F.col(self.id_col).asc()
         )
-        return (
+        merged = (
             graph_top.unionByName(delta_top)
             .withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= k)
             .drop("__rn")
         )
+        # carry the filtered rounds' persisted frames through the merge
+        # so release() on the final result still frees them
+        merged.__dict__["_lantern_persisted"] = graph_top.__dict__.get(
+            "_lantern_persisted", []
+        )
+        return merged
 
     def search_bm25(self, query: str, text_col: str = "text", limit: int = 10, **kw) -> DataFrame:
         from lanterndb_spark.operators.bm25 import search_bm25
