@@ -1804,6 +1804,54 @@ def q_streaming_neardup_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_semdedup_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming/semdedup.py contract: planted direction-preserving
+    twins streamed over real micro-batches through the cos-graph
+    arrival gate must yield EXACTLY the brute threshold self-join's
+    pair set over the union, each pair once, with exact rescored
+    distances — so unlike the minhash stream row this one hash-compares
+    the FULL pair rows against DuckDB (cos distances are
+    SQL-derivable)."""
+    import shutil
+    import tempfile
+
+    from lanterndb_spark.streaming.semdedup import semantic_dedup_ingest_stream
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    twins = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    corpus = emb.unionByName(twins)
+    src = tempfile.mkdtemp(prefix="lantern_semdedup_stream_")
+    try:
+        corpus.repartition(3).write.mode("overwrite").parquet(src)
+        ingest = semantic_dedup_ingest_stream(
+            "vec_id", "embedding", max_cos_dist=0.05,
+            index_params={"num_shards": 4},
+        )
+        q = (
+            spark.readStream.schema("vec_id bigint, embedding array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(ingest.writer())
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        res = ingest.all_pairs().select(
+            "id_a", "id_b",
+            (F.round("cos_dist", ROUND) + F.lit(0.0)).alias("cos_dist"),
+        )
+        rows = res.collect()
+        ingest.index.graphs.unpersist()
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
 def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE semantics through the LanternTable lifecycle (VERDICT r4
     item 8): updated versions of every 10th customer plus five shifted
@@ -4675,6 +4723,21 @@ def oracle_sql() -> dict[str, str]:
             FROM c a JOIN c b ON a.vec_id < b.vec_id
             WHERE {duck_cos('a.v', 'b.v')} <= 0.05
         """,
+        "streaming_semdedup_equiv": f"""
+            WITH c AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings
+              UNION ALL
+              SELECT vec_id + 100000,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE) * 2.0)
+              FROM embeddings
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round({duck_cos('a.v', 'b.v')}, {ROUND}) + 0.0 AS cos_dist
+            FROM c a JOIN c b ON a.vec_id < b.vec_id
+            WHERE {duck_cos('a.v', 'b.v')} <= 0.05
+        """,
         "tpch_q1": _tpch_q1_oracle(),
         "window_rownum": """
             SELECT event_id, user_id, event_type, CAST(rn AS INT) AS rn FROM (
@@ -5797,6 +5860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # of next round's window), then the r5-green remainder (due at
         # age 3) -----------------------------------------------------------
         "hnswdf_filtered_equiv": q_hnswdf_filtered_equiv,
+        "streaming_semdedup_equiv": q_streaming_semdedup_equiv,
         "dedup_sketch_invariants": q_dedup_sketch_invariants,
         "autotune_invariants": q_autotune_invariants,
         "embed_invariants": q_embed_invariants,
