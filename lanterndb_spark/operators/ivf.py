@@ -224,6 +224,168 @@ def ivfsq_search_batch(
     )
 
 
+def ivf_search_df(
+    index: IvfIndex,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    metric: str = "l2sq",
+    id_col: str | None = None,
+    pred: Column | None = None,
+    q_id_col: str = "q_id",
+    q_vec_col: str = "query",
+    prune: bool = True,
+) -> DataFrame:
+    """DataFrame-native batch ANN over an IVF index: queries arrive as a
+    DataFrame and are routed to their ``nprobe`` nearest centroids
+    EXECUTOR-side (mapInPandas against the broadcast centroid matrix),
+    so the batch size is unbounded — the 10^5–10^6-query eval /
+    hard-negative-mining shape that the driver-list
+    :func:`ivf_search_batch` guards against at 100k. The ivf twin of
+    ``hnsw.hnsw_search_df``; reference parity: the scan contract
+    (lantern_hnsw/src/hnsw/scan.c:167-238) is per-query, this is the
+    batch recast that scales it per backend.
+
+    Plan, and why each stage holds at 100 TB:
+
+    1. route — one ``mapInPandas`` argsorts each query against the
+       (tiny, broadcast) centroid matrix and emits
+       (q_id, query_vec, cluster_id) × nprobe. Same argsort order as
+       :func:`ivf_search`, so per-query results are identical to the
+       driver-list form by construction. No driver collect of queries.
+    2. prune — a second, skinny routing pass (cluster ids only, no
+       vectors) feeds a map-side-combined ``distinct``; the collected
+       union of probed clusters is bounded by ``nlist`` rows and turns
+       into a static ``isin`` the scan can push down (PartitionFilters
+       on a ``partitionBy(cluster_id)`` layout — a batch touching p
+       clusters reads p/nlist of the data). ``prune=False`` skips the
+       extra pass when the batch is known to probe everything.
+    3. score — one shuffle equi-join base ⋈ routed on cluster_id (plain
+       sort-merge/hash join: AQE's skew split covers hot clusters,
+       unlike a cogroup which must hold a whole cluster per task), then
+       the JVM-codegen ``distance`` expression. The query vector rides
+       the routed side so the distance is computable BEFORE any q_id
+       shuffle.
+    4. cut — a NARROW per-partition top-k combiner (pandas sort +
+       groupby-head, any q_id dtype) shrinks the final window shuffle
+       from (pairs) rows to ≤ (partitions × nq × k), then one
+       ``row_number`` window resolves the global per-query top-k with
+       the (dist, id) tie order shared by every batch path.
+
+    ``pred`` composes before scoring (filtered ANN,
+    test/sql/hnsw_select.sql:50-51: the k budget goes to qualifying
+    rows only). Returns (q_id_col, id_col, dist) — ``id_col`` is
+    required (it is the deterministic tie-break and keeps the combiner
+    schema skinny)."""
+    from pyspark.sql import Window
+
+    from lanterndb_spark.functions.distance import distance
+    from lanterndb_spark.plans.shape import widen_partitions
+
+    if id_col is None:
+        raise ValueError("ivf_search_df requires id_col (tie-break + output key)")
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    spark = index.assigned.sparkSession
+    q_id_type = queries.schema[q_id_col].dataType.simpleString()
+    id_type = index.assigned.schema[id_col].dataType.simpleString()
+    if index.nlist == 0:
+        # empty build (ldb_ambuildunlogged analogue): valid index, empty answer
+        return spark.createDataFrame(
+            [], f"{q_id_col} {q_id_type}, {id_col} {id_type}, dist double"
+        )
+    np_eff = min(int(nprobe), index.nlist)
+    bc = spark.sparkContext.broadcast(index.centroids)
+    qsel = queries.select(
+        F.col(q_id_col).alias("__qid"),
+        F.col(q_vec_col).cast("array<double>").alias("__q"),
+    )
+
+    def _route_block(pdf: pd.DataFrame):
+        """(qids, probe matrix (B, np_eff)) for one arrow batch —
+        np.argsort to match ivf_search's probe choice exactly, blocked
+        so the (B, nlist) distance matrix stays <=~256 MB."""
+        cents = bc.value
+        qarr = np.asarray(pdf["__q"].tolist(), dtype=np.float64)
+        cn = (cents**2).sum(1)
+        blk = max(1, (1 << 25) // max(len(cents), 1))
+        for s in range(0, len(qarr), blk):
+            qb = qarr[s : s + blk]
+            d = cn[None, :] - 2.0 * (qb @ cents.T)
+            yield s, qb, np.argsort(d, axis=1)[:, :np_eff]
+
+    def route(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qids = pdf["__qid"]
+            for s, qb, probes in _route_block(pdf):
+                B = len(qb)
+                yield pd.DataFrame({
+                    "__qid": qids.iloc[s : s + B].repeat(np_eff).to_numpy(),
+                    "__q": [qb[i].tolist() for i in range(B) for _ in range(np_eff)],
+                    "cluster_id": probes.reshape(-1).astype(np.int32),
+                })
+
+    routed = qsel.mapInPandas(
+        route, f"__qid {q_id_type}, __q array<double>, cluster_id int"
+    )
+
+    base = index.assigned.select("cluster_id", id_col, index.vec_col)
+    if pred is not None:
+        base = index.assigned.filter(pred).select(
+            "cluster_id", id_col, index.vec_col
+        )
+    if prune and np_eff < index.nlist:
+        def route_ids(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                for _, _, probes in _route_block(pdf):
+                    yield pd.DataFrame({
+                        "cluster_id": np.unique(probes).astype(np.int32)
+                    })
+
+        probed = [
+            int(r["cluster_id"])
+            for r in qsel.mapInPandas(route_ids, "cluster_id int")
+            .distinct()
+            .collect()  # bounded: <= nlist rows, map-side-combined distinct
+        ]
+        base = base.filter(F.col("cluster_id").isin(probed))
+    data = widen_partitions(base)
+
+    pairs = data.join(routed, on="cluster_id").withColumn(
+        "dist", distance(metric, index.vec_col, F.col("__q")).cast("double")
+    )
+    # NULL dist (cos zero-norm, distance.py's convention) is undefined
+    # order — drop, like hnsw_search_df drops zero-norm queries
+    cand = pairs.select("__qid", id_col, "dist").filter(
+        F.col("dist").isNotNull()
+    )
+
+    def partial_topk(batches):
+        """Map-side per-query cut: only k rows per query can survive the
+        global window, so each partition forwards at most nq·k rows.
+        pandas (not lexsort) so q_id may be any orderable dtype."""
+        chunks = [pdf for pdf in batches if len(pdf)]
+        if not chunks:
+            return
+        allpdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+        allpdf = allpdf.sort_values(["__qid", "dist", id_col])
+        yield allpdf.groupby("__qid", sort=False).head(k)
+
+    cand = cand.mapInPandas(
+        partial_topk, f"__qid {q_id_type}, {id_col} {id_type}, dist double"
+    )
+    w = Window.partitionBy("__qid").orderBy(F.col("dist").asc(), F.col(id_col).asc())
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(F.col("__qid").alias(q_id_col), id_col, "dist")
+    )
+
+
 def ivf_assign(index: IvfIndex, delta: DataFrame, cluster_col: str = "cluster_id") -> DataFrame:
     """Assign NEW rows to the existing centroids — the aminsert analogue
     for the IVF layout (insert.c:51-262 appends to the existing graph

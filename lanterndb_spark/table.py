@@ -538,12 +538,13 @@ class LanternTable:
         mode='auto' routes by the column's index, same planner rule as
         ``knn``: hnsw -> the DataFrame-native graph batch
         (``hnsw_search_df`` — queries shuffle to shards, so the batch
-        size is unbounded); ivf -> ``ivf_search_batch`` (queries
-        broadcast; driver-list contract, ≤100k); exact / no index ->
-        ``knn_join`` (the reference's LATERAL shape,
-        hnsw_select.sql:66-67, as one distributed job). Backends without
-        a batch recast (srp / proj / ivfsq) run the exact lateral join —
-        same answers at exact recall, just not index-accelerated.
+        size is unbounded); ivf -> ``ivf_search_df`` (queries route to
+        their nprobe centroids executor-side — equally unbounded);
+        exact / no index -> ``knn_join`` (the reference's LATERAL
+        shape, hnsw_select.sql:66-67, as one distributed job). Backends
+        without a batch recast (srp / proj / ivfsq) run the exact
+        lateral join — same answers at exact recall, just not
+        index-accelerated.
         Delta/tombstone visibility matches ``knn``: graphs answer for
         base rows minus tombstones, pending deltas get an exact
         side-scan, and the two lists merge per query."""
@@ -564,19 +565,8 @@ class LanternTable:
             return out.select(q_id_col, self.id_col, "dist")
         kind, index = self._indexes[vec_col]
         if kind == "ivf":
-            from lanterndb_spark.operators.ivf import (
-                IvfIndex, ivf_search_batch,
-            )
+            from lanterndb_spark.operators.ivf import IvfIndex, ivf_search_df
 
-            rows = queries.select(q_id_col, q_vec_col).limit(100_001).collect()
-            if len(rows) > 100_000:
-                raise ValueError(
-                    "knn_batch over an ivf index broadcasts the query "
-                    "list (>100k rows); chunk the batch or use an hnsw "
-                    "index (hnsw_search_df shuffles queries instead)"
-                )
-            qids = [r[q_id_col] for r in rows]
-            qvecs = [[float(x) for x in r[q_vec_col]] for r in rows]
             base_index = index
             if self._deltas:
                 from lanterndb_spark.operators.ivf import ivf_assign
@@ -589,20 +579,15 @@ class LanternTable:
                     base_index.assigned, self._tombstones, self.id_col
                 )
                 base_index = IvfIndex(assigned, index.centroids, vec_col)
-            out = ivf_search_batch(
-                base_index, qvecs, k=k, metric=metric, id_col=self.id_col,
-                pred=pred, **search_params,
-            )
-            # ivf_search_batch q_ids are list positions; map them back
-            spark = self.df.sparkSession
-            qmap = spark.createDataFrame(
-                [(i, q) for i, q in enumerate(qids)],
-                f"__pos int, {q_id_col} {'bigint' if isinstance(qids[0], int) else 'string'}",
-            )
-            return (
-                out.withColumnRenamed("q_id", "__pos")
-                .join(F.broadcast(qmap), on="__pos")
-                .select(q_id_col, self.id_col, "dist")
+            # DataFrame-native: queries route to their nprobe centroids
+            # executor-side (no driver list, no 100k ceiling — batch
+            # size unbounded like the hnsw route below), q_ids pass
+            # through in their native column type, and an empty batch
+            # returns an empty frame
+            return ivf_search_df(
+                base_index, queries, k=k, metric=metric, id_col=self.id_col,
+                pred=pred, q_id_col=q_id_col, q_vec_col=q_vec_col,
+                **search_params,
             )
         # hnsw
         from lanterndb_spark.operators.hnsw import hnsw_search_df
