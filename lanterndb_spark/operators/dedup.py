@@ -948,6 +948,7 @@ def embedding_near_dup_pairs(
     ef: int = 64,
     nprobe: int | None = None,
     index_params: dict | None = None,
+    index=None,
 ) -> DataFrame:
     """Semantic near-dup pairs: cos_dist(a,b) <= max_cos_dist.
 
@@ -974,23 +975,43 @@ def embedding_near_dup_pairs(
     method='auto' (default): brute below ``auto_brute_limit`` rows
     (limit-capped count — never a full count job), ann above, so callers
     who never chose get the scale-safe path when it matters.
+
+    ``index``: a PREBUILT cos-metric HnswIndex over ``df``'s vectors
+    (VERDICT r8 item 4). At 100 TB the graph build dominates the ann
+    path and the corpus usually already carries a cos index
+    (``LanternTable.create_index``) — passing it skips the per-call
+    rebuild entirely (zero build jobs) and forces method='ann'. The
+    caller keeps ownership of the index's persisted graphs (nothing is
+    attached for release); correctness is unchanged because every
+    emitted pair is verified by its exact rescored cos distance.
     """
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    if method == "auto":
+    if index is not None:
+        if index.metric != "cos":
+            raise ValueError(
+                f"embedding_near_dup_pairs needs a cos-metric index; got "
+                f"{index.metric!r}"
+            )
+        method = "ann"
+    elif method == "auto":
         small = base.limit(auto_brute_limit + 1).count() <= auto_brute_limit
         method = "brute" if small else "ann"
     if method == "ann":
         from lanterndb_spark.operators.hnsw import build_hnsw, hnsw_search_df
 
-        params = {"m": 16, "ef_construction": 64, "seed": seed}
-        params.update(index_params or {})
-        index = build_hnsw(base, "v", id_col="id", metric="cos", **params)
+        built_here = index is None
+        if built_here:
+            params = {"m": 16, "ef_construction": 64, "seed": seed}
+            params.update(index_params or {})
+            index = build_hnsw(base, "v", id_col="id", metric="cos", **params)
         queries = base.select(
             F.col("id").alias("q_id"), F.col("v").alias("query")
         )
         res = hnsw_search_df(
             index, queries, k=k_neighbors, ef=ef, nprobe=nprobe
         )
+        if index.id_col != "id":  # external index keyed by the caller's id
+            res = res.withColumnRenamed(index.id_col, "id")
         pairs = (
             res.filter(F.col("dist") <= max_cos_dist)
             .filter(F.col("q_id") != F.col("id"))
@@ -1004,7 +1025,9 @@ def embedding_near_dup_pairs(
             .groupBy("id_a", "id_b")
             .agg(F.min("cos_dist").alias("cos_dist"))
         )
-        return attach_persisted(pairs, index.graphs)
+        if built_here:
+            return attach_persisted(pairs, index.graphs)
+        return pairs
     if method == "lsh":
         import numpy as np
 

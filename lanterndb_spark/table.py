@@ -720,6 +720,32 @@ class LanternTable:
 
         return minhash_lsh_pairs(self.df, self.id_col, text_col, **kw)
 
+    def semantic_near_dup_pairs(
+        self, vec_col: str = "embedding", **kw
+    ) -> DataFrame:
+        """Embedding near-dup pairs (cos_dist <= max_cos_dist) over the
+        visible rows. When this table carries a FRESH cos-metric hnsw
+        index on ``vec_col`` (no pending deltas/tombstones — the same
+        staleness hazard ``get_indexes`` surfaces), the pair scan reuses
+        it instead of rebuilding a graph per call (VERDICT r8 item 4:
+        at 100 TB the build dominates and the corpus usually already
+        has the index). Stale or absent index falls back to
+        ``embedding_near_dup_pairs``'s own routing, which answers for
+        the visible row-set exactly."""
+        from lanterndb_spark.operators.dedup import embedding_near_dup_pairs
+
+        entry = self._indexes.get(vec_col)
+        fresh = not self._deltas and not self._tombstones
+        if (
+            kw.get("index") is None
+            and entry is not None
+            and entry[0] == "hnsw"
+            and getattr(entry[1], "metric", None) == "cos"
+            and fresh
+        ):
+            kw["index"] = entry[1]
+        return embedding_near_dup_pairs(self.df, self.id_col, vec_col, **kw)
+
     def near_dup_check(self, batch: DataFrame, text_col: str = "text", **kw) -> DataFrame:
         """Incremental near-dup check of an INCOMING batch against this
         table (signatures only; the table's text is not re-read when a
