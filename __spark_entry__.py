@@ -1504,7 +1504,9 @@ def q_streaming_ann_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), (
+        "availableNow stream did not drain within 180 s (harness timeout, not a correctness failure)"
+    )
     folded = ingest.compact()
     want = ivf_assign(idx, emb).select("vec_id", F.col("cluster_id").alias("want_c"))
     joined = folded.assigned.select("vec_id", "cluster_id").join(want, "vec_id")
@@ -1765,7 +1767,9 @@ def q_streaming_hnsw_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), (
+        "availableNow stream did not drain within 180 s (harness timeout, not a correctness failure)"
+    )
     n = emb.count()
     qv = [float(x) for x in
           emb.filter(F.col("vec_id") == 1).first()["embedding"]]
@@ -1807,7 +1811,9 @@ def q_streaming_neardup_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), (
+        "availableNow stream did not drain within 180 s (harness timeout, not a correctness failure)"
+    )
     got = {
         frozenset((r["id_a"], r["id_b"])) for r in ingest.all_pairs().collect()
     }
@@ -1862,7 +1868,9 @@ def q_streaming_semdedup_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        assert q.awaitTermination(180), (
+            "availableNow stream did not drain within 180 s (harness timeout, not a correctness failure)"
+        )
         res = ingest.all_pairs().select(
             "id_a", "id_b",
             (F.round("cos_dist", ROUND) + F.lit(0.0)).alias("cos_dist"),

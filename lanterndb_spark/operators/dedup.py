@@ -153,7 +153,15 @@ def jaccard_pairs(
     measured faster at that size. ``exact=True`` pins this inverted-index
     plan regardless of corpus size (the escape hatch for oracles and
     plan-pinned tests)."""
-    if not exact and df.count() > JACCARD_PREFIX_CROSSOVER:
+    # limit-capped probe (same idiom as embedding_near_dup_pairs's
+    # auto_brute_limit): the route decision needs "more than CROSSOVER
+    # rows?", never the exact count — a full count() would scan 100 TB
+    # just to pick a plan
+    if (
+        not exact
+        and df.limit(JACCARD_PREFIX_CROSSOVER + 1).count()
+        > JACCARD_PREFIX_CROSSOVER
+    ):
         return jaccard_pairs_prefix(df, id_col, text_col, n, threshold)
     # persist: the shingle expression is referenced by BOTH sides of the
     # self-join below; higher-order-function exprs don't enter whole-stage
