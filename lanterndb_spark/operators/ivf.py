@@ -30,6 +30,18 @@ from pyspark.sql import functions as F
 
 from lanterndb_spark.operators.knn import knn
 
+# ivf_search_df auto-impl crossover, in QUERIES PER PROBED CLUSTER
+# (nq x nprobe / nlist). Both impls' dominant costs scale linearly
+# with base rows — expr pays interpreted folds on rows_probed x
+# queries_per_cluster pairs, arrow pays Arrow serialization of the
+# probed rows — so base size cancels and the crossover is a pure
+# density. Measured r9 at the 2M tier (DESIGN.md): expr/arrow 40.4 s
+# vs 8.1 s at density 16, 328.8 s vs 24.1 s at density 128 — arrow's
+# fixed cost (worker spin-up + probed-row serialization) is ~3-8 s
+# flat, so breakeven density is ~2-3; gate at 8 to keep genuinely
+# small batches on the lower-latency codegen join.
+_ARROW_QPC_CROSSOVER = 8
+
 
 class IvfIndex:
     """Handle holding the assigned DataFrame + centroid array."""
@@ -235,6 +247,8 @@ def ivf_search_df(
     q_id_col: str = "q_id",
     q_vec_col: str = "query",
     prune: bool = True,
+    impl: str = "auto",
+    salt: int = 8,
 ) -> DataFrame:
     """DataFrame-native batch ANN over an IVF index: queries arrive as a
     DataFrame and are routed to their ``nprobe`` nearest centroids
@@ -260,15 +274,39 @@ def ivf_search_df(
        on a ``partitionBy(cluster_id)`` layout — a batch touching p
        clusters reads p/nlist of the data). ``prune=False`` skips the
        extra pass when the batch is known to probe everything.
-    3. score — one shuffle equi-join base ⋈ routed on cluster_id (plain
-       sort-merge/hash join: AQE's skew split covers hot clusters,
-       unlike a cogroup which must hold a whole cluster per task), then
-       the JVM-codegen ``distance`` expression. The query vector rides
-       the routed side so the distance is computable BEFORE any q_id
-       shuffle.
+    3. score — two impls, routed by query density (``impl='auto'``):
+
+       - ``expr``: shuffle equi-join base ⋈ routed on cluster_id (plain
+         sort-merge/hash join — AQE's skew split covers hot clusters),
+         then the JVM-codegen ``distance`` expression. The query vector
+         rides the routed side so the distance is computable BEFORE any
+         q_id shuffle. Best at low queries-per-cluster: the pair count
+         is rows_probed × queries_per_cluster, and each pair pays an
+         interpreted array fold.
+       - ``arrow``: SALTED cogroup — the base side of each cluster
+         splits ``salt`` ways (deterministic pmod of the id), the
+         routed side replicates per salt value, and each
+         (cluster, salt) task scores its base block against its
+         cluster's queries with ONE blocked numpy matmul + in-kernel
+         per-query top-k (np.partition threshold keeps boundary ties
+         for the exact window to resolve — same kernel contract as
+         ivf_search_batch's arrow path). The salt bounds per-task
+         memory at cluster_rows/salt regardless of cluster skew — the
+         reason a bare cogroup was rejected — and each task emits
+         ≤ k·(queries probing the cluster) rows, so the pair matrix
+         never hits the shuffle. l2sq + cos (cos = normalized matmul;
+         zero-norm rows and queries drop, mirroring the expr path's
+         NULL-dist filter); at 10k+ query batches this is the only
+         shape whose scoring cost is matmul flops instead of
+         interpreted folds.
+       - ``auto``: arrow when metric is l2sq/cos and a limit-capped
+         probe shows ≥8 queries per probed cluster (nq ≥
+         8·nlist/nprobe). The crossover is a density, not a volume —
+         both impls' dominant costs scale with base rows, so base size
+         cancels (measured at the 2M tier; DESIGN.md r9).
     4. cut — a NARROW per-partition top-k combiner (pandas sort +
        groupby-head, any q_id dtype) shrinks the final window shuffle
-       from (pairs) rows to ≤ (partitions × nq × k), then one
+       from (candidates) rows to ≤ (partitions × nq × k), then one
        ``row_number`` window resolves the global per-query top-k with
        the (dist, id) tie order shared by every batch path.
 
@@ -355,14 +393,96 @@ def ivf_search_df(
         base = base.filter(F.col("cluster_id").isin(probed))
     data = widen_partitions(base)
 
-    pairs = data.join(routed, on="cluster_id").withColumn(
-        "dist", distance(metric, index.vec_col, F.col("__q")).cast("double")
-    )
-    # NULL dist (cos zero-norm, distance.py's convention) is undefined
-    # order — drop, like hnsw_search_df drops zero-norm queries
-    cand = pairs.select("__qid", id_col, "dist").filter(
-        F.col("dist").isNotNull()
-    )
+    if impl == "auto":
+        # limit-capped probe (never a full count): the crossover is
+        # query DENSITY (queries per probed cluster) — below it the
+        # codegen expr join wins on latency, above it matmul flops
+        # beat interpreted per-pair folds
+        cap = max(1, -(-_ARROW_QPC_CROSSOVER * index.nlist // np_eff))
+        impl = (
+            "arrow"
+            if metric in ("l2sq", "cos") and qsel.limit(cap).count() >= cap
+            else "expr"
+        )
+    if impl == "arrow" and metric not in ("l2sq", "cos"):
+        raise ValueError("impl='arrow' batch scoring implements l2sq and cos only")
+    if impl == "arrow":
+        vec_col = index.vec_col
+        kk = int(k)
+        base_s = data.withColumn(
+            "__salt", F.pmod(F.hash(F.col(id_col)), F.lit(salt)).cast("int")
+        )
+        routed_s = routed.withColumn(
+            "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+        )
+
+        def score(key, bpdf: pd.DataFrame, qpdf: pd.DataFrame) -> pd.DataFrame:
+            if not len(bpdf) or not len(qpdf):
+                return pd.DataFrame({"__qid": [], id_col: [], "dist": []})
+            X = np.asarray(bpdf[vec_col].tolist(), dtype=np.float64)
+            ids = bpdf[id_col].to_numpy()
+            Q = np.asarray(qpdf["__q"].tolist(), dtype=np.float64)
+            qids = qpdf["__qid"].to_numpy()
+            if metric == "cos":
+                # zero-norm rows/queries have undefined angle — drop,
+                # mirroring the expr path's NULL-dist filter
+                # (distance.py cos_dist convention)
+                xn = np.sqrt((X**2).sum(1))
+                live = xn > 0.0
+                X, ids, xn = X[live], ids[live], xn[live]
+                qn = np.sqrt((Q**2).sum(1))
+                qlive = qn > 0.0
+                Q, qids, qn = Q[qlive], qids[qlive], qn[qlive]
+                if not len(X) or not len(Q):
+                    return pd.DataFrame({"__qid": [], id_col: [], "dist": []})
+            else:
+                xn = (X**2).sum(1)
+            out_q, out_i, out_d = [], [], []
+            # block queries so the (nb, blk) distance matrix stays
+            # <=~128 MB however many queries probe this cluster
+            blk = max(1, (1 << 24) // max(len(X), 1))
+            for s in range(0, len(Q), blk):
+                Qb = Q[s : s + blk]
+                if metric == "cos":
+                    d = 1.0 - (X @ Qb.T) / (
+                        xn[:, None] * qn[s : s + blk][None, :]
+                    )
+                else:
+                    d = xn[:, None] - 2.0 * (X @ Qb.T) + (Qb**2).sum(1)[None, :]
+                cut = kk < d.shape[0]
+                thr = np.partition(d, kk - 1, axis=0)[kk - 1] if cut else None
+                for j in range(d.shape[1]):
+                    keep = (
+                        np.flatnonzero(d[:, j] <= thr[j])
+                        if cut
+                        else np.arange(d.shape[0])
+                    )
+                    out_q.append(np.repeat(qids[s + j], len(keep)))
+                    out_i.append(ids[keep])
+                    out_d.append(d[keep, j])
+            return pd.DataFrame({
+                "__qid": np.concatenate(out_q),
+                id_col: np.concatenate(out_i),
+                "dist": np.concatenate(out_d),
+            })
+
+        cand = (
+            base_s.groupBy("cluster_id", "__salt")
+            .cogroup(routed_s.groupBy("cluster_id", "__salt"))
+            .applyInPandas(
+                score, f"__qid {q_id_type}, {id_col} {id_type}, dist double"
+            )
+        )
+    else:
+        pairs = data.join(routed, on="cluster_id").withColumn(
+            "dist", distance(metric, index.vec_col, F.col("__q")).cast("double")
+        )
+        # NULL dist (cos zero-norm, distance.py's convention) is
+        # undefined order — drop, like hnsw_search_df drops zero-norm
+        # queries
+        cand = pairs.select("__qid", id_col, "dist").filter(
+            F.col("dist").isNotNull()
+        )
 
     def partial_topk(batches):
         """Map-side per-query cut: only k rows per query can survive the
@@ -504,12 +624,14 @@ def ivf_search_batch(
         # tiny-table latency flat
         impl = (
             "arrow"
-            if len(queries) >= 16 and metric == "l2sq" and nprobe * 8 >= index.nlist
+            if len(queries) >= 16
+            and metric in ("l2sq", "cos")
+            and nprobe * 8 >= index.nlist
             else "expr"
         )
 
-    if impl == "arrow" and metric != "l2sq":
-        raise ValueError("impl='arrow' batch scoring implements l2sq only")
+    if impl == "arrow" and metric not in ("l2sq", "cos"):
+        raise ValueError("impl='arrow' batch scoring implements l2sq and cos only")
     if impl == "arrow":
         # one matmul per Arrow batch scores the pruned union against ALL
         # queries, and the per-query top-k happens INSIDE the batch (same
@@ -530,12 +652,24 @@ def ivf_search_batch(
 
         def topk_block(batches):
             qm, allow = bc.value
+            qn = np.sqrt((qm**2).sum(1)) if metric == "cos" else None
             for pdf in batches:
                 if not len(pdf):
                     continue
                 x = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
-                d = (x**2).sum(1)[:, None] - 2.0 * x @ qm.T + (qm**2).sum(1)[None, :]
                 eligible = allow[pdf["cluster_id"].to_numpy()]  # (n, nq)
+                if metric == "cos":
+                    # zero-norm rows/queries have undefined angle — mask
+                    # them out of eligibility (distance.py's NULL-dist
+                    # convention: they never place in the top-k)
+                    denom = np.sqrt((x**2).sum(1))[:, None] * qn[None, :]
+                    safe = denom > 0.0
+                    d = np.where(
+                        safe, 1.0 - (x @ qm.T) / np.where(safe, denom, 1.0), np.inf
+                    )
+                    eligible = eligible & safe
+                else:
+                    d = (x**2).sum(1)[:, None] - 2.0 * x @ qm.T + (qm**2).sum(1)[None, :]
                 take_idx, take_q, take_d = [], [], []
                 for j in range(qm.shape[0]):
                     rows_j = np.flatnonzero(eligible[:, j])
@@ -567,6 +701,9 @@ def ivf_search_batch(
 
     pairs = data.join(F.broadcast(probes), on="cluster_id")
     pairs = pairs.withColumn("dist", distance(metric, index.vec_col, F.col("__qv")))
+    # NULL dist (cos zero-norm, distance.py's convention) is undefined
+    # order — drop, matching the arrow path's eligibility mask
+    pairs = pairs.filter(F.col("dist").isNotNull())
     w = Window.partitionBy("q_id").orderBy(F.col("dist").asc(), *order_tail)
     return (
         pairs.withColumn("__rn", F.row_number().over(w))

@@ -152,11 +152,16 @@ def test_ivf_batch_arrow_matches_expr(emb, index):
     from lanterndb_spark.operators.ivf import ivf_search_batch
 
     qs = [qvec(emb, i) for i in (3, 11, 17, 29, 41)]
-    a = ivf_search_batch(index, qs, k=5, nprobe=4, id_col="vec_id", impl="expr").collect()
-    b = ivf_search_batch(index, qs, k=5, nprobe=4, id_col="vec_id", impl="arrow").collect()
-    ka = sorted((r["q_id"], r["vec_id"]) for r in a)
-    kb = sorted((r["q_id"], r["vec_id"]) for r in b)
-    assert ka == kb
+    for metric in ("l2sq", "cos"):
+        a = ivf_search_batch(
+            index, qs, k=5, nprobe=4, metric=metric, id_col="vec_id", impl="expr"
+        ).collect()
+        b = ivf_search_batch(
+            index, qs, k=5, nprobe=4, metric=metric, id_col="vec_id", impl="arrow"
+        ).collect()
+        ka = sorted((r["q_id"], r["vec_id"]) for r in a)
+        kb = sorted((r["q_id"], r["vec_id"]) for r in b)
+        assert ka == kb
 
 
 def test_empty_build_and_search(spark):
@@ -370,3 +375,55 @@ def test_knn_batch_ivf_empty_and_large_nprobe(tables, spark):
     )
     qdf = _qdf(emb, [3]).limit(0)
     assert t.knn_batch("embedding", qdf, k=3, nprobe=4).count() == 0
+
+
+def test_search_df_arrow_matches_expr(emb, index):
+    """Salted-cogroup matmul kernel == codegen expr join, probe for
+    probe and metric for metric (boundary ties resolved by the shared
+    (dist, id) window)."""
+    from lanterndb_spark.operators.ivf import ivf_search_df
+
+    for nprobe, metric in ((4, "l2sq"), (8, "l2sq"), (4, "cos"), (8, "cos")):
+        a = ivf_search_df(
+            index, _qdf(emb, [3, 11, 17]), k=5, nprobe=nprobe,
+            metric=metric, id_col="vec_id", impl="expr",
+        ).collect()
+        b = ivf_search_df(
+            index, _qdf(emb, [3, 11, 17]), k=5, nprobe=nprobe,
+            metric=metric, id_col="vec_id", impl="arrow", salt=3,
+        ).collect()
+        assert sorted(
+            [(r["q_id"], r["vec_id"], round(r["dist"], 9)) for r in a]
+        ) == sorted(
+            [(r["q_id"], r["vec_id"], round(r["dist"], 9)) for r in b]
+        )
+
+
+def test_search_df_arrow_rejects_unsupported_metric(emb, index):
+    from lanterndb_spark.operators.ivf import ivf_search_df
+
+    with pytest.raises(ValueError, match="l2sq and cos"):
+        ivf_search_df(
+            index, _qdf(emb, [3]), k=3, metric="l2", id_col="vec_id",
+            impl="arrow",
+        )
+
+
+def test_search_df_arrow_cos_zero_norm(spark):
+    """Zero-norm base rows and queries drop in BOTH impls (undefined
+    angle = NULL dist, distance.py's cos convention)."""
+    from lanterndb_spark.operators.ivf import build_ivf, ivf_search_df
+
+    rows = [(i, [float(i + 1), float(2 * i + 1)]) for i in range(12)]
+    rows.append((99, [0.0, 0.0]))  # zero-norm base row
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    idx = build_ivf(df, "embedding", nlist=2, seed=7)
+    qdf = spark.createDataFrame(
+        [(0, [1.0, 3.0]), (1, [0.0, 0.0])], "q_id bigint, query array<double>"
+    )
+    for impl in ("expr", "arrow"):
+        out = ivf_search_df(
+            idx, qdf, k=4, nprobe=2, metric="cos", id_col="vec_id", impl=impl
+        ).collect()
+        assert {r["q_id"] for r in out} == {0}  # zero-norm query drops
+        assert all(r["vec_id"] != 99 for r in out)  # zero-norm row drops
