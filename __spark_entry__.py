@@ -448,11 +448,34 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BM25_QUERY = "spark window merge"
+BM25_BATCH_QUERIES = [
+    "spark window merge",
+    "broadcast join plan",
+    "stream state checkpoint",
+]
 
 
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_bm25(
         _docs(spark, sf_dir), BM25_QUERY, limit=10, round_scores=ROUND
+    )
+
+
+def q_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame-native batch BM25 (search_bm25_df): per-query top-10
+    for a whole queries DataFrame in one job — the text twin of the ANN
+    batch recast (reference search_bm25, bm25_api.sql:61-104, is
+    one-query-per-call; retrieval eval at scale is 10^5+ queries).
+    Oracle: DuckDB re-derives postings, idf/tf math, per-query grouping
+    and the (score desc, doc_id) tie order from a (q_id, term) VALUES
+    table."""
+    from lanterndb_spark.operators.bm25 import search_bm25_df
+
+    qdf = spark.createDataFrame(
+        list(enumerate(BM25_BATCH_QUERIES)), "q_id int, query string"
+    )
+    return search_bm25_df(
+        _docs(spark, sf_dir), qdf, limit=10, round_scores=ROUND
     )
 
 
@@ -3971,6 +3994,42 @@ def _hybrid_joint() -> str:
     return f"(1.0 * {duck_l2sq('v1', 'qv1')} + 0.5 * {duck_l2sq('v2', 'qv2')})"
 
 
+def _bm25_batch_oracle() -> str:
+    from lanterndb_spark.functions.text import tokenize_py
+    from lanterndb_spark.operators.bm25 import B, K1
+
+    esc = lambda s: s.replace("'", "''")
+    qt_rows = ", ".join(
+        f"({qi}, '{esc(t)}')"
+        for qi, q in enumerate(BM25_BATCH_QUERIES)
+        for t in sorted(set(tokenize_py(q)))
+    )
+    toks = duck_tokens("text", STOPWORDS)
+    k1p1, k1, one_b, b = repr(K1 + 1.0), repr(K1), repr(1.0 - B), repr(B)
+    return f"""
+    WITH toks AS (SELECT doc_id, {toks} AS terms FROM documents),
+    st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(CAST(len(terms) AS DOUBLE)) AS avgdl FROM toks),
+    ex AS (SELECT doc_id, len(terms) AS dl, unnest(terms) AS term FROM toks),
+    dt AS (SELECT doc_id, term, CAST(count(*) AS INT) AS fq, any_value(dl) AS dl
+           FROM ex GROUP BY doc_id, term),
+    tf AS (SELECT term, CAST(count(*) AS INT) AS tfreq FROM dt GROUP BY term),
+    qt AS (SELECT * FROM (VALUES {qt_rows}) v(q_id, term)),
+    sc AS (
+      SELECT qt.q_id, dt.doc_id,
+        ln((st.n - tf.tfreq + 0.5) / (tf.tfreq + 0.5) + 1.0)
+          * (CAST(dt.fq AS DOUBLE) * {k1p1})
+          / (CAST(dt.fq AS DOUBLE) + {k1} * ({one_b} + {b} * CAST(dt.dl AS DOUBLE) / st.avgdl)) AS s
+      FROM dt JOIN tf USING (term) JOIN qt ON qt.term = dt.term CROSS JOIN st
+    ),
+    agg AS (SELECT q_id, doc_id, round(sum(s), {ROUND}) AS bm25
+            FROM sc GROUP BY q_id, doc_id)
+    SELECT q_id, doc_id, bm25 FROM (
+      SELECT agg.*, row_number() OVER (PARTITION BY q_id ORDER BY bm25 DESC, doc_id) AS rn
+      FROM agg
+    ) t WHERE rn <= 10
+    """
+
+
 def _bm25_oracle() -> str:
     from lanterndb_spark.functions.text import tokenize_py
     from lanterndb_spark.operators.bm25 import B, K1
@@ -4439,6 +4498,7 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_exact": hybrid_exact,
         "hybrid_candidate": hybrid_candidate,
         "bm25_topk": _bm25_oracle(),
+        "bm25_batch": _bm25_batch_oracle(),
         "bm25_topk_stemmed": _bm25_stemmed_oracle(),
         "bm25_topk_tsvector": _bm25_tsvector_oracle(),
         "rag_pipeline": """
@@ -5826,14 +5886,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     old where the 50-slot window allows. Rows whose operator code
     CHANGED this round also enter the window regardless of age.
 
-    - Entries 1-50 (the round-9 window): the four rows that have never
+    - Entries 1-50 (the round-9 window): the five rows that have never
       had a driver check (ivfdf_exact_equiv — NEW this round, the
-      DataFrame-native IVF batch search, VERDICT r8 item 2;
+      DataFrame-native IVF batch search, VERDICT r8 item 2; bm25_batch
+      — NEW this round, the batch BM25 recast search_bm25_df;
       hnswdf_filtered_equiv; streaming_semdedup_equiv; ivfsq_knn —
       rows-only, shadowed by ivfsq_exact_equiv), semdedup_ann_equiv
       (embedding_near_dup_pairs gained index reuse this round), all
       thirty-four rows whose newest green is round 5 (age 4 — overdue),
-      and the eleven oldest-listed round-6 greens (age 3).
+      and the ten oldest-listed round-6 greens (age 3).
     - Entries 51+: the remaining r6 greens (age 3, due next round),
       then the forty-nine rows the driver proved green in round 8
       (youngest — safest to park). Still checked every round by
@@ -5844,8 +5905,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- 1-50: the driver-checked window ------------------------------
-        # never driver-checked first (ivfdf_exact_equiv is new this round)
+        # never driver-checked first (ivfdf_exact_equiv and bm25_batch
+        # are new this round)
         "ivfdf_exact_equiv": q_ivfdf_exact_equiv,
+        "bm25_batch": q_bm25_batch,
         "hnswdf_filtered_equiv": q_hnswdf_filtered_equiv,
         "streaming_semdedup_equiv": q_streaming_semdedup_equiv,
         "ivfsq_knn": q_ivfsq_knn,

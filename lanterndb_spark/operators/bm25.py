@@ -203,6 +203,117 @@ def search_bm25(
     return out
 
 
+def search_bm25_df(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    q_id_col: str = "q_id",
+    q_text_col: str = "query",
+    limit: int = 10,
+    k1: float = K1,
+    b: float = B,
+    stem: bool = False,
+    stopwords: list[str] | None = STOPWORDS,
+    postings: DataFrame | None = None,
+    stats: tuple[int, float] | None = None,
+    round_scores: int | None = None,
+    terms_col: str | None = None,
+    q_terms_col: str | None = None,
+    prune_terms: int | None = 8192,
+) -> DataFrame:
+    """Per-query BM25 top-``limit`` for a whole DataFrame of queries in
+    ONE distributed job — the batch recast of :func:`search_bm25`, same
+    shape as the ANN batch forms (``ivf_search_df``): a retrieval-eval
+    or hard-negative-mining pass at 100 TB is 10^5–10^6 queries, and a
+    per-query driver loop re-plans and re-scans per query.
+
+    Plan, and why each stage holds at scale:
+
+    1. Queries tokenize JVM-side (same ``tokenize`` expression the
+       postings build uses — one tokenizer per index, the
+       single-query form's contract) and explode to DISTINCT
+       (q_id, term) pairs. Queries with zero post-filter terms drop
+       (the single-query form raises; a batch can't).
+    2. ``prune_terms``: when a limit-capped probe shows the batch's
+       distinct-term union is small (≤ the cap), it collects into a
+       static ``isin`` the postings scan can push down — the batch twin
+       of the single-query ``term IN (...)`` filter. Past the cap the
+       inner equi-join alone restricts (full postings scan, but the
+       join output is identical); ``None`` skips the probe.
+    3. One equi-join postings ⋈ query-terms on term (AQE broadcasts the
+       smaller side), THEN the posting arrays explode — so each
+       (q_id, term) hit pays exactly its posting-list length, the same
+       row count the single-query form explodes, summed over the batch.
+    4. groupBy (q_id, doc_id) sums the per-term partials (map-side
+       combine), and a per-query ``row_number`` window — rank-filtered,
+       so WindowGroupLimit prunes map-side — cuts to ``limit`` rows per
+       query with the (score desc, doc_id asc) tie order of the
+       single-query form.
+
+    Returns (q_id_col, doc_id, bm25). ``round_scores`` rounds BEFORE
+    ranking (cross-engine reproducibility, like the single-query form).
+    Pass ``q_terms_col`` (pre-tokenized array) with ``terms_col`` for a
+    custom tokenization profile; reference parity: search_bm25
+    (bm25_api.sql:61-104), one query per call, recast over a batch."""
+    from pyspark.sql import Window
+
+    if postings is None:
+        postings = build_postings(
+            docs, id_col, text_col, terms_col=terms_col, stem=stem, stopwords=stopwords
+        )
+    if stats is None:
+        n, avgdl = corpus_stats(
+            docs, text_col, terms_col=terms_col, stem=stem, stopwords=stopwords
+        )
+    else:
+        n, avgdl = stats
+
+    qt = (
+        F.col(q_terms_col)
+        if q_terms_col
+        else tokenize(q_text_col, stopwords=stopwords, stem=stem)
+    )
+    qterms = explode_nonempty(
+        queries.select(F.col(q_id_col).alias("__qid"), F.array_distinct(qt).alias("_qt")),
+        "_qt", "term", "__qid",
+    )
+
+    hits = postings
+    if prune_terms is not None:
+        # limit-capped probe, never an unbounded collect: the distinct
+        # term union is vocabulary-bounded, but only a small union is
+        # worth turning into a scan-pushable isin
+        probe = [
+            r["term"]
+            for r in qterms.select("term").distinct().limit(prune_terms + 1).collect()
+        ]
+        if len(probe) <= prune_terms:
+            hits = hits.filter(F.col("term").isin(probe))
+
+    pairs = hits.join(qterms, on="term")
+    per_doc = pairs.select(
+        "__qid",
+        "term_freq",
+        F.explode(F.arrays_zip("doc_ids", "fqs", "doc_lens")).alias("p"),
+    ).select(
+        "__qid",
+        F.col("p.doc_ids").alias("doc_id"),
+        bm25_score_expr(
+            F.col("p.fqs"), F.col("p.doc_lens"), F.col("term_freq"), n, avgdl, k1, b
+        ).alias("score"),
+    )
+    scored = per_doc.groupBy("__qid", "doc_id").agg(F.sum("score").alias("bm25"))
+    if round_scores is not None:
+        scored = scored.withColumn("bm25", F.round("bm25", round_scores))
+    w = Window.partitionBy("__qid").orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= limit)
+        .select(F.col("__qid").alias(q_id_col), "doc_id", "bm25")
+    )
+
+
 def bm25_score(
     postings: DataFrame,
     stats: tuple[int, float],

@@ -117,3 +117,80 @@ def test_stemmed_postings_and_search(tables):
     out = search_bm25(docs, "merging windows", limit=5, postings=p, stats=st, stem=True)
     rows = out.collect()
     assert len(rows) > 0
+
+
+# ---------------------------------------------------------------- search_df
+
+
+def test_search_df_matches_single_query(tables, spark):
+    """Batch BM25 == the single-query form, query for query, on shared
+    postings (same tokenizer, same rounding, same tie order) — with and
+    without the term-isin prune."""
+    from lanterndb_spark.operators.bm25 import (
+        build_postings, corpus_stats, search_bm25, search_bm25_df,
+    )
+
+    docs = tables["documents"]
+    p = build_postings(docs).cache()
+    st = corpus_stats(docs)
+    qs = ["spark window merge", "shuffle partition", "broadcast join plan"]
+    qdf = spark.createDataFrame(list(enumerate(qs)), "q_id int, query string")
+    for prune in (8192, None):
+        batch = search_bm25_df(
+            docs, qdf, limit=5, postings=p, stats=st, round_scores=6,
+            prune_terms=prune,
+        ).collect()
+        got = {}
+        for r in sorted(batch, key=lambda r: (r["q_id"], -r["bm25"], r["doc_id"])):
+            got.setdefault(r["q_id"], []).append((r["doc_id"], r["bm25"]))
+        for qi, q in enumerate(qs):
+            single = [
+                (r["doc_id"], r["bm25"])
+                for r in search_bm25(
+                    docs, q, limit=5, postings=p, stats=st, round_scores=6
+                ).collect()
+            ]
+            # a query whose terms miss the corpus is empty in BOTH forms
+            assert got.get(qi, []) == single, f"query {qi} ({q!r}) prune={prune}"
+    p.unpersist()
+
+
+def test_search_df_all_stopword_query_drops(tables, spark):
+    """A query with zero post-filter terms silently drops from the batch
+    (the single-query form raises; a batch can't fail one row loudly)."""
+    from lanterndb_spark.operators.bm25 import search_bm25_df
+
+    docs = tables["documents"]
+    qdf = spark.createDataFrame(
+        [(0, "spark window merge"), (1, "the and of")], "q_id int, query string"
+    )
+    out = search_bm25_df(docs, qdf, limit=5, round_scores=6).collect()
+    assert {r["q_id"] for r in out} == {0}
+
+
+def test_search_df_pretokenized_profile(tables, spark):
+    """terms_col/q_terms_col carry a custom tokenization profile through
+    the batch form (both sides of the index share one tokenizer)."""
+    from lanterndb_spark.functions.text import (
+        text_to_stem_array, tokenize_tsvector_py,
+    )
+    from lanterndb_spark.operators.bm25 import search_bm25, search_bm25_df
+
+    docs = tables["documents"].withColumn(
+        "_ts", text_to_stem_array("text", engine="tsvector")
+    )
+    q = "spark window merge"
+    qdf = spark.createDataFrame(
+        [(7, tokenize_tsvector_py(q))], "q_id int, qterms array<string>"
+    )
+    batch = search_bm25_df(
+        docs, qdf, limit=5, round_scores=6, terms_col="_ts",
+        q_terms_col="qterms",
+    ).collect()
+    single = search_bm25(
+        docs, q, limit=5, round_scores=6, terms_col="_ts",
+        q_terms=tokenize_tsvector_py(q),
+    ).collect()
+    assert [(r["doc_id"], r["bm25"]) for r in sorted(batch, key=lambda r: (-r["bm25"], r["doc_id"]))] == [
+        (r["doc_id"], r["bm25"]) for r in single
+    ]
