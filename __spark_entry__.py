@@ -172,6 +172,39 @@ def q_hybrid_candidate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_out(out, ["id", "label"], "joint_dist")
 
 
+HYBRID_BATCH_QIDS = [0, 7, 13]
+
+
+def q_hybrid_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch weighted multi-vector search (weighted_vector_search_df):
+    per-query candidate top-ef (exact knn_join stage) → per-(q_id, id)
+    dedup → joint scoring → per-query top-20, all in one job — the
+    batch recast of the reference's weighted_vector_search
+    (lantern.sql:769-806, one query per call). Each query q uses
+    qv1 = v1(q), qv2 = v2(q). Oracle: DuckDB re-derives the per-term
+    LIMIT-ef candidate stage, dedup, and (joint, id) order per query,
+    unioned."""
+    from lanterndb_spark.operators.hybrid import weighted_vector_search_df
+
+    emb = _emb(spark, sf_dir)
+    df = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("v1"),
+        F.reverse("embedding").alias("v2"),
+        "label",
+    )
+    qdf = df.filter(F.col("id").isin(HYBRID_BATCH_QIDS)).select(
+        F.col("id").alias("q_id"),
+        F.col("v1").alias("qv1"),
+        F.col("v2").alias("qv2"),
+    )
+    out = weighted_vector_search_df(
+        df, [(1.0, "v1", "qv1"), (0.5, "v2", "qv2")], qdf,
+        id_col="id", metric="l2sq", ef=50, limit=20,
+    )
+    return _round_out(out, ["q_id", "id", "label"], "joint_dist")
+
+
 # --- ANN / PQ queries: inherently non-SQL-expressible (k-means training),
 # so no oracle entry — the driver records rows-only; real acceptance is the
 # recall-vs-exact harness in tests/ (the reference does the same:
@@ -3994,6 +4027,36 @@ def _hybrid_joint() -> str:
     return f"(1.0 * {duck_l2sq('v1', 'qv1')} + 0.5 * {duck_l2sq('v2', 'qv2')})"
 
 
+def _hybrid_batch_oracle() -> str:
+    def one(qid: int) -> str:
+        base = f"""
+        SELECT vec_id AS id, label,
+               embedding AS v1, list_reverse(embedding) AS v2,
+               (SELECT embedding FROM embeddings WHERE vec_id = {qid}) AS qv1,
+               (SELECT list_reverse(embedding) FROM embeddings WHERE vec_id = {qid}) AS qv2
+        FROM embeddings
+        """
+        return f"""
+        SELECT * FROM (
+          WITH base AS ({base}),
+          q1 AS (SELECT * FROM base ORDER BY {duck_l2sq('v1', 'qv1')}, id LIMIT 50),
+          q2 AS (SELECT * FROM base ORDER BY {duck_l2sq('v2', 'qv2')}, id LIMIT 50),
+          unioned AS (SELECT * FROM q1 UNION ALL SELECT * FROM q2),
+          dedup AS (
+            SELECT * FROM (
+              SELECT *, row_number() OVER (PARTITION BY id ORDER BY id) AS rn FROM unioned
+            ) WHERE rn = 1
+          )
+          SELECT {qid} AS q_id, id, label, round(jd, {ROUND}) + 0.0 AS joint_dist FROM (
+            SELECT id, label, {_hybrid_joint()} AS jd FROM dedup
+            ORDER BY jd, id LIMIT 20
+          ) t
+        )
+        """
+
+    return " UNION ALL ".join(one(q) for q in HYBRID_BATCH_QIDS)
+
+
 def _bm25_batch_oracle() -> str:
     from lanterndb_spark.functions.text import tokenize_py
     from lanterndb_spark.operators.bm25 import B, K1
@@ -4499,6 +4562,7 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_candidate": hybrid_candidate,
         "bm25_topk": _bm25_oracle(),
         "bm25_batch": _bm25_batch_oracle(),
+        "hybrid_batch": _hybrid_batch_oracle(),
         "bm25_topk_stemmed": _bm25_stemmed_oracle(),
         "bm25_topk_tsvector": _bm25_tsvector_oracle(),
         "rag_pipeline": """
@@ -5886,15 +5950,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     old where the 50-slot window allows. Rows whose operator code
     CHANGED this round also enter the window regardless of age.
 
-    - Entries 1-50 (the round-9 window): the five rows that have never
+    - Entries 1-50 (the round-9 window): the six rows that have never
       had a driver check (ivfdf_exact_equiv — NEW this round, the
       DataFrame-native IVF batch search, VERDICT r8 item 2; bm25_batch
       — NEW this round, the batch BM25 recast search_bm25_df;
-      hnswdf_filtered_equiv; streaming_semdedup_equiv; ivfsq_knn —
-      rows-only, shadowed by ivfsq_exact_equiv), semdedup_ann_equiv
-      (embedding_near_dup_pairs gained index reuse this round), all
-      thirty-four rows whose newest green is round 5 (age 4 — overdue),
-      and the ten oldest-listed round-6 greens (age 3).
+      hybrid_batch — NEW this round, the batch weighted-vector-search
+      recast weighted_vector_search_df; hnswdf_filtered_equiv;
+      streaming_semdedup_equiv; ivfsq_knn — rows-only, shadowed by
+      ivfsq_exact_equiv), semdedup_ann_equiv (embedding_near_dup_pairs
+      gained index reuse this round), all thirty-four rows whose newest
+      green is round 5 (age 4 — overdue), and the nine oldest-listed
+      round-6 greens (age 3).
     - Entries 51+: the remaining r6 greens (age 3, due next round),
       then the forty-nine rows the driver proved green in round 8
       (youngest — safest to park). Still checked every round by
@@ -5909,6 +5975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # are new this round)
         "ivfdf_exact_equiv": q_ivfdf_exact_equiv,
         "bm25_batch": q_bm25_batch,
+        "hybrid_batch": q_hybrid_batch,
         "hnswdf_filtered_equiv": q_hnswdf_filtered_equiv,
         "streaming_semdedup_equiv": q_streaming_semdedup_equiv,
         "ivfsq_knn": q_ivfsq_knn,

@@ -110,3 +110,98 @@ def weighted_vector_search(
     if limit is not None:
         out = out.limit(limit)
     return out
+
+
+def weighted_vector_search_df(
+    df: DataFrame,
+    terms: list[tuple[float, str, str]],
+    queries: DataFrame,
+    id_col: str = "id",
+    q_id_col: str = "q_id",
+    metric: str = "l2sq",
+    ef: int = 100,
+    max_dist: float | None = None,
+    limit: int | None = None,
+    joint_col: str = "joint_dist",
+    indexes: dict | None = None,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Per-query weighted multi-vector search for a whole DataFrame of
+    queries in ONE distributed job — the batch recast of
+    :func:`weighted_vector_search` (reference semantics
+    lantern.sql:769-806 are one-query-per-call; an eval or reranking
+    pass at scale is 10^5+ queries). ``terms`` is (weight, vector_col,
+    query_vector_col) — the third element NAMES a column of ``queries``
+    (the single-query form takes a literal/Column instead).
+
+    Plan: each term's candidate stage is itself a batch form —
+    ``ivf_search_df`` / ``hnsw_search_df`` when ``indexes`` carries an
+    index for the column (unbounded query volume), else the exact
+    :func:`knn_join` (broadcast-small queries) — emitting per-query
+    top-``ef`` ids. Candidate unions dedup per (q_id, id), join back to
+    the base rows ONCE for joint scoring (the candidate set is
+    ≤ n_terms·ef rows per query, so the join input is narrow), and a
+    per-query rank-filtered window (WindowGroupLimit prunes map-side)
+    orders by the joint metric with the id tie-break.
+
+    ``max_dist`` filters the JOINT score after the candidate union —
+    unlike the single-query form, which pushes the filter inside each
+    candidate query, so the per-term ef budget here is spent before the
+    filter; pass a larger ``ef`` when combining ``max_dist`` with tight
+    limits. Returns (q_id_col, …base cols…, joint_col)."""
+    from pyspark.sql import Window
+
+    from lanterndb_spark.operators.knn import knn_join
+
+    if not terms:
+        raise ValueError("need at least one (weight, col, query_col) term")
+    cand_parts = []
+    for (_w, col, qcol) in terms:
+        qsel = queries.select(q_id_col, qcol)
+        idx = (indexes or {}).get(col)
+        if idx is not None:
+            kind = type(idx).__name__
+            if kind == "IvfIndex":
+                from lanterndb_spark.operators.ivf import ivf_search_df
+
+                ids = ivf_search_df(
+                    idx, qsel, k=ef, nprobe=nprobe, metric=metric,
+                    id_col=id_col, q_id_col=q_id_col, q_vec_col=qcol,
+                )
+            elif kind == "HnswIndex":
+                from lanterndb_spark.operators.hnsw import hnsw_search_df
+
+                ids = hnsw_search_df(
+                    idx, qsel, k=ef, q_id_col=q_id_col, q_vec_col=qcol
+                )
+            else:
+                raise ValueError(
+                    f"no batch search form for index type {kind!r} on {col!r}"
+                )
+            cand_parts.append(ids.select(q_id_col, id_col))
+        else:
+            kj = knn_join(
+                df.select(id_col, col), col, qsel, qcol,
+                k=ef, metric=metric, id_col=id_col, q_id_col=q_id_col,
+            )
+            cand_parts.append(kj.select(q_id_col, id_col))
+    cand = reduce(DataFrame.unionByName, cand_parts).dropDuplicates(
+        [q_id_col, id_col]
+    )
+
+    joint = _joint([(w, c, F.col(qc)) for (w, c, qc) in terms], metric)
+    scored = (
+        cand.join(df, on=id_col)
+        .join(queries, on=q_id_col)
+        .withColumn(joint_col, joint)
+        .drop(*[qc for (_w, _c, qc) in terms])
+    )
+    if max_dist is not None:
+        scored = scored.filter(F.col(joint_col) < F.lit(float(max_dist)))
+    w = Window.partitionBy(q_id_col).orderBy(
+        F.col(joint_col).asc(), F.col(id_col).asc()
+    )
+    out = scored.withColumn("__rn", F.row_number().over(w))
+    if limit is not None:
+        out = out.filter(F.col("__rn") <= limit)
+    return out.drop("__rn")

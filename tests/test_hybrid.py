@@ -126,3 +126,84 @@ def test_weighted_search_hnsw_candidate_index(spark, tables):
     want = [r["id"] for r in weighted_vector_search(
         df, terms, id_col="id", ef=n, limit=10, exact=True).collect()]
     assert got == want
+
+
+# ---------------------------------------------------------------- search_df
+
+
+def test_batch_matches_single_query(hybrid_df, spark):
+    """weighted_vector_search_df == the single-query candidate form,
+    query for query (same per-term ef budget, same (joint, id) order)."""
+    from lanterndb_spark.operators.hybrid import weighted_vector_search_df
+
+    qids = [0, 7, 13]
+    qs = {i: q_of(hybrid_df, i) for i in qids}
+    qdf = spark.createDataFrame(
+        [(i, qs[i][0], qs[i][1]) for i in qids],
+        "q_id int, qv1 array<double>, qv2 array<double>",
+    )
+    batch = weighted_vector_search_df(
+        hybrid_df, [(1.0, "v1", "qv1"), (0.5, "v2", "qv2")], qdf,
+        ef=50, limit=10,
+    ).collect()
+    got = {}
+    for r in sorted(batch, key=lambda r: (r["q_id"], r["joint_dist"], r["id"])):
+        got.setdefault(r["q_id"], []).append((r["id"], round(r["joint_dist"], 9)))
+    for i in qids:
+        single = [
+            (r["id"], round(r["joint_dist"], 9))
+            for r in weighted_vector_search(
+                hybrid_df,
+                [(1.0, "v1", qs[i][0]), (0.5, "v2", qs[i][1])],
+                ef=50, limit=10,
+            ).collect()
+        ]
+        assert got[i] == single, f"q_id {i}"
+
+
+def test_batch_indexed_candidate_stage(hybrid_df, spark):
+    """An IvfIndex on one term routes that term's candidates through
+    ivf_search_df; at full probe the result equals the exact stage."""
+    from lanterndb_spark.operators.hybrid import weighted_vector_search_df
+    from lanterndb_spark.operators.ivf import build_ivf
+
+    idx = build_ivf(hybrid_df.select("id", "v1"), "v1", nlist=4, seed=42)
+    qids = [0, 7]
+    qs = {i: q_of(hybrid_df, i) for i in qids}
+    qdf = spark.createDataFrame(
+        [(i, qs[i][0], qs[i][1]) for i in qids],
+        "q_id int, qv1 array<double>, qv2 array<double>",
+    )
+    terms = [(1.0, "v1", "qv1"), (0.5, "v2", "qv2")]
+    with_idx = weighted_vector_search_df(
+        hybrid_df, terms, qdf, ef=40, limit=10,
+        indexes={"v1": idx}, nprobe=4,  # full probe == exact candidates
+    ).collect()
+    exact_stage = weighted_vector_search_df(
+        hybrid_df, terms, qdf, ef=40, limit=10,
+    ).collect()
+    key = lambda rows: sorted(
+        (r["q_id"], r["id"], round(r["joint_dist"], 9)) for r in rows
+    )
+    assert key(with_idx) == key(exact_stage)
+
+
+def test_batch_max_dist_filters_joint(hybrid_df, spark):
+    from lanterndb_spark.operators.hybrid import weighted_vector_search_df
+
+    q1, q2 = q_of(hybrid_df, 3)
+    qdf = spark.createDataFrame(
+        [(0, q1, q2)], "q_id int, qv1 array<double>, qv2 array<double>"
+    )
+    full = weighted_vector_search_df(
+        hybrid_df, [(1.0, "v1", "qv1"), (1.0, "v2", "qv2")], qdf, ef=30
+    ).collect()
+    cut = sorted(r["joint_dist"] for r in full)[len(full) // 2]
+    filtered = weighted_vector_search_df(
+        hybrid_df, [(1.0, "v1", "qv1"), (1.0, "v2", "qv2")], qdf, ef=30,
+        max_dist=cut,
+    ).collect()
+    assert filtered and all(r["joint_dist"] < cut for r in filtered)
+    assert {r["id"] for r in filtered} == {
+        r["id"] for r in full if r["joint_dist"] < cut
+    }
