@@ -367,6 +367,56 @@ def main():
     except Exception as exc:  # noqa: BLE001
         errors["hnsw"] = f"{type(exc).__name__}: {exc}"[:300]
 
+    # Batch recasts (round 9): DataFrame-native query-batch forms, kept
+    # OUTSIDE the summed suite like the hnsw block so `value` stays
+    # comparable across rounds. Evidence that the per-query forms scale
+    # to eval-pass query volumes: 2k queries through ivf_search_df
+    # (executor-side routing + salted-cogroup matmul at this density)
+    # and 64 queries through search_bm25_df in one job each.
+    batch = {}
+    try:
+        from lanterndb_spark.operators.ivf import ivf_search_df
+
+        nq_b = 2000
+        qrows = [(i, q) for i, q in enumerate(
+            (state.get("qs") or sample_queries(emb, "embedding", n=10, seed=7))
+            * (nq_b // 10)
+        )]
+        qdf_b = spark.createDataFrame(
+            qrows[:nq_b], "q_id int, query array<double>"
+        ).persist()
+        qdf_b.count()
+        t0 = time.monotonic()
+        nres = ivf_search_df(
+            state["idx"], qdf_b, k=10, nprobe=10, id_col="vec_id"
+        ).count()
+        batch["ivfdf_2k_s"] = round(time.monotonic() - t0, 3)
+        batch["ivfdf_2k_rows"] = int(nres)
+        qdf_b.unpersist()
+    except Exception as exc:  # noqa: BLE001
+        errors["batch_ivfdf"] = f"{type(exc).__name__}: {exc}"[:300]
+    try:
+        from lanterndb_spark.operators.bm25 import search_bm25_df
+
+        qtexts = [
+            "spark window merge", "broadcast join plan",
+            "stream state checkpoint", "partition data table",
+            "query engine index", "shuffle spill memory",
+            "columnar scan filter", "hash aggregate group",
+        ]
+        qdf_t = spark.createDataFrame(
+            [(i, qtexts[i % len(qtexts)]) for i in range(64)],
+            "q_id int, query string",
+        )
+        t0 = time.monotonic()
+        nres = search_bm25_df(
+            docs, qdf_t, limit=10, postings=state["p"], stats=state["st"]
+        ).count()
+        batch["bm25df_64_s"] = round(time.monotonic() - t0, 3)
+        batch["bm25df_64_rows"] = int(nres)
+    except Exception as exc:  # noqa: BLE001
+        errors["batch_bm25df"] = f"{type(exc).__name__}: {exc}"[:300]
+
     # quality metric: IVF recall@10 vs exact on 10 sampled queries (batch)
     try:
         from lanterndb_spark.operators.autotune import _collect_by_query, exact_topk_batch
@@ -393,6 +443,7 @@ def main():
         "stat": "median",
         "recall_at_10": recall,
         "hnsw": hnsw,
+        "batch": batch,
         "sf": sf_dir,
     }
     if errors:

@@ -492,3 +492,45 @@ def test_projection_is_shuffle_free(spark):
     plan = _plan(project_embeddings(emb, "embedding", 16, seed=42, in_dim=64))
     assert "Exchange" not in plan
     assert "ArrowEvalPython" in plan
+
+
+def test_search_bm25_df_group_limits_and_prunes_terms(tables, spark):
+    """The batch BM25 plan must carry (a) the term-isin prune from the
+    capped probe (the scan-pushable twin of the single-query term
+    filter) and (b) a WindowGroupLimit so the per-query cut happens
+    map-side, not after a full candidate shuffle."""
+    from lanterndb_spark.operators.bm25 import search_bm25_df
+
+    docs = tables["documents"]
+    qdf = spark.createDataFrame(
+        [(0, "spark window merge"), (1, "broadcast join plan")],
+        "q_id int, query string",
+    )
+    plan = _plan(search_bm25_df(docs, qdf, limit=5))
+    assert "WindowGroupLimit" in plan
+    assert "term IN" in plan or "term#" in plan and " IN (" in plan
+
+
+def test_weighted_search_df_group_limits(tables, spark):
+    """Batch hybrid: each candidate stage and the final joint cut are
+    rank-filtered windows that must compile to WindowGroupLimit heaps
+    (map-side pruning before any per-query shuffle)."""
+    from lanterndb_spark.operators.hybrid import weighted_vector_search_df
+
+    df = tables["embeddings"].select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("v1"),
+        F.reverse(F.col("embedding")).alias("v2"),
+        "label",
+    )
+    qdf = df.filter(F.col("id") == 0).select(
+        F.lit(0).alias("q_id"),
+        F.col("v1").alias("qv1"),
+        F.col("v2").alias("qv2"),
+    )
+    plan = _plan(
+        weighted_vector_search_df(
+            df, [(1.0, "v1", "qv1"), (0.5, "v2", "qv2")], qdf, ef=20, limit=5
+        )
+    )
+    assert "WindowGroupLimit" in plan
