@@ -665,6 +665,45 @@ class LanternTable:
             self.df, query, id_col=self.id_col, text_col=text_col, limit=limit, **kw
         )
 
+    def search_bm25_batch(
+        self, queries: DataFrame, text_col: str = "text", limit: int = 10, **kw
+    ) -> DataFrame:
+        """Batch twin of :meth:`search_bm25` (operators.bm25.search_bm25_df):
+        per-query top-``limit`` for a whole queries DataFrame in one job,
+        reusing the table's prebuilt postings snapshot when present —
+        same snapshot semantics as the single-query form (inserts after
+        create_bm25 need a rebuild to be searchable)."""
+        from lanterndb_spark.operators.bm25 import search_bm25_df
+
+        if text_col in self._postings:
+            postings, stats = self._postings[text_col]
+            kw.setdefault("postings", postings)
+            kw.setdefault("stats", stats)
+        return search_bm25_df(
+            self.df, queries, id_col=self.id_col, text_col=text_col,
+            limit=limit, **kw,
+        )
+
+    def weighted_search_batch(self, terms, queries: DataFrame, **kw) -> DataFrame:
+        """Batch twin of :meth:`weighted_search`
+        (operators.hybrid.weighted_vector_search_df): ``terms`` name
+        query-vector COLUMNS of ``queries``. Fresh ivf/hnsw indexes on
+        term columns route their candidate stages through the batch ANN
+        forms (unbounded query volume); pending deltas force exact
+        candidate scans like the single-query form (a stale index can't
+        see them), and tombstoned rows drop at the scoring join onto the
+        visible df."""
+        from lanterndb_spark.operators.hybrid import weighted_vector_search_df
+
+        kw.setdefault("id_col", self.id_col)
+        if "indexes" not in kw:
+            kw["indexes"] = {} if self._deltas else {
+                col: idx for col, (kind, idx) in self._indexes.items()
+                if kind in ("ivf", "hnsw")
+                and any(col == c for (_w, c, _q) in terms)
+            }
+        return weighted_vector_search_df(self.df, terms, queries, **kw)
+
     def weighted_search(self, terms, **kw) -> DataFrame:
         """Hybrid search; candidate mode automatically probes any ANN
         index already created on a term's vector column (the reference's

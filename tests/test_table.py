@@ -591,3 +591,76 @@ def test_knn_batch_pred_filtered(tables, spark):
         ti.knn_batch("embedding", qdf, k=4, pred=pred, nprobe=4).collect()
     )
     assert got_i == want
+
+
+def test_search_bm25_batch_uses_prebuilt_postings(tables, spark):
+    """The batch router reuses the table's postings snapshot (no
+    rebuild) and matches the single-query router query for query."""
+    from lanterndb_spark.operators import bm25 as bm25_mod
+
+    docs = tables["documents"]
+    t = LanternTable(docs, "doc_id").create_bm25("text")
+    qs = ["spark window merge", "broadcast join plan"]
+    qdf = spark.createDataFrame(list(enumerate(qs)), "q_id int, query string")
+
+    orig = bm25_mod.build_postings
+    calls = []
+    bm25_mod.build_postings = lambda *a, **k: (calls.append(1), orig(*a, **k))[1]
+    try:
+        batch = t.search_bm25_batch(qdf, limit=5, round_scores=6).collect()
+    finally:
+        bm25_mod.build_postings = orig
+    assert not calls, "batch router must reuse the prebuilt postings"
+    got = {}
+    for r in sorted(batch, key=lambda r: (r["q_id"], -r["bm25"], r["doc_id"])):
+        got.setdefault(r["q_id"], []).append((r["doc_id"], r["bm25"]))
+    for qi, q in enumerate(qs):
+        single = [
+            (r["doc_id"], r["bm25"])
+            for r in t.search_bm25(q, limit=5, round_scores=6).collect()
+        ]
+        assert got.get(qi, []) == single
+
+
+def test_weighted_search_batch_routes_index_and_deltas(tables, spark):
+    """A fresh ivf index routes the term's candidates through the batch
+    ANN form; pending deltas force exact candidate scans (stale-index
+    rule, same as the single-query router)."""
+    emb2 = tables["embeddings"].select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("v1"),
+        F.reverse(F.col("embedding")).alias("v2"),
+        "label",
+    )
+    t = LanternTable(emb2, "id").create_index("v1", kind="ivf", nlist=4, seed=42)
+    r = emb2.filter(F.col("id") == 0).first()
+    qdf = spark.createDataFrame(
+        [(0, [float(x) for x in r["v1"]], [float(x) for x in r["v2"]])],
+        "q_id int, qv1 array<double>, qv2 array<double>",
+    )
+    terms = [(1.0, "v1", "qv1"), (0.5, "v2", "qv2")]
+    # full probe == exact candidates, so indexed == forced-exact results
+    via_idx = t.weighted_search_batch(terms, qdf, ef=30, limit=10, nprobe=4).collect()
+    exact = t.weighted_search_batch(terms, qdf, ef=30, limit=10, indexes={}).collect()
+    key = lambda rows: sorted(
+        (r["q_id"], r["id"], round(r["joint_dist"], 9)) for r in rows
+    )
+    assert key(via_idx) == key(exact)
+
+    # single-query twin agrees on the same query
+    single = t.weighted_search(
+        [(1.0, "v1", [float(x) for x in r["v1"]]),
+         (0.5, "v2", [float(x) for x in r["v2"]])],
+        ef=30, limit=10,
+    ).collect()
+    assert [(x["id"], round(x["joint_dist"], 9)) for x in sorted(
+        via_idx, key=lambda x: (x["joint_dist"], x["id"]))] == [
+        (x["id"], round(x["joint_dist"], 9)) for x in single
+    ]
+
+    # pending deltas -> the router must NOT hand a stale index to the op
+    delta = emb2.limit(0)
+    t2 = t.insert(delta)
+    assert t2._deltas  # still pending
+    out = t2.weighted_search_batch(terms, qdf, ef=30, limit=10).collect()
+    assert key(out) == key(exact)
