@@ -383,15 +383,23 @@ def test_search_df_arrow_matches_expr(emb, index):
     (dist, id) window)."""
     from lanterndb_spark.operators.ivf import ivf_search_df
 
-    for nprobe, metric in ((4, "l2sq"), (8, "l2sq"), (4, "cos"), (8, "cos")):
+    cases = [
+        (4, "l2sq", None), (8, "l2sq", None), (4, "cos", None),
+        (8, "cos", None),
+        # filtered ANN composes BEFORE scoring in both impls
+        (8, "l2sq", F.col("label") == 3),
+    ]
+    for nprobe, metric, pred in cases:
         a = ivf_search_df(
             index, _qdf(emb, [3, 11, 17]), k=5, nprobe=nprobe,
-            metric=metric, id_col="vec_id", impl="expr",
+            metric=metric, id_col="vec_id", impl="expr", pred=pred,
         ).collect()
         b = ivf_search_df(
             index, _qdf(emb, [3, 11, 17]), k=5, nprobe=nprobe,
-            metric=metric, id_col="vec_id", impl="arrow", salt=3,
+            metric=metric, id_col="vec_id", impl="arrow", salt=3, pred=pred,
         ).collect()
+        if pred is not None:
+            assert a  # the predicate must not empty the result
         assert sorted(
             [(r["q_id"], r["vec_id"], round(r["dist"], 9)) for r in a]
         ) == sorted(
