@@ -1020,6 +1020,21 @@ def embedding_near_dup_pairs(
         )
         if index.id_col != "id":  # external index keyed by the caller's id
             res = res.withColumnRenamed(index.id_col, "id")
+        if getattr(index, "quant", None) not in (None, "f32", "f64"):
+            # a lossy-quantized external index (f16/i8/b1/pq) emits
+            # approximate distances — the threshold contract ("every
+            # emitted pair verified by its exact cos distance") needs an
+            # exact rescore over the n·k candidate rows before filtering
+            # (cos_dist is the module-level import)
+            qv = base.select(F.col("id").alias("q_id"), F.col("v").alias("__qv"))
+            dv = base.select("id", F.col("v").alias("__dv"))
+            res = (
+                res.join(qv, on="q_id")
+                .join(dv, on="id")
+                .withColumn("dist", cos_dist("__qv", "__dv").cast("double"))
+                .drop("__qv", "__dv")
+                .filter(F.col("dist").isNotNull())
+            )
         pairs = (
             res.filter(F.col("dist") <= max_cos_dist)
             .filter(F.col("q_id") != F.col("id"))

@@ -171,8 +171,27 @@ def weighted_vector_search_df(
             elif kind == "HnswIndex":
                 from lanterndb_spark.operators.hnsw import hnsw_search_df
 
+                # the graph batch form keys results by the graph's own
+                # id column and emits a literal long "q_id" — restore the
+                # caller's names/types so the union and joins line up
+                # (same recovery as LanternTable.knn_batch's hnsw route)
+                if getattr(idx, "id_col", id_col) != id_col:
+                    raise ValueError(
+                        f"index on {col!r} is keyed by "
+                        f"{idx.id_col!r}, not id_col={id_col!r}"
+                    )
+                q_id_type = queries.schema[q_id_col].dataType.simpleString()
+                if q_id_type not in ("tinyint", "smallint", "int", "bigint"):
+                    raise ValueError(
+                        "hnsw-backed candidate stages need an integral "
+                        f"q_id column; got {q_id_type} — use an ivf index "
+                        "or exact stages for other q_id types"
+                    )
                 ids = hnsw_search_df(
                     idx, qsel, k=ef, q_id_col=q_id_col, q_vec_col=qcol
+                ).select(
+                    F.col("q_id").cast(q_id_type).alias(q_id_col),
+                    F.col(idx.id_col).alias(id_col),
                 )
             else:
                 raise ValueError(
@@ -190,9 +209,15 @@ def weighted_vector_search_df(
     )
 
     joint = _joint([(w, c, F.col(qc)) for (w, c, qc) in terms], metric)
+    # only the q_id + term vectors ride the scoring join: extra query
+    # columns must not leak into the output (documented shape), and a
+    # query column shadowing a base column would make `joint` ambiguous
+    qslim = queries.select(
+        q_id_col, *dict.fromkeys(qc for (_w, _c, qc) in terms)
+    )
     scored = (
         cand.join(df, on=id_col)
-        .join(queries, on=q_id_col)
+        .join(qslim, on=q_id_col)
         .withColumn(joint_col, joint)
         .drop(*[qc for (_w, _c, qc) in terms])
     )

@@ -314,7 +314,12 @@ def ivf_search_df(
     test/sql/hnsw_select.sql:50-51: the k budget goes to qualifying
     rows only). Returns (q_id_col, id_col, dist) — ``id_col`` is
     required (it is the deterministic tie-break and keeps the combiner
-    schema skinny)."""
+    schema skinny).
+
+    NOTE: the queries lineage is evaluated up to three times (the
+    ``auto`` density probe, the prune pass, the scoring route) — if
+    ``queries`` sits on a heavy lineage (joins, shuffles), persist it
+    before calling, as the smokes and bench do."""
     from pyspark.sql import Window
 
     from lanterndb_spark.functions.distance import distance
@@ -324,6 +329,9 @@ def ivf_search_df(
         raise ValueError("ivf_search_df requires id_col (tie-break + output key)")
     if nprobe < 1:
         raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    if salt < 1:
+        # salt=0 would silently match no (cluster, salt) cogroup keys
+        raise ValueError(f"salt must be >= 1, got {salt}")
     spark = index.assigned.sparkSession
     q_id_type = queries.schema[q_id_col].dataType.simpleString()
     id_type = index.assigned.schema[id_col].dataType.simpleString()
@@ -487,13 +495,32 @@ def ivf_search_df(
     def partial_topk(batches):
         """Map-side per-query cut: only k rows per query can survive the
         global window, so each partition forwards at most nq·k rows.
-        pandas (not lexsort) so q_id may be any orderable dtype."""
-        chunks = [pdf for pdf in batches if len(pdf)]
-        if not chunks:
-            return
-        allpdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
-        allpdf = allpdf.sort_values(["__qid", "dist", id_col])
-        yield allpdf.groupby("__qid", sort=False).head(k)
+        Incremental fold — each Arrow batch is cut to k-per-query BEFORE
+        joining the running accumulator, and the accumulator re-cuts
+        whenever it doubles, so held memory is O(nq·k), never the raw
+        pair count of the partition (on the expr path that pair set is
+        rows_probed × queries_per_cluster and must not be materialized
+        whole). pandas (not lexsort) so q_id may be any orderable
+        dtype."""
+        def cut(pdf):
+            pdf = pdf.sort_values(["__qid", "dist", id_col])
+            return pdf.groupby("__qid", sort=False).head(k)
+
+        acc = None
+        watermark = 0  # size of acc right after its last cut
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            part = cut(pdf)
+            if acc is None:
+                acc, watermark = part, len(part)
+                continue
+            acc = pd.concat([acc, part], ignore_index=True)
+            if len(acc) > 2 * watermark:
+                acc = cut(acc)
+                watermark = max(len(acc), 1)
+        if acc is not None:
+            yield cut(acc)
 
     cand = cand.mapInPandas(
         partial_topk, f"__qid {q_id_type}, {id_col} {id_type}, dist double"

@@ -777,6 +777,9 @@ class LanternTable:
         fresh = not self._deltas and not self._tombstones
         if (
             kw.get("index") is None
+            # injecting forces method='ann' inside the operator, so an
+            # explicit method='brute'/'lsh' request must win over reuse
+            and kw.get("method", "auto") in ("auto", "ann")
             and entry is not None
             and entry[0] == "hnsw"
             and getattr(entry[1], "metric", None) == "cos"

@@ -681,3 +681,57 @@ def test_table_semantic_near_dup_routes_through_fresh_index(tables, monkeypatch)
     stale = t.semantic_near_dup_pairs("embedding", max_cos_dist=0.4, method="brute")
     stale_keys = {(r["id_a"], r["id_b"]) for r in stale.collect()}
     assert all(victim not in pair for pair in stale_keys)
+
+
+def test_embedding_near_dup_rescores_lossy_index_exactly(tables):
+    """A lossy-quantized (i8) external index emits approximate
+    distances; the threshold contract requires an exact rescore, so the
+    pair set must still equal brute."""
+    emb = tables["embeddings"]
+    from lanterndb_spark.operators.hnsw import build_hnsw
+
+    corpus = emb.select("vec_id", "embedding")
+    n = corpus.count()
+    idx = build_hnsw(
+        corpus, "embedding", id_col="vec_id", metric="cos", m=8,
+        ef_construction=64, num_shards=2, seed=42, quant="i8",
+    )
+    ann = embedding_near_dup_pairs(
+        corpus, "vec_id", "embedding", max_cos_dist=0.4, index=idx, ef=n
+    ).collect()
+    brute = embedding_near_dup_pairs(
+        corpus, "vec_id", "embedding", max_cos_dist=0.4, method="brute"
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in ann} == {
+        (r["id_a"], r["id_b"]) for r in brute
+    }
+    # distances are the EXACT cos values, not quantized approximations
+    bd = {(r["id_a"], r["id_b"]): r["cos_dist"] for r in brute}
+    for r in ann:
+        assert r["cos_dist"] == pytest.approx(bd[(r["id_a"], r["id_b"])], abs=1e-9)
+    idx.graphs.unpersist()
+
+
+def test_table_semantic_near_dup_honors_explicit_method(tables, monkeypatch):
+    """method='brute' must NOT be silently upgraded to ann by the
+    table's fresh-index injection (injection forces method='ann')."""
+    emb = tables["embeddings"]
+    import lanterndb_spark.operators.dedup as dedup_mod
+    from lanterndb_spark.table import LanternTable
+
+    t = LanternTable(emb.select("vec_id", "embedding"), "vec_id").create_index(
+        "embedding", kind="hnsw", metric="cos", num_shards=2, seed=42
+    )
+    seen = {}
+    real = dedup_mod.embedding_near_dup_pairs
+
+    def capture(*a, **k):
+        seen.update(k)
+        return real(*a, **k)
+
+    monkeypatch.setattr(dedup_mod, "embedding_near_dup_pairs", capture)
+    t.semantic_near_dup_pairs("embedding", max_cos_dist=0.4, method="brute").collect()
+    assert seen.get("index") is None and seen.get("method") == "brute"
+    seen.clear()
+    t.semantic_near_dup_pairs("embedding", max_cos_dist=0.4).collect()
+    assert seen.get("index") is not None  # auto still reuses the index

@@ -207,3 +207,57 @@ def test_batch_max_dist_filters_joint(hybrid_df, spark):
     assert {r["id"] for r in filtered} == {
         r["id"] for r in full if r["joint_dist"] < cut
     }
+
+
+def test_batch_hnsw_candidate_stage_and_column_contract(hybrid_df, spark):
+    """An HnswIndex term routes through hnsw_search_df with the
+    caller's q_id/id names restored; extra query columns must NOT leak
+    into the output (documented return shape)."""
+    from lanterndb_spark.operators.hnsw import build_hnsw
+    from lanterndb_spark.operators.hybrid import weighted_vector_search_df
+
+    n = hybrid_df.count()
+    hidx = build_hnsw(
+        hybrid_df.select("id", "v1"), "v1", id_col="id", m=8,
+        ef_construction=64, num_shards=2, seed=42,
+    )
+    qids = [0, 7]
+    qs = {i: q_of(hybrid_df, i) for i in qids}
+    qdf = spark.createDataFrame(
+        [(i, qs[i][0], qs[i][1], f"note-{i}") for i in qids],
+        "q_id int, qv1 array<double>, qv2 array<double>, note string",
+    )
+    terms = [(1.0, "v1", "qv1"), (0.5, "v2", "qv2")]
+    out = weighted_vector_search_df(
+        hybrid_df, terms, qdf, ef=n, limit=10, indexes={"v1": hidx},
+    )
+    assert "note" not in out.columns  # extra query columns must not leak
+    rows = out.collect()
+    exact = weighted_vector_search_df(
+        hybrid_df, terms, qdf.drop("note"), ef=n, limit=10
+    ).collect()
+    key = lambda rs: sorted(
+        (r["q_id"], r["id"], round(r["joint_dist"], 9)) for r in rs
+    )
+    assert key(rows) == key(exact)  # full-ef graph == exact candidates
+    hidx.graphs.unpersist()
+
+
+def test_batch_hnsw_stage_rejects_string_q_ids(hybrid_df, spark):
+    from lanterndb_spark.operators.hnsw import build_hnsw
+    from lanterndb_spark.operators.hybrid import weighted_vector_search_df
+
+    hidx = build_hnsw(
+        hybrid_df.select("id", "v1"), "v1", id_col="id", m=8,
+        ef_construction=32, num_shards=2, seed=1,
+    )
+    q1, q2 = q_of(hybrid_df, 0)
+    qdf = spark.createDataFrame(
+        [("q-0", q1, q2)], "q_id string, qv1 array<double>, qv2 array<double>"
+    )
+    with pytest.raises(ValueError, match="integral q_id"):
+        weighted_vector_search_df(
+            hybrid_df, [(1.0, "v1", "qv1"), (0.5, "v2", "qv2")], qdf,
+            ef=10, indexes={"v1": hidx},
+        )
+    hidx.graphs.unpersist()

@@ -435,3 +435,10 @@ def test_search_df_arrow_cos_zero_norm(spark):
         ).collect()
         assert {r["q_id"] for r in out} == {0}  # zero-norm query drops
         assert all(r["vec_id"] != 99 for r in out)  # zero-norm row drops
+
+
+def test_search_df_rejects_bad_salt(emb, index):
+    from lanterndb_spark.operators.ivf import ivf_search_df
+
+    with pytest.raises(ValueError, match="salt"):
+        ivf_search_df(index, _qdf(emb, [3]), k=3, id_col="vec_id", salt=0)
