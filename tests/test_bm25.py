@@ -194,3 +194,34 @@ def test_search_df_pretokenized_profile(tables, spark):
     assert [(r["doc_id"], r["bm25"]) for r in sorted(batch, key=lambda r: (-r["bm25"], r["doc_id"]))] == [
         (r["doc_id"], r["bm25"]) for r in single
     ]
+
+
+def test_search_df_on_consolidated_incremental_postings(tables, spark):
+    """Batch search over postings built INCREMENTALLY (two half-corpus
+    builds unioned, then consolidated) == batch search over a one-shot
+    build: the streaming-ingest postings path and the batch query path
+    compose."""
+    from lanterndb_spark.operators.bm25 import (
+        build_postings, consolidate_postings, corpus_stats, search_bm25_df,
+    )
+
+    docs = tables["documents"]
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    half_b = docs.filter(F.col("doc_id") % 2 == 1)
+    merged = consolidate_postings(
+        build_postings(half_a).unionByName(build_postings(half_b))
+    )
+    st = corpus_stats(docs)
+    qdf = spark.createDataFrame(
+        [(0, "spark window merge"), (1, "broadcast join plan")],
+        "q_id int, query string",
+    )
+    a = search_bm25_df(
+        docs, qdf, limit=5, postings=merged, stats=st, round_scores=6
+    ).collect()
+    b = search_bm25_df(
+        docs, qdf, limit=5, postings=build_postings(docs), stats=st,
+        round_scores=6,
+    ).collect()
+    key = lambda rs: sorted((r["q_id"], r["doc_id"], r["bm25"]) for r in rs)
+    assert key(a) == key(b)

@@ -664,3 +664,17 @@ def test_weighted_search_batch_routes_index_and_deltas(tables, spark):
     assert t2._deltas  # still pending
     out = t2.weighted_search_batch(terms, qdf, ef=30, limit=10).collect()
     assert key(out) == key(exact)
+
+
+def test_knn_batch_exact_route_caps_query_volume(tables, spark):
+    """The exact lateral-join fallback must refuse >100k queries loudly
+    (broadcast + row x query scoring cliff) and name the remedy."""
+    emb = tables["embeddings"]
+    t = LanternTable(emb, "vec_id")
+    v = [float(x) for x in emb.first()["embedding"]]
+    big = spark.range(100_001).select(
+        F.col("id").cast("int").alias("q_id"),
+        F.array(*[F.lit(x) for x in v]).alias("query"),
+    )
+    with pytest.raises(ValueError, match="100k"):
+        t.knn_batch("embedding", big, k=3)
