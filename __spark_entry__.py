@@ -205,6 +205,38 @@ def q_hybrid_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_out(out, ["q_id", "id", "label"], "joint_dist")
 
 
+def q_hybrid_batch_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch hybrid with BOTH candidate stages routed through IVF
+    indexes at FULL probe (nprobe == nlist): index-backed candidates
+    degrade to the exact per-term top-ef, so the result — and therefore
+    the oracle — is identical to q_hybrid_batch's. Pins the
+    index-routed candidate path end-to-end against SQL, the way the
+    *_exact_equiv rows pin the plain ANN backends."""
+    from lanterndb_spark.operators.hybrid import weighted_vector_search_df
+    from lanterndb_spark.operators.ivf import build_ivf
+
+    emb = _emb(spark, sf_dir)
+    df = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("v1"),
+        F.reverse("embedding").alias("v2"),
+        "label",
+    )
+    qdf = df.filter(F.col("id").isin(HYBRID_BATCH_QIDS)).select(
+        F.col("id").alias("q_id"),
+        F.col("v1").alias("qv1"),
+        F.col("v2").alias("qv2"),
+    )
+    idx1 = build_ivf(df.select("id", "v1"), "v1", nlist=4, seed=42)
+    idx2 = build_ivf(df.select("id", "v2"), "v2", nlist=4, seed=43)
+    out = weighted_vector_search_df(
+        df, [(1.0, "v1", "qv1"), (0.5, "v2", "qv2")], qdf,
+        id_col="id", metric="l2sq", ef=50, limit=20, nprobe=4,
+        indexes={"v1": idx1, "v2": idx2},
+    )
+    return _round_out(out, ["q_id", "id", "label"], "joint_dist")
+
+
 # --- ANN / PQ queries: inherently non-SQL-expressible (k-means training),
 # so no oracle entry — the driver records rows-only; real acceptance is the
 # recall-vs-exact harness in tests/ (the reference does the same:
@@ -4563,6 +4595,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _bm25_oracle(),
         "bm25_batch": _bm25_batch_oracle(),
         "hybrid_batch": _hybrid_batch_oracle(),
+        # full-probe index routing degrades to exact candidates, so the
+        # indexed row shares hybrid_batch's oracle by construction
+        "hybrid_batch_indexed": _hybrid_batch_oracle(),
         "bm25_topk_stemmed": _bm25_stemmed_oracle(),
         "bm25_topk_tsvector": _bm25_tsvector_oracle(),
         "rag_pipeline": """
@@ -5942,7 +5977,7 @@ def oracle_sql() -> dict[str, str]:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering is deliberate, not alphabetical: the driver's correctness
     gate evaluates the FIRST 50 entries only (observed in r2: rows stop
-    after entry 50), and 139 of these 150 queries carry a DuckDB oracle.
+    after entry 50), and 140 of these 151 queries carry a DuckDB oracle.
 
     Rotation rule (amended per VERDICT r3/r4): never-green beats
     never-checked beats stale-green; newest-green age drives the rest,
@@ -5950,17 +5985,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     old where the 50-slot window allows. Rows whose operator code
     CHANGED this round also enter the window regardless of age.
 
-    - Entries 1-50 (the round-9 window): the six rows that have never
+    - Entries 1-50 (the round-9 window): the seven rows that have never
       had a driver check (ivfdf_exact_equiv — NEW this round, the
       DataFrame-native IVF batch search, VERDICT r8 item 2; bm25_batch
       — NEW this round, the batch BM25 recast search_bm25_df;
-      hybrid_batch — NEW this round, the batch weighted-vector-search
-      recast weighted_vector_search_df; hnswdf_filtered_equiv;
-      streaming_semdedup_equiv; ivfsq_knn — rows-only, shadowed by
-      ivfsq_exact_equiv), semdedup_ann_equiv (embedding_near_dup_pairs
-      gained index reuse this round), all thirty-four rows whose newest
-      green is round 5 (age 4 — overdue), and the nine oldest-listed
-      round-6 greens (age 3).
+      hybrid_batch and hybrid_batch_indexed — NEW this round, the batch
+      weighted-vector-search recast weighted_vector_search_df, exact
+      and full-probe-index-routed candidate stages;
+      hnswdf_filtered_equiv; streaming_semdedup_equiv; ivfsq_knn —
+      rows-only, shadowed by ivfsq_exact_equiv), semdedup_ann_equiv
+      (embedding_near_dup_pairs gained index reuse this round), all
+      thirty-four rows whose newest green is round 5 (age 4 — overdue),
+      and the eight oldest-listed round-6 greens (age 3).
     - Entries 51+: the remaining r6 greens (age 3, due next round),
       then the forty-nine rows the driver proved green in round 8
       (youngest — safest to park). Still checked every round by
@@ -5976,6 +6012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfdf_exact_equiv": q_ivfdf_exact_equiv,
         "bm25_batch": q_bm25_batch,
         "hybrid_batch": q_hybrid_batch,
+        "hybrid_batch_indexed": q_hybrid_batch_indexed,
         "hnswdf_filtered_equiv": q_hnswdf_filtered_equiv,
         "streaming_semdedup_equiv": q_streaming_semdedup_equiv,
         "ivfsq_knn": q_ivfsq_knn,
