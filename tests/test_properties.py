@@ -387,3 +387,45 @@ def test_hnsw_pq_full_probe_is_adc_exact(n, seed):
     order = np.argsort(ds, kind="stable")
     assert got.tolist() == order[: len(got)].tolist()
     assert np.allclose(gd, ds[order[: len(got)]])
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    # fixed example corpus: the two engines agree on ids up to exact
+    # dist ties, but a fresh random draw could land a last-ulp near-tie
+    # at the k boundary — derandomize so the suite stays deterministic
+    derandomize=True,
+)
+@given(
+    st.lists(st.lists(finite, min_size=4, max_size=4), min_size=12, max_size=40),
+    st.integers(1, 3),  # query count
+    st.integers(1, 4),  # nprobe
+    st.sampled_from(["l2sq", "cos"]),
+)
+def test_ivf_search_df_arrow_matches_expr_random(spark, vecs, nq, nprobe, metric):
+    """Property: the salted-cogroup matmul kernel and the codegen expr
+    join return the SAME (q_id, id) top-k for any data, probe count,
+    and supported metric — ids compared (not distances: the two engines
+    differ in the last float ulp, and equal-dist ties then resolve by
+    id identically)."""
+    from lanterndb_spark.operators.ivf import build_ivf, ivf_search_df
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<double>",
+    )
+    idx = build_ivf(df, "embedding", nlist=4, seed=11)
+    qdf = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(min(nq, len(vecs)))],
+        "q_id int, query array<double>",
+    )
+    outs = {}
+    for impl in ("expr", "arrow"):
+        rows = ivf_search_df(
+            idx, qdf, k=3, nprobe=nprobe, metric=metric,
+            id_col="vec_id", impl=impl, salt=2,
+        ).collect()
+        outs[impl] = sorted((r["q_id"], r["vec_id"]) for r in rows)
+    assert outs["expr"] == outs["arrow"]
