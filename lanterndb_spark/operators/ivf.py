@@ -316,9 +316,11 @@ def ivf_search_df(
     required (it is the deterministic tie-break and keeps the combiner
     schema skinny).
 
-    NOTE: the queries lineage is evaluated up to three times (the
-    ``auto`` density probe, the prune pass, the scoring route) — if
-    ``queries`` sits on a heavy lineage (joins, shuffles), persist it
+    NOTE: the queries lineage is evaluated twice (the prune pass — which
+    also measures the ``auto`` density gate for free, since every query
+    emits exactly nprobe routed rows — and the scoring route; with
+    ``prune=False`` the gate runs its own limit-capped count instead).
+    If ``queries`` sits on a heavy lineage (joins, shuffles), persist it
     before calling, as the smokes and bench do."""
     from pyspark.sql import Window
 
@@ -382,36 +384,46 @@ def ivf_search_df(
         base = index.assigned.filter(pred).select(
             "cluster_id", id_col, index.vec_col
         )
+    probed_stats = None
     if prune and np_eff < index.nlist:
         def route_ids(batches):
             for pdf in batches:
                 if not len(pdf):
                     continue
                 for _, _, probes in _route_block(pdf):
+                    cl, cnt = np.unique(probes, return_counts=True)
                     yield pd.DataFrame({
-                        "cluster_id": np.unique(probes).astype(np.int32)
+                        "cluster_id": cl.astype(np.int32),
+                        "cnt": cnt.astype(np.int64),
                     })
 
-        probed = [
-            int(r["cluster_id"])
-            for r in qsel.mapInPandas(route_ids, "cluster_id int")
-            .distinct()
-            .collect()  # bounded: <= nlist rows, map-side-combined distinct
-        ]
+        probed_stats = (
+            qsel.mapInPandas(route_ids, "cluster_id int, cnt long")
+            .groupBy("cluster_id")
+            .agg(F.sum("cnt").alias("cnt"))
+            .collect()  # bounded: <= nlist rows, map-side-combined agg
+        )
+        probed = [int(r["cluster_id"]) for r in probed_stats]
         base = base.filter(F.col("cluster_id").isin(probed))
     data = widen_partitions(base)
 
     if impl == "auto":
-        # limit-capped probe (never a full count): the crossover is
-        # query DENSITY (queries per probed cluster) — below it the
-        # codegen expr join wins on latency, above it matmul flops
-        # beat interpreted per-pair folds
-        cap = max(1, -(-_ARROW_QPC_CROSSOVER * index.nlist // np_eff))
-        impl = (
-            "arrow"
-            if metric in ("l2sq", "cos") and qsel.limit(cap).count() >= cap
-            else "expr"
-        )
+        # the crossover is query DENSITY (queries per probed cluster) —
+        # below it the codegen expr join wins on latency, above it
+        # matmul flops beat interpreted per-pair folds
+        if probed_stats is not None:
+            # the prune pass already measured the batch for free: every
+            # query emits exactly np_eff routed rows, so sum(cnt) =
+            # nq * np_eff and the gate needs NO extra job over queries
+            dense = (
+                sum(r["cnt"] for r in probed_stats)
+                >= _ARROW_QPC_CROSSOVER * index.nlist
+            )
+        else:
+            # limit-capped probe (never a full count)
+            cap = max(1, -(-_ARROW_QPC_CROSSOVER * index.nlist // np_eff))
+            dense = qsel.limit(cap).count() >= cap
+        impl = "arrow" if metric in ("l2sq", "cos") and dense else "expr"
     if impl == "arrow" and metric not in ("l2sq", "cos"):
         raise ValueError("impl='arrow' batch scoring implements l2sq and cos only")
     if impl == "arrow":
