@@ -267,13 +267,16 @@ def ivf_search_df(
        (q_id, query_vec, cluster_id) × nprobe. Same argsort order as
        :func:`ivf_search`, so per-query results are identical to the
        driver-list form by construction. No driver collect of queries.
-    2. prune — a second, skinny routing pass (cluster ids only, no
-       vectors) feeds a map-side-combined ``distinct``; the collected
-       union of probed clusters is bounded by ``nlist`` rows and turns
-       into a static ``isin`` the scan can push down (PartitionFilters
-       on a ``partitionBy(cluster_id)`` layout — a batch touching p
-       clusters reads p/nlist of the data). ``prune=False`` skips the
-       extra pass when the batch is known to probe everything.
+    2. prune — a second, skinny routing pass (cluster ids + counts, no
+       vectors) feeds a map-side-combined per-cluster ``sum``; the
+       collected stats are bounded by ``nlist`` rows, turn the probed
+       union into a static ``isin`` the scan can push down
+       (PartitionFilters on a ``partitionBy(cluster_id)`` layout — a
+       batch touching p clusters reads p/nlist of the data), AND decide
+       the ``auto`` density gate for free (every query emits exactly
+       nprobe routed rows, so the counts sum to nq·nprobe).
+       ``prune=False`` skips the extra pass when the batch is known to
+       probe everything; the gate then runs its own capped count.
     3. score — two impls, routed by query density (``impl='auto'``):
 
        - ``expr``: shuffle equi-join base ⋈ routed on cluster_id (plain

@@ -125,10 +125,22 @@ def knn_join(
 
     order_tail = [F.col(id_col).asc()] if id_col else []
 
+    # BOTH impls broadcast the query table (the expr path as a broadcast
+    # join, the arrow path as a task closure) — fine for the documented
+    # ≤100k contract, a quadratic-memory cliff beyond it. One capped
+    # count enforces the cap AND decides impl='auto' (never a full count
+    # of a possibly-large query table).
+    MAX_BROADCAST_QUERIES = 100_000
+    nq = queries.limit(MAX_BROADCAST_QUERIES + 1).count()
+    if nq > MAX_BROADCAST_QUERIES:
+        raise ValueError(
+            f"knn_join broadcasts the query table and scores every "
+            f"row x query pair; got more than {MAX_BROADCAST_QUERIES} "
+            "query rows. Use the DataFrame-native ANN batch forms "
+            "(ivf_search_df / hnsw_search_df, unbounded) or shard the "
+            "batch."
+        )
     if impl == "auto":
-        # only "≥4 queries?" matters — limit(4).count() stops the scan at 4
-        # rows instead of counting a possibly-large query table
-        nq = queries.limit(4).count()
         impl = "arrow" if nq >= 4 and metric in ("l2sq", "cos", "inner") else "expr"
 
     if impl == "expr":
@@ -143,17 +155,6 @@ def knn_join(
             .drop("__qv", "__rn")
         )
 
-    # the arrow path broadcasts the whole query table to every task — fine
-    # for the documented ≤100k contract, quadratic-memory disaster beyond
-    # it. Enforce rather than silently collect (callers with more queries
-    # should self-join via LSH/IVF batching instead).
-    MAX_BROADCAST_QUERIES = 100_000
-    if queries.limit(MAX_BROADCAST_QUERIES + 1).count() > MAX_BROADCAST_QUERIES:
-        raise ValueError(
-            f"knn_join arrow path broadcasts the query table; got more than "
-            f"{MAX_BROADCAST_QUERIES} query rows. Batch the queries or use "
-            f"an ANN index (ivf_search_batch) for query sets this large."
-        )
     qrows = queries.select(q_id_col, q_vec_col).collect()
     qids = [r[0] for r in qrows]
     qmat = np.asarray([list(r[1]) for r in qrows], dtype=np.float64)

@@ -557,18 +557,10 @@ class LanternTable:
             or vec_col not in self._indexes
             or self._indexes[vec_col][0] in ("srp", "proj", "ivfsq")
         ):
-            # the exact lateral join broadcasts queries AND scores every
-            # (row, query) pair — past ~100k queries that is a silent
-            # executor OOM / quadratic compute cliff, so fail loudly with
-            # the remedy (limit-capped probe, never a full count)
-            if queries.limit(100_001).count() > 100_000:
-                raise ValueError(
-                    "knn_batch's exact route caps at 100k queries (the "
-                    "lateral join broadcasts the batch and scores every "
-                    "row x query pair); create an hnsw or ivf index on "
-                    f"{vec_col!r} for the unbounded DataFrame-native "
-                    "batch forms"
-                )
+            # the exact lateral join caps at 100k queries — knn_join
+            # enforces it (both impls broadcast the batch); past the cap
+            # create an hnsw/ivf index (unbounded batch routes), replace
+            # an srp/proj/ivfsq index, or drop mode='exact'
             data = self.df.filter(pred) if pred is not None else self.df
             out = knn_join(
                 data, vec_col, queries, q_vec_col, k=k, metric=metric,

@@ -668,7 +668,7 @@ def test_weighted_search_batch_routes_index_and_deltas(tables, spark):
 
 def test_knn_batch_exact_route_caps_query_volume(tables, spark):
     """The exact lateral-join fallback must refuse >100k queries loudly
-    (broadcast + row x query scoring cliff) and name the remedy."""
+    (knn_join broadcasts the batch in BOTH impls) and name the remedy."""
     emb = tables["embeddings"]
     t = LanternTable(emb, "vec_id")
     v = [float(x) for x in emb.first()["embedding"]]
@@ -676,5 +676,5 @@ def test_knn_batch_exact_route_caps_query_volume(tables, spark):
         F.col("id").cast("int").alias("q_id"),
         F.array(*[F.lit(x) for x in v]).alias("query"),
     )
-    with pytest.raises(ValueError, match="100k"):
+    with pytest.raises(ValueError, match="100000|broadcasts"):
         t.knn_batch("embedding", big, k=3)
