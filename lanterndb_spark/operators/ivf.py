@@ -353,16 +353,19 @@ def ivf_search_df(
     )
 
     def _route_block(pdf: pd.DataFrame):
-        """(qids, probe matrix (B, np_eff)) for one arrow batch —
-        np.argsort to match ivf_search's probe choice exactly, blocked
-        so the (B, nlist) distance matrix stays <=~256 MB."""
+        """(qids, probe matrix (B, np_eff)) for one arrow batch — the
+        SAME ``((cents - q)**2).sum`` formulation and np.argsort as
+        ivf_search / ivf_search_batch, so probe choice is bit-identical
+        to the driver-list forms even at near-tied centroid distances
+        (a matmul expansion can order such ties differently). Blocked so
+        the (B, nlist, dim) difference tensor stays <=~256 MB."""
         cents = bc.value
         qarr = np.asarray(pdf["__q"].tolist(), dtype=np.float64)
-        cn = (cents**2).sum(1)
-        blk = max(1, (1 << 25) // max(len(cents), 1))
+        dim = cents.shape[1] if cents.ndim == 2 else 1
+        blk = max(1, (1 << 25) // max(len(cents) * dim, 1))
         for s in range(0, len(qarr), blk):
             qb = qarr[s : s + blk]
-            d = cn[None, :] - 2.0 * (qb @ cents.T)
+            d = ((cents[None, :, :] - qb[:, None, :]) ** 2).sum(-1)
             yield s, qb, np.argsort(d, axis=1)[:, :np_eff]
 
     def route(batches):

@@ -107,7 +107,10 @@ def knn_join(
     dist)`` ≤ k; Spark ≥3.5 rewrites the rank filter into a
     WindowGroupLimit that prunes to a per-partition top-k heap BEFORE the
     shuffle, so the exchange carries ≤ k·partitions rows per query.
-    Queries must stay broadcast-small (≤ ~100k rows).
+    Queries must stay broadcast-small (≤ ~100k rows). The cap is
+    enforced with a capped count (plus the collect/join itself), so a
+    query table on a heavy lineage is evaluated twice — persist it
+    before calling, as with the DataFrame-native batch forms.
 
     Two scoring paths (``impl``):
     - ``expr``: broadcast join + distance expression per (row, query).
@@ -127,19 +130,24 @@ def knn_join(
 
     # BOTH impls broadcast the query table (the expr path as a broadcast
     # join, the arrow path as a task closure) — fine for the documented
-    # ≤100k contract, a quadratic-memory cliff beyond it. One capped
-    # count enforces the cap AND decides impl='auto' (never a full count
-    # of a possibly-large query table).
+    # ≤100k contract, a quadratic-memory cliff beyond it. A cheap 4-row
+    # probe resolves impl='auto' AND skips the capped count entirely for
+    # tiny batches (the common lateral shape, where a heavy query
+    # lineage would otherwise pay an up-to-100k scan per call); only a
+    # batch that proves ≥4 rows pays the cap scan. Neither probe is ever
+    # a full count of a possibly-large query table.
     MAX_BROADCAST_QUERIES = 100_000
-    nq = queries.limit(MAX_BROADCAST_QUERIES + 1).count()
-    if nq > MAX_BROADCAST_QUERIES:
-        raise ValueError(
-            f"knn_join broadcasts the query table and scores every "
-            f"row x query pair; got more than {MAX_BROADCAST_QUERIES} "
-            "query rows. Use the DataFrame-native ANN batch forms "
-            "(ivf_search_df / hnsw_search_df, unbounded) or shard the "
-            "batch."
-        )
+    nq = queries.limit(4).count()
+    if nq >= 4:
+        nq = queries.limit(MAX_BROADCAST_QUERIES + 1).count()
+        if nq > MAX_BROADCAST_QUERIES:
+            raise ValueError(
+                f"knn_join broadcasts the query table and scores every "
+                f"row x query pair; got more than {MAX_BROADCAST_QUERIES} "
+                "query rows. Use the DataFrame-native ANN batch forms "
+                "(ivf_search_df / hnsw_search_df, unbounded) or shard the "
+                "batch."
+            )
     if impl == "auto":
         impl = "arrow" if nq >= 4 and metric in ("l2sq", "cos", "inner") else "expr"
 
