@@ -1872,6 +1872,41 @@ def hnsw_search_batch(
     )
 
 
+_INTEGRAL_TYPES = ("tinyint", "smallint", "int", "bigint")
+
+
+def _surrogate_key_queries(
+    queries: DataFrame, q_id_col: str, q_vec_col: str
+) -> DataFrame:
+    """Zip a non-integral q_id to a long surrogate the graph kernels can
+    key (they index int64 TIDs, like the reference's scan). The eager
+    localCheckpoint pins ``monotonically_increasing_id``'s otherwise
+    recomputation-unstable values so the search and the restore join
+    read the SAME mapping — the same pinning the filtered form's round
+    loop uses. Returns (__orig_qid, <q_id_col>=surrogate long, vec)."""
+    return (
+        queries.select(F.col(q_id_col).alias("__orig_qid"), F.col(q_vec_col))
+        .withColumn(q_id_col, F.monotonically_increasing_id())
+        .localCheckpoint(eager=True)
+    )
+
+
+def _restore_surrogate(
+    result: DataFrame, keyed: DataFrame, q_id_col: str, tail_cols: list
+) -> DataFrame:
+    """Swap the surrogate back for the caller's q_id values — ONE
+    equi-join on the long key (AQE broadcasts the mapping when small);
+    persisted-intermediate attachments carry through for release()."""
+    mapping = keyed.select(F.col(q_id_col).alias("__sk"), "__orig_qid")
+    out = result.join(mapping, result["q_id"] == mapping["__sk"]).select(
+        F.col("__orig_qid").alias("q_id"), *tail_cols
+    )
+    inner = result.__dict__.get("_lantern_persisted")
+    if inner:
+        out.__dict__["_lantern_persisted"] = inner
+    return out
+
+
 def hnsw_search_df(
     index: HnswIndex,
     queries: DataFrame,
@@ -1900,14 +1935,28 @@ def hnsw_search_df(
     re-ranks an 8x-oversampled ADC candidate set exactly, like
     ``hnsw_search_batch``.
 
-    Returns (q_id bigint, <id_col>, dist). cos queries with zero norm
-    are DROPPED (undefined angle, distance.py's NULL convention).
-    Reference parity: scan.c:167-238 is per-query; this is the batch
-    recast that scales it."""
+    Returns (q_id, <id_col>, dist) — ``q_id`` keeps the caller's column
+    TYPE: integral q_ids ride the graph kernels' int64 keys directly;
+    any other type (string eval ids, decimals, …) is zipped to a long
+    surrogate, searched, and restored after the merge at the cost of
+    one extra equi-join (the scan contract is label-agnostic — TIDs,
+    scan.c:302-308 — so the batch form is too). Duplicate q_id VALUES
+    are per-row under the wrap (each row keeps its own top-k) but
+    merged on the integral fast path — give rows distinct ids. cos
+    queries with zero norm are DROPPED (undefined angle, distance.py's
+    NULL convention). Reference parity: scan.c:167-238 is per-query;
+    this is the batch recast that scales it."""
     from pyspark.sql import Window
 
     if nprobe is not None and nprobe < 1:
         raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    if queries.schema[q_id_col].dataType.simpleString() not in _INTEGRAL_TYPES:
+        keyed = _surrogate_key_queries(queries, q_id_col, q_vec_col)
+        inner = hnsw_search_df(
+            index, keyed.drop("__orig_qid"), k=k, ef=ef, deleted=deleted,
+            nprobe=nprobe, base=base, q_id_col=q_id_col, q_vec_col=q_vec_col,
+        )
+        return _restore_surrogate(inner, keyed, q_id_col, [index.id_col, "dist"])
     rerank = index.quant == "pq" and base is not None
     kk = k * 8 if rerank else k
     ef = max(ef, kk)
@@ -2116,10 +2165,23 @@ def hnsw_search_df_filtered(
     returns); pass the result through ``plans.shape.release`` after
     materializing to free them.
 
-    Returns (q_id, <id_col>, <base columns...>, dist)."""
+    Returns (q_id, <id_col>, <base columns...>, dist) — ``q_id`` keeps
+    the caller's column type via the same surrogate-key wrap as
+    ``hnsw_search_df`` (non-integral q_ids zip to a long, search, and
+    restore after; one extra join)."""
     from pyspark.sql import Window
 
     from lanterndb_spark.plans.shape import attach_persisted
+
+    if queries.schema[q_id_col].dataType.simpleString() not in _INTEGRAL_TYPES:
+        keyed = _surrogate_key_queries(queries, q_id_col, q_vec_col)
+        inner = hnsw_search_df_filtered(
+            index, base, keyed.drop("__orig_qid"), pred, k=k, ef=ef,
+            deleted=deleted, nprobe=nprobe, q_id_col=q_id_col,
+            q_vec_col=q_vec_col, max_rounds=max_rounds,
+        )
+        tail = [c for c in inner.columns if c != "q_id"]
+        return _restore_surrogate(inner, keyed, q_id_col, tail)
 
     width = max(int(ef), int(k))
     qsel = queries.select(

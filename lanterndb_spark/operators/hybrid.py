@@ -35,10 +35,16 @@ def _joint(terms, metric) -> Column:
     return reduce(lambda a, b: a + b, parts)
 
 
-def _index_candidate_ids(idx, q, ef: int, id_col: str) -> DataFrame:
+def _index_candidate_ids(idx, q, ef: int, id_col: str, metric: str = "l2sq") -> DataFrame:
     """Top-ef ids for one term from an ANN index (the reference's
     candidate queries run against the per-column HNSW indexes,
-    lantern.sql:769-806 — here the IVF / SRP backends stand in)."""
+    lantern.sql:769-806 — here the IVF / SRP backends stand in).
+
+    ``metric`` is the joint metric: the reference's candidate queries
+    rank by ``col_i <op> vec_i`` with the SAME op as the joint score
+    (lantern.sql:769-806), so it forwards to the ivf/srp rerank. An
+    hnsw graph bakes its metric at build — a mismatch raises rather
+    than silently ranking candidates by a different distance."""
     from lanterndb_spark.operators.hnsw import HnswIndex, hnsw_candidates
     from lanterndb_spark.operators.ivf import IvfIndex, ivf_search
     from lanterndb_spark.operators.lsh import SrpIndex, srp_search
@@ -46,10 +52,15 @@ def _index_candidate_ids(idx, q, ef: int, id_col: str) -> DataFrame:
     if not isinstance(q, list):
         raise TypeError("index-backed candidate terms need a list query vector")
     if isinstance(idx, SrpIndex):
-        return srp_search(idx, q, k=ef, id_col=id_col).select(id_col)
+        return srp_search(idx, q, k=ef, metric=metric, id_col=id_col).select(id_col)
     if isinstance(idx, IvfIndex):
-        return ivf_search(idx, q, k=ef, id_col=id_col).select(id_col)
+        return ivf_search(idx, q, k=ef, metric=metric, id_col=id_col).select(id_col)
     if isinstance(idx, HnswIndex):
+        if idx.metric != metric:
+            raise ValueError(
+                f"hnsw index was built with metric={idx.metric!r}; candidate "
+                f"ranking for a {metric!r} joint needs a matching graph"
+            )
         # the graph backend IS the reference's per-column candidate index
         # (lantern.sql:769-806 runs these against lantern_hnsw indexes)
         return (
@@ -96,7 +107,7 @@ def weighted_vector_search(
         for (_w, col, q) in terms:
             idx = (indexes or {}).get(col)
             if idx is not None:
-                ids = _index_candidate_ids(idx, q, ef, id_col)
+                ids = _index_candidate_ids(idx, q, ef, id_col, metric=metric)
                 candidates.append(base.join(F.broadcast(ids), id_col, "left_semi"))
                 continue
             qc = q if isinstance(q, Column) else query_vec(q)
@@ -155,6 +166,18 @@ def weighted_vector_search_df(
 
     if not terms:
         raise ValueError("need at least one (weight, col, query_col) term")
+    # the joint expression binds each term's query column AFTER the
+    # scoring join with the base rows — a query column sharing a base
+    # column's name would be ambiguous there (or silently bind to the
+    # wrong side), so reject the collision up front
+    clash = sorted(
+        {qc for (_w, _c, qc) in terms} & set(df.columns)
+    )
+    if clash:
+        raise ValueError(
+            f"query vector column(s) {clash} collide with base df columns; "
+            "rename the query columns before calling"
+        )
     cand_parts = []
     for (_w, col, qcol) in terms:
         qsel = queries.select(q_id_col, qcol)
@@ -172,21 +195,17 @@ def weighted_vector_search_df(
                 from lanterndb_spark.operators.hnsw import hnsw_search_df
 
                 # the graph batch form keys results by the graph's own
-                # id column and emits a literal long "q_id" — restore the
-                # caller's names/types so the union and joins line up
-                # (same recovery as LanternTable.knn_batch's hnsw route)
+                # id column and emits a literal "q_id" (long on the
+                # integral fast path, the caller's type under the
+                # surrogate-key wrap) — restore the caller's names/types
+                # so the union and joins line up (same recovery as
+                # LanternTable.knn_batch's hnsw route)
                 if getattr(idx, "id_col", id_col) != id_col:
                     raise ValueError(
                         f"index on {col!r} is keyed by "
                         f"{idx.id_col!r}, not id_col={id_col!r}"
                     )
                 q_id_type = queries.schema[q_id_col].dataType.simpleString()
-                if q_id_type not in ("tinyint", "smallint", "int", "bigint"):
-                    raise ValueError(
-                        "hnsw-backed candidate stages need an integral "
-                        f"q_id column; got {q_id_type} — use an ivf index "
-                        "or exact stages for other q_id types"
-                    )
                 ids = hnsw_search_df(
                     idx, qsel, k=ef, q_id_col=q_id_col, q_vec_col=qcol
                 ).select(

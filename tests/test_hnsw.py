@@ -839,3 +839,53 @@ def test_search_df_filtered_equals_driver_form(emb, spark):
     release(got2)
     assert not (ids2 & dead)
     idx.graphs.unpersist()
+
+
+def test_search_df_string_q_ids_equal_long(index, emb, spark):
+    """Non-integral q_ids ride the surrogate-key wrap: a string-keyed
+    query frame answers exactly what the long-keyed frame answers, with
+    the caller's ids (and type) restored in the output."""
+    from lanterndb_spark.operators.hnsw import hnsw_search_df
+
+    qs = [qvec(emb, i) for i in (1, 5, 9, 23, 44)]
+    ldf = spark.createDataFrame(
+        [(i, q) for i, q in enumerate(qs)], "q_id long, query array<double>"
+    )
+    sdf = spark.createDataFrame(
+        [(f"eval/{i}", q) for i, q in enumerate(qs)],
+        "q_id string, query array<double>",
+    )
+    got_l = hnsw_search_df(index, ldf, k=5, ef=32).collect()
+    out = hnsw_search_df(index, sdf, k=5, ef=32)
+    assert out.schema["q_id"].dataType.simpleString() == "string"
+    got_s = out.collect()
+    key_l = sorted((f"eval/{r['q_id']}", r["vec_id"], round(r["dist"], 9)) for r in got_l)
+    key_s = sorted((r["q_id"], r["vec_id"], round(r["dist"], 9)) for r in got_s)
+    assert key_s == key_l
+
+
+def test_search_df_filtered_string_q_ids_equal_long(emb, index, spark):
+    """The filtered batch form keeps the caller's q_id type too —
+    including through escalation rounds and the exact fallback."""
+    from lanterndb_spark.operators.hnsw import hnsw_search_df_filtered
+    from lanterndb_spark.plans.shape import release
+
+    qids = [0, 7, 13]
+    pred = F.col("label") == 1
+    base_q = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("query")
+    )
+    sdf = base_q.select(
+        F.concat(F.lit("q/"), F.col("q_id").cast("string")).alias("q_id"),
+        "query",
+    )
+    got_l = hnsw_search_df_filtered(index, emb, base_q, pred, k=5, ef=8, max_rounds=2)
+    rows_l = got_l.collect()
+    release(got_l)
+    got_s = hnsw_search_df_filtered(index, emb, sdf, pred, k=5, ef=8, max_rounds=2)
+    assert got_s.schema["q_id"].dataType.simpleString() == "string"
+    rows_s = got_s.collect()
+    release(got_s)
+    key_l = sorted((f"q/{r['q_id']}", r["vec_id"], round(r["dist"], 9)) for r in rows_l)
+    key_s = sorted((r["q_id"], r["vec_id"], round(r["dist"], 9)) for r in rows_s)
+    assert key_s == key_l

@@ -243,7 +243,9 @@ def test_batch_hnsw_candidate_stage_and_column_contract(hybrid_df, spark):
     hidx.graphs.unpersist()
 
 
-def test_batch_hnsw_stage_rejects_string_q_ids(hybrid_df, spark):
+def test_batch_hnsw_stage_string_q_ids_match_long(hybrid_df, spark):
+    """String-keyed query frames work on the hnsw route (surrogate-key
+    wrap) and answer exactly what the long-keyed run answers."""
     from lanterndb_spark.operators.hnsw import build_hnsw
     from lanterndb_spark.operators.hybrid import weighted_vector_search_df
 
@@ -251,13 +253,81 @@ def test_batch_hnsw_stage_rejects_string_q_ids(hybrid_df, spark):
         hybrid_df.select("id", "v1"), "v1", id_col="id", m=8,
         ef_construction=32, num_shards=2, seed=1,
     )
+    qids = [0, 7]
+    qs = {i: q_of(hybrid_df, i) for i in qids}
+    terms = [(1.0, "v1", "qv1"), (0.5, "v2", "qv2")]
+    sdf = spark.createDataFrame(
+        [(f"q-{i}", qs[i][0], qs[i][1]) for i in qids],
+        "q_id string, qv1 array<double>, qv2 array<double>",
+    )
+    ldf = spark.createDataFrame(
+        [(i, qs[i][0], qs[i][1]) for i in qids],
+        "q_id long, qv1 array<double>, qv2 array<double>",
+    )
+    got_s = weighted_vector_search_df(
+        hybrid_df, terms, sdf, ef=20, limit=10, indexes={"v1": hidx}
+    ).collect()
+    got_l = weighted_vector_search_df(
+        hybrid_df, terms, ldf, ef=20, limit=10, indexes={"v1": hidx}
+    ).collect()
+    key_s = sorted((r["q_id"], r["id"], round(r["joint_dist"], 9)) for r in got_s)
+    key_l = sorted((f"q-{r['q_id']}", r["id"], round(r["joint_dist"], 9)) for r in got_l)
+    assert key_s == key_l
+    hidx.graphs.unpersist()
+
+
+def test_batch_qcol_collision_raises(hybrid_df, spark):
+    """A query vector column sharing a base column's name would make the
+    joint expression ambiguous at the scoring join — rejected up front."""
+    from lanterndb_spark.operators.hybrid import weighted_vector_search_df
+
     q1, q2 = q_of(hybrid_df, 0)
     qdf = spark.createDataFrame(
-        [("q-0", q1, q2)], "q_id string, qv1 array<double>, qv2 array<double>"
+        [(0, q1, q2)], "q_id int, v1 array<double>, qv2 array<double>"
     )
-    with pytest.raises(ValueError, match="integral q_id"):
+    with pytest.raises(ValueError, match="collide"):
         weighted_vector_search_df(
-            hybrid_df, [(1.0, "v1", "qv1"), (0.5, "v2", "qv2")], qdf,
-            ef=10, indexes={"v1": hidx},
+            hybrid_df, [(1.0, "v1", "v1"), (0.5, "v2", "qv2")], qdf, ef=10
+        )
+
+
+def test_index_candidate_stage_forwards_metric(hybrid_df):
+    """The single-query candidate stage must rank index-backed candidates
+    by the JOINT metric (lantern.sql:769-806 uses the same <op> per
+    column): a full-probe ivf term under cos must equal the exact-scan
+    candidate path under cos, which differs from l2sq ranking at small
+    ef on unnormalized vectors."""
+    from lanterndb_spark.operators.hybrid import weighted_vector_search
+    from lanterndb_spark.operators.ivf import build_ivf
+
+    idx = build_ivf(hybrid_df.select("id", "v1"), "v1", nlist=4, seed=42)
+    q1, _q2 = q_of(hybrid_df, 5)
+    terms = [(1.0, "v1", q1)]
+    with_idx = weighted_vector_search(
+        hybrid_df, terms, metric="cos", ef=8, limit=8, indexes={"v1": idx}
+    ).collect()  # default nprobe=4 == nlist → full probe
+    exact_stage = weighted_vector_search(
+        hybrid_df, terms, metric="cos", ef=8, limit=8
+    ).collect()
+    key = lambda rows: [(r["id"], round(r["joint_dist"], 9)) for r in rows]
+    assert key(with_idx) == key(exact_stage)
+
+
+def test_hnsw_candidate_stage_rejects_metric_mismatch(hybrid_df):
+    """An hnsw graph bakes its metric at build; asking for candidates
+    under a different joint metric must raise, not silently rank by the
+    graph's distance."""
+    from lanterndb_spark.operators.hnsw import build_hnsw
+    from lanterndb_spark.operators.hybrid import weighted_vector_search
+
+    hidx = build_hnsw(
+        hybrid_df.select("id", "v1"), "v1", id_col="id", m=8,
+        ef_construction=32, num_shards=2, seed=1,
+    )  # metric defaults to l2sq
+    q1, _q2 = q_of(hybrid_df, 0)
+    with pytest.raises(ValueError, match="matching graph"):
+        weighted_vector_search(
+            hybrid_df, [(1.0, "v1", q1)], metric="cos", ef=10,
+            indexes={"v1": hidx},
         )
     hidx.graphs.unpersist()
