@@ -1402,6 +1402,42 @@ def q_autotune_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_autotune_batch_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch autotune contract, hash-checked: the grid runs through
+    ``ivf_search_df`` (the eval-scale batch form) instead of the
+    driver-list search — full-probe variants must measure recall
+    exactly 1.0 on BOTH scoring kernels, recall per (nlist, nprobe)
+    must be impl-invariant (batch results equal the driver-list form by
+    construction), and the chosen best must meet the caller's target.
+    Mirrors the reference's recall+latency-per-variant table
+    (index_autotune/mod.rs:220-254) with batch wall time as the latency
+    column."""
+    from lanterndb_spark.operators.autotune import autotune_ivf_batch
+
+    emb = _emb(spark, sf_dir)
+    best, results = autotune_ivf_batch(
+        emb, "embedding", "vec_id", k=10,
+        nlist_grid=(4,), nprobe_grid=(1, 4), impl_grid=("expr", "arrow"),
+        n_queries=5, target_recall=0.5,
+    )
+    full = [r for r in results if r.params["nprobe"] >= r.params["nlist"]]
+    by_cfg: dict = {}
+    for r in results:
+        by_cfg.setdefault(
+            (r.params["nlist"], r.params["nprobe"]), set()
+        ).add(round(r.recall, 12))
+    return spark.createDataFrame(
+        [(
+            len(results),
+            bool(full) and all(abs(r.recall - 1.0) < 1e-12 for r in full),
+            all(len(v) == 1 for v in by_cfg.values()),
+            best is not None and best.recall >= 0.5,
+        )],
+        "n_grid int, full_probe_recall_one boolean, "
+        "recall_impl_invariant boolean, best_meets_target boolean",
+    )
+
+
 def q_hnsw_exact_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-probe HNSW == exact knn: with ef >= n every shard beam
     degenerates to its exact local scan and the global merge must
@@ -1607,6 +1643,48 @@ def q_streaming_ann_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(n, ingest.batches >= 3, assign_eq)],
         "n_vectors bigint, micro_batched boolean, assignments_equal boolean",
+    )
+
+
+def q_streaming_annbatch_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mid-ingest batch search == exact knn: stream half the embeddings
+    into an AnnIngest over an IVF index built on the other half (real
+    micro-batches, maxFilesPerTrigger=1 over 2 files), tombstone one
+    base id and one streamed id, then run the DataFrame-native batch
+    search over the LIVE view (``AnnIngest.search_df`` →
+    ``ivf_search_df``) at full probe WITHOUT compacting — an eval pass
+    running mid-ingest must see exactly base ∪ deltas minus tombstones.
+    Oracle = DuckDB exact knn per query id over the full table minus
+    the tombstoned ids, unioned."""
+    import tempfile
+
+    from lanterndb_spark.operators.ivf import build_ivf
+    from lanterndb_spark.streaming.ann import ann_ingest_stream
+
+    emb = _emb(spark, sf_dir)
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    arriving = emb.filter(F.col("vec_id") % 2 == 1)
+    idx = build_ivf(base, "embedding", nlist=8, seed=42)
+    ingest = ann_ingest_stream(idx, id_col="vec_id")
+    src = tempfile.mkdtemp(prefix="lantern_annbatch_stream_")
+    arriving.repartition(2).write.mode("overwrite").parquet(src)
+    q = (
+        spark.readStream.schema(_EMB_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(ingest.writer())
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), (
+        "availableNow stream did not drain within 180 s (harness timeout, not a correctness failure)"
+    )
+    ingest.delete([2, 3])  # one base row, one streamed row
+    qdf = emb.filter(F.col("vec_id").isin([0, 7, 13])).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("query")
+    )
+    return _round_out(
+        ingest.search_df(qdf, k=10, nprobe=8), ["q_id", "vec_id"], "dist"
     )
 
 
@@ -4677,6 +4755,18 @@ def oracle_sql() -> dict[str, str]:
             ) t{qid}"""
             for qid in (0, 7, 13)
         ),
+        "streaming_annbatch_equiv": " UNION ALL ".join(
+            f"""SELECT q_id, vec_id, round(dist, {ROUND}) + 0.0 AS dist
+            FROM (
+              SELECT {qid} AS q_id, vec_id,
+                     {duck_l2sq('embedding',
+                         f'(SELECT embedding FROM embeddings WHERE vec_id = {qid})')}
+                     AS dist
+              FROM embeddings WHERE vec_id NOT IN (2, 3)
+              ORDER BY dist, vec_id LIMIT 10
+            ) t{qid}"""
+            for qid in (0, 7, 13)
+        ),
         "ivfdf_exact_equiv": " UNION ALL ".join(
             f"""SELECT q_id, vec_id, round(dist, {ROUND}) + 0.0 AS dist
             FROM (
@@ -4780,6 +4870,10 @@ def oracle_sql() -> dict[str, str]:
         "autotune_invariants": """
             SELECT CAST(2 AS INT) AS n_grid, true AS full_probe_recall_one,
                    true AS best_meets_target
+        """,
+        "autotune_batch_invariants": """
+            SELECT CAST(4 AS INT) AS n_grid, true AS full_probe_recall_one,
+                   true AS recall_impl_invariant, true AS best_meets_target
         """,
         "multimodal_invariants": """
             SELECT CAST(least(200, count(*)) AS BIGINT) AS n_media,
@@ -6014,6 +6108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_batch": q_hybrid_batch,
         "hybrid_batch_indexed": q_hybrid_batch_indexed,
         "hnswdf_filtered_equiv": q_hnswdf_filtered_equiv,
+        "streaming_annbatch_equiv": q_streaming_annbatch_equiv,
         "streaming_semdedup_equiv": q_streaming_semdedup_equiv,
         "ivfsq_knn": q_ivfsq_knn,
         # operator code changed this round (index-reuse path):
@@ -6021,6 +6116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # newest-green r5 (all 34 — age 4, overdue):
         "dedup_sketch_invariants": q_dedup_sketch_invariants,
         "autotune_invariants": q_autotune_invariants,
+        "autotune_batch_invariants": q_autotune_batch_invariants,
         "embed_invariants": q_embed_invariants,
         "bm25_score": q_bm25_score,
         "hybrid_candidate": q_hybrid_candidate,

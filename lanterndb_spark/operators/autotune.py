@@ -120,6 +120,87 @@ def autotune_ivf(
     return best, results
 
 
+def autotune_ivf_batch(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+    nlist_grid: tuple[int, ...] = (4, 8, 16),
+    nprobe_grid: tuple[int, ...] = (1, 2, 4),
+    impl_grid: tuple[str, ...] = ("expr", "arrow"),
+    salt_grid: tuple[int, ...] = (8,),
+    n_queries: int = 64,
+    target_recall: float = 0.9,
+    seed: int = 42,
+) -> tuple[TuneResult | None, list[TuneResult]]:
+    """Batch-throughput twin of :func:`autotune_ivf`: the single-query
+    grid measures per-call latency, but at eval scale the operative
+    knobs are the BATCH form's — (nlist, nprobe) for recall plus
+    (impl, salt) for ``ivf_search_df``'s scoring kernel — and the
+    operative metric is wall time for the whole batch. Same
+    recall+latency-per-variant table and find_best_variant selection as
+    the reference (index_autotune/mod.rs:220-254, :161-186), with the
+    grid run through ``ivf_search_df`` over an n_queries-row query
+    DataFrame. ``params['batch_s']`` records each variant's batch wall
+    time; ``latency_s`` stays per-query (batch_s / n_queries) so
+    results compare against the single-query grid directly.
+
+    impl/salt change latency only — batch results are exactly the
+    driver-list form's (same routing argsort, same tie window), so
+    recall per (nlist, nprobe) is impl-invariant by construction; the
+    grid measures which kernel is fastest at THIS batch density."""
+    from lanterndb_spark.operators.ivf import build_ivf, ivf_search_df
+    from lanterndb_spark.plans.shape import release
+
+    spark = df.sparkSession
+    queries = sample_queries(df, vec_col, n=n_queries, seed=seed)
+    truth = exact_topk_batch(df, vec_col, queries, k=k, id_col=id_col)
+    qdf = spark.createDataFrame(
+        [(i, q) for i, q in enumerate(queries)], "q_id int, query array<double>"
+    ).persist()
+    qdf.count()
+    results: list[TuneResult] = []
+    for nlist in nlist_grid:
+        t0 = time.monotonic()
+        index = build_ivf(df, vec_col, nlist=nlist, seed=seed)
+        index.assigned.cache().count()
+        build_s = time.monotonic() - t0
+        for nprobe in nprobe_grid:
+            if nprobe > nlist:
+                continue
+            for impl in impl_grid:
+                for salt in salt_grid:
+                    t1 = time.monotonic()
+                    res = ivf_search_df(
+                        index, qdf, k=k, nprobe=nprobe, id_col=id_col,
+                        impl=impl, salt=salt,
+                    )
+                    got = _collect_by_query(res, id_col)
+                    batch_s = time.monotonic() - t1
+                    release(res)
+                    recs = [
+                        recall_at_k(got.get(qi, []), truth.get(qi, []))
+                        for qi in range(len(queries))
+                    ]
+                    results.append(
+                        TuneResult(
+                            {
+                                "nlist": nlist, "nprobe": nprobe,
+                                "impl": impl, "salt": salt,
+                                "batch_s": round(batch_s, 3),
+                            },
+                            sum(recs) / len(recs),
+                            batch_s / len(queries),
+                            build_s,
+                        )
+                    )
+        index.assigned.unpersist()
+    qdf.unpersist()
+    ok = [r for r in results if r.recall >= target_recall]
+    best = min(ok, key=lambda r: r.latency_s) if ok else None
+    return best, results
+
+
 def autotune_srp(
     df: DataFrame,
     vec_col: str,

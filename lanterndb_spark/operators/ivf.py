@@ -267,16 +267,17 @@ def ivf_search_df(
        (q_id, query_vec, cluster_id) × nprobe. Same argsort order as
        :func:`ivf_search`, so per-query results are identical to the
        driver-list form by construction. No driver collect of queries.
-    2. prune — a second, skinny routing pass (cluster ids + counts, no
-       vectors) feeds a map-side-combined per-cluster ``sum``; the
-       collected stats are bounded by ``nlist`` rows, turn the probed
-       union into a static ``isin`` the scan can push down
-       (PartitionFilters on a ``partitionBy(cluster_id)`` layout — a
-       batch touching p clusters reads p/nlist of the data), AND decide
-       the ``auto`` density gate for free (every query emits exactly
-       nprobe routed rows, so the counts sum to nq·nprobe).
-       ``prune=False`` skips the extra pass when the batch is known to
-       probe everything; the gate then runs its own capped count.
+    2. prune — the routed frame persists and a map-side-combined
+       per-cluster count aggregates over the CACHE (so routing runs
+       once; the scoring stage reuses the cached rows); the collected
+       stats are bounded by ``nlist`` rows, turn the probed union into
+       a static ``isin`` the scan can push down (PartitionFilters on a
+       ``partitionBy(cluster_id)`` layout — a batch touching p clusters
+       reads p/nlist of the data), AND decide the ``auto`` density gate
+       for free (every query emits exactly nprobe routed rows, so the
+       counts sum to nq·nprobe). ``prune=False`` skips the pass (and
+       the cache) when the batch is known to probe everything; the gate
+       then runs its own capped count.
     3. score — two impls, routed by query density (``impl='auto'``):
 
        - ``expr``: shuffle equi-join base ⋈ routed on cluster_id (plain
@@ -319,12 +320,13 @@ def ivf_search_df(
     required (it is the deterministic tie-break and keeps the combiner
     schema skinny).
 
-    NOTE: the queries lineage is evaluated twice (the prune pass — which
-    also measures the ``auto`` density gate for free, since every query
-    emits exactly nprobe routed rows — and the scoring route; with
-    ``prune=False`` the gate runs its own limit-capped count instead).
-    If ``queries`` sits on a heavy lineage (joins, shuffles), persist it
-    before calling, as the smokes and bench do."""
+    The queries lineage is evaluated ONCE: with ``prune`` on, the routed
+    frame is persisted and the prune stats (which also decide the
+    ``auto`` density gate for free — every query emits exactly nprobe
+    routed rows) aggregate over the cache, which the scoring route then
+    reuses; call ``plans.shape.release`` on the result after
+    materializing to free it. With ``prune=False`` there is no second
+    pass to collapse (the gate runs a limit-capped count, bounded)."""
     from pyspark.sql import Window
 
     from lanterndb_spark.functions.distance import distance
@@ -391,24 +393,23 @@ def ivf_search_df(
             "cluster_id", id_col, index.vec_col
         )
     probed_stats = None
+    cached_routed = None
     if prune and np_eff < index.nlist:
-        def route_ids(batches):
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                for _, _, probes in _route_block(pdf):
-                    cl, cnt = np.unique(probes, return_counts=True)
-                    yield pd.DataFrame({
-                        "cluster_id": cl.astype(np.int32),
-                        "cnt": cnt.astype(np.int64),
-                    })
-
+        # ONE evaluation of the queries lineage: the routed frame is
+        # persisted and the prune stats aggregate over the CACHE (the
+        # collect materializes it), so the scoring route reads cached
+        # (qid, vec, cluster) rows instead of re-running routing — and a
+        # heavy upstream lineage (join-derived eval sets, hybrid batch
+        # candidate unions) pays once. The cache holds nq·nprobe skinny
+        # rows across executors; it is attached to the result for
+        # plans.shape.release(), like hnsw_search_df_filtered's rounds.
+        cached_routed = routed.persist()
         probed_stats = (
-            qsel.mapInPandas(route_ids, "cluster_id int, cnt long")
-            .groupBy("cluster_id")
-            .agg(F.sum("cnt").alias("cnt"))
+            cached_routed.groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).alias("cnt"))
             .collect()  # bounded: <= nlist rows, map-side-combined agg
         )
+        routed = cached_routed
         probed = [int(r["cluster_id"]) for r in probed_stats]
         base = base.filter(F.col("cluster_id").isin(probed))
     data = widen_partitions(base)
@@ -544,11 +545,16 @@ def ivf_search_df(
         partial_topk, f"__qid {q_id_type}, {id_col} {id_type}, dist double"
     )
     w = Window.partitionBy("__qid").orderBy(F.col("dist").asc(), F.col(id_col).asc())
-    return (
+    out = (
         cand.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .select(F.col("__qid").alias(q_id_col), id_col, "dist")
     )
+    if cached_routed is not None:
+        from lanterndb_spark.plans.shape import attach_persisted
+
+        out = attach_persisted(out, cached_routed)
+    return out
 
 
 def ivf_assign(index: IvfIndex, delta: DataFrame, cluster_col: str = "cluster_id") -> DataFrame:

@@ -94,6 +94,29 @@ class AnnIngest:
         ivf_search / ivf_search_batch (nprobe pruning included)."""
         return IvfIndex(self.searchable(), self.index.centroids, self.index.vec_col)
 
+    def search_df(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        nprobe: int = 4,
+        metric: str = "l2sq",
+        id_col: str | None = None,
+        **search_params,
+    ) -> DataFrame:
+        """DataFrame-native batch ANN over the LIVE view (base ∪ deltas
+        MINUS tombstones) — an eval pass can run mid-ingest, unbounded
+        query volume, without compacting first. Same contract as
+        ``operators.ivf.ivf_search_df`` (queries route executor-side to
+        their nprobe centroids); the cluster ``isin`` prune covers the
+        streamed deltas too, since ``ivf_assign`` stamps every delta
+        row's cluster_id against the frozen centroids."""
+        from lanterndb_spark.operators.ivf import ivf_search_df
+
+        return ivf_search_df(
+            self.as_index(), queries, k=k, nprobe=nprobe, metric=metric,
+            id_col=id_col or self.id_col, **search_params,
+        )
+
     def compact(self) -> IvfIndex:
         """REINDEX-lite: fold deltas + tombstones into one clean assigned
         DataFrame under the SAME centroids (persist/write it to retire the

@@ -442,3 +442,52 @@ def test_search_df_rejects_bad_salt(emb, index):
 
     with pytest.raises(ValueError, match="salt"):
         ivf_search_df(index, _qdf(emb, [3]), k=3, id_col="vec_id", salt=0)
+
+
+def test_search_df_evaluates_queries_once(emb, index, spark):
+    """With prune on, the queries lineage must be evaluated exactly once
+    (the routed frame is cached; the prune stats and the scoring route
+    share it) — a side-effect-counting query source proves it."""
+    from lanterndb_spark.operators.ivf import ivf_search_df
+    from lanterndb_spark.plans.shape import release
+
+    calls = spark.sparkContext.accumulator(0)
+
+    @F.udf("array<double>")
+    def tracked(v):
+        calls.add(1)
+        return v
+
+    qdf = _qdf(emb, [3, 11, 17]).select(
+        "q_id", tracked(F.col("query")).alias("query")
+    )
+    out = ivf_search_df(index, qdf, k=5, nprobe=4, id_col="vec_id")
+    rows = out.collect()
+    release(out)
+    assert rows  # the search itself worked
+    assert calls.value == 3  # one evaluation per query row, not two
+
+
+def test_autotune_ivf_batch_grid(emb):
+    """Batch-throughput grid: full probe measures recall 1.0 on BOTH
+    scoring kernels, recall per (nlist, nprobe) is impl-invariant (the
+    batch form equals the driver-list form exactly), and the selected
+    best meets the caller's target with a recorded batch wall time."""
+    from lanterndb_spark.operators.autotune import autotune_ivf_batch
+
+    best, results = autotune_ivf_batch(
+        emb, "embedding", "vec_id", k=10,
+        nlist_grid=(4,), nprobe_grid=(1, 4), impl_grid=("expr", "arrow"),
+        n_queries=6, target_recall=0.5,
+    )
+    assert len(results) == 4  # 1 nlist x 2 nprobe x 2 impl x 1 salt
+    full = [r for r in results if r.params["nprobe"] >= r.params["nlist"]]
+    assert full and all(abs(r.recall - 1.0) < 1e-12 for r in full)
+    by_cfg = {}
+    for r in results:
+        by_cfg.setdefault(
+            (r.params["nlist"], r.params["nprobe"]), set()
+        ).add(round(r.recall, 12))
+    assert all(len(v) == 1 for v in by_cfg.values())
+    assert best is not None and best.recall >= 0.5
+    assert best.params["batch_s"] > 0

@@ -93,3 +93,54 @@ def test_streamed_rows_searchable_and_tombstoned(spark, tmp_path, split):
     assert ingest.deltas == [] and ingest.tombstone_ids == []
     n_expected = base.count() + new.count() - 1
     assert folded.assigned.count() == n_expected
+
+
+def test_batch_search_mid_ingest_matches_driver_form(spark, tmp_path, split):
+    """stream==batch parity: after N ingest batches, the DataFrame-native
+    batch search over the live view answers exactly what the driver-list
+    form answers query-for-query — an eval pass can run mid-ingest."""
+    base, new = split
+    idx = build_ivf(base, "embedding", nlist=8, seed=42)
+    ingest = ann_ingest_stream(idx, id_col="vec_id")
+    q = (
+        _stream_new(spark, tmp_path, new)
+        .writeStream.foreachBatch(ingest.writer())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert ingest.batches >= 2
+
+    # query batch mixes base rows and mid-stream-ingested rows
+    probe_rows = (
+        base.orderBy("vec_id").limit(8).collect()
+        + new.orderBy("vec_id").limit(8).collect()
+    )
+    qdf = spark.createDataFrame(
+        [(r["vec_id"], [float(x) for x in r["embedding"]]) for r in probe_rows],
+        "q_id bigint, query array<double>",
+    )
+    from lanterndb_spark.operators.ivf import ivf_search
+    from lanterndb_spark.plans.shape import release
+
+    out = ingest.search_df(qdf, k=5, nprobe=4)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["q_id"], []).append((round(r["dist"], 9), r["vec_id"]))
+    release(out)
+    live = ingest.as_index()
+    for r in probe_rows:
+        want = [
+            (round(x["dist"], 9), x["vec_id"])
+            for x in ivf_search(
+                live, [float(v) for v in r["embedding"]], k=5, nprobe=4,
+                id_col="vec_id",
+            ).collect()
+        ]
+        assert sorted(got[r["vec_id"]]) == sorted(want), f"q {r['vec_id']}"
+    # tombstoned rows disappear from the batch view immediately
+    dead = probe_rows[8]["vec_id"]  # an ingested row
+    ingest.delete([dead])
+    out2 = ingest.search_df(qdf, k=5, nprobe=8)
+    assert all(r["vec_id"] != dead for r in out2.collect())
+    release(out2)
