@@ -6071,97 +6071,54 @@ def oracle_sql() -> dict[str, str]:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering is deliberate, not alphabetical: the driver's correctness
     gate evaluates the FIRST 50 entries only (observed in r2: rows stop
-    after entry 50), and 140 of these 151 queries carry a DuckDB oracle.
+    after entry 50), and 142 of these 153 queries carry a DuckDB oracle.
 
     Rotation rule (amended per VERDICT r3/r4): never-green beats
     never-checked beats stale-green; newest-green age drives the rest,
     keeping every oracle-backed row's newest driver-green <= 3 rounds
     old where the 50-slot window allows. Rows whose operator code
     CHANGED this round also enter the window regardless of age.
+    Rows-only queries never occupy window slots (VERDICT r9 item 3 —
+    every slot should be able to go hash-green); their shadows do.
 
-    - Entries 1-50 (the round-9 window): the seven rows that have never
-      had a driver check (ivfdf_exact_equiv — NEW this round, the
-      DataFrame-native IVF batch search, VERDICT r8 item 2; bm25_batch
-      — NEW this round, the batch BM25 recast search_bm25_df;
-      hybrid_batch and hybrid_batch_indexed — NEW this round, the batch
-      weighted-vector-search recast weighted_vector_search_df, exact
-      and full-probe-index-routed candidate stages;
-      hnswdf_filtered_equiv; streaming_semdedup_equiv; ivfsq_knn —
-      rows-only, shadowed by ivfsq_exact_equiv), semdedup_ann_equiv
-      (embedding_near_dup_pairs gained index reuse this round), all
-      thirty-four rows whose newest green is round 5 (age 4 — overdue),
-      and the eight oldest-listed round-6 greens (age 3).
-    - Entries 51+: the remaining r6 greens (age 3, due next round),
-      then the forty-nine rows the driver proved green in round 8
+    - Entries 1-50 (the round-10 window): the two rows that have never
+      had a driver check (autotune_batch_invariants — NEW this round,
+      the batch-throughput autotune grid over ivf_search_df;
+      streaming_annbatch_equiv — NEW this round, mid-ingest
+      DataFrame-native batch search over the live streamed view), the
+      ten rows whose operator code changed this round (the hnsw batch
+      forms' surrogate-key q_id wrap, hybrid's metric forwarding +
+      collision guard, ivf_search_df's routing formulation + single-
+      evaluation cache, knn_join's probe change, autotune/streaming-ann
+      surfaces), then thirty-eight of the thirty-nine rows whose newest
+      green is round 6 (age 4 — overdue; weighted_sample deferred to
+      51+, the window is full).
+    - Entries 51+: weighted_sample (first in line next round), then the
+      rows the driver proved green in round 9, then the round-8 greens
       (youngest — safest to park). Still checked every round by
       tools/check_oracle.py and pytest.
-    - Final block: rows-only queries with no SQL-expressible oracle,
+    - Final block: rows-only queries with no SQL-expressible oracle
+      (including ivfsq_knn, swapped out of the r9 window per VERDICT),
       each shadowed by an oracle-backed *_exact_equiv / *_invariants /
       *_recall query.
     """
     return {
         # -- 1-50: the driver-checked window ------------------------------
-        # never driver-checked first (ivfdf_exact_equiv and bm25_batch
-        # are new this round)
+        # never driver-checked first (both new this round):
+        "autotune_batch_invariants": q_autotune_batch_invariants,
+        "streaming_annbatch_equiv": q_streaming_annbatch_equiv,
+        # operator code changed this round:
         "ivfdf_exact_equiv": q_ivfdf_exact_equiv,
-        "bm25_batch": q_bm25_batch,
+        "hnswdf_exact_equiv": q_hnswdf_exact_equiv,
+        "hnswdf_filtered_equiv": q_hnswdf_filtered_equiv,
         "hybrid_batch": q_hybrid_batch,
         "hybrid_batch_indexed": q_hybrid_batch_indexed,
-        "hnswdf_filtered_equiv": q_hnswdf_filtered_equiv,
-        "streaming_annbatch_equiv": q_streaming_annbatch_equiv,
-        "streaming_semdedup_equiv": q_streaming_semdedup_equiv,
-        "ivfsq_knn": q_ivfsq_knn,
-        # operator code changed this round (index-reuse path):
-        "semdedup_ann_equiv": q_semdedup_ann_equiv,
-        # newest-green r5 (all 34 — age 4, overdue):
-        "dedup_sketch_invariants": q_dedup_sketch_invariants,
-        "autotune_invariants": q_autotune_invariants,
-        "autotune_batch_invariants": q_autotune_batch_invariants,
-        "embed_invariants": q_embed_invariants,
-        "bm25_score": q_bm25_score,
-        "hybrid_candidate": q_hybrid_candidate,
-        "bloom_hot_terms": q_bloom_hot_terms,
-        "jaccard_pairs": q_jaccard_pairs,
-        "dedup_near_keep": q_dedup_near_keep,
-        "tpch_q4": q_tpch_q4,
-        "tpch_q5": q_tpch_q5,
-        "tpch_q6": q_tpch_q6,
-        "tpch_q7": q_tpch_q7,
-        "tpch_q10": q_tpch_q10,
-        "tpch_q18": q_tpch_q18,
-        "knn_l2sq": q_knn_l2sq,
-        "knn_join": q_knn_join,
         "hybrid_exact": q_hybrid_exact,
-        "bm25_topk": q_bm25_topk,
-        "bm25_topk_tsvector": q_bm25_topk_tsvector,
-        "sq8_knn": q_sq8_knn,
-        "text_metrics": q_text_metrics,
-        "ivf_exact_equiv": q_ivf_exact_equiv,
-        "srp_exact_equiv": q_srp_exact_equiv,
-        "ivfpq_exact_equiv": q_ivfpq_exact_equiv,
-        "cluster_balance": q_cluster_balance,
-        "dedup_exact": q_dedup_exact,
-        "emb_near_dup": q_emb_near_dup,
-        "tpch_q1": q_tpch_q1,
-        "events_tumbling": q_events_tumbling,
-        "asof_join": q_asof_join,
-        "range_join": q_range_join,
-        "overlap_join": q_overlap_join,
-        "sessionize": q_sessionize,
-        "asof_forward": q_asof_forward,
-        # oldest-listed r6 greens (age 3) fill the window:
-        "hnswsq_recall": q_hnswsq_recall,
-        "hnswpq_recall": q_hnswpq_recall,
-        "asof_nearest": q_asof_nearest,
-        "bm25_consolidate": q_bm25_consolidate,
-        "rag_pipeline": q_rag_pipeline,
-        "mix_domains": q_mix_domains,
-        "decontaminate_semantic": q_decontaminate_semantic,
-        "rrf_hybrid": q_rrf_hybrid,
-        "chunk_documents": q_chunk_documents,
-        "tpch_q8": q_tpch_q8,
-        "tpch_q13": q_tpch_q13,
-        # -- 51+: remaining r6 greens (age 3 — next round's window core) --
+        "hybrid_candidate": q_hybrid_candidate,
+        "knn_join": q_knn_join,
+        "autotune_invariants": q_autotune_invariants,
+        "streaming_ann_equiv": q_streaming_ann_equiv,
+        # newest-green r6 (38 of 39 — age 4, overdue):
         "tpch_q14": q_tpch_q14,
         "tpch_q19": q_tpch_q19,
         "tpch_q22": q_tpch_q22,
@@ -6200,10 +6157,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram": q_histogram,
         "zipf_fit": q_zipf_fit,
         "psi_drift": q_psi_drift,
+        # -- 51+: deferred r6 green (first in line next round) ------------
         "weighted_sample": q_weighted_sample,
+        # -- r9 greens (age 1) --------------------------------------------
+        "bm25_batch": q_bm25_batch,
+        "streaming_semdedup_equiv": q_streaming_semdedup_equiv,
+        "semdedup_ann_equiv": q_semdedup_ann_equiv,
+        "dedup_sketch_invariants": q_dedup_sketch_invariants,
+        "embed_invariants": q_embed_invariants,
+        "bm25_score": q_bm25_score,
+        "bloom_hot_terms": q_bloom_hot_terms,
+        "jaccard_pairs": q_jaccard_pairs,
+        "dedup_near_keep": q_dedup_near_keep,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q18": q_tpch_q18,
+        "knn_l2sq": q_knn_l2sq,
+        "bm25_topk": q_bm25_topk,
+        "bm25_topk_tsvector": q_bm25_topk_tsvector,
+        "sq8_knn": q_sq8_knn,
+        "text_metrics": q_text_metrics,
+        "ivf_exact_equiv": q_ivf_exact_equiv,
+        "srp_exact_equiv": q_srp_exact_equiv,
+        "ivfpq_exact_equiv": q_ivfpq_exact_equiv,
+        "cluster_balance": q_cluster_balance,
+        "dedup_exact": q_dedup_exact,
+        "emb_near_dup": q_emb_near_dup,
+        "tpch_q1": q_tpch_q1,
+        "events_tumbling": q_events_tumbling,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "overlap_join": q_overlap_join,
+        "sessionize": q_sessionize,
+        "asof_forward": q_asof_forward,
+        "hnswsq_recall": q_hnswsq_recall,
+        "hnswpq_recall": q_hnswpq_recall,
+        "asof_nearest": q_asof_nearest,
+        "bm25_consolidate": q_bm25_consolidate,
+        "rag_pipeline": q_rag_pipeline,
+        "mix_domains": q_mix_domains,
+        "decontaminate_semantic": q_decontaminate_semantic,
+        "rrf_hybrid": q_rrf_hybrid,
+        "chunk_documents": q_chunk_documents,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q13": q_tpch_q13,
         # -- r8-green (youngest green, parked) ----------------------------
         "hnsw_cos_equiv": q_hnsw_cos_equiv,
-        "hnswdf_exact_equiv": q_hnswdf_exact_equiv,
         "grouped_linreg": q_grouped_linreg,
         "quantile_bin": q_quantile_bin,
         "repeated_spans": q_repeated_spans,
@@ -6241,7 +6243,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pr_curve": q_pr_curve,
         "hnsw_exact_equiv": q_hnsw_exact_equiv,
         "hnsw_invariants": q_hnsw_invariants,
-        "streaming_ann_equiv": q_streaming_ann_equiv,
         "streaming_neardup_equiv": q_streaming_neardup_equiv,
         "streaming_hnsw_equiv": q_streaming_hnsw_equiv,
         "hnswivf_exact_equiv": q_hnswivf_exact_equiv,
@@ -6252,6 +6253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_roundtrip": q_pq_roundtrip,
         "bm25_topk_stemmed": q_bm25_topk_stemmed,
         # -- rows-only (no SQL oracle), shadowed by equiv/invariant rows --
+        "ivfsq_knn": q_ivfsq_knn,
         "srp_knn": q_srp_knn,
         "ivf_knn": q_ivf_knn,
         "ivfpq_knn": q_ivfpq_knn,
