@@ -179,6 +179,7 @@ def weighted_vector_search_df(
             "rename the query columns before calling"
         )
     cand_parts = []
+    persisted: list[DataFrame] = []  # candidate stages' internal caches
     for (_w, col, qcol) in terms:
         qsel = queries.select(q_id_col, qcol)
         idx = (indexes or {}).get(col)
@@ -191,6 +192,10 @@ def weighted_vector_search_df(
                     idx, qsel, k=ef, nprobe=nprobe, metric=metric,
                     id_col=id_col, q_id_col=q_id_col, q_vec_col=qcol,
                 )
+                # carry the stage's persisted routed frame through the
+                # transformations below (attachments don't propagate),
+                # so release() on the final result still frees it
+                persisted.extend(ids.__dict__.get("_lantern_persisted", []))
             elif kind == "HnswIndex":
                 from lanterndb_spark.operators.hnsw import hnsw_search_df
 
@@ -248,4 +253,9 @@ def weighted_vector_search_df(
     out = scored.withColumn("__rn", F.row_number().over(w))
     if limit is not None:
         out = out.filter(F.col("__rn") <= limit)
-    return out.drop("__rn")
+    out = out.drop("__rn")
+    if persisted:
+        from lanterndb_spark.plans.shape import attach_persisted
+
+        out = attach_persisted(out, *persisted)
+    return out

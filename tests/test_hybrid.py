@@ -331,3 +331,30 @@ def test_hnsw_candidate_stage_rejects_metric_mismatch(hybrid_df):
             indexes={"v1": hidx},
         )
     hidx.graphs.unpersist()
+
+
+def test_batch_ivf_stage_cache_releasable(hybrid_df, spark):
+    """The ivf candidate stage's internal routed-frame cache must ride
+    the result's persisted-intermediates attachment so release() frees
+    it (attachments don't propagate through transformations)."""
+    from lanterndb_spark.operators.hybrid import weighted_vector_search_df
+    from lanterndb_spark.operators.ivf import build_ivf
+    from lanterndb_spark.plans.shape import release
+
+    idx = build_ivf(hybrid_df.select("id", "v1"), "v1", nlist=4, seed=42)
+    q1, q2 = q_of(hybrid_df, 0)
+    qdf = spark.createDataFrame(
+        [(0, q1, q2)], "q_id int, qv1 array<double>, qv2 array<double>"
+    )
+    out = weighted_vector_search_df(
+        hybrid_df, [(1.0, "v1", "qv1"), (0.5, "v2", "qv2")], qdf,
+        ef=10, limit=5, indexes={"v1": idx}, nprobe=2,
+    )
+    cached = out.__dict__.get("_lantern_persisted", [])
+    assert cached, "ivf stage cache should attach to the hybrid result"
+    out.collect()
+    assert any(c.storageLevel.useMemory or c.storageLevel.useDisk for c in cached)
+    release(out)
+    assert all(
+        not (c.storageLevel.useMemory or c.storageLevel.useDisk) for c in cached
+    )
