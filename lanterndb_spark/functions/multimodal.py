@@ -11,7 +11,10 @@ media a first-class pipeline citizen per the build plan:
   container): ``decode_image`` raises NotImplementedError unless
   ``fake=True``, which produces a deterministic fake decode whose shape /
   schema / partition behavior is identical to a real one — the Spark-side
-  contract is real and tested, the codec is a drop-in.
+  contract is real and tested, the codec is a drop-in. A deployment with
+  PIL/ffmpeg/onnxruntime installed plugs them in WITHOUT editing this
+  module via :func:`register_codec` (same pluggable-client dispatch as
+  ``operators.embed.register_embedding_client``).
 """
 
 from __future__ import annotations
@@ -25,6 +28,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 MEDIA_META_SCHEMA = "struct<kind:string, mime:string, width:int, height:int, n_frames:int, sample_rate:int>"
+
+# user-pluggable codec callables, keyed by stage. Each receives one Arrow
+# batch's payloads and returns one result (or None = quarantine) per row:
+#   "image_decode":    fn(list[bytes], width, height) -> list[list[int] | None]
+#   "image_embedding": fn(list[bytes], model, dim)    -> list[list[float] | None]
+#   "video_frames":    fn(list[bytes], every_n, max_frames) -> list[list[bytes] | None]
+_CODEC_KINDS = ("image_decode", "image_embedding", "video_frames")
+_CODECS: dict = {}
+
+
+def register_codec(kind: str, batch_fn) -> None:
+    """Wire a real codec into a stage slot — captured into the UDF
+    closure at call time, so it must be picklable (it ships to
+    executors). Pass ``None`` to unregister; ``fake=True`` keeps
+    precedence so tests stay deterministic."""
+    if kind not in _CODEC_KINDS:
+        raise ValueError(f"unknown codec kind {kind!r}; one of {_CODEC_KINDS}")
+    if batch_fn is None:
+        _CODECS.pop(kind, None)
+    else:
+        _CODECS[kind] = batch_fn
 
 
 def attach_media_meta(
@@ -69,16 +93,24 @@ def decode_image(
     schema = ", ".join(f"{c} {df.schema[c].dataType.simpleString()}" for c in cols)
     out_schema = f"{schema}, {out_col} array<int>"
 
+    codec = None if fake else _CODECS.get("image_decode")  # driver-time
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
+            if codec is not None:
+                pdf[out_col] = codec(
+                    [bytes(b) for b in pdf[bin_col]], width, height
+                )
+            elif fake:
+                pdf[out_col] = pdf[bin_col].map(
+                    lambda b: _fake_pixels(bytes(b), width, height).ravel().tolist()
+                )
+            else:
                 raise NotImplementedError(
                     "image decode needs a codec library (PIL/opencv); "
-                    "re-run with fake=True for the deterministic stub"
+                    "register one with register_codec('image_decode', fn) "
+                    "or re-run with fake=True for the deterministic stub"
                 )
-            pdf[out_col] = pdf[bin_col].map(
-                lambda b: _fake_pixels(bytes(b), width, height).ravel().tolist()
-            )
             yield pdf
 
     return df.mapInPandas(run, out_schema)
@@ -94,11 +126,17 @@ def image_embedding(
 ) -> DataFrame:
     """Visual embedding of a binary image column (CLIP-visual analogue).
     Stub semantics identical to decode_image."""
+    codec = None if fake else _CODECS.get("image_embedding")  # driver-time
+
     @F.pandas_udf("array<float>")
     def run(s: pd.Series) -> pd.Series:
+        if codec is not None:
+            return pd.Series(codec([bytes(b) for b in s], model, dim))
         if not fake:
             raise NotImplementedError(
-                f"{model} needs onnxruntime; re-run with fake=True for the stub"
+                f"{model} needs onnxruntime; register a client with "
+                "register_codec('image_embedding', fn) or re-run with "
+                "fake=True for the stub"
             )
         def one(b):
             seed = int.from_bytes(hashlib.md5(bytes(b)).digest()[:8], "little")
@@ -121,10 +159,17 @@ def sample_frames(
     """Frame-sample a binary video column into an array of binary frames.
     Stubbed like decode_image: fake=True slices the payload into
     deterministic chunks standing in for decoded frames."""
+    codec = None if fake else _CODECS.get("video_frames")  # driver-time
+
     @F.pandas_udf("array<binary>")
     def run(s: pd.Series) -> pd.Series:
+        if codec is not None:
+            return pd.Series(codec([bytes(b) for b in s], every_n, max_frames))
         if not fake:
-            raise NotImplementedError("video decode needs ffmpeg bindings; use fake=True")
+            raise NotImplementedError(
+                "video decode needs ffmpeg bindings; register one with "
+                "register_codec('video_frames', fn) or use fake=True"
+            )
         def one(b):
             b = bytes(b)
             if not b:

@@ -16,8 +16,11 @@ Runtimes here:
   digest, L2-normalized) — real Spark plumbing, fake model. Model
   libraries (onnxruntime / API clients) are not in this container; the
   ``ort``/``openai``/``cohere`` runtimes raise NotImplementedError at
-  call time with the batch shape already correct, so wiring a real model
-  is a one-function change.
+  call time with the batch shape already correct. A deployment that has
+  the libraries activates them WITHOUT editing this module:
+  ``register_embedding_client(runtime, batch_fn)`` plugs the model call
+  into the same dispatch the reference builds by name
+  (core/mod.rs:25-60), and batching/quarantine/jobs run unchanged.
 """
 
 from __future__ import annotations
@@ -52,6 +55,40 @@ MODELS = {
 }
 
 RUNTIMES = ("hash", "ort", "openai", "cohere")
+
+# user-pluggable model clients, keyed by runtime — the dispatch point the
+# reference builds by name (lantern_cli/src/embeddings/core/mod.rs:25-60,
+# EmbeddingRuntime::new matching on runtime). The container has no
+# inference deps, so ort/openai/cohere ship as raise-at-call stubs; a
+# deployment that DOES have them registers a client here and the whole
+# pipeline (batching, quarantine, jobs) runs unchanged — no library edit.
+_EMBED_CLIENTS: dict = {}
+_COMPLETION_CLIENTS: dict = {}
+
+
+def register_embedding_client(runtime: str, batch_fn) -> None:
+    """Wire a real model client into a runtime slot. ``batch_fn``
+    receives ``(texts, model, dim)`` for one Arrow batch — texts is a
+    list that may contain None — and returns one embedding list (or
+    None = quarantine) per text, in order. It is captured into the UDF
+    closure at call time, so it must be picklable (it ships to
+    executors). Pass ``None`` to unregister."""
+    if runtime not in RUNTIMES:
+        raise ValueError(f"unknown runtime {runtime!r}; one of {RUNTIMES}")
+    if batch_fn is None:
+        _EMBED_CLIENTS.pop(runtime, None)
+    else:
+        _EMBED_CLIENTS[runtime] = batch_fn
+
+
+def register_completion_client(runtime: str, batch_fn) -> None:
+    """Completion twin of :func:`register_embedding_client`:
+    ``batch_fn(texts, model, system_prompt)`` returns one string (or
+    None) per text. Pass ``None`` to unregister."""
+    if batch_fn is None:
+        _COMPLETION_CLIENTS.pop(runtime, None)
+    else:
+        _COMPLETION_CLIENTS[runtime] = batch_fn
 
 
 def get_available_models() -> list[str]:
@@ -97,7 +134,12 @@ def embed(
     if batch_partitions:
         df = df.repartition(batch_partitions)
 
-    if runtime == "hash":
+    client = _EMBED_CLIENTS.get(runtime)  # driver-time capture
+    if client is not None:
+        @F.pandas_udf("array<float>")
+        def run(s: pd.Series) -> pd.Series:
+            return pd.Series(client(s.tolist(), model, dim))
+    elif runtime == "hash":
         @F.pandas_udf("array<float>")
         def run(s: pd.Series) -> pd.Series:
             return pd.Series(_hash_embed_batch(s.tolist(), dim))
@@ -107,7 +149,7 @@ def embed(
             # batch shape is real; only the model call is stubbed
             raise NotImplementedError(
                 f"runtime {runtime!r} needs its model client installed; "
-                "swap this body for the onnxruntime/API call"
+                "register one with register_embedding_client()"
             )
 
     return df.withColumn(out_col, run(F.col(text_col)))
@@ -140,7 +182,12 @@ def complete(
     if batch_partitions:
         df = df.repartition(batch_partitions)
 
-    if runtime == "echo":
+    client = _COMPLETION_CLIENTS.get(runtime)  # driver-time capture
+    if client is not None:
+        @F.pandas_udf("string")
+        def run(s: pd.Series) -> pd.Series:
+            return pd.Series(client(s.tolist(), model, system_prompt))
+    elif runtime == "echo":
         @F.pandas_udf("string")
         def run(s: pd.Series) -> pd.Series:
             return s.map(
@@ -152,7 +199,7 @@ def complete(
         def run(s: pd.Series) -> pd.Series:
             raise NotImplementedError(
                 f"runtime {runtime!r} needs its API client installed; "
-                "swap this body for the chat-completion call"
+                "register one with register_completion_client()"
             )
 
     return df.withColumn(out_col, run(F.col(text_col)))

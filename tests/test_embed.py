@@ -132,3 +132,104 @@ def test_completion_job_registry(tables):
     out = reg.run(jid, tables["documents"].limit(5))
     assert "summary" in out.columns and out.count() == 5
     assert reg.get_status(jid) == "done"
+
+
+def test_registered_client_activates_stubbed_runtime(spark):
+    """register_embedding_client plugs a real model call into the ort
+    slot: the whole pipeline (Arrow batching, NULL quarantine, model
+    dim) runs unchanged through the user's callable — the swap the
+    stub docstring promises, without editing the library."""
+    from lanterndb_spark.operators.embed import (
+        embed, quarantine_failed, register_embedding_client,
+    )
+
+    def fake_ort(texts, model, dim):
+        # deterministic, dim-aware, quarantines empty strings
+        return [
+            None if t is None or not t else [float(len(t))] * dim
+            for t in texts
+        ]
+
+    register_embedding_client("ort", fake_ort)
+    try:
+        df = spark.createDataFrame(
+            [(1, "alpha"), (2, ""), (3, None), (4, "zz")], "id int, text string"
+        )
+        out = embed(df, "text", model="BAAI/bge-small-en")  # ort, dim 384
+        ok, failed = quarantine_failed(out)
+        ok_rows = {r["id"]: r["embedding"] for r in ok.collect()}
+        assert set(ok_rows) == {1, 4}
+        assert len(ok_rows[1]) == 384 and ok_rows[1][0] == 5.0
+        assert sorted(r["id"] for r in failed.collect()) == [2, 3]
+    finally:
+        register_embedding_client("ort", None)
+    # unregistered again -> back to the raise-at-call stub
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    stub = embed(df, "text", model="BAAI/bge-small-en")
+    with _pytest.raises(Exception) as ei:
+        stub.collect()
+    assert "register_embedding_client" in str(ei.value) or isinstance(
+        ei.value, Py4JJavaError
+    )
+
+
+def test_registered_completion_client(tables):
+    from pyspark.sql import functions as F
+
+    from lanterndb_spark.operators.embed import (
+        complete, register_completion_client,
+    )
+
+    register_completion_client(
+        "openai", lambda texts, model, sp: [
+            None if t is None else f"{model}:{sp}:{t[:3]}" for t in texts
+        ]
+    )
+    try:
+        docs = tables["documents"].select("doc_id", "text").limit(3)
+        out = complete(docs, "text", model="gpt-4o", system_prompt="s")
+        rows = out.collect()
+        assert all(r["completion"].startswith("gpt-4o:s:") for r in rows)
+    finally:
+        register_completion_client("openai", None)
+
+
+def test_registered_codec_activates_multimodal_stages(media_df):
+    """register_codec plugs real decoders into the three stubbed stages:
+    the mapInPandas/pandas_udf plumbing (schema, batching, quarantine)
+    runs the user's callable unchanged — and unregistering restores the
+    raise-at-call stub."""
+    from lanterndb_spark.functions.multimodal import (
+        decode_image, image_embedding, register_codec, sample_frames,
+    )
+
+    register_codec(
+        "image_decode",
+        lambda blobs, w, h: [[len(b) % 256] * (w * h * 3) for b in blobs],
+    )
+    register_codec(
+        "image_embedding",
+        lambda blobs, model, dim: [[float(b[0] if b else 0)] * dim for b in blobs],
+    )
+    register_codec(
+        "video_frames",
+        lambda blobs, every_n, max_frames: [[b[:4]] * min(2, max_frames) for b in blobs],
+    )
+    try:
+        decoded = decode_image(media_df, "data", width=4, height=2)
+        rows = decoded.collect()
+        assert all(len(r["pixels"]) == 4 * 2 * 3 for r in rows)
+        emb = image_embedding(media_df, "data", dim=8).collect()
+        assert all(len(r["embedding"]) == 8 for r in emb)
+        fr = sample_frames(media_df, "data", max_frames=4).collect()
+        assert all(len(r["frames"]) == 2 for r in fr)
+    finally:
+        register_codec("image_decode", None)
+        register_codec("image_embedding", None)
+        register_codec("video_frames", None)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        decode_image(media_df, "data", width=4, height=2).collect()
