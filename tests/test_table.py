@@ -678,3 +678,43 @@ def test_knn_batch_exact_route_caps_query_volume(tables, spark):
     )
     with pytest.raises(ValueError, match="100000|broadcasts"):
         t.knn_batch("embedding", big, k=3)
+
+
+def test_knn_batch_string_q_ids_all_routes(tables, spark):
+    """String-keyed query frames work on EVERY knn_batch route — exact,
+    ivf (native pass-through), and hnsw incl. the delta-merge path
+    (surrogate-key wrap) — answering what the long-keyed run answers."""
+    emb = tables["embeddings"]
+    n = emb.count()
+    qdf = _qdf(spark, emb, [0, 7])
+    sdf = qdf.select(
+        F.concat(F.lit("e/"), F.col("q_id").cast("string")).alias("q_id"),
+        "query",
+    )
+
+    def rekey(by_q):
+        return {f"e/{k}": v for k, v in by_q.items()}
+
+    t0 = LanternTable(emb, "vec_id")
+    assert _by_q(t0.knn_batch("embedding", sdf, k=5).collect()) == rekey(
+        _by_q(t0.knn_batch("embedding", qdf, k=5).collect())
+    )
+    ti = LanternTable(emb, "vec_id").create_index(
+        "embedding", kind="ivf", nlist=4, seed=42
+    )
+    assert _by_q(
+        ti.knn_batch("embedding", sdf, k=5, nprobe=2).collect()
+    ) == rekey(_by_q(ti.knn_batch("embedding", qdf, k=5, nprobe=2).collect()))
+    th = LanternTable(emb, "vec_id").create_index(
+        "embedding", kind="hnsw", num_shards=2, seed=42
+    )
+    # pending delta forces the graph-top ∪ delta-top merge window
+    twin = emb.filter(F.col("vec_id") == 7).select(
+        F.lit(990002).cast("bigint").alias("vec_id"),
+        F.col("label"), F.col("embedding"),
+    ).select(*emb.columns)
+    th.insert(twin)
+    got_s = _by_q(th.knn_batch("embedding", sdf, k=3, ef=n).collect())
+    got_l = rekey(_by_q(th.knn_batch("embedding", qdf, k=3, ef=n).collect()))
+    assert got_s == got_l
+    assert any(v == 990002 for vs in got_s.values() for v, _ in vs)
