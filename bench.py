@@ -416,6 +416,37 @@ def main():
         batch["bm25df_64_rows"] = int(nres)
     except Exception as exc:  # noqa: BLE001
         errors["batch_bm25df"] = f"{type(exc).__name__}: {exc}"[:300]
+    try:
+        # 256 queries through the batch hybrid form: term 1 rides the
+        # prebuilt ivf index (ivf_search_df candidates), term 2 is the
+        # exact knn_join stage — the mixed shape a reranking pass uses
+        from lanterndb_spark.operators.hybrid import weighted_vector_search_df
+        from lanterndb_spark.plans.shape import release
+
+        emb2 = emb.select(
+            "vec_id", "embedding", F.reverse("embedding").alias("emb_r")
+        )
+        qs_hb = (state.get("qs") or sample_queries(emb, "embedding", n=10, seed=7))
+        qdf_h = spark.createDataFrame(
+            [(i, q, list(reversed(q))) for i, q in enumerate(
+                qs_hb * (256 // len(qs_hb) + 1)
+            )][:256],
+            "q_id int, qv array<double>, qv_r array<double>",
+        ).persist()
+        qdf_h.count()
+        t0 = time.monotonic()
+        out_h = weighted_vector_search_df(
+            emb2, [(1.0, "embedding", "qv"), (0.5, "emb_r", "qv_r")],
+            qdf_h, id_col="vec_id", ef=20, limit=10,
+            indexes={"embedding": state["idx"]}, nprobe=4,
+        )
+        nres = out_h.count()
+        batch["hybriddf_256_s"] = round(time.monotonic() - t0, 3)
+        batch["hybriddf_256_rows"] = int(nres)
+        release(out_h)
+        qdf_h.unpersist()
+    except Exception as exc:  # noqa: BLE001
+        errors["batch_hybriddf"] = f"{type(exc).__name__}: {exc}"[:300]
 
     # quality metric: IVF recall@10 vs exact on 10 sampled queries (batch)
     try:
