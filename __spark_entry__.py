@@ -1411,8 +1411,11 @@ def q_autotune_batch_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction), and the chosen best must meet the caller's target.
     Mirrors the reference's recall+latency-per-variant table
     (index_autotune/mod.rs:220-254) with batch wall time as the latency
-    column."""
-    from lanterndb_spark.operators.autotune import autotune_ivf_batch
+    column, on BOTH batch backends (the hnsw grid runs through
+    ``hnsw_search_df`` with ef >= n as its exact-degenerate pin)."""
+    from lanterndb_spark.operators.autotune import (
+        autotune_hnsw_batch, autotune_ivf_batch,
+    )
 
     emb = _emb(spark, sf_dir)
     best, results = autotune_ivf_batch(
@@ -1426,15 +1429,27 @@ def q_autotune_batch_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         by_cfg.setdefault(
             (r.params["nlist"], r.params["nprobe"]), set()
         ).add(round(r.recall, 12))
+    n = emb.count()
+    hbest, hresults = autotune_hnsw_batch(
+        emb, "embedding", "vec_id", k=10,
+        m_grid=(8,), ef_grid=(4, n), n_queries=5, target_recall=0.5,
+        num_shards=2, seed=42,
+    )
+    hfull = [r for r in hresults if r.params["ef"] >= n]
     return spark.createDataFrame(
         [(
             len(results),
             bool(full) and all(abs(r.recall - 1.0) < 1e-12 for r in full),
             all(len(v) == 1 for v in by_cfg.values()),
             best is not None and best.recall >= 0.5,
+            len(hresults),
+            bool(hfull) and all(abs(r.recall - 1.0) < 1e-12 for r in hfull),
+            hbest is not None and hbest.recall >= 0.5,
         )],
         "n_grid int, full_probe_recall_one boolean, "
-        "recall_impl_invariant boolean, best_meets_target boolean",
+        "recall_impl_invariant boolean, best_meets_target boolean, "
+        "hnsw_n_grid int, hnsw_full_ef_recall_one boolean, "
+        "hnsw_best_meets_target boolean",
     )
 
 
@@ -4933,7 +4948,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "autotune_batch_invariants": """
             SELECT CAST(4 AS INT) AS n_grid, true AS full_probe_recall_one,
-                   true AS recall_impl_invariant, true AS best_meets_target
+                   true AS recall_impl_invariant, true AS best_meets_target,
+                   CAST(2 AS INT) AS hnsw_n_grid,
+                   true AS hnsw_full_ef_recall_one,
+                   true AS hnsw_best_meets_target
         """,
         "multimodal_invariants": """
             SELECT CAST(least(200, count(*)) AS BIGINT) AS n_media,

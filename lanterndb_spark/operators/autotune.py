@@ -201,6 +201,74 @@ def autotune_ivf_batch(
     return best, results
 
 
+def autotune_hnsw_batch(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+    m_grid: tuple[int, ...] = (8,),
+    ef_grid: tuple[int, ...] = (16, 32, 64),
+    n_queries: int = 64,
+    target_recall: float = 0.95,
+    num_shards: int | None = None,
+    seed: int = 42,
+    routing: str = "hash",
+    nprobe_grid: tuple[int, ...] = (None,),
+) -> tuple[TuneResult | None, list[TuneResult]]:
+    """Graph twin of :func:`autotune_ivf_batch`: the grid runs through
+    ``hnsw_search_df`` (queries shuffled to shards — the unbounded eval
+    form) and records each variant's batch wall time in
+    ``params['batch_s']``; ``latency_s`` stays per-query. One graph
+    build per m, ef/nprobe are search-time knobs — the same grid shape
+    as :func:`autotune_hnsw`, selected on batch throughput instead of
+    single-call latency."""
+    from lanterndb_spark.operators.hnsw import build_hnsw, hnsw_search_df
+
+    spark = df.sparkSession
+    queries = sample_queries(df, vec_col, n=n_queries, seed=seed)
+    truth = exact_topk_batch(df, vec_col, queries, k=k, id_col=id_col)
+    qdf = spark.createDataFrame(
+        [(i, q) for i, q in enumerate(queries)], "q_id int, query array<double>"
+    ).persist()
+    qdf.count()
+    results: list[TuneResult] = []
+    for m in m_grid:
+        t0 = time.monotonic()
+        index = build_hnsw(
+            df, vec_col, id_col=id_col, m=m, ef_construction=max(ef_grid),
+            num_shards=num_shards, seed=seed, routing=routing,
+        )
+        build_s = time.monotonic() - t0
+        for ef in ef_grid:
+            for nprobe in nprobe_grid:
+                t1 = time.monotonic()
+                got = _collect_by_query(
+                    hnsw_search_df(index, qdf, k=k, ef=ef, nprobe=nprobe),
+                    id_col,
+                )
+                batch_s = time.monotonic() - t1
+                recs = [
+                    recall_at_k(got.get(qi, []), truth.get(qi, []))
+                    for qi in range(len(queries))
+                ]
+                params = {"m": m, "ef": ef, "batch_s": round(batch_s, 3)}
+                if nprobe is not None:
+                    params["nprobe"] = nprobe
+                results.append(
+                    TuneResult(
+                        params,
+                        sum(recs) / len(recs),
+                        batch_s / len(queries),
+                        build_s,
+                    )
+                )
+        index.graphs.unpersist()
+    qdf.unpersist()
+    ok = [r for r in results if r.recall >= target_recall]
+    best = min(ok, key=lambda r: r.latency_s) if ok else None
+    return best, results
+
+
 def autotune_srp(
     df: DataFrame,
     vec_col: str,

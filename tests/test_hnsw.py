@@ -889,3 +889,22 @@ def test_search_df_filtered_string_q_ids_equal_long(emb, index, spark):
     key_l = sorted((f"q/{r['q_id']}", r["vec_id"], round(r["dist"], 9)) for r in rows_l)
     key_s = sorted((r["q_id"], r["vec_id"], round(r["dist"], 9)) for r in rows_s)
     assert key_s == key_l
+
+
+def test_autotune_hnsw_batch_grid(emb):
+    """Batch-throughput grid on the graph backend: ef >= n measures
+    recall exactly 1.0 (exact-degenerate beams), the selected best
+    meets the target, and each variant records its batch wall time."""
+    from lanterndb_spark.operators.autotune import autotune_hnsw_batch
+
+    n = emb.count()
+    best, results = autotune_hnsw_batch(
+        emb, "embedding", "vec_id", k=10,
+        m_grid=(8,), ef_grid=(4, n), n_queries=6, target_recall=0.5,
+        num_shards=2, seed=42,
+    )
+    assert len(results) == 2
+    full = [r for r in results if r.params["ef"] >= n]
+    assert full and all(abs(r.recall - 1.0) < 1e-12 for r in full)
+    assert best is not None and best.recall >= 0.5
+    assert all(r.params["batch_s"] > 0 for r in results)
