@@ -908,3 +908,14 @@ def test_autotune_hnsw_batch_grid(emb):
     assert full and all(abs(r.recall - 1.0) < 1e-12 for r in full)
     assert best is not None and best.recall >= 0.5
     assert all(r.params["batch_s"] > 0 for r in results)
+
+
+def test_search_df_empty_string_keyed_queries(index, spark):
+    """An empty non-integral query frame rides the surrogate wrap to an
+    empty result with the caller's q_id type, no errors."""
+    from lanterndb_spark.operators.hnsw import hnsw_search_df
+
+    qdf = spark.createDataFrame([], "q_id string, query array<double>")
+    out = hnsw_search_df(index, qdf, k=3, ef=16)
+    assert out.schema["q_id"].dataType.simpleString() == "string"
+    assert out.count() == 0
