@@ -557,6 +557,76 @@ def ivf_search_df(
     return out
 
 
+def ivfsq_search_df(
+    index: IvfIndex,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    refine: int = 4,
+    code_col: str | None = None,
+    id_col: str | None = None,
+    q_id_col: str = "q_id",
+    q_vec_col: str = "query",
+    pred: Column | None = None,
+    **search_params,
+) -> DataFrame:
+    """DataFrame-native batch twin of :func:`ivfsq_search` — the
+    ``quant_bits=8`` composite (options.c:137-158) at eval-pass query
+    volumes. The coarse pass is :func:`ivf_search_df` over the
+    ON-THE-FLY dequantized codes (top ``k·refine`` per query; queries
+    route executor-side, so the batch is unbounded like the plain ivf
+    and hnsw forms), then the candidates join their ORIGINAL query
+    vectors by q_id — a plain equi-join, ≤ k·refine rows per query —
+    for one exact re-rank window with the shared (dist, id) tie order.
+
+    l2sq only (the SQ8 scale model is symmetric-l2; the table route
+    enforces the same). Returns (q_id_col, id_col, dist); the coarse
+    stage's internal cache rides the result for
+    ``plans.shape.release``. Like the pq re-rank in hnsw_search_df,
+    the queries lineage is read once more by the re-rank join —
+    persist heavy lineages before calling."""
+    from pyspark.sql import Window
+
+    from lanterndb_spark.functions.distance import distance
+    from lanterndb_spark.operators.sq import sq8_dequantize
+
+    if id_col is None:
+        raise ValueError("ivfsq_search_df requires id_col (tie-break + output key)")
+    code_col = code_col or f"{index.vec_col}_sq8"
+    deq = sq8_dequantize(index.assigned, code_col, "__sq_deq")
+    coarse_index = IvfIndex(deq, index.centroids, "__sq_deq")
+    coarse = ivf_search_df(
+        coarse_index, queries, k=k * refine, nprobe=nprobe, id_col=id_col,
+        pred=pred, q_id_col=q_id_col, q_vec_col=q_vec_col, **search_params,
+    )
+    persisted = coarse.__dict__.get("_lantern_persisted", [])
+    qslim = queries.select(
+        q_id_col, F.col(q_vec_col).cast("array<double>").alias("__qv")
+    )
+    rescored = (
+        coarse.drop("dist")
+        .join(index.assigned.select(id_col, index.vec_col), on=id_col)
+        .join(qslim, on=q_id_col)
+        .withColumn(
+            "dist",
+            distance("l2sq", F.col(index.vec_col), F.col("__qv")).cast("double"),
+        )
+    )
+    w = Window.partitionBy(q_id_col).orderBy(
+        F.col("dist").asc(), F.col(id_col).asc()
+    )
+    out = (
+        rescored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(q_id_col, id_col, "dist")
+    )
+    if persisted:
+        from lanterndb_spark.plans.shape import attach_persisted
+
+        out = attach_persisted(out, *persisted)
+    return out
+
+
 def ivf_assign(index: IvfIndex, delta: DataFrame, cluster_col: str = "cluster_id") -> DataFrame:
     """Assign NEW rows to the existing centroids — the aminsert analogue
     for the IVF layout (insert.c:51-262 appends to the existing graph

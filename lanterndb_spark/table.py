@@ -541,10 +541,12 @@ class LanternTable:
         size is unbounded); ivf -> ``ivf_search_df`` (queries route to
         their nprobe centroids executor-side — equally unbounded);
         exact / no index -> ``knn_join`` (the reference's LATERAL
-        shape, hnsw_select.sql:66-67, as one distributed job). Backends
-        without a batch recast (srp / proj / ivfsq) run the exact
-        lateral join — same answers at exact recall, just not
-        index-accelerated.
+        shape, hnsw_select.sql:66-67, as one distributed job); ivfsq ->
+        ``ivfsq_search_df`` (coarse over dequantized codes + exact
+        re-rank, unbounded). Backends without a batch recast (srp /
+        proj — no routing structure preserves their rank-by-hamming
+        semantics) run the exact lateral join — same answers at exact
+        recall, just not index-accelerated.
         Delta/tombstone visibility matches ``knn``: graphs answer for
         base rows minus tombstones, pending deltas get an exact
         side-scan, and the two lists merge per query."""
@@ -555,12 +557,12 @@ class LanternTable:
         if (
             mode == "exact"
             or vec_col not in self._indexes
-            or self._indexes[vec_col][0] in ("srp", "proj", "ivfsq")
+            or self._indexes[vec_col][0] in ("srp", "proj")
         ):
             # the exact lateral join caps at 100k queries — knn_join
             # enforces it (both impls broadcast the batch); past the cap
-            # create an hnsw/ivf index (unbounded batch routes), replace
-            # an srp/proj/ivfsq index, or drop mode='exact'
+            # create an hnsw/ivf/ivfsq index (unbounded batch routes),
+            # replace an srp/proj index, or drop mode='exact'
             data = self.df.filter(pred) if pred is not None else self.df
             out = knn_join(
                 data, vec_col, queries, q_vec_col, k=k, metric=metric,
@@ -568,14 +570,22 @@ class LanternTable:
             )
             return out.select(q_id_col, self.id_col, "dist")
         kind, index = self._indexes[vec_col]
-        if kind == "ivf":
-            from lanterndb_spark.operators.ivf import IvfIndex, ivf_search_df
+        if kind in ("ivf", "ivfsq"):
+            from lanterndb_spark.operators.ivf import (
+                IvfIndex, ivf_search_df, ivfsq_search_df,
+            )
 
             base_index = index
             if self._deltas:
                 from lanterndb_spark.operators.ivf import ivf_assign
 
                 deltas = [ivf_assign(index, d) for d in self._deltas]
+                if kind == "ivfsq":
+                    # deltas arrive uncoded: quantize after assignment so
+                    # their schema matches the coded base (knn()'s prep)
+                    from lanterndb_spark.operators.sq import sq8_quantize
+
+                    deltas = [sq8_quantize(d, vec_col) for d in deltas]
                 assigned = maintenance.with_deltas(index.assigned, *deltas)
                 base_index = IvfIndex(assigned, index.centroids, vec_col)
             if self._tombstones:
@@ -583,6 +593,21 @@ class LanternTable:
                     base_index.assigned, self._tombstones, self.id_col
                 )
                 base_index = IvfIndex(assigned, index.centroids, vec_col)
+            if kind == "ivfsq":
+                # same contract as knn()'s ivfsq route: l2sq only, pred
+                # through mode='exact' or an ivf index
+                if metric != "l2sq":
+                    raise ValueError("ivfsq index supports metric='l2sq' only")
+                if pred is not None:
+                    raise ValueError(
+                        "ivfsq: pass pred-filtered knn_batch through "
+                        "mode='exact' or an ivf index (filter composes "
+                        "before re-rank there)"
+                    )
+                return ivfsq_search_df(
+                    base_index, queries, k=k, id_col=self.id_col,
+                    q_id_col=q_id_col, q_vec_col=q_vec_col, **search_params,
+                )
             # DataFrame-native: queries route to their nprobe centroids
             # executor-side (no driver list, no 100k ceiling — batch
             # size unbounded like the hnsw route below), q_ids pass

@@ -491,3 +491,87 @@ def test_autotune_ivf_batch_grid(emb):
     assert all(len(v) == 1 for v in by_cfg.values())
     assert best is not None and best.recall >= 0.5
     assert best.params["batch_s"] > 0
+
+
+def test_ivfsq_search_df_matches_single_and_exact(emb, index, spark):
+    """DataFrame-native IVF+SQ8 batch == the per-query driver form at
+    partial refine, == exact knn at full probe + covering refine; q_ids
+    pass through in their native type and the coarse cache releases."""
+    from lanterndb_spark.operators.ivf import (
+        IvfIndex, ivfsq_search, ivfsq_search_df,
+    )
+    from lanterndb_spark.operators.sq import sq8_quantize
+    from lanterndb_spark.plans.shape import release
+
+    coded = IvfIndex(sq8_quantize(index.assigned, "embedding"),
+                     index.centroids, "embedding")
+    n = emb.count()
+    ids = [1, 7, 13]
+    qdf = _qdf(emb, ids)
+    out = ivfsq_search_df(coded, qdf, k=5, nprobe=4, refine=4, id_col="vec_id")
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["q_id"], []).append((round(r["dist"], 9), r["vec_id"]))
+    release(out)
+    for qi in ids:
+        single = [
+            (round(r["dist"], 9), r["vec_id"])
+            for r in ivfsq_search(
+                coded, qvec(emb, qi), k=5, nprobe=4, refine=4, id_col="vec_id"
+            ).collect()
+        ]
+        assert sorted(got[qi]) == sorted(single), f"q {qi}"
+    # full probe + covering refine == exact knn, with string q_ids
+    sdf = qdf.select(
+        F.concat(F.lit("s-"), F.col("q_id")).alias("q_id"), "query"
+    )
+    out2 = ivfsq_search_df(
+        coded, sdf, k=5, nprobe=8, refine=(n + 4) // 5, id_col="vec_id"
+    )
+    got2 = {}
+    for r in out2.collect():
+        got2.setdefault(r["q_id"], []).append(r["vec_id"])
+    release(out2)
+    for qi in ids:
+        want = [r["vec_id"] for r in
+                knn(emb, "embedding", qvec(emb, qi), k=5, id_col="vec_id").collect()]
+        assert got2[f"s-{qi}"] == want
+
+
+def test_table_knn_batch_ivfsq_route(tables, spark):
+    """knn_batch routes an ivfsq index through ivfsq_search_df (no 100k
+    exact-join ceiling): full probe + covering refine equals the exact
+    route, deltas become visible, and non-l2sq metrics raise."""
+    import pytest as _pytest
+
+    from lanterndb_spark.table import LanternTable
+
+    emb = tables["embeddings"]
+    n = emb.count()
+    qdf = emb.filter(F.col("vec_id").isin([0, 7])).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("query")
+    )
+    t = LanternTable(emb, "vec_id").create_index(
+        "embedding", kind="ivfsq", nlist=4, seed=42
+    )
+    exact = LanternTable(emb, "vec_id").knn_batch("embedding", qdf, k=5)
+    key = lambda rows: sorted(
+        (r["q_id"], r["vec_id"], round(r["dist"], 6)) for r in rows
+    )
+    got = t.knn_batch(
+        "embedding", qdf, k=5, nprobe=4, refine=(n + 4) // 5
+    )
+    assert key(got.collect()) == key(exact.collect())
+    with _pytest.raises(ValueError, match="l2sq"):
+        t.knn_batch("embedding", qdf, k=5, metric="cos")
+    # a delta twin of query 7 must surface through the batch route
+    twin = emb.filter(F.col("vec_id") == 7).select(
+        F.lit(990003).cast("bigint").alias("vec_id"),
+        F.col("label"), F.col("embedding"),
+    ).select(*emb.columns)
+    t.insert(twin)
+    rows = t.knn_batch(
+        "embedding", qdf, k=3, nprobe=4, refine=(n + 4) // 5
+    ).collect()
+    hits7 = [r["vec_id"] for r in rows if r["q_id"] == 7]
+    assert 990003 in hits7
