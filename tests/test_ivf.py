@@ -575,3 +575,59 @@ def test_table_knn_batch_ivfsq_route(tables, spark):
     ).collect()
     hits7 = [r["vec_id"] for r in rows if r["q_id"] == 7]
     assert 990003 in hits7
+
+
+def test_ivfpq_search_df_matches_single_and_exact(emb, index, spark):
+    """DataFrame-native IVF+PQ batch == the per-query driver form at
+    partial refine (same ADC LUT math, probes, and tie order), == exact
+    knn at full probe + covering refine; string q_ids pass through and
+    the routed cache releases."""
+    from lanterndb_spark.operators.ivf import (
+        IvfIndex, ivfpq_search, ivfpq_search_df,
+    )
+    from lanterndb_spark.operators.pq import quantize, train_codebook
+    from lanterndb_spark.plans.shape import release
+
+    cb = train_codebook(emb, "embedding", splits=8, clusters=16, seed=42)
+    coded = IvfIndex(
+        quantize(index.assigned, "embedding", cb), index.centroids, "embedding"
+    )
+    ids = [3, 11, 17]
+    qdf = _qdf(emb, ids)
+    out = ivfpq_search_df(
+        coded, cb, qdf, k=5, nprobe=4, refine=4, id_col="vec_id"
+    )
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["q_id"], []).append((round(r["dist"], 9), r["vec_id"]))
+    release(out)
+    for qi in ids:
+        single = [
+            (round(r["dist"], 9), r["vec_id"])
+            for r in ivfpq_search(
+                coded, cb, qvec(emb, qi), k=5, nprobe=4, refine=4,
+                id_col="vec_id",
+            ).collect()
+        ]
+        assert sorted(got[qi]) == sorted(single), f"q {qi}"
+    # full probe + covering refine == exact knn, string q_ids
+    n = emb.count()
+    sdf = qdf.select(
+        F.concat(F.lit("p-"), F.col("q_id")).alias("q_id"), "query"
+    )
+    out2 = ivfpq_search_df(
+        coded, cb, sdf, k=5, nprobe=8, refine=(n + 4) // 5, id_col="vec_id"
+    )
+    got2 = {}
+    for r in out2.collect():
+        got2.setdefault(r["q_id"], []).append(r["vec_id"])
+    release(out2)
+    for qi in ids:
+        want = [r["vec_id"] for r in
+                knn(emb, "embedding", qvec(emb, qi), k=5, id_col="vec_id").collect()]
+        assert got2[f"p-{qi}"] == want
+    # empty batch: typed empty frame
+    empty = ivfpq_search_df(
+        coded, cb, qdf.filter(F.lit(False)), k=3, id_col="vec_id"
+    )
+    assert empty.count() == 0
