@@ -184,7 +184,17 @@ def weighted_vector_search_df(
         qsel = queries.select(q_id_col, qcol)
         idx = (indexes or {}).get(col)
         if idx is not None:
-            kind = type(idx).__name__
+            from lanterndb_spark.operators.hnsw import HnswIndex
+            from lanterndb_spark.operators.ivf import IvfIndex
+
+            # isinstance, not type-name: IvfPqIndex subclasses IvfIndex
+            # (its assigned table retains the raw vectors, so the plain
+            # ivf candidate stage applies)
+            kind = (
+                "IvfIndex" if isinstance(idx, IvfIndex)
+                else "HnswIndex" if isinstance(idx, HnswIndex)
+                else type(idx).__name__
+            )
             if kind == "IvfIndex":
                 from lanterndb_spark.operators.ivf import ivf_search_df
 

@@ -56,6 +56,48 @@ class IvfIndex:
         return len(self.centroids)
 
 
+class IvfPqIndex(IvfIndex):
+    """IvfIndex whose assigned table carries PQ codes, plus the FROZEN
+    codebook — the ``pq=true`` reloption as a first-class handle (the
+    reference stores the codebook IN the index, build.c:497-501, and
+    scores quantized at scan time, scan.c:75-81). Because ``assigned``
+    retains the original vectors alongside the codes, the handle also
+    works anywhere a plain IvfIndex does (hybrid candidate stages,
+    ivf_search) — the codes only accelerate the pq-aware routes."""
+
+    def __init__(
+        self,
+        assigned: DataFrame,
+        centroids: np.ndarray,
+        vec_col: str,
+        codebook: DataFrame,
+        pq_col: str | None = None,
+    ):
+        super().__init__(assigned, centroids, vec_col)
+        self.codebook = codebook
+        self.pq_col = pq_col or f"{vec_col}_pq"
+
+
+def build_ivfpq(
+    df: DataFrame,
+    vec_col: str,
+    nlist: int = 16,
+    splits: int = 8,
+    clusters: int = 256,
+    seed: int = 42,
+    **ivf_kw,
+) -> IvfPqIndex:
+    """One-call pq=true build: IVF layout + trained codebook + coded
+    rows (build.c:453-501's CREATE INDEX ... WITH (pq=true) path).
+    Search with :func:`ivfpq_search` / :func:`ivfpq_search_df` passing
+    ``index.codebook``."""
+    from lanterndb_spark.operators.pq import quantize, train_codebook
+
+    raw = build_ivf(df, vec_col, nlist=nlist, seed=seed, **ivf_kw)
+    cb = train_codebook(df, vec_col, splits=splits, clusters=clusters, seed=seed)
+    return IvfPqIndex(quantize(raw.assigned, vec_col, cb), raw.centroids, vec_col, cb)
+
+
 def build_ivf(
     df: DataFrame,
     vec_col: str,

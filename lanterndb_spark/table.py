@@ -87,33 +87,62 @@ class LanternTable:
         self.delete(keys).compact()
         return self.insert(delta)
 
+    def _ivf_family_view(self, kind: str, index, vec_col: str):
+        """Compose base ∪ deltas MINUS tombstones for the ivf-family
+        handle, preserving the subtype: deltas arrive uncoded, assign
+        to the FROZEN centroids, then re-derive the kind's codes (sq8 /
+        pq against the frozen codebook) so their schema matches the
+        coded base. Shared by compact(), knn(), and knn_batch()."""
+        from lanterndb_spark.operators.ivf import (
+            IvfIndex, IvfPqIndex, ivf_assign,
+        )
+
+        def rewrap(assigned):
+            if kind == "ivfpq":
+                return IvfPqIndex(
+                    assigned, index.centroids, vec_col,
+                    index.codebook, index.pq_col,
+                )
+            return IvfIndex(assigned, index.centroids, vec_col)
+
+        base_index = index
+        if self._deltas:
+            if kind == "ivfsq":
+                from lanterndb_spark.operators.sq import sq8_quantize
+
+                def prep(d):
+                    return sq8_quantize(ivf_assign(index, d), vec_col)
+            elif kind == "ivfpq":
+                from lanterndb_spark.operators.pq import quantize
+
+                def prep(d):
+                    return quantize(
+                        ivf_assign(index, d), vec_col, index.codebook,
+                        out_col=index.pq_col,
+                    )
+            else:
+                def prep(d):
+                    return ivf_assign(index, d)
+            assigned = maintenance.with_deltas(
+                index.assigned, *[prep(d) for d in self._deltas]
+            )
+            base_index = rewrap(assigned)
+        if self._tombstones:
+            assigned = maintenance.apply_tombstones(
+                base_index.assigned, self._tombstones, self.id_col
+            )
+            base_index = rewrap(assigned)
+        return base_index
+
     def compact(self) -> "LanternTable":
         """Fold deltas+tombstones into a new base AND into every index's
         row set (REINDEX moment — without it the index would keep serving
         deleted rows and miss inserted ones after the lists reset)."""
         for vec_col, (kind, index) in list(self._indexes.items()):
-            if kind in ("ivf", "ivfsq"):
-                from lanterndb_spark.operators.ivf import IvfIndex, ivf_assign
-
-                if kind == "ivfsq":
-                    # deltas arrive uncoded: assign to the frozen
-                    # centroids, then quantize so their schema matches
-                    # the coded base (same order the knn() read path uses)
-                    from lanterndb_spark.operators.sq import sq8_quantize
-
-                    def prep(d):
-                        return sq8_quantize(ivf_assign(index, d), vec_col)
-                else:
-                    def prep(d):
-                        return ivf_assign(index, d)
-                assigned = maintenance.with_deltas(
-                    index.assigned, *[prep(d) for d in self._deltas]
+            if kind in ("ivf", "ivfsq", "ivfpq"):
+                self._indexes[vec_col] = (
+                    kind, self._ivf_family_view(kind, index, vec_col)
                 )
-                if self._tombstones:
-                    assigned = maintenance.apply_tombstones(
-                        assigned, self._tombstones, self.id_col
-                    )
-                self._indexes[vec_col] = (kind, IvfIndex(assigned, index.centroids, vec_col))
             elif kind == "srp":
                 from lanterndb_spark.operators.lsh import SrpIndex, srp_sketch
 
@@ -248,6 +277,12 @@ class LanternTable:
             index = IvfIndex(
                 sq8_quantize(raw.assigned, vec_col), raw.centroids, vec_col
             )
+        elif kind == "ivfpq":
+            # pq=true composite (build.c:453-501): IVF layout + frozen
+            # codebook + byte codes; the handle carries its codebook
+            from lanterndb_spark.operators.ivf import build_ivfpq
+
+            index = build_ivfpq(self.df, vec_col, **params)
         elif kind == "srp":
             from lanterndb_spark.operators.lsh import build_srp
 
@@ -262,7 +297,8 @@ class LanternTable:
             index = build_hnsw(self.df, vec_col, id_col=self.id_col, **params)
         else:
             raise ValueError(
-                f"unknown index kind {kind!r} (ivf | ivfsq | srp | proj | hnsw)"
+                f"unknown index kind {kind!r} "
+                "(ivf | ivfsq | ivfpq | srp | proj | hnsw)"
             )
         replaced = self._indexes.get(vec_col)
         if replaced is not None and replaced[0] == "hnsw":
@@ -296,9 +332,13 @@ class LanternTable:
         stale = bool(self._deltas) or bool(self._tombstones)
         for col, (kind, idx) in self._indexes.items():
             params: dict = {}
-            if kind in ("ivf", "ivfsq"):
+            if kind in ("ivf", "ivfsq", "ivfpq"):
                 params["nlist"] = idx.centroids.shape[0] if hasattr(
                     idx.centroids, "shape") else len(idx.centroids)
+                if kind == "ivfpq":
+                    params["splits"] = int(
+                        idx.codebook.select("subvector_id").distinct().count()
+                    )
             elif kind == "srp":
                 params["nbits"] = int(idx.planes.shape[0]) if hasattr(
                     idx.planes, "shape") else len(idx.planes)
@@ -384,39 +424,32 @@ class LanternTable:
                 id_col=self.id_col, pred=pred,
             )
         kind, index = self._indexes[vec_col]
-        if kind in ("ivf", "ivfsq"):
+        if kind in ("ivf", "ivfsq", "ivfpq"):
             from lanterndb_spark.operators.ivf import (
-                IvfIndex, ivf_search, ivfsq_search,
+                ivf_search, ivfpq_search, ivfsq_search,
             )
 
-            base_index = index
-            if self._deltas:
-                from lanterndb_spark.operators.ivf import ivf_assign
-
-                deltas = [ivf_assign(index, d) for d in self._deltas]
-                if kind == "ivfsq":
-                    # deltas arrive uncoded: quantize after assignment so
-                    # their schema matches the coded base
-                    from lanterndb_spark.operators.sq import sq8_quantize
-
-                    deltas = [sq8_quantize(d, vec_col) for d in deltas]
-                assigned = maintenance.with_deltas(index.assigned, *deltas)
-                base_index = IvfIndex(assigned, index.centroids, vec_col)
-            if self._tombstones:
-                assigned = maintenance.apply_tombstones(
-                    base_index.assigned, self._tombstones, self.id_col
-                )
-                base_index = IvfIndex(assigned, index.centroids, vec_col)
-            if kind == "ivfsq":
+            base_index = self._ivf_family_view(kind, index, vec_col)
+            if kind in ("ivfsq", "ivfpq"):
                 if metric != "l2sq":
-                    raise ValueError("ivfsq index supports metric='l2sq' only")
+                    raise ValueError(
+                        f"{kind} index supports metric='l2sq' only"
+                    )
                 if pred is not None:
                     raise ValueError(
-                        "ivfsq: pass pred-filtered knn through mode='exact' "
-                        "or an ivf index (filter composes before re-rank there)"
+                        f"{kind}: pass pred-filtered knn through "
+                        "mode='exact' or an ivf index (filter composes "
+                        "before re-rank there)"
                     )
+            if kind == "ivfsq":
                 return ivfsq_search(
                     base_index, query, k=k, id_col=self.id_col, **search_params
+                )
+            if kind == "ivfpq":
+                return ivfpq_search(
+                    base_index, base_index.codebook, query, k=k,
+                    pq_col=base_index.pq_col, id_col=self.id_col,
+                    **search_params,
                 )
             return ivf_search(
                 base_index, query, k=k, metric=metric, id_col=self.id_col,
@@ -570,42 +603,34 @@ class LanternTable:
             )
             return out.select(q_id_col, self.id_col, "dist")
         kind, index = self._indexes[vec_col]
-        if kind in ("ivf", "ivfsq"):
+        if kind in ("ivf", "ivfsq", "ivfpq"):
             from lanterndb_spark.operators.ivf import (
-                IvfIndex, ivf_search_df, ivfsq_search_df,
+                ivf_search_df, ivfpq_search_df, ivfsq_search_df,
             )
 
-            base_index = index
-            if self._deltas:
-                from lanterndb_spark.operators.ivf import ivf_assign
-
-                deltas = [ivf_assign(index, d) for d in self._deltas]
-                if kind == "ivfsq":
-                    # deltas arrive uncoded: quantize after assignment so
-                    # their schema matches the coded base (knn()'s prep)
-                    from lanterndb_spark.operators.sq import sq8_quantize
-
-                    deltas = [sq8_quantize(d, vec_col) for d in deltas]
-                assigned = maintenance.with_deltas(index.assigned, *deltas)
-                base_index = IvfIndex(assigned, index.centroids, vec_col)
-            if self._tombstones:
-                assigned = maintenance.apply_tombstones(
-                    base_index.assigned, self._tombstones, self.id_col
-                )
-                base_index = IvfIndex(assigned, index.centroids, vec_col)
-            if kind == "ivfsq":
-                # same contract as knn()'s ivfsq route: l2sq only, pred
+            base_index = self._ivf_family_view(kind, index, vec_col)
+            if kind in ("ivfsq", "ivfpq"):
+                # same contract as knn()'s coded routes: l2sq only, pred
                 # through mode='exact' or an ivf index
                 if metric != "l2sq":
-                    raise ValueError("ivfsq index supports metric='l2sq' only")
+                    raise ValueError(
+                        f"{kind} index supports metric='l2sq' only"
+                    )
                 if pred is not None:
                     raise ValueError(
-                        "ivfsq: pass pred-filtered knn_batch through "
+                        f"{kind}: pass pred-filtered knn_batch through "
                         "mode='exact' or an ivf index (filter composes "
                         "before re-rank there)"
                     )
+            if kind == "ivfsq":
                 return ivfsq_search_df(
                     base_index, queries, k=k, id_col=self.id_col,
+                    q_id_col=q_id_col, q_vec_col=q_vec_col, **search_params,
+                )
+            if kind == "ivfpq":
+                return ivfpq_search_df(
+                    base_index, base_index.codebook, queries, k=k,
+                    pq_col=base_index.pq_col, id_col=self.id_col,
                     q_id_col=q_id_col, q_vec_col=q_vec_col, **search_params,
                 )
             # DataFrame-native: queries route to their nprobe centroids
@@ -728,7 +753,7 @@ class LanternTable:
         if "indexes" not in kw:
             kw["indexes"] = {} if self._deltas else {
                 col: idx for col, (kind, idx) in self._indexes.items()
-                if kind in ("ivf", "hnsw")
+                if kind in ("ivf", "ivfpq", "hnsw")
                 and any(col == c for (_w, c, _q) in terms)
             }
         return weighted_vector_search_df(self.df, terms, queries, **kw)

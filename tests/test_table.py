@@ -718,3 +718,60 @@ def test_knn_batch_string_q_ids_all_routes(tables, spark):
     got_l = rekey(_by_q(th.knn_batch("embedding", qdf, k=3, ef=n).collect()))
     assert got_s == got_l
     assert any(v == 990002 for vs in got_s.values() for v, _ in vs)
+
+
+def test_table_ivfpq_index_lifecycle(tables, spark):
+    """kind='ivfpq' (the reference's pq=true reloption): knn and
+    knn_batch route through the ADC composite and equal the exact scan
+    at full probe + covering refine; deltas become visible (codes
+    re-derive against the frozen codebook) and compact folds them;
+    get_indexes surfaces nlist + splits; non-l2sq raises."""
+    import pytest as _pytest
+
+    emb = tables["embeddings"]
+    n = emb.count()
+    t = LanternTable(emb, "vec_id").create_index(
+        "embedding", kind="ivfpq", nlist=4, splits=8, clusters=16, seed=42
+    )
+    cat = {e["column"]: e for e in t.get_indexes() if e["kind"] == "ivfpq"}
+    assert cat["embedding"]["params"]["nlist"] == 4
+    assert cat["embedding"]["params"]["splits"] == 8
+
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    got = [r["vec_id"] for r in t.knn(
+        "embedding", q, k=5, nprobe=4, refine=(n + 4) // 5
+    ).collect()]
+    from lanterndb_spark.operators.knn import knn as exact_knn
+    want = [r["vec_id"] for r in exact_knn(
+        emb, "embedding", q, k=5, id_col="vec_id"
+    ).collect()]
+    assert got == want
+    with _pytest.raises(ValueError, match="l2sq"):
+        t.knn("embedding", q, k=5, metric="cos")
+
+    qdf = _qdf(spark, emb, [0, 7])
+    exact = _by_q(LanternTable(emb, "vec_id").knn_batch("embedding", qdf, k=5).collect())
+    got_b = _by_q(t.knn_batch(
+        "embedding", qdf, k=5, nprobe=4, refine=(n + 4) // 5
+    ).collect())
+    assert got_b == exact
+
+    # delta twin surfaces through the batch route, then compact folds it
+    twin = emb.filter(F.col("vec_id") == 7).select(
+        F.lit(990004).cast("bigint").alias("vec_id"),
+        F.col("label"), F.col("embedding"),
+    ).select(*emb.columns)
+    t.insert(twin)
+    rows = t.knn_batch(
+        "embedding", qdf, k=3, nprobe=4, refine=(n + 4) // 5
+    ).collect()
+    assert 990004 in [r["vec_id"] for r in rows if r["q_id"] == 7]
+    t.compact()
+    kind, idx = t._indexes["embedding"]
+    assert kind == "ivfpq" and idx.assigned.filter(
+        F.col("vec_id") == 990004
+    ).count() == 1
+
+    # hybrid candidate mode accepts the ivfpq handle as an ivf candidate
+    got_w = t.weighted_search([(1.0, "embedding", q)], ef=n, limit=5)
+    assert [r["vec_id"] for r in got_w.collect()] == want
