@@ -890,6 +890,23 @@ def load_ivf(spark, path: str, vec_col: str) -> IvfIndex:
     return IvfIndex(assigned, centroids, vec_col)
 
 
+def save_ivfpq(index: IvfPqIndex, path: str, spark=None) -> None:
+    """:func:`save_ivf`'s layout (coded rows partitioned by cluster_id)
+    plus the frozen codebook — the reference persists the codebook
+    INSIDE the index (build.c:497-501), so a loaded handle searches
+    without retraining."""
+    save_ivf(index, path, spark=spark)
+    index.codebook.write.mode("overwrite").parquet(f"{path}/codebook")
+
+
+def load_ivfpq(
+    spark, path: str, vec_col: str, pq_col: str | None = None
+) -> IvfPqIndex:
+    base = load_ivf(spark, path, vec_col)
+    cb = spark.read.parquet(f"{path}/codebook")
+    return IvfPqIndex(base.assigned, base.centroids, vec_col, cb, pq_col)
+
+
 def ivf_search(
     index: IvfIndex,
     query: list[float],

@@ -631,3 +631,24 @@ def test_ivfpq_search_df_matches_single_and_exact(emb, index, spark):
         coded, cb, qdf.filter(F.lit(False)), k=3, id_col="vec_id"
     )
     assert empty.count() == 0
+
+
+def test_ivfpq_save_load_roundtrip(emb, spark, tmp_path):
+    """A persisted ivfpq index reloads with its codebook and answers
+    exactly what the in-memory handle answers (no retrain)."""
+    from lanterndb_spark.operators.ivf import (
+        build_ivfpq, ivfpq_search, load_ivfpq, save_ivfpq,
+    )
+
+    idx = build_ivfpq(emb, "embedding", nlist=4, splits=8, clusters=16, seed=42)
+    q = qvec(emb, 3)
+    want = [(r["vec_id"], round(r["dist"], 9)) for r in ivfpq_search(
+        idx, idx.codebook, q, k=5, nprobe=2, refine=4, id_col="vec_id"
+    ).collect()]
+    path = str(tmp_path / "ivfpq_idx")
+    save_ivfpq(idx, path)
+    back = load_ivfpq(spark, path, "embedding")
+    got = [(r["vec_id"], round(r["dist"], 9)) for r in ivfpq_search(
+        back, back.codebook, q, k=5, nprobe=2, refine=4, id_col="vec_id"
+    ).collect()]
+    assert got == want
