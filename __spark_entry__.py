@@ -6244,7 +6244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Rows-only queries never occupy window slots (VERDICT r9 item 3 —
     every slot should be able to go hash-green); their shadows do.
 
-    - Entries 1-50 (the round-10 window): the six rows that have
+    - Entries 1-50 (the round-10 window): the five rows that have
       never had a driver check (autotune_batch_invariants — NEW this
       round, the batch-throughput autotune grid over ivf_search_df AND
       hnsw_search_df; streaming_annbatch_equiv and
