@@ -6240,29 +6240,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     never-checked beats stale-green; newest-green age drives the rest,
     keeping every oracle-backed row's newest driver-green <= 3 rounds
     old where the 50-slot window allows. Rows whose operator code
-    CHANGED this round also enter the window regardless of age.
+    CHANGED this round also enter the window regardless of age
+    (function-level: rows that execute changed LINES; pure guard
+    additions — raise-on-mismatch, typed-empty early returns — are
+    pinned by pytest instead, they cannot alter a non-degenerate row).
     Rows-only queries never occupy window slots (VERDICT r9 item 3 —
     every slot should be able to go hash-green); their shadows do.
 
-    - Entries 1-50 (the round-10 window): the five rows that have
-      never had a driver check (autotune_batch_invariants — NEW this
-      round, the batch-throughput autotune grid over ivf_search_df AND
-      hnsw_search_df; streaming_annbatch_equiv and
-      streaming_hnswbatch_equiv — NEW this round, mid-ingest
-      DataFrame-native batch search over the live streamed view on both
-      ANN backends; ivfsqdf_exact_equiv and
-      ivfpqdf_exact_equiv — NEW this round, the DataFrame-native IVF+SQ8
-      and IVF+PQ batches), the ten rows whose operator
-      code changed this round (the hnsw batch forms' surrogate-key q_id
-      wrap, hybrid's metric forwarding + collision guard,
-      ivf_search_df's routing formulation + single-evaluation cache,
-      knn_join's probe change, autotune/streaming-ann surfaces), then
-      thirty-five of the thirty-nine rows whose newest green is round
-      6 (age 4 — overdue; histogram, zipf_fit, psi_drift and
-      weighted_sample deferred to 51+, the window is full).
-    - Entries 51+: the deferred r6 greens (first in line next round), then the rows the driver proved green in round 9, then
-      the round-8 greens (youngest — safest to park). Still checked
-      every round by tools/check_oracle.py and pytest.
+    - Entries 1-50 (the round-11 window): the four r6 greens deferred
+      from the r10 window (histogram, zipf_fit, psi_drift,
+      weighted_sample — age 5, the oldest rows anywhere, VERDICT r10
+      item 4), then the sixteen rows whose operator code changed this
+      round (hnsw_search_df/_filtered duplicate-q_id per-row
+      unification + surrogate-checkpoint release; hybrid batch metric
+      guard; ivf_search_df probed-set export; ivfsq/ivfpq batch
+      re-rank cluster pruning; embed registration validation;
+      streaming semdedup/scd store changes; dedup ann route;
+      autotune batch; pq train_codebook guard), then thirty of the
+      forty-seven rows whose newest green is round 8 (age 3 — the
+      stalest greens; the docstring previously mislabeled this block
+      "youngest").
+    - Entries 51+: the sixteen r8 greens that did not fit (first in
+      line next round), then the round-9 greens (age 2), then the
+      round-10 greens (age 1 — safest to park). Still checked every
+      round by tools/check_oracle.py and pytest.
     - Final block: rows-only queries with no SQL-expressible oracle
       (including ivfsq_knn, swapped out of the r9 window per VERDICT),
       each shadowed by an oracle-backed *_exact_equiv / *_invariants /
@@ -6270,24 +6271,123 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- 1-50: the driver-checked window ------------------------------
-        # never driver-checked first (both new this round):
-        "autotune_batch_invariants": q_autotune_batch_invariants,
-        "streaming_annbatch_equiv": q_streaming_annbatch_equiv,
-        "streaming_hnswbatch_equiv": q_streaming_hnswbatch_equiv,
-        # operator code changed this round:
-        "ivfdf_exact_equiv": q_ivfdf_exact_equiv,
-        "ivfsqdf_exact_equiv": q_ivfsqdf_exact_equiv,
-        "ivfpqdf_exact_equiv": q_ivfpqdf_exact_equiv,
+        # deferred r6 greens (age 5 — the oldest rows anywhere):
+        "histogram": q_histogram,
+        "zipf_fit": q_zipf_fit,
+        "psi_drift": q_psi_drift,
+        "weighted_sample": q_weighted_sample,
+        # operator code changed this round (r11):
         "hnswdf_exact_equiv": q_hnswdf_exact_equiv,
         "hnswdf_filtered_equiv": q_hnswdf_filtered_equiv,
         "hybrid_batch": q_hybrid_batch,
         "hybrid_batch_indexed": q_hybrid_batch_indexed,
+        "ivfdf_exact_equiv": q_ivfdf_exact_equiv,
+        "ivfsqdf_exact_equiv": q_ivfsqdf_exact_equiv,
+        "ivfpqdf_exact_equiv": q_ivfpqdf_exact_equiv,
+        "embed_invariants": q_embed_invariants,
+        "streaming_semdedup_equiv": q_streaming_semdedup_equiv,
+        "streaming_hnswbatch_equiv": q_streaming_hnswbatch_equiv,
+        "scd2": q_scd2,
+        "semdedup_ann_equiv": q_semdedup_ann_equiv,
+        "emb_near_dup": q_emb_near_dup,
+        "autotune_invariants": q_autotune_invariants,
+        "autotune_batch_invariants": q_autotune_batch_invariants,
+        "pq_roundtrip": q_pq_roundtrip,
+        # newest-green r8 (30 of 47 — age 3, the stalest greens):
+        "hnsw_cos_equiv": q_hnsw_cos_equiv,
+        "grouped_linreg": q_grouped_linreg,
+        "quantile_bin": q_quantile_bin,
+        "repeated_spans": q_repeated_spans,
+        "mix_temperature": q_mix_temperature,
+        "projection_invariants": q_projection_invariants,
+        "quality_logreg_score": q_quality_logreg_score,
+        "quality_classifier_invariants": q_quality_classifier_invariants,
+        "projknn_invariants": q_projknn_invariants,
+        "minhash_estimate_invariants": q_minhash_estimate_invariants,
+        "minhash_incremental_invariants": q_minhash_incremental_invariants,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21,
+        "events_cube": q_events_cube,
+        "events_resample": q_events_resample,
+        "events_percentiles": q_events_percentiles,
+        "user_day_full_outer": q_user_day_full_outer,
+        "profile_documents": q_profile_documents,
+        "constraint_checks": q_constraint_checks,
+        "retrieval_eval": q_retrieval_eval,
+        "hard_negatives": q_hard_negatives,
+        "leakage_split": q_leakage_split,
+        "token_budget": q_token_budget,
+        # -- 51+: r8 greens that did not fit (first in line next round) ---
+        "window_stats": q_window_stats,
+        "set_ops": q_set_ops,
+        "containment": q_containment,
+        "mask_spans": q_mask_spans,
+        "pipeline_spans": q_pipeline_spans,
+        "pr_curve": q_pr_curve,
+        "hnsw_exact_equiv": q_hnsw_exact_equiv,
+        "hnsw_invariants": q_hnsw_invariants,
+        "streaming_neardup_equiv": q_streaming_neardup_equiv,
+        "streaming_hnsw_equiv": q_streaming_hnsw_equiv,
+        "hnswivf_exact_equiv": q_hnswivf_exact_equiv,
+        "hnsw_filtered_equiv": q_hnsw_filtered_equiv,
+        "hnsw_hamming_equiv": q_hnsw_hamming_equiv,
+        "merge_upsert": q_merge_upsert,
+        "bm25_postings": q_bm25_postings,
+        "bm25_topk_stemmed": q_bm25_topk_stemmed,
+        # -- r9 greens (age 2) --------------------------------------------
+        "bm25_batch": q_bm25_batch,
+        "dedup_sketch_invariants": q_dedup_sketch_invariants,
+        "bm25_score": q_bm25_score,
+        "bloom_hot_terms": q_bloom_hot_terms,
+        "jaccard_pairs": q_jaccard_pairs,
+        "dedup_near_keep": q_dedup_near_keep,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q18": q_tpch_q18,
+        "knn_l2sq": q_knn_l2sq,
+        "bm25_topk": q_bm25_topk,
+        "bm25_topk_tsvector": q_bm25_topk_tsvector,
+        "sq8_knn": q_sq8_knn,
+        "text_metrics": q_text_metrics,
+        "ivf_exact_equiv": q_ivf_exact_equiv,
+        "srp_exact_equiv": q_srp_exact_equiv,
+        "ivfpq_exact_equiv": q_ivfpq_exact_equiv,
+        "cluster_balance": q_cluster_balance,
+        "dedup_exact": q_dedup_exact,
+        "tpch_q1": q_tpch_q1,
+        "events_tumbling": q_events_tumbling,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "overlap_join": q_overlap_join,
+        "sessionize": q_sessionize,
+        "asof_forward": q_asof_forward,
+        "hnswsq_recall": q_hnswsq_recall,
+        "hnswpq_recall": q_hnswpq_recall,
+        "asof_nearest": q_asof_nearest,
+        "bm25_consolidate": q_bm25_consolidate,
+        "rag_pipeline": q_rag_pipeline,
+        "mix_domains": q_mix_domains,
+        "decontaminate_semantic": q_decontaminate_semantic,
+        "rrf_hybrid": q_rrf_hybrid,
+        "chunk_documents": q_chunk_documents,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q13": q_tpch_q13,
+        # -- r10 greens (age 1 — youngest, safest to park) -----------------
+        "streaming_annbatch_equiv": q_streaming_annbatch_equiv,
+        "streaming_ann_equiv": q_streaming_ann_equiv,
         "hybrid_exact": q_hybrid_exact,
         "hybrid_candidate": q_hybrid_candidate,
         "knn_join": q_knn_join,
-        "autotune_invariants": q_autotune_invariants,
-        "streaming_ann_equiv": q_streaming_ann_equiv,
-        # newest-green r6 (38 of 39 — age 4, overdue):
         "tpch_q14": q_tpch_q14,
         "tpch_q19": q_tpch_q19,
         "tpch_q22": q_tpch_q22,
@@ -6321,106 +6421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_invariants": q_multimodal_invariants,
         "jaccard_prefix": q_jaccard_prefix,
         "bigram_score": q_bigram_score,
-        "scd2": q_scd2,
         "mad_outliers": q_mad_outliers,
-        # -- 51+: deferred r6 greens (first in line next round) -----------
-        "histogram": q_histogram,
-        "zipf_fit": q_zipf_fit,
-        "psi_drift": q_psi_drift,
-        "weighted_sample": q_weighted_sample,
-        # -- r9 greens (age 1) --------------------------------------------
-        "bm25_batch": q_bm25_batch,
-        "streaming_semdedup_equiv": q_streaming_semdedup_equiv,
-        "semdedup_ann_equiv": q_semdedup_ann_equiv,
-        "dedup_sketch_invariants": q_dedup_sketch_invariants,
-        "embed_invariants": q_embed_invariants,
-        "bm25_score": q_bm25_score,
-        "bloom_hot_terms": q_bloom_hot_terms,
-        "jaccard_pairs": q_jaccard_pairs,
-        "dedup_near_keep": q_dedup_near_keep,
-        "tpch_q4": q_tpch_q4,
-        "tpch_q5": q_tpch_q5,
-        "tpch_q6": q_tpch_q6,
-        "tpch_q7": q_tpch_q7,
-        "tpch_q10": q_tpch_q10,
-        "tpch_q18": q_tpch_q18,
-        "knn_l2sq": q_knn_l2sq,
-        "bm25_topk": q_bm25_topk,
-        "bm25_topk_tsvector": q_bm25_topk_tsvector,
-        "sq8_knn": q_sq8_knn,
-        "text_metrics": q_text_metrics,
-        "ivf_exact_equiv": q_ivf_exact_equiv,
-        "srp_exact_equiv": q_srp_exact_equiv,
-        "ivfpq_exact_equiv": q_ivfpq_exact_equiv,
-        "cluster_balance": q_cluster_balance,
-        "dedup_exact": q_dedup_exact,
-        "emb_near_dup": q_emb_near_dup,
-        "tpch_q1": q_tpch_q1,
-        "events_tumbling": q_events_tumbling,
-        "asof_join": q_asof_join,
-        "range_join": q_range_join,
-        "overlap_join": q_overlap_join,
-        "sessionize": q_sessionize,
-        "asof_forward": q_asof_forward,
-        "hnswsq_recall": q_hnswsq_recall,
-        "hnswpq_recall": q_hnswpq_recall,
-        "asof_nearest": q_asof_nearest,
-        "bm25_consolidate": q_bm25_consolidate,
-        "rag_pipeline": q_rag_pipeline,
-        "mix_domains": q_mix_domains,
-        "decontaminate_semantic": q_decontaminate_semantic,
-        "rrf_hybrid": q_rrf_hybrid,
-        "chunk_documents": q_chunk_documents,
-        "tpch_q8": q_tpch_q8,
-        "tpch_q13": q_tpch_q13,
-        # -- r8-green (youngest green, parked) ----------------------------
-        "hnsw_cos_equiv": q_hnsw_cos_equiv,
-        "grouped_linreg": q_grouped_linreg,
-        "quantile_bin": q_quantile_bin,
-        "repeated_spans": q_repeated_spans,
-        "mix_temperature": q_mix_temperature,
-        "projection_invariants": q_projection_invariants,
-        "quality_logreg_score": q_quality_logreg_score,
-        "quality_classifier_invariants": q_quality_classifier_invariants,
-        "projknn_invariants": q_projknn_invariants,
-        "minhash_estimate_invariants": q_minhash_estimate_invariants,
-        "minhash_incremental_invariants": q_minhash_incremental_invariants,
-        "tpch_q2": q_tpch_q2,
-        "tpch_q9": q_tpch_q9,
-        "tpch_q12": q_tpch_q12,
-        "tpch_q15": q_tpch_q15,
-        "tpch_q16": q_tpch_q16,
-        "tpch_q17": q_tpch_q17,
-        "tpch_q11": q_tpch_q11,
-        "tpch_q20": q_tpch_q20,
-        "tpch_q21": q_tpch_q21,
-        "events_cube": q_events_cube,
-        "events_resample": q_events_resample,
-        "events_percentiles": q_events_percentiles,
-        "user_day_full_outer": q_user_day_full_outer,
-        "profile_documents": q_profile_documents,
-        "constraint_checks": q_constraint_checks,
-        "retrieval_eval": q_retrieval_eval,
-        "hard_negatives": q_hard_negatives,
-        "leakage_split": q_leakage_split,
-        "token_budget": q_token_budget,
-        "window_stats": q_window_stats,
-        "set_ops": q_set_ops,
-        "containment": q_containment,
-        "mask_spans": q_mask_spans,
-        "pipeline_spans": q_pipeline_spans,
-        "pr_curve": q_pr_curve,
-        "hnsw_exact_equiv": q_hnsw_exact_equiv,
-        "hnsw_invariants": q_hnsw_invariants,
-        "streaming_neardup_equiv": q_streaming_neardup_equiv,
-        "streaming_hnsw_equiv": q_streaming_hnsw_equiv,
-        "hnswivf_exact_equiv": q_hnswivf_exact_equiv,
-        "hnsw_filtered_equiv": q_hnsw_filtered_equiv,
-        "hnsw_hamming_equiv": q_hnsw_hamming_equiv,
-        "merge_upsert": q_merge_upsert,
-        "bm25_postings": q_bm25_postings,
-        "pq_roundtrip": q_pq_roundtrip,
-        "bm25_topk_stemmed": q_bm25_topk_stemmed,
         # -- rows-only (no SQL oracle), shadowed by equiv/invariant rows --
         "ivfsq_knn": q_ivfsq_knn,
         "srp_knn": q_srp_knn,

@@ -243,7 +243,12 @@ def autotune_hnsw_batch(
             for nprobe in nprobe_grid:
                 t1 = time.monotonic()
                 got = _collect_by_query(
-                    hnsw_search_df(index, qdf, k=k, ef=ef, nprobe=nprobe),
+                    # ids minted by enumerate above — skip the dup-check
+                    # job so batch_s measures only the search
+                    hnsw_search_df(
+                        index, qdf, k=k, ef=ef, nprobe=nprobe,
+                        unique_q_ids=True,
+                    ),
                     id_col,
                 )
                 batch_s = time.monotonic() - t1

@@ -1016,7 +1016,10 @@ def embedding_near_dup_pairs(
             F.col("id").alias("q_id"), F.col("v").alias("query")
         )
         res = hnsw_search_df(
-            index, queries, k=k_neighbors, ef=ef, nprobe=nprobe
+            # doc ids ARE the dedup key — duplicates are a caller error
+            # upstream, so skip the per-call duplicate-detection count
+            index, queries, k=k_neighbors, ef=ef, nprobe=nprobe,
+            unique_q_ids=True,
         )
         if index.id_col != "id":  # external index keyed by the caller's id
             res = res.withColumnRenamed(index.id_col, "id")

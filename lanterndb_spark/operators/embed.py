@@ -84,7 +84,13 @@ def register_embedding_client(runtime: str, batch_fn) -> None:
 def register_completion_client(runtime: str, batch_fn) -> None:
     """Completion twin of :func:`register_embedding_client`:
     ``batch_fn(texts, model, system_prompt)`` returns one string (or
-    None) per text. Pass ``None`` to unregister."""
+    None) per text. Pass ``None`` to unregister. ``runtime`` must be a
+    completion runtime (a value of COMPLETION_MODELS) — a typoed name
+    would otherwise register a client ``complete()`` never dispatches
+    to, failing only at call time with the stub's NotImplementedError."""
+    known = sorted(set(COMPLETION_MODELS.values()))
+    if runtime not in known:
+        raise ValueError(f"unknown completion runtime {runtime!r}; one of {known}")
     if batch_fn is None:
         _COMPLETION_CLIENTS.pop(runtime, None)
     else:

@@ -1891,19 +1891,35 @@ def _surrogate_key_queries(
     )
 
 
+def _has_duplicate_qids(queries: DataFrame, q_id_col: str) -> bool:
+    """One column-pruned aggregate over the id column. Used by the
+    integral fast path to decide whether the merge-by-key shortcut is
+    safe; callers that mint their own ids skip it via unique_q_ids."""
+    row = queries.select(
+        (F.count(q_id_col) != F.count_distinct(q_id_col)).alias("dup")
+    ).first()
+    return bool(row["dup"])
+
+
 def _restore_surrogate(
     result: DataFrame, keyed: DataFrame, q_id_col: str, tail_cols: list
 ) -> DataFrame:
     """Swap the surrogate back for the caller's q_id values — ONE
     equi-join on the long key (AQE broadcasts the mapping when small);
-    persisted-intermediate attachments carry through for release()."""
+    persisted-intermediate attachments carry through for release(),
+    plus a handle that frees the pinned surrogate checkpoint blocks
+    (DataFrame.unpersist alone leaves localCheckpoint storage behind —
+    plans/shape.py CheckpointHandle)."""
+    from lanterndb_spark.plans.shape import CheckpointHandle
+
     mapping = keyed.select(F.col(q_id_col).alias("__sk"), "__orig_qid")
     out = result.join(mapping, result["q_id"] == mapping["__sk"]).select(
         F.col("__orig_qid").alias("q_id"), *tail_cols
     )
-    inner = result.__dict__.get("_lantern_persisted")
-    if inner:
-        out.__dict__["_lantern_persisted"] = inner
+    inner = result.__dict__.get("_lantern_persisted") or []
+    out.__dict__["_lantern_persisted"] = list(inner) + [
+        CheckpointHandle(keyed)
+    ]
     return out
 
 
@@ -1917,6 +1933,7 @@ def hnsw_search_df(
     base: DataFrame | None = None,
     q_id_col: str = "q_id",
     q_vec_col: str = "query",
+    unique_q_ids: bool = False,
 ) -> DataFrame:
     """DataFrame-native batch ANN: queries arrive as a DataFrame and
     are SHUFFLED to their probed shards instead of shipped in a task
@@ -1941,20 +1958,32 @@ def hnsw_search_df(
     surrogate, searched, and restored after the merge at the cost of
     one extra equi-join (the scan contract is label-agnostic — TIDs,
     scan.c:302-308 — so the batch form is too). Duplicate q_id VALUES
-    are per-row under the wrap (each row keeps its own top-k) but
-    merged on the integral fast path — give rows distinct ids. cos
-    queries with zero norm are DROPPED (undefined angle, distance.py's
-    NULL convention). Reference parity: scan.c:167-238 is per-query;
-    this is the batch recast that scales it."""
+    are PER-ROW on every path (each input row keeps its own top-k,
+    the lateral-join semantics a SQL batch would have): integral
+    frames pay one column-pruned count to detect duplicates and fall
+    into the surrogate wrap when they exist, so the result no longer
+    depends on the key dtype. Callers that mint their own unique ids
+    pass ``unique_q_ids=True`` to skip that check (asserting
+    uniqueness — with duplicates present it silently merges their
+    candidate sets). cos queries with zero norm are DROPPED (undefined
+    angle, distance.py's NULL convention). Reference parity:
+    scan.c:167-238 is per-query; this is the batch recast that scales
+    it."""
     from pyspark.sql import Window
 
     if nprobe is not None and nprobe < 1:
         raise ValueError(f"nprobe must be >= 1, got {nprobe}")
-    if queries.schema[q_id_col].dataType.simpleString() not in _INTEGRAL_TYPES:
+    integral = (
+        queries.schema[q_id_col].dataType.simpleString() in _INTEGRAL_TYPES
+    )
+    if not integral or (
+        not unique_q_ids and _has_duplicate_qids(queries, q_id_col)
+    ):
         keyed = _surrogate_key_queries(queries, q_id_col, q_vec_col)
         inner = hnsw_search_df(
             index, keyed.drop("__orig_qid"), k=k, ef=ef, deleted=deleted,
             nprobe=nprobe, base=base, q_id_col=q_id_col, q_vec_col=q_vec_col,
+            unique_q_ids=True,  # surrogates are unique by construction
         )
         return _restore_surrogate(inner, keyed, q_id_col, [index.id_col, "dist"])
     rerank = index.quant == "pq" and base is not None
@@ -2141,6 +2170,7 @@ def hnsw_search_df_filtered(
     q_id_col: str = "q_id",
     q_vec_col: str = "query",
     max_rounds: int = 3,
+    unique_q_ids: bool = False,
 ) -> DataFrame:
     """Filtered ANN for a whole query DataFrame — the batch recast of
     ``hnsw_search_filtered``'s streaming-k (scan.c:240-292): the graph
@@ -2168,17 +2198,26 @@ def hnsw_search_df_filtered(
     Returns (q_id, <id_col>, <base columns...>, dist) — ``q_id`` keeps
     the caller's column type via the same surrogate-key wrap as
     ``hnsw_search_df`` (non-integral q_ids zip to a long, search, and
-    restore after; one extra join)."""
+    restore after; one extra join). Duplicate q_id values are PER-ROW
+    on every path like ``hnsw_search_df`` — integral frames with
+    duplicates also take the wrap; ``unique_q_ids=True`` asserts
+    uniqueness and skips the detection count."""
     from pyspark.sql import Window
 
-    from lanterndb_spark.plans.shape import attach_persisted
+    from lanterndb_spark.plans.shape import CheckpointHandle, attach_persisted
 
-    if queries.schema[q_id_col].dataType.simpleString() not in _INTEGRAL_TYPES:
+    integral = (
+        queries.schema[q_id_col].dataType.simpleString() in _INTEGRAL_TYPES
+    )
+    if not integral or (
+        not unique_q_ids and _has_duplicate_qids(queries, q_id_col)
+    ):
         keyed = _surrogate_key_queries(queries, q_id_col, q_vec_col)
         inner = hnsw_search_df_filtered(
             index, base, keyed.drop("__orig_qid"), pred, k=k, ef=ef,
             deleted=deleted, nprobe=nprobe, q_id_col=q_id_col,
             q_vec_col=q_vec_col, max_rounds=max_rounds,
+            unique_q_ids=True,  # surrogates are unique by construction
         )
         tail = [c for c in inner.columns if c != "q_id"]
         return _restore_surrogate(inner, keyed, q_id_col, tail)
@@ -2205,6 +2244,7 @@ def hnsw_search_df_filtered(
             index, remaining, k=width, ef=max(width, int(ef)),
             deleted=deleted, nprobe=nprobe, base=rerank_base,
             q_id_col=q_id_col, q_vec_col=q_vec_col,
+            unique_q_ids=True,  # checked/wrapped at entry above
         )
         scored = (
             cand.join(base, on=index.id_col)
@@ -2222,6 +2262,9 @@ def hnsw_search_df_filtered(
             sat_q.withColumnRenamed("q_id", q_id_col),
             on=q_id_col, how="left_anti",
         ).localCheckpoint(eager=True)  # truncate the per-round anti-join chain
+        # checkpoint blocks are freed by release() with the persisted
+        # rounds (they are not unpersist()-able DataFrames — shape.py)
+        persisted.append(CheckpointHandle(remaining))
         if remaining.limit(1).count() == 0:
             remaining = None
             break

@@ -209,6 +209,16 @@ def weighted_vector_search_df(
             elif kind == "HnswIndex":
                 from lanterndb_spark.operators.hnsw import hnsw_search_df
 
+                # same guard as the single-query path
+                # (_index_candidate_ids): an hnsw graph bakes its
+                # metric at build, so a mismatched joint metric would
+                # silently rank candidates by the wrong distance
+                if idx.metric != metric:
+                    raise ValueError(
+                        f"hnsw index on {col!r} was built with "
+                        f"metric={idx.metric!r}; candidate ranking for a "
+                        f"{metric!r} joint needs a matching graph"
+                    )
                 # the graph batch form keys results by the graph's own
                 # id column and emits a literal "q_id" (long on the
                 # integral fast path, the caller's type under the

@@ -94,6 +94,18 @@ def build_ivfpq(
     from lanterndb_spark.operators.pq import quantize, train_codebook
 
     raw = build_ivf(df, vec_col, nlist=nlist, seed=seed, **ivf_kw)
+    if raw.nlist == 0:
+        # empty build (build.c:653-727 analogue, same contract as
+        # build_ivf): typed-empty index, no codebook to train — the
+        # searches' nlist==0 guards return typed-empty results
+        spark = df.sparkSession
+        cb = spark.createDataFrame(
+            [], "subvector_id int, centroid_id int, c array<float>"
+        )
+        assigned = raw.assigned.withColumn(
+            f"{vec_col}_pq", F.lit(None).cast("array<smallint>")
+        )
+        return IvfPqIndex(assigned, raw.centroids, vec_col, cb)
     cb = train_codebook(df, vec_col, splits=splits, clusters=clusters, seed=seed)
     return IvfPqIndex(quantize(raw.assigned, vec_col, cb), raw.centroids, vec_col, cb)
 
@@ -179,6 +191,11 @@ def ivfpq_search(
     from lanterndb_spark.operators.pq import adc_knn
 
     pq_col = pq_col or f"{index.vec_col}_pq"
+    if index.nlist == 0:  # empty index → typed empty result (ivf_search's guard)
+        return knn(
+            index.assigned.filter(F.lit(False)), index.vec_col, query,
+            k=k, id_col=id_col,
+        )
     q = np.asarray(query, dtype=np.float64)
     d = ((index.centroids - q[None, :]) ** 2).sum(axis=1)
     probes = [int(i) for i in np.argsort(d)[:nprobe]]
@@ -605,6 +622,10 @@ def ivf_search_df(
         from lanterndb_spark.plans.shape import attach_persisted
 
         out = attach_persisted(out, cached_routed)
+        # the probed-cluster set rides the result so composites
+        # (ivfsq_search_df's exact re-rank) can keep the coarse pass's
+        # partition pruning instead of re-scanning the full table
+        out.__dict__["_lantern_probed"] = probed
     return out
 
 
@@ -767,8 +788,14 @@ def ivfpq_search_df(
     qslim = queries.select(
         q_id_col, F.col(q_vec_col).cast("array<double>").alias("__qv")
     )
+    rerank_src = index.assigned
+    if cached_routed is not None:
+        # candidates can only come from the probed clusters — keep the
+        # coarse pass's partition pruning on the re-rank scan too (a
+        # partitionBy(cluster_id) layout would otherwise full-scan here)
+        rerank_src = rerank_src.filter(F.col("cluster_id").isin(probed))
     rescored = (
-        coarse.join(index.assigned.select(id_col, index.vec_col), on=id_col)
+        coarse.join(rerank_src.select(id_col, index.vec_col), on=id_col)
         .join(qslim, on=q_id_col)
         .withColumn(
             "dist",
@@ -836,9 +863,15 @@ def ivfsq_search_df(
     qslim = queries.select(
         q_id_col, F.col(q_vec_col).cast("array<double>").alias("__qv")
     )
+    rerank_src = index.assigned
+    probed = coarse.__dict__.get("_lantern_probed")
+    if probed is not None:
+        # keep the coarse pass's cluster pruning on the re-rank scan
+        # (candidates can only come from the probed clusters)
+        rerank_src = rerank_src.filter(F.col("cluster_id").isin(probed))
     rescored = (
         coarse.drop("dist")
-        .join(index.assigned.select(id_col, index.vec_col), on=id_col)
+        .join(rerank_src.select(id_col, index.vec_col), on=id_col)
         .join(qslim, on=q_id_col)
         .withColumn(
             "dist",

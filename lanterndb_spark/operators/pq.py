@@ -93,7 +93,12 @@ def train_codebook(
     if clusters > MAX_CLUSTERS:
         raise ValueError(f"cluster count must be <= {MAX_CLUSTERS}")
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        first = df.select(vec_col).first()
+        if first is None or first[0] is None:
+            raise ValueError(
+                "cannot infer vector dim from an empty table; pass dim="
+            )
+        dim = len(first[0])
     bounds = subvector_bounds(dim, splits)
 
     sample = df.select(F.col(vec_col).alias("v"))

@@ -118,9 +118,33 @@ def attach_persisted(out: DataFrame, *intermediates: DataFrame) -> DataFrame:
 def release(df: DataFrame) -> None:
     """Unpersist intermediates attached by :func:`attach_persisted`.
     Call AFTER materializing ``df`` (collect/write); unpersisting earlier
-    would force recomputation of the self-join inputs the cache exists for."""
+    would force recomputation of the self-join inputs the cache exists
+    for. Attachments may include :class:`CheckpointHandle` entries whose
+    blocks CANNOT be recomputed — re-reading ``df`` lazily after release
+    fails loudly instead of silently recomputing."""
     for p in df.__dict__.pop("_lantern_persisted", []):
         p.unpersist()
+
+
+class CheckpointHandle:
+    """release()-compatible handle for a ``localCheckpoint(eager=True)``
+    frame. ``DataFrame.unpersist()`` only uncaches CacheManager entries —
+    it does NOT free checkpoint RDD blocks (verified: getPersistentRDDs
+    stays populated after it) — so this reaches the LogicalRDD's backing
+    RDD through the analyzed plan and unpersists THAT. Duck-typed so
+    :func:`release` frees it like any attached intermediate."""
+
+    def __init__(self, checkpointed: DataFrame) -> None:
+        self._df = checkpointed
+
+    def unpersist(self) -> None:
+        try:
+            plan = self._df._jdf.queryExecution().analyzed()
+            plan.rdd().unpersist(False)
+        except Exception:
+            # plan shape changed (not a LogicalRDD) or the context is
+            # gone — storage dies with the session either way
+            pass
 
 
 def explode_nonempty(df: DataFrame, arr, alias: str, *keep) -> DataFrame:

@@ -123,7 +123,16 @@ class Scd2Ingest:
             # history) AND truncates lineage — persist alone would nest
             # every prior batch's plan inside the history forever (the
             # connected_components lesson, operators/dedup.py)
+            old_hist = self.history
             self.history = new_hist.localCheckpoint(eager=True)
+            if old_hist is not None:
+                # the new generation is materialized — free the replaced
+                # history's checkpoint blocks (one dead generation per
+                # batch otherwise; materialize current() reads before
+                # the next batch, per the contract above)
+                from lanterndb_spark.plans.shape import CheckpointHandle
+
+                CheckpointHandle(old_hist).unpersist()
             self.batches += 1
             # marker moves ONLY after success (see streaming/ann.py)
             self._last_batch_id = int(batch_id)

@@ -116,6 +116,9 @@ class SemanticDedupIngest:
                     hnsw_search_df(
                         self.index, qdf, k=self.k_neighbors, ef=self.ef,
                         nprobe=self.nprobe,
+                        # doc ids ARE the dedup key — duplicates are a
+                        # caller error upstream of this operator
+                        unique_q_ids=True,
                     )
                     .filter(F.col("dist") <= self.max_cos_dist)
                     .select(

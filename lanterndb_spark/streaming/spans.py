@@ -121,6 +121,13 @@ class SpanDedupIngest:
         self.spans = (
             found if self.spans is None else self.spans.unionByName(found)
         )
+        if self.store is not None:
+            # the new generation is materialized (eager) — free the
+            # replaced store's checkpoint blocks, or a long-running
+            # stream accumulates one dead generation per batch
+            from lanterndb_spark.plans.shape import CheckpointHandle
+
+            CheckpointHandle(self.store).unpersist()
         self.store = new_store
         self.batches += 1
         # marker moves ONLY after success (see streaming/ann.py)

@@ -233,3 +233,17 @@ def test_registered_codec_activates_multimodal_stages(media_df):
 
     with _pytest.raises(Exception):
         decode_image(media_df, "data", width=4, height=2).collect()
+
+
+def test_register_completion_client_validates_runtime():
+    """A typoed completion runtime raises at registration, not silently
+    at call time via the stub's NotImplementedError (the embedding
+    registry's contract, mirrored)."""
+    import pytest
+
+    from lanterndb_spark.operators.embed import register_completion_client
+
+    with pytest.raises(ValueError, match="unknown completion runtime"):
+        register_completion_client("opnai", lambda t, m, s: t)
+    with pytest.raises(ValueError, match="unknown completion runtime"):
+        register_completion_client("ort", lambda t, m, s: t)  # embed-only runtime

@@ -919,3 +919,50 @@ def test_search_df_empty_string_keyed_queries(index, spark):
     out = hnsw_search_df(index, qdf, k=3, ef=16)
     assert out.schema["q_id"].dataType.simpleString() == "string"
     assert out.count() == 0
+
+
+def test_search_df_duplicate_q_ids_per_row_every_dtype(index, emb, spark):
+    """Duplicate q_id VALUES are per-row on EVERY key path: an integral
+    frame with duplicate ids answers exactly what the same frame under
+    string keys answers — k rows per input ROW, each row's own top-k —
+    instead of the old dtype-dependent merge on the integral fast path."""
+    from lanterndb_spark.operators.hnsw import hnsw_search_df
+
+    qa, qb, qc = qvec(emb, 1), qvec(emb, 29), qvec(emb, 44)
+    # q_id=7 appears twice with DIFFERENT vectors; q_id=3 once
+    ldf = spark.createDataFrame(
+        [(7, qa), (7, qb), (3, qc)], "q_id long, query array<double>"
+    )
+    sdf = spark.createDataFrame(
+        [("7", qa), ("7", qb), ("3", qc)], "q_id string, query array<double>"
+    )
+    got_l = hnsw_search_df(index, ldf, k=5, ef=32).collect()
+    got_s = hnsw_search_df(index, sdf, k=5, ef=32).collect()
+    assert len(got_l) == 15  # 3 input rows x k, NOT 10 (merged)
+    key_l = sorted((str(r["q_id"]), r["vec_id"], round(r["dist"], 9)) for r in got_l)
+    key_s = sorted((r["q_id"], r["vec_id"], round(r["dist"], 9)) for r in got_s)
+    assert key_l == key_s
+    # unique_q_ids=True asserts uniqueness: duplicates then MERGE (the
+    # caller took responsibility) — documents the escape hatch's sharp edge
+    merged = hnsw_search_df(index, ldf, k=5, ef=32, unique_q_ids=True).collect()
+    assert len(merged) == 10
+
+
+def test_surrogate_checkpoint_blocks_released(index, emb, spark):
+    """release() frees the surrogate wrap's localCheckpoint blocks:
+    DataFrame.unpersist() alone leaves them (the r10 leak), so the wrap
+    attaches a CheckpointHandle that unpersists the backing RDD."""
+    from lanterndb_spark.operators.hnsw import hnsw_search_df
+    from lanterndb_spark.plans.shape import release
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    sdf = spark.createDataFrame(
+        [(f"e/{i}", qvec(emb, i)) for i in (2, 11)],
+        "q_id string, query array<double>",
+    )
+    out = hnsw_search_df(index, sdf, k=3, ef=16)
+    out.collect()
+    assert jsc.getPersistentRDDs().size() > before  # the pinned mapping
+    release(out)
+    assert jsc.getPersistentRDDs().size() == before

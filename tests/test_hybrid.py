@@ -358,3 +358,26 @@ def test_batch_ivf_stage_cache_releasable(hybrid_df, spark):
     assert all(
         not (c.storageLevel.useMemory or c.storageLevel.useDisk) for c in cached
     )
+
+
+def test_batch_hnsw_candidate_stage_rejects_metric_mismatch(hybrid_df, spark):
+    """The batch form enforces the same graph-metric guard as the
+    single-query path: a cos joint over an l2sq-built graph raises
+    instead of silently ranking candidates by the wrong distance."""
+    from lanterndb_spark.operators.hnsw import build_hnsw
+    from lanterndb_spark.operators.hybrid import weighted_vector_search_df
+
+    hidx = build_hnsw(
+        hybrid_df.select("id", "v1"), "v1", id_col="id", m=8,
+        ef_construction=32, num_shards=2, seed=1,
+    )  # metric defaults to l2sq
+    q1, q2 = q_of(hybrid_df, 0)
+    qdf = spark.createDataFrame(
+        [(0, q1, q2)], "q_id int, qv1 array<double>, qv2 array<double>"
+    )
+    with pytest.raises(ValueError, match="matching graph"):
+        weighted_vector_search_df(
+            hybrid_df, [(1.0, "v1", "qv1"), (0.5, "v2", "qv2")], qdf,
+            metric="cos", ef=10, indexes={"v1": hidx},
+        )
+    hidx.graphs.unpersist()

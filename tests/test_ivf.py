@@ -652,3 +652,41 @@ def test_ivfpq_save_load_roundtrip(emb, spark, tmp_path):
         back, back.codebook, q, k=5, nprobe=2, refine=4, id_col="vec_id"
     ).collect()]
     assert got == want
+
+
+def test_ivfpq_empty_build_and_search(spark):
+    """The pq=true composites share the nlist==0 empty-index contract:
+    build_ivfpq on an empty table returns a typed-empty index, and both
+    the driver-list and DataFrame-native searches return typed-empty
+    results instead of crashing in argsort/adc_knn."""
+    from lanterndb_spark.operators.ivf import (
+        build_ivfpq, ivfpq_search, ivfpq_search_df,
+    )
+
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    idx = build_ivfpq(empty, "embedding", nlist=4, splits=2, clusters=4)
+    assert idx.nlist == 0
+    assert idx.assigned.count() == 0
+    assert idx.codebook.count() == 0
+    out = ivfpq_search(idx, idx.codebook, [0.0, 0.0], k=5, id_col="vec_id")
+    assert out.count() == 0
+    qdf = spark.createDataFrame([(0, [0.0, 0.0])], "q_id int, query array<double>")
+    out2 = ivfpq_search_df(idx, idx.codebook, qdf, k=5, id_col="vec_id")
+    assert out2.count() == 0
+    assert [f.name for f in out2.schema.fields] == ["q_id", "vec_id", "dist"]
+
+
+def test_search_df_exposes_probed_clusters(emb, index, spark):
+    """A pruned ivf_search_df result carries the probed-cluster set so
+    composite re-ranks (ivfsq/ivfpq) keep the coarse pass's partition
+    pruning instead of re-scanning the full assigned table."""
+    from lanterndb_spark.operators.ivf import ivf_search_df
+    from lanterndb_spark.plans.shape import release
+
+    qdf = _qdf(emb, [1, 7])
+    out = ivf_search_df(index, qdf, k=3, nprobe=2, id_col="vec_id")
+    probed = out.__dict__.get("_lantern_probed")
+    assert probed is not None and 0 < len(probed) <= 2 * 2
+    assert all(isinstance(c, int) for c in probed)
+    out.collect()
+    release(out)

@@ -112,3 +112,20 @@ def test_foreachbatch_stream_run(spark, tmp_path):
     want = scd2_history(df, "uid", "ts", ["tier"], tiebreak_col="seq")
     assert _hist_set(ingest.history) == _hist_set(want)
     assert ingest.current().count() == 10
+
+
+def test_history_generations_released(spark):
+    """Each batch swap frees the PREVIOUS generation's checkpoint blocks
+    — a long-running stream must not accumulate one dead history RDD per
+    micro-batch (DataFrame.unpersist is a no-op on checkpoints, so the
+    writer uses CheckpointHandle)."""
+    jsc = spark.sparkContext._jsc.sc()
+    ingest = scd2_ingest_stream("uid", "ts", ["tier"], tiebreak_col="seq")
+    write = ingest.writer()
+    write(spark.createDataFrame([(1, _t(1), 0, "bronze")], SCHEMA), 0)
+    after_first = jsc.getPersistentRDDs().size()
+    for i in range(1, 4):
+        write(spark.createDataFrame([(1, _t(i + 1), i, "gold")], SCHEMA), i)
+    # one live generation regardless of batch count
+    assert jsc.getPersistentRDDs().size() == after_first
+    assert ingest.batches == 4

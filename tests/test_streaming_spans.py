@@ -94,3 +94,20 @@ def test_file_stream_spans_contained_in_batch_spans(spark, tmp_path, tables):
     flagged = {r["doc_id"] for r in streamed}
     for t in twin_ids:
         assert t in flagged or (t - 1_000_000) in flagged
+
+
+def test_store_generations_released(spark):
+    """The postings store swap frees the previous generation's
+    checkpoint blocks (the spans themselves accumulate — they are live
+    output — but dead store generations must not)."""
+    jsc = spark.sparkContext._jsc.sc()
+    ingest = span_dedup_ingest_stream("doc_id", "text", min_len=10, min_docs=2)
+    w = ingest.writer()
+    w(_doc(spark, 1, f"alpha beta gamma {BOILER} one two"), 0)
+    after_first = jsc.getPersistentRDDs().size()
+    for i in range(1, 4):
+        w(_doc(spark, 1 + i, f"tail {i} then {BOILER} pad pad pad"), i)
+    # stores: exactly one live generation; spans: one checkpoint per
+    # EMITTING batch (batches 2..4 emit, batch 1 has no repeats)
+    growth = jsc.getPersistentRDDs().size() - after_first
+    assert growth == 3, f"expected 3 live span checkpoints, got growth={growth}"
