@@ -443,7 +443,10 @@ def ivf_search_df(
     test/sql/hnsw_select.sql:50-51: the k budget goes to qualifying
     rows only). Returns (q_id_col, id_col, dist) — ``id_col`` is
     required (it is the deterministic tie-break and keeps the combiner
-    schema skinny).
+    schema skinny). Duplicate q_id VALUES merge into one query group
+    (the final window keys on q_id) — consistent across key dtypes
+    here, unlike the pre-r11 hnsw forms, but give rows distinct ids if
+    you need per-row top-k.
 
     The queries lineage is evaluated ONCE: with ``prune`` on, the routed
     frame is persisted and the prune stats (which also decide the
