@@ -544,6 +544,13 @@ def ivf_search_df(
         )
 
         def score(key, bpdf: pd.DataFrame, qpdf: pd.DataFrame) -> pd.DataFrame:
+            # QUERY-MAJOR kernel (r11): the distance matrix is (queries,
+            # rows) so the per-query top-kk cut is ONE contiguous
+            # partition(axis=1) + ONE nonzero over the whole block — the
+            # previous row-major kernel cut with a per-query python loop
+            # (flatnonzero/repeat per column) plus a column-strided
+            # partition, which profiled at 49x the dgemm floor (420 of
+            # 455 core-s at 2M/20k-q; spark-warehouse/ab_qmajor_r11.json)
             if not len(bpdf) or not len(qpdf):
                 return pd.DataFrame({"__qid": [], id_col: [], "dist": []})
             X = np.asarray(bpdf[vec_col].tolist(), dtype=np.float64)
@@ -565,28 +572,38 @@ def ivf_search_df(
             else:
                 xn = (X**2).sum(1)
             out_q, out_i, out_d = [], [], []
-            # block queries so the (nb, blk) distance matrix stays
+            # block queries so the (blk, nb) distance matrix stays
             # <=~128 MB however many queries probe this cluster
             blk = max(1, (1 << 24) // max(len(X), 1))
+            nb = len(X)
+            # one C-contiguous transpose per key: dgemm reads it across
+            # every block without re-packing
+            Xt = np.ascontiguousarray(X.T)
             for s in range(0, len(Q), blk):
                 Qb = Q[s : s + blk]
+                # in-place rank-1 updates: the naive expression
+                # materializes four (blk, nb) temporaries, and under
+                # 32-way worker parallelism the kernel is memory-
+                # bandwidth-bound — each avoided pass is wall time
+                d = Qb @ Xt
                 if metric == "cos":
-                    d = 1.0 - (X @ Qb.T) / (
-                        xn[:, None] * qn[s : s + blk][None, :]
-                    )
+                    d /= qn[s : s + blk][:, None]
+                    d /= xn[None, :]
+                    np.subtract(1.0, d, out=d)
                 else:
-                    d = xn[:, None] - 2.0 * (X @ Qb.T) + (Qb**2).sum(1)[None, :]
-                cut = kk < d.shape[0]
-                thr = np.partition(d, kk - 1, axis=0)[kk - 1] if cut else None
-                for j in range(d.shape[1]):
-                    keep = (
-                        np.flatnonzero(d[:, j] <= thr[j])
-                        if cut
-                        else np.arange(d.shape[0])
-                    )
-                    out_q.append(np.repeat(qids[s + j], len(keep)))
-                    out_i.append(ids[keep])
-                    out_d.append(d[keep, j])
+                    d *= -2.0
+                    d += (Qb**2).sum(1)[:, None]
+                    d += xn[None, :]
+                if kk < nb:
+                    thr = np.partition(d, kk - 1, axis=1)[:, kk - 1]
+                    qi, ri = np.nonzero(d <= thr[:, None])
+                else:
+                    B = d.shape[0]
+                    qi = np.repeat(np.arange(B), nb)
+                    ri = np.tile(np.arange(nb), B)
+                out_q.append(qids[s + qi])
+                out_i.append(ids[ri])
+                out_d.append(d[qi, ri])
             return pd.DataFrame({
                 "__qid": np.concatenate(out_q),
                 id_col: np.concatenate(out_i),
@@ -732,6 +749,12 @@ def ivfpq_search_df(
     )
 
     def score(key, bpdf: pd.DataFrame, qpdf: pd.DataFrame) -> pd.DataFrame:
+        # QUERY-MAJOR ADC kernel (r11, same rewrite as ivf_search_df's):
+        # the per-subvector LUT gather runs over ALL queries of a block
+        # at once ((B, nb) per split, summed in place) and the top-kk
+        # cut is one contiguous partition(axis=1) + one nonzero — the
+        # previous kernel rebuilt a (splits, nclusters) table and cut
+        # per QUERY in python, the loop the 2M profile showed dominating
         if not len(bpdf) or not len(qpdf):
             return pd.DataFrame({"__qid": [], id_col: [], "dist": []})
         bks, bnds = bc_books.value
@@ -740,29 +763,31 @@ def ivfpq_search_df(
         Q = np.asarray(qpdf["__q"].tolist(), dtype=np.float64)
         qids = qpdf["__qid"].to_numpy()
         splits = len(bks)
-        sidx = np.arange(splits)[None, :]
+        nb = codes.shape[0]
         out_q, out_i, out_d = [], [], []
-        # block queries so the (B, splits, nclusters) LUT stays small
-        blk = max(1, (1 << 22) // max(splits * max(len(b) for b in bks), 1))
-        cut = kk < codes.shape[0]
+        # block queries so the (B, nb) score matrix stays <=~128 MB
+        blk = max(1, (1 << 24) // max(nb, 1))
         for s in range(0, len(Q), blk):
             Qb = Q[s : s + blk]
-            # per-query LUT — the exact adc_knn formulation
-            lut = [
-                ((book[None, :, :] - Qb[:, lo:hi][:, None, :]) ** 2).sum(-1)
-                for (lo, hi), book in zip(bnds, bks)
-            ]  # splits x (B, nclusters)
-            for j in range(len(Qb)):
-                table = np.stack([lut[sv][j] for sv in range(splits)])
-                dj = table[sidx, codes].sum(axis=1)
-                if cut:
-                    thr = np.partition(dj, kk - 1)[kk - 1]
-                    keep = np.flatnonzero(dj <= thr)
+            d = None
+            for sv, ((lo, hi), book) in enumerate(zip(bnds, bks)):
+                # (B, nclusters) LUT for this subvector — adc_knn's math
+                lut = ((book[None, :, :] - Qb[:, lo:hi][:, None, :]) ** 2).sum(-1)
+                g = lut[:, codes[:, sv]]  # (B, nb) gather
+                if d is None:
+                    d = g
                 else:
-                    keep = np.arange(codes.shape[0])
-                out_q.append(np.repeat(qids[s + j], len(keep)))
-                out_i.append(ids[keep])
-                out_d.append(dj[keep])
+                    d += g  # in-place: one live (B, nb) accumulator
+            if kk < nb:
+                thr = np.partition(d, kk - 1, axis=1)[:, kk - 1]
+                qi, ri = np.nonzero(d <= thr[:, None])
+            else:
+                B = d.shape[0]
+                qi = np.repeat(np.arange(B), nb)
+                ri = np.tile(np.arange(nb), B)
+            out_q.append(qids[s + qi])
+            out_i.append(ids[ri])
+            out_d.append(d[qi, ri])
         return pd.DataFrame({
             "__qid": np.concatenate(out_q),
             id_col: np.concatenate(out_i),

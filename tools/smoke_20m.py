@@ -16,7 +16,7 @@ Stages (each selectable; default all):
     ivf      build_ivf nlist=256 + ivf_search_df at 120k queries + recall
     ivfpq    codebook + 20M-row encode + ivfpq_search_df at 120k queries
     hnsw     cluster-routed 512-shard graph build + hnsw_search_df at
-             120k queries (nprobe=16) + recall
+             120k queries (nprobe=32) + recall
     minhash  minhash_lsh_pairs over 5.1M docs (2% planted twins) +
              planted-recall check
 
@@ -109,7 +109,14 @@ def main():
             entry["rows"] = n
         rec[label] = entry
         print(f"  {label}: {json.dumps(entry)}", file=sys.stderr, flush=True)
+        flush()
         return n
+
+    def flush():
+        # checkpoint the record after every stage — a killed run keeps
+        # everything measured so far
+        with open(OUT_PATH + ".partial", "w") as f:
+            json.dump(out, f, indent=2)
 
     # ---- data ------------------------------------------------------
     if "gen" in stages:
@@ -169,15 +176,16 @@ def main():
         qdf = qdf_of(NQ)
 
         def ivf_batch():
-            res = ivf_search_df(IVF, qdf, k=10, nprobe=8, id_col="vec_id")
+            res = ivf_search_df(IVF, qdf, k=10, nprobe=32, id_col="vec_id")
             n = res.count()
             release(res)
             return n
 
         timed(f"ivf_searchdf_{NQ // 1000}k", ivf_batch)
         rec["ivf_recall_at_10"] = spot_recall(
-            lambda sq: ivf_search_df(IVF, sq, k=10, nprobe=8, id_col="vec_id")
+            lambda sq: ivf_search_df(IVF, sq, k=10, nprobe=32, id_col="vec_id")
         )
+        flush()
         qdf.unpersist()
 
     # ---- ivfpq -----------------------------------------------------
@@ -199,7 +207,7 @@ def main():
 
         def pq_batch():
             res = ivfpq_search_df(
-                PQIDX, PQIDX.codebook, qdf, k=10, nprobe=8, refine=4,
+                PQIDX, PQIDX.codebook, qdf, k=10, nprobe=32, refine=4,
                 id_col="vec_id",
             )
             n = res.count()
@@ -209,10 +217,11 @@ def main():
         timed(f"ivfpq_searchdf_{NQ // 1000}k", pq_batch)
         rec["ivfpq_recall_at_10"] = spot_recall(
             lambda sq: ivfpq_search_df(
-                PQIDX, PQIDX.codebook, sq, k=10, nprobe=8, refine=4,
+                PQIDX, PQIDX.codebook, sq, k=10, nprobe=32, refine=4,
                 id_col="vec_id",
             )
         )
+        flush()
         PQIDX.assigned.unpersist()
         qdf.unpersist()
 
@@ -237,18 +246,19 @@ def main():
 
         def hnsw_batch():
             res = hnsw_search_df(
-                HNSW, qdf, k=10, ef=64, nprobe=16, unique_q_ids=True
+                HNSW, qdf, k=10, ef=64, nprobe=32, unique_q_ids=True
             )
             n = res.count()
             release(res)
             return n
 
-        timed(f"hnsw_searchdf_{NQ // 1000}k_np16", hnsw_batch)
+        timed(f"hnsw_searchdf_{NQ // 1000}k_np32", hnsw_batch)
         rec["hnsw_recall_at_10"] = spot_recall(
             lambda sq: hnsw_search_df(
-                HNSW, sq, k=10, ef=64, nprobe=16, unique_q_ids=True
+                HNSW, sq, k=10, ef=64, nprobe=32, unique_q_ids=True
             )
         )
+        flush()
         HNSW.graphs.unpersist()
         qdf.unpersist()
 
