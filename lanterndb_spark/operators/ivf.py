@@ -769,25 +769,64 @@ def ivfpq_search_df(
         blk = max(1, (1 << 24) // max(nb, 1))
         for s in range(0, len(Q), blk):
             Qb = Q[s : s + blk]
-            d = None
-            for sv, ((lo, hi), book) in enumerate(zip(bnds, bks)):
-                # (B, nclusters) LUT for this subvector — adc_knn's math
-                lut = ((book[None, :, :] - Qb[:, lo:hi][:, None, :]) ** 2).sum(-1)
-                g = lut[:, codes[:, sv]]  # (B, nb) gather
-                if d is None:
-                    d = g
-                else:
-                    d += g  # in-place: one live (B, nb) accumulator
+            # per-subvector f64 LUTs (tiny: splits x (B, nclusters)) —
+            # kept for the exact rescore below
+            luts = [
+                ((book[None, :, :] - Qb[:, lo:hi][:, None, :]) ** 2).sum(-1)
+                for (lo, hi), book in zip(bnds, bks)
+            ]
             if kk < nb:
-                thr = np.partition(d, kk - 1, axis=1)[:, kk - 1]
-                qi, ri = np.nonzero(d <= thr[:, None])
+                # f32 coarse cut: the (B, nb) gather-accumulate is
+                # memory-bandwidth-bound under 32 parallel workers (the
+                # 20M smoke read 2775 s for this stage in f64 — SLOWER
+                # than the full-precision scan it exists to beat), so
+                # the scan runs at half the bytes and survivors are
+                # rescored in f64. A conservative relative margin on
+                # the f32 threshold keeps the survivor set a SUPERSET
+                # of the exact cut (f32 accumulation of `splits`
+                # nonnegative terms errs < ~1e-6 relative; margin is
+                # 1e-4), and the exact tie-inclusive re-cut below emits
+                # BIT-IDENTICAL rows and distances to an all-f64 pass.
+                d32 = None
+                for sv in range(splits):
+                    g = luts[sv].astype(np.float32)[:, codes[:, sv]]
+                    if d32 is None:
+                        d32 = g
+                    else:
+                        d32 += g
+                thr32 = np.partition(d32, kk - 1, axis=1)[:, kk - 1]
+                margin = np.float32(1e-4) * (np.abs(thr32) + np.float32(1.0))
+                qi, ri = np.nonzero(d32 <= (thr32 + margin)[:, None])
+                # exact f64 rescore of the margin superset — same
+                # ascending-subvector addition order as the f64
+                # accumulator, so values are bit-identical to it
+                d64 = luts[0][qi, codes[ri, 0]]
+                for sv in range(1, splits):
+                    d64 = d64 + luts[sv][qi, codes[ri, sv]]
+                order = np.lexsort((ri, d64, qi))
+                qi, ri, d64 = qi[order], ri[order], d64[order]
+                starts = np.flatnonzero(np.r_[True, qi[1:] != qi[:-1]])
+                runs = np.diff(np.r_[starts, len(qi)])
+                kth = starts + np.minimum(kk, runs) - 1
+                thr64 = np.repeat(d64[kth], runs)
+                keep = d64 <= thr64
+                qi, ri, d64 = qi[keep], ri[keep], d64[keep]
             else:
+                # covering cut (every row survives): straight f64 pass
+                d = None
+                for sv in range(splits):
+                    g = luts[sv][:, codes[:, sv]]
+                    if d is None:
+                        d = g
+                    else:
+                        d += g
                 B = d.shape[0]
                 qi = np.repeat(np.arange(B), nb)
                 ri = np.tile(np.arange(nb), B)
+                d64 = d[qi, ri]
             out_q.append(qids[s + qi])
             out_i.append(ids[ri])
-            out_d.append(d[qi, ri])
+            out_d.append(d64)
         return pd.DataFrame({
             "__qid": np.concatenate(out_q),
             id_col: np.concatenate(out_i),

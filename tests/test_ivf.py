@@ -690,3 +690,30 @@ def test_search_df_exposes_probed_clusters(emb, index, spark):
     assert all(isinstance(c, int) for c in probed)
     out.collect()
     release(out)
+
+
+def test_ivfpq_search_df_f32_cut_matches_f64(emb, spark):
+    """The ADC kernel's f32 coarse cut + margin + exact f64 rescore must
+    emit exactly what an all-f64 pass emits — pinned by comparing the
+    partial-refine batch result against the all-f64 driver-list form on
+    many queries (any boundary divergence shows as a set mismatch)."""
+    from lanterndb_spark.operators.ivf import build_ivfpq, ivfpq_search, ivfpq_search_df
+
+    idx = build_ivfpq(emb, "embedding", nlist=8, splits=4, clusters=16, seed=3)
+    ids = [0, 3, 7, 11, 19, 23, 31, 44]
+    qdf = _qdf(emb, ids)
+    out = ivfpq_search_df(
+        idx, idx.codebook, qdf, k=5, nprobe=2, refine=2, id_col="vec_id"
+    )
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["q_id"], []).append((round(r["dist"], 9), r["vec_id"]))
+    for qi in ids:
+        single = [
+            (round(r["dist"], 9), r["vec_id"])
+            for r in ivfpq_search(
+                idx, idx.codebook, qvec(emb, qi), k=5, nprobe=2, refine=2,
+                id_col="vec_id",
+            ).collect()
+        ]
+        assert sorted(got[qi]) == sorted(single), f"q {qi}"
