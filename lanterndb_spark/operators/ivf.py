@@ -787,6 +787,12 @@ def ivfpq_search_df(
                 # nonnegative terms errs < ~1e-6 relative; margin is
                 # 1e-4), and the exact tie-inclusive re-cut below emits
                 # BIT-IDENTICAL rows and distances to an all-f64 pass.
+                # (an L2-cache-blocked variant of this accumulation —
+                # chunking columns so the (B, cblk) accumulator stays
+                # resident across the 8 gathers — was A/B'd in r11 at
+                # 20M/10k-q and measured FLAT: 126-150 s vs 130.8 s
+                # unblocked; at nprobe=32 the coarse gather no longer
+                # dominates the end-to-end, so the simpler form stays)
                 d32 = None
                 for sv in range(splits):
                     g = luts[sv].astype(np.float32)[:, codes[:, sv]]
