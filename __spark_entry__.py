@@ -1502,6 +1502,36 @@ def q_hnswdf_exact_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, out.schema)
 
 
+def q_hnswdf_replicas_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-assignment (replicas=2) batch ANN == exact knn: each row
+    lives in its TWO nearest cells' shards (the r11 recall lever for
+    cluster routing — boundary rows findable from either side), and at
+    full probe + ef >= n the overlapping shards' merged candidates must
+    still reproduce the exact knn with each id EXACTLY ONCE (the
+    min-dist dedup before the rank window). Same equivalence contract
+    as hnswdf_exact_equiv (hnsw_correct.sql:17-48) plus the
+    no-duplicate guarantee the overlap makes non-trivial. Oracle =
+    DuckDB exact knn per query id, unioned."""
+    from lanterndb_spark.operators.hnsw import build_hnsw, hnsw_search_df
+
+    emb = _emb(spark, sf_dir)
+    n = emb.count()
+    qdf = emb.filter(F.col("vec_id").isin([1, 6, 11])).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("query")
+    )
+    idx = build_hnsw(
+        emb, "embedding", id_col="vec_id", m=8, ef_construction=64,
+        num_shards=4, seed=42, routing="cluster", replicas=2,
+    )
+    out = _round_out(
+        hnsw_search_df(idx, qdf, k=10, ef=n, nprobe=4),
+        ["q_id", "vec_id"], "dist",
+    )
+    rows = out.collect()  # materialize before unpersisting the graphs
+    idx.graphs.unpersist()
+    return spark.createDataFrame(rows, out.schema)
+
+
 def q_ivfdf_exact_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DataFrame-native IVF batch ANN == exact knn: at nprobe == nlist
     the probe prune keeps every cluster, so ``ivf_search_df`` (queries
@@ -4881,6 +4911,17 @@ def oracle_sql() -> dict[str, str]:
             ) t{qid}"""
             for qid in (0, 7, 13)
         ),
+        "hnswdf_replicas_equiv": " UNION ALL ".join(
+            f"""SELECT q_id, vec_id, round(dist, {ROUND}) + 0.0 AS dist
+            FROM (
+              SELECT {qid} AS q_id, vec_id,
+                     {duck_l2sq('embedding',
+                         f'(SELECT embedding FROM embeddings WHERE vec_id = {qid})')}
+                     AS dist
+              FROM embeddings ORDER BY dist, vec_id LIMIT 10
+            ) t{qid}"""
+            for qid in (1, 6, 11)
+        ),
         "streaming_hnswbatch_equiv": " UNION ALL ".join(
             f"""SELECT q_id, vec_id, round(dist, {ROUND}) + 0.0 AS dist
             FROM (
@@ -6250,16 +6291,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     - Entries 1-50 (the round-11 window): the four r6 greens deferred
       from the r10 window (histogram, zipf_fit, psi_drift,
       weighted_sample — age 5, the oldest rows anywhere, VERDICT r10
-      item 4), then the sixteen rows whose operator code changed this
-      round (hnsw_search_df/_filtered duplicate-q_id per-row
-      unification + surrogate-checkpoint release; hybrid batch metric
-      guard; ivf_search_df probed-set export; ivfsq/ivfpq batch
+      item 4), then the seventeen rows whose operator code changed this
+      round (hnswdf_replicas_equiv NEW — the multi-assignment build +
+      overlap-dedup merge; hnsw_search_df/_filtered duplicate-q_id
+      per-row unification + surrogate-checkpoint release; hybrid batch
+      metric guard; ivf_search_df probed-set export; ivfsq/ivfpq batch
       re-rank cluster pruning; embed registration validation;
       streaming semdedup/scd store changes; dedup ann route;
-      autotune batch; pq train_codebook guard), then thirty of the
-      forty-seven rows whose newest green is round 8 (age 3 — the
-      stalest greens; the docstring previously mislabeled this block
-      "youngest").
+      autotune batch; pq train_codebook guard), then twenty-nine of
+      the forty-seven rows whose newest green is round 8 (age 3 — the
+      stalest greens; token_budget displaced to 51+ by the new row).
     - Entries 51+: the sixteen r8 greens that did not fit (first in
       line next round), then the round-9 greens (age 2), then the
       round-10 greens (age 1 — safest to park). Still checked every
@@ -6277,6 +6318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": q_psi_drift,
         "weighted_sample": q_weighted_sample,
         # operator code changed this round (r11):
+        "hnswdf_replicas_equiv": q_hnswdf_replicas_equiv,  # NEW r11
         "hnswdf_exact_equiv": q_hnswdf_exact_equiv,
         "hnswdf_filtered_equiv": q_hnswdf_filtered_equiv,
         "hybrid_batch": q_hybrid_batch,
@@ -6323,8 +6365,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_eval": q_retrieval_eval,
         "hard_negatives": q_hard_negatives,
         "leakage_split": q_leakage_split,
-        "token_budget": q_token_budget,
         # -- 51+: r8 greens that did not fit (first in line next round) ---
+        "token_budget": q_token_budget,  # displaced by hnswdf_replicas_equiv
         "window_stats": q_window_stats,
         "set_ops": q_set_ops,
         "containment": q_containment,

@@ -1295,6 +1295,10 @@ class HnswIndex(NamedTuple):
     # shards' ADC distances aren't comparable at the candidate cut
     pq_splits: int | None = None
     pq_clusters: int = 256
+    # cluster-routing multi-assignment factor: each row lives in its
+    # `replicas` nearest cells' shards (1 = classic disjoint shards).
+    # Search merges dedup (q, id) across the overlap when > 1.
+    replicas: int = 1
 
 
 def _bits_rows(arrs) -> np.ndarray:
@@ -1323,15 +1327,22 @@ def _shard_expr(id_col: str, num_shards: int):
     return F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_shards)).cast("int")
 
 
-def _cluster_route_expr(spark, centroids: np.ndarray, vec_col: str, metric: str):
+def _cluster_route_expr(
+    spark, centroids: np.ndarray, vec_col: str, metric: str,
+    replicas: int = 1,
+):
     """Arrow-batched nearest-centroid id (the ivf._assign_expr shape);
     under cos the rows are normalized INSIDE the UDF first — centroids
     live in the unit-sphere space (spherical k-means), and a zero-norm
-    row routes to cell 0 (it never enters the graph anyway)."""
+    row routes to cell 0 (it never enters the graph anyway).
+
+    ``replicas > 1`` returns an ``array<int>`` of the ``replicas``
+    NEAREST cells instead (ascending distance) — multi-assignment for
+    the overlapping-shard build: boundary rows live in every shard
+    they are close to, so a partial probe finds them from either side."""
     bc = spark.sparkContext.broadcast(centroids)
 
-    @F.pandas_udf("int")
-    def assign(s: pd.Series) -> pd.Series:
+    def _dists(s: pd.Series) -> np.ndarray:
         c = bc.value
         if metric == "hamming":
             xs = _bits_rows(s.tolist())
@@ -1341,10 +1352,30 @@ def _cluster_route_expr(spark, centroids: np.ndarray, vec_col: str, metric: str)
                 nrm = np.linalg.norm(xs, axis=1, keepdims=True)
                 nrm[nrm == 0.0] = 1.0
                 xs = xs / nrm
-        d = (xs**2).sum(1)[:, None] - 2.0 * xs @ c.T + (c**2).sum(1)[None, :]
-        return pd.Series(d.argmin(axis=1).astype(np.int32))
+        return (xs**2).sum(1)[:, None] - 2.0 * xs @ c.T + (c**2).sum(1)[None, :]
 
-    return assign(F.col(vec_col))
+    if replicas <= 1:
+        @F.pandas_udf("int")
+        def assign(s: pd.Series) -> pd.Series:
+            return pd.Series(_dists(s).argmin(axis=1).astype(np.int32))
+
+        return assign(F.col(vec_col))
+
+    r = int(replicas)
+
+    @F.pandas_udf("array<int>")
+    def assign_r(s: pd.Series) -> pd.Series:
+        d = _dists(s)
+        part = np.argpartition(d, r - 1, axis=1)[:, :r]
+        # ascending-distance order within the r cells (argpartition is
+        # unordered): the FIRST entry is the primary cell — inserts and
+        # any primary-only consumer rely on that
+        row = np.arange(len(d))[:, None]
+        order = np.argsort(d[row, part], axis=1, kind="stable")
+        part = part[row, order].astype(np.int32)
+        return pd.Series(list(part))
+
+    return assign_r(F.col(vec_col))
 
 
 def build_hnsw(
@@ -1362,6 +1393,7 @@ def build_hnsw(
     quant: str | None = None,
     pq_splits: int | None = None,
     pq_clusters: int = 256,
+    replicas: int = 1,
 ) -> HnswIndex:
     """CREATE INDEX USING lantern_hnsw analogue (build.c:472-716): shard
     the table, build one numpy HNSW per shard in parallel, keep the
@@ -1397,6 +1429,18 @@ def build_hnsw(
       ``autotune_hnsw(routing='cluster', nprobe_grid=...)`` before
       relying on it; prefer hash routing below thousands of shards.
 
+    ``replicas`` (cluster routing only): assign each row to its
+    ``replicas`` nearest cells instead of one — FAISS's IVF
+    multi-assignment recast for shards. Boundary rows live in every
+    shard they are close to, so a partial probe finds them from
+    either side; the r11 20M curve showed single-assignment capping
+    recall at 0.84 even at ef=128/nprobe=96 on isotropic data, and
+    replication is the lever that raises the ceiling without raising
+    nprobe. Costs ``replicas``x build time and graph memory. Search
+    paths dedup (id, dist) across the overlapping shards, so output
+    never carries duplicate ids; at full probe results stay EXACTLY
+    equal to the exact scan (the equiv tests' contract).
+
     ``metric``: 'l2sq' or 'cos'. Cos graphs store ROW-NORMALIZED vectors
     and navigate with l2sq (identical ordering on the unit sphere:
     ||â-q̂||² = 2·cos_dist), emitting dist = raw/2; zero-norm rows are
@@ -1405,6 +1449,15 @@ def build_hnsw(
         raise ValueError("hnsw metric must be 'l2sq', 'cos', or 'hamming'")
     if routing not in ("hash", "cluster"):
         raise ValueError("hnsw routing must be 'hash' or 'cluster'")
+    replicas = int(replicas)
+    if replicas < 1:
+        raise ValueError(f"replicas must be >= 1, got {replicas}")
+    if replicas > 1 and routing != "cluster":
+        raise ValueError(
+            "replicas > 1 is multi-assignment across k-means cells — "
+            "it needs routing='cluster' (hash shards partition by id; "
+            "replicating there would duplicate rows for no recall gain)"
+        )
     # in-graph compression (quant_bits / pq=true, options.c:137-158 +
     # build.c:497-501). Defaults: hamming packs to REAL bits (popcount
     # scoring, lossless); cos stores f64 (normalized rows would lose
@@ -1457,14 +1510,27 @@ def build_hnsw(
                 raise ValueError("cluster routing needs non-zero vectors")
         centroids = _kmeans_numpy(x, num_shards, seed=seed).astype(np.float64)
         num_shards = len(centroids)
-        shard_col = _cluster_route_expr(df.sparkSession, centroids, vec_col, metric)
+        replicas = min(replicas, num_shards)
+        shard_col = _cluster_route_expr(
+            df.sparkSession, centroids, vec_col, metric, replicas=replicas
+        )
     else:
         shard_col = _shard_expr(id_col, num_shards)
-    src = df.select(
-        F.col(id_col).cast("bigint").alias("__gid"),
-        F.col(vec_col).alias("__gv"),
-        shard_col.alias("__shard"),
-    )
+    if replicas > 1:
+        # multi-assignment: one build row per (row, cell) pair — the
+        # explode happens BEFORE the shard groupBy, so each overlapping
+        # shard builds its graph exactly as if the row were its own
+        src = df.select(
+            F.col(id_col).cast("bigint").alias("__gid"),
+            F.col(vec_col).alias("__gv"),
+            F.explode(shard_col).alias("__shard"),
+        )
+    else:
+        src = df.select(
+            F.col(id_col).cast("bigint").alias("__gid"),
+            F.col(vec_col).alias("__gv"),
+            shard_col.alias("__shard"),
+        )
 
     def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(pdf["__shard"].iloc[0])
@@ -1493,7 +1559,7 @@ def build_hnsw(
     graphs.count()
     return HnswIndex(
         graphs, vec_col, id_col, m, ef_construction, num_shards, seed,
-        metric, centroids, quant, pq_splits, pq_clusters,
+        metric, centroids, quant, pq_splits, pq_clusters, replicas,
     )
 
 
@@ -1551,7 +1617,14 @@ def hnsw_candidates(
                 if len(ids):
                     yield pd.DataFrame({"__gid": ids, "dist": ds * scale})
 
-    return graphs.mapInPandas(run, "__gid bigint, dist double")
+    cand = graphs.mapInPandas(run, "__gid bigint, dist double")
+    if getattr(index, "replicas", 1) > 1:
+        # overlapping shards both return a replicated row — keep one
+        # (min dist: under quant='pq' per-shard codebooks give the same
+        # id slightly different ADC distances; min matches the best
+        # candidate rank the row could have had)
+        cand = cand.groupBy("__gid").agg(F.min("dist").alias("dist"))
+    return cand
 
 
 def hnsw_search(
@@ -1829,6 +1902,11 @@ def hnsw_search_batch(
                     })
 
     cand = graphs.mapInPandas(run, "q_id int, __gid bigint, dist double")
+    if getattr(index, "replicas", 1) > 1:
+        # overlapping shards return replicated (q, id) rows: merge to
+        # min dist BEFORE the rank window so duplicates can't occupy
+        # top-k slots (per-shard pq codebooks may disagree slightly)
+        cand = cand.groupBy("q_id", "__gid").agg(F.min("dist").alias("dist"))
     w = Window.partitionBy("q_id").orderBy(F.col("dist").asc(), F.col("__gid").asc())
     top = (
         cand.withColumn("__rn", F.row_number().over(w))
@@ -1990,6 +2068,7 @@ def hnsw_search_df(
     kk = k * 8 if rerank else k
     ef = max(ef, kk)
     dead = frozenset(int(i) for i in deleted) if deleted else None
+    replicated = getattr(index, "replicas", 1) > 1
     metric = index.metric
     scale = 0.5 if metric == "cos" else 1.0
     cents = index.centroids
@@ -2106,6 +2185,16 @@ def hnsw_search_df(
         q = allpdf["q_id"].to_numpy()
         d = allpdf["dist"].to_numpy()
         gid = allpdf["__gid"].to_numpy()
+        if replicated:
+            # replicas > 1: the same (q, id) can arrive from several
+            # overlapping shards IN THIS PARTITION; merge to min dist
+            # first, or duplicates occupy top-kk slots and push a true
+            # candidate below the cut (the partition supersets would
+            # no longer cover the global top-kk)
+            order = np.lexsort((d, gid, q))
+            q, d, gid = q[order], d[order], gid[order]
+            first = np.r_[True, (q[1:] != q[:-1]) | (gid[1:] != gid[:-1])]
+            q, d, gid = q[first], d[first], gid[first]
         order = np.lexsort((gid, d, q))
         q, d, gid = q[order], d[order], gid[order]
         starts = np.flatnonzero(np.r_[True, q[1:] != q[:-1]])
@@ -2116,6 +2205,11 @@ def hnsw_search_df(
                             "dist": d[keep]})
 
     cand = cand.mapInPandas(partial_topk, "q_id long, __gid bigint, dist double")
+    if replicated:
+        # cross-partition copies of a (q, id) pair survive the
+        # combiner; one global merge keeps the min-dist copy so the
+        # rank window below never double-counts an id
+        cand = cand.groupBy("q_id", "__gid").agg(F.min("dist").alias("dist"))
     w = Window.partitionBy("q_id").orderBy(
         F.col("dist").asc(), F.col("__gid").asc()
     )
@@ -2296,20 +2390,32 @@ def hnsw_insert(index: HnswIndex, delta: DataFrame) -> HnswIndex:
     graph grows in place, nothing retrains, untouched shards pass
     through unchanged."""
     m, efc, seed = index.m, index.ef_construction, index.seed
+    replicas = getattr(index, "replicas", 1)
     if index.centroids is not None:
         # cluster routing: the delta assigns to the FROZEN centroids,
         # exactly like ivf_assign (no re-cluster on insert); cos deltas
-        # normalize inside the route UDF like the base build did
+        # normalize inside the route UDF like the base build did. A
+        # replicated index replicates its deltas the same way — an
+        # inserted row must be findable from every cell it is close
+        # to, or the build-time recall gain decays as the index ages
         route = _cluster_route_expr(
-            delta.sparkSession, index.centroids, index.vec_col, index.metric
+            delta.sparkSession, index.centroids, index.vec_col,
+            index.metric, replicas=replicas,
         )
     else:
         route = _shard_expr(index.id_col, index.num_shards)
-    src = delta.select(
-        F.col(index.id_col).cast("bigint").alias("__gid"),
-        F.col(index.vec_col).alias("__gv"),
-        route.alias("__shard"),
-    )
+    if replicas > 1 and index.centroids is not None:
+        src = delta.select(
+            F.col(index.id_col).cast("bigint").alias("__gid"),
+            F.col(index.vec_col).alias("__gv"),
+            F.explode(route).alias("__shard"),
+        )
+    else:
+        src = delta.select(
+            F.col(index.id_col).cast("bigint").alias("__gid"),
+            F.col(index.vec_col).alias("__gv"),
+            route.alias("__shard"),
+        )
 
     metric = index.metric
     quant = index.quant
@@ -2409,13 +2515,13 @@ def save_hnsw(index: HnswIndex, path: str) -> None:
     meta = [(
         index.vec_col, index.id_col, index.m, index.ef_construction,
         index.num_shards, index.seed, index.metric, index.quant,
-        index.pq_splits, index.pq_clusters,
+        index.pq_splits, index.pq_clusters, index.replicas,
     )]
     spark.createDataFrame(
         meta,
         "vec_col string, id_col string, m int, efc int, num_shards int, "
         "seed int, metric string, quant string, pq_splits int, "
-        "pq_clusters int",
+        "pq_clusters int, replicas int",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
     if index.centroids is not None:
         cents = [(int(i), [float(x) for x in c])
@@ -2447,8 +2553,10 @@ def load_hnsw(spark, path: str) -> HnswIndex:
     pq_clusters = (
         r["pq_clusters"] if "pq_clusters" in r.__fields__ else 256
     ) or 256
+    # pre-replicas saves carry no column — those indexes are r=1
+    replicas = (r["replicas"] if "replicas" in r.__fields__ else 1) or 1
     return HnswIndex(
         graphs, r["vec_col"], r["id_col"], r["m"], r["efc"],
         r["num_shards"], r["seed"], r["metric"], centroids, quant,
-        pq_splits, pq_clusters,
+        pq_splits, pq_clusters, replicas,
     )

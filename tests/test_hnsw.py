@@ -966,3 +966,147 @@ def test_surrogate_checkpoint_blocks_released(index, emb, spark):
     assert jsc.getPersistentRDDs().size() > before  # the pinned mapping
     release(out)
     assert jsc.getPersistentRDDs().size() == before
+
+
+# ---- cluster-routing multi-assignment (replicas) ----------------------
+
+
+@pytest.fixture(scope="module")
+def ridx(emb):
+    """replicas=2 cluster-routed index shared by the replica tests."""
+    idx = build_hnsw(
+        emb, "embedding", id_col="vec_id", m=8, ef_construction=64,
+        num_shards=4, seed=42, routing="cluster", replicas=2,
+    )
+    yield idx
+    idx.graphs.unpersist()
+
+
+def test_replicas_each_row_in_exactly_r_shards(ridx, emb):
+    """Multi-assignment coverage: every row lives in exactly `replicas`
+    shards (its 2 nearest cells), so shard row counts sum to 2n."""
+    assert ridx.replicas == 2
+    assert ridx.graphs.agg(F.sum("n")).first()[0] == 2 * emb.count()
+    from collections import Counter
+
+    from lanterndb_spark.operators.hnsw import _Graph
+
+    counts = Counter()
+    for row in ridx.graphs.collect():
+        counts.update(int(i) for i in _Graph.from_blob(row["blob"]).ids)
+    assert set(counts.values()) == {2}
+    assert len(counts) == emb.count()
+
+
+def test_replicas_full_probe_equals_exact_no_duplicates(ridx, emb):
+    """Overlapping shards must NOT leak duplicate ids: at full probe +
+    ef>=n the search still returns the exact top-k, each id once."""
+    n = emb.count()
+    q = qvec(emb, 6)
+    got = hnsw_search(ridx, emb, q, k=10, ef=n, nprobe=4).collect()
+    want = knn(emb, "embedding", q, k=10, id_col="vec_id").collect()
+    assert [r["vec_id"] for r in got] == [r["vec_id"] for r in want]
+    assert len({r["vec_id"] for r in got}) == 10
+    for g, w in zip(got, want):
+        assert abs(g["dist"] - w["dist"]) < 1e-6
+
+
+def test_replicas_search_df_exact_and_distinct(ridx, emb, spark):
+    """Batch form over the replicated index: full probe == exact knn
+    per query, and no (q_id, id) pair appears twice (the min-dist merge
+    before the rank window)."""
+    from lanterndb_spark.operators.hnsw import hnsw_search_df
+
+    n = emb.count()
+    qdf = spark.createDataFrame(
+        [(i, qvec(emb, i)) for i in (0, 6, 11)],
+        "q_id long, query array<double>",
+    )
+    got = hnsw_search_df(ridx, qdf, k=5, ef=n).collect()
+    assert len(got) == 15
+    pairs = [(r["q_id"], r["vec_id"]) for r in got]
+    assert len(set(pairs)) == len(pairs)
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["q_id"], []).append((round(r["dist"], 9), r["vec_id"]))
+    for qi in (0, 6, 11):
+        want = knn(emb, "embedding", qvec(emb, qi), k=5, id_col="vec_id").collect()
+        assert sorted(by_q[qi]) == [
+            (round(r["dist"], 9), r["vec_id"]) for r in want
+        ]
+
+
+def test_replicas_partial_probe_recall_not_worse(emb):
+    """The point of multi-assignment: at the same partial nprobe, the
+    replicated index's recall is >= the disjoint index's (boundary rows
+    are findable from both sides). Deterministic under fixed seeds."""
+    from lanterndb_spark.operators.autotune import exact_topk_batch, recall_at_k
+    from lanterndb_spark.operators.hnsw import hnsw_search_batch
+
+    base = build_hnsw(
+        emb, "embedding", id_col="vec_id", m=8, ef_construction=64,
+        num_shards=4, seed=42, routing="cluster",
+    )
+    rep = build_hnsw(
+        emb, "embedding", id_col="vec_id", m=8, ef_construction=64,
+        num_shards=4, seed=42, routing="cluster", replicas=2,
+    )
+    qs = [qvec(emb, i) for i in range(0, 40, 4)]
+    truth = exact_topk_batch(emb, "embedding", qs, k=5, id_col="vec_id")
+
+    def rec(idx):
+        got = {}
+        rows = hnsw_search_batch(idx, qs, k=5, ef=64, nprobe=1).collect()
+        for r in rows:
+            got.setdefault(r["q_id"], []).append(r["vec_id"])
+        return sum(
+            recall_at_k(got.get(i, []), truth[i]) for i in range(len(qs))
+        ) / len(qs)
+
+    assert rec(rep) >= rec(base)
+    base.graphs.unpersist()
+    rep.graphs.unpersist()
+
+
+def test_replicas_insert_replicates_delta(ridx, emb, spark):
+    """hnsw_insert on a replicated index routes the delta to ITS
+    `replicas` nearest cells too — the inserted twin is findable at
+    nprobe=1 and the shard totals grow by replicas rows."""
+    q = qvec(emb, 6)
+    before = ridx.graphs.agg(F.sum("n")).first()[0]
+    twin = spark.createDataFrame(
+        [(90_007, q)], "vec_id long, embedding array<float>"
+    )
+    idx2 = hnsw_insert(ridx, twin)
+    assert idx2.graphs.agg(F.sum("n")).first()[0] == before + 2
+    got = [r["vec_id"] for r in
+           hnsw_search_batch(idx2, [q], k=2, ef=64, nprobe=1).collect()]
+    assert 90_007 in got
+    assert len(set(got)) == len(got)
+    idx2.graphs.unpersist()
+
+
+def test_replicas_save_load_roundtrip(ridx, emb, tmp_path, spark):
+    save_hnsw(ridx, str(tmp_path / "rhnsw"))
+    idx2 = load_hnsw(spark, str(tmp_path / "rhnsw"))
+    assert idx2.replicas == 2
+    q = qvec(emb, 8)
+    a = [r["vec_id"] for r in
+         hnsw_search(ridx, emb, q, k=5, ef=64, nprobe=2).collect()]
+    b = [r["vec_id"] for r in
+         hnsw_search(idx2, emb, q, k=5, ef=64, nprobe=2).collect()]
+    assert a == b
+    idx2.graphs.unpersist()
+
+
+def test_replicas_requires_cluster_routing(emb):
+    with pytest.raises(ValueError, match="cluster"):
+        build_hnsw(
+            emb, "embedding", id_col="vec_id", num_shards=4,
+            routing="hash", replicas=2,
+        )
+    with pytest.raises(ValueError, match="replicas"):
+        build_hnsw(
+            emb, "embedding", id_col="vec_id", num_shards=4,
+            routing="cluster", replicas=0,
+        )
