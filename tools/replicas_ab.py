@@ -31,9 +31,13 @@ from lanterndb_spark.session import get_spark  # noqa: E402
 N_VEC = int(os.environ.get("CP_NVEC", "2000000"))
 N_SPOT = 100
 N_TIME = 10000
+# which factors to measure, e.g. CP_REPS=2 to skip the r=1 baseline
+# when a prior record already carries it (the 20M curve has r=1)
+REPS = tuple(int(x) for x in os.environ.get("CP_REPS", "1,2").split(","))
 OUT_PATH = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "spark-warehouse", "replicas_ab_r11.json",
+    "spark-warehouse",
+    f"replicas_ab_r11{'_20m' if N_VEC >= 10_000_000 else ''}.json",
 )
 
 
@@ -73,7 +77,7 @@ def main():
     )
     time_df.count()
 
-    for r in (1, 2):
+    for r in REPS:
         t0 = time.monotonic()
         idx = build_hnsw(
             emb, "embedding", id_col="vec_id", m=16, ef_construction=64,
