@@ -58,7 +58,10 @@ def exact_topk_batch(
     qdf = spark.createDataFrame(
         [(i, q) for i, q in enumerate(queries)], "q_id int, __q array<double>"
     )
-    res = knn_join(df, vec_col, qdf, "__q", k=k, id_col=id_col, metric=metric)
+    res = knn_join(
+        df, vec_col, qdf, "__q", k=k, id_col=id_col, metric=metric,
+        unique_q_ids=True,  # enumerate() mints them
+    )
     return _collect_by_query(res, id_col)
 
 
@@ -174,6 +177,7 @@ def autotune_ivf_batch(
                     res = ivf_search_df(
                         index, qdf, k=k, nprobe=nprobe, id_col=id_col,
                         impl=impl, salt=salt,
+                        unique_q_ids=True,  # enumerate() mints them
                     )
                     got = _collect_by_query(res, id_col)
                     batch_s = time.monotonic() - t1
@@ -214,16 +218,20 @@ def autotune_hnsw_batch(
     seed: int = 42,
     routing: str = "hash",
     nprobe_grid: tuple[int, ...] = (None,),
+    replicas_grid: tuple[int, ...] = (1,),
 ) -> tuple[TuneResult | None, list[TuneResult]]:
     """Graph twin of :func:`autotune_ivf_batch`: the grid runs through
     ``hnsw_search_df`` (queries shuffled to shards — the unbounded eval
     form) and records each variant's batch wall time in
     ``params['batch_s']``; ``latency_s`` stays per-query. One graph
-    build per m, ef/nprobe are search-time knobs — the same grid shape
-    as :func:`autotune_hnsw`, selected on batch throughput instead of
-    single-call latency."""
+    build per (m, replicas), ef/nprobe are search-time knobs — the same
+    grid shape as :func:`autotune_hnsw` (including the r11
+    ``replicas_grid`` build-vs-search lever, cluster routing only),
+    selected on batch throughput instead of single-call latency."""
     from lanterndb_spark.operators.hnsw import build_hnsw, hnsw_search_df
 
+    if replicas_grid != (1,) and routing != "cluster":
+        raise ValueError("replicas_grid requires routing='cluster'")
     spark = df.sparkSession
     queries = sample_queries(df, vec_col, n=n_queries, seed=seed)
     truth = exact_topk_batch(df, vec_col, queries, k=k, id_col=id_col)
@@ -233,41 +241,45 @@ def autotune_hnsw_batch(
     qdf.count()
     results: list[TuneResult] = []
     for m in m_grid:
-        t0 = time.monotonic()
-        index = build_hnsw(
-            df, vec_col, id_col=id_col, m=m, ef_construction=max(ef_grid),
-            num_shards=num_shards, seed=seed, routing=routing,
-        )
-        build_s = time.monotonic() - t0
-        for ef in ef_grid:
-            for nprobe in nprobe_grid:
-                t1 = time.monotonic()
-                got = _collect_by_query(
-                    # ids minted by enumerate above — skip the dup-check
-                    # job so batch_s measures only the search
-                    hnsw_search_df(
-                        index, qdf, k=k, ef=ef, nprobe=nprobe,
-                        unique_q_ids=True,
-                    ),
-                    id_col,
-                )
-                batch_s = time.monotonic() - t1
-                recs = [
-                    recall_at_k(got.get(qi, []), truth.get(qi, []))
-                    for qi in range(len(queries))
-                ]
-                params = {"m": m, "ef": ef, "batch_s": round(batch_s, 3)}
-                if nprobe is not None:
-                    params["nprobe"] = nprobe
-                results.append(
-                    TuneResult(
-                        params,
-                        sum(recs) / len(recs),
-                        batch_s / len(queries),
-                        build_s,
+        for replicas in replicas_grid:
+            t0 = time.monotonic()
+            index = build_hnsw(
+                df, vec_col, id_col=id_col, m=m,
+                ef_construction=max(ef_grid), num_shards=num_shards,
+                seed=seed, routing=routing, replicas=replicas,
+            )
+            build_s = time.monotonic() - t0
+            for ef in ef_grid:
+                for nprobe in nprobe_grid:
+                    t1 = time.monotonic()
+                    got = _collect_by_query(
+                        # ids minted by enumerate above — skip the
+                        # dup-check job so batch_s measures only the search
+                        hnsw_search_df(
+                            index, qdf, k=k, ef=ef, nprobe=nprobe,
+                            unique_q_ids=True,
+                        ),
+                        id_col,
                     )
-                )
-        index.graphs.unpersist()
+                    batch_s = time.monotonic() - t1
+                    recs = [
+                        recall_at_k(got.get(qi, []), truth.get(qi, []))
+                        for qi in range(len(queries))
+                    ]
+                    params = {"m": m, "ef": ef, "batch_s": round(batch_s, 3)}
+                    if nprobe is not None:
+                        params["nprobe"] = nprobe
+                    if replicas_grid != (1,):
+                        params["replicas"] = replicas
+                    results.append(
+                        TuneResult(
+                            params,
+                            sum(recs) / len(recs),
+                            batch_s / len(queries),
+                            build_s,
+                        )
+                    )
+            index.graphs.unpersist()
     qdf.unpersist()
     ok = [r for r in results if r.recall >= target_recall]
     best = min(ok, key=lambda r: r.latency_s) if ok else None
@@ -487,49 +499,64 @@ def autotune_hnsw(
     seed: int = 42,
     routing: str = "hash",
     nprobe_grid: tuple[int, ...] = (None,),
+    replicas_grid: tuple[int, ...] = (1,),
 ) -> tuple[TuneResult | None, list[TuneResult]]:
     """find_best_variant loop over the graph backend's knobs — ``m``
     trades build cost / graph degree, ``ef`` is the reference's search
     GUC (options.c:337-348), and under ``routing='cluster'`` the
     ``nprobe_grid`` sweeps the IVF-style shard-probe knob too. One
-    graph build per m; ef/nprobe are search-time only, exactly like the
-    reference re-running hnsw.ef without reindexing
-    (index_autotune/mod.rs's grid shape)."""
+    graph build per (m, replicas); ef/nprobe are search-time only,
+    exactly like the reference re-running hnsw.ef without reindexing
+    (index_autotune/mod.rs:220-254's grid shape over (m, ef, efc)).
+    ``replicas_grid`` (cluster routing only) grids the r11
+    multi-assignment lever: the 20M curves show replicas and nprobe
+    COMPOSE (r=2/np=64 reaches 0.897 recall@10 where r=1 needs
+    np=96+ef=128 for 0.84), so a recall target can be cheaper to meet
+    with a 2x build than with more probes per query — exactly the
+    build-vs-search trade this grid exists to price."""
     from lanterndb_spark.operators.hnsw import build_hnsw, hnsw_search_batch
 
+    if replicas_grid != (1,) and routing != "cluster":
+        raise ValueError("replicas_grid requires routing='cluster'")
     queries = sample_queries(df, vec_col, n=n_queries, seed=seed)
     truth = exact_topk_batch(df, vec_col, queries, k=k, id_col=id_col)
     results: list[TuneResult] = []
     for m in m_grid:
-        t0 = time.monotonic()
-        index = build_hnsw(
-            df, vec_col, id_col=id_col, m=m, ef_construction=max(ef_grid),
-            num_shards=num_shards, seed=seed, routing=routing,
-        )
-        build_s = time.monotonic() - t0
-        for ef in ef_grid:
-            for nprobe in nprobe_grid:
-                t1 = time.monotonic()
-                got = _collect_by_query(
-                    hnsw_search_batch(index, queries, k=k, ef=ef, nprobe=nprobe),
-                    id_col,
-                )
-                recs = [
-                    recall_at_k(got.get(qi, []), truth.get(qi, []))
-                    for qi in range(len(queries))
-                ]
-                params = {"m": m, "ef": ef}
-                if nprobe is not None:
-                    params["nprobe"] = nprobe
-                results.append(
-                    TuneResult(
-                        params,
-                        sum(recs) / len(recs),
-                        (time.monotonic() - t1) / len(queries),
-                        build_s,
+        for replicas in replicas_grid:
+            t0 = time.monotonic()
+            index = build_hnsw(
+                df, vec_col, id_col=id_col, m=m,
+                ef_construction=max(ef_grid), num_shards=num_shards,
+                seed=seed, routing=routing, replicas=replicas,
+            )
+            build_s = time.monotonic() - t0
+            for ef in ef_grid:
+                for nprobe in nprobe_grid:
+                    t1 = time.monotonic()
+                    got = _collect_by_query(
+                        hnsw_search_batch(
+                            index, queries, k=k, ef=ef, nprobe=nprobe
+                        ),
+                        id_col,
                     )
-                )
-        index.graphs.unpersist()
+                    recs = [
+                        recall_at_k(got.get(qi, []), truth.get(qi, []))
+                        for qi in range(len(queries))
+                    ]
+                    params = {"m": m, "ef": ef}
+                    if nprobe is not None:
+                        params["nprobe"] = nprobe
+                    if replicas_grid != (1,):
+                        params["replicas"] = replicas
+                    results.append(
+                        TuneResult(
+                            params,
+                            sum(recs) / len(recs),
+                            (time.monotonic() - t1) / len(queries),
+                            build_s,
+                        )
+                    )
+            index.graphs.unpersist()
     ok = [r for r in results if r.recall >= target_recall]
     best = min(ok, key=lambda r: r.latency_s) if ok else None
     return best, results

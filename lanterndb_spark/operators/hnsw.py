@@ -56,6 +56,7 @@ import collections
 import heapq
 import os
 import pickle
+import warnings
 from typing import NamedTuple
 
 import numpy as np
@@ -1510,7 +1511,18 @@ def build_hnsw(
                 raise ValueError("cluster routing needs non-zero vectors")
         centroids = _kmeans_numpy(x, num_shards, seed=seed).astype(np.float64)
         num_shards = len(centroids)
-        replicas = min(replicas, num_shards)
+        if replicas > num_shards:
+            # k-means may collapse duplicate centroids below the asked
+            # num_shards; surface the clamp like the shard reduction is
+            # surfaced, or a replicas=2 request silently builds an
+            # effectively unreplicated index (ADVICE r11)
+            warnings.warn(
+                f"replicas={replicas} clamped to num_shards={num_shards} "
+                "(k-means produced fewer distinct centroids); the index "
+                "is less replicated than requested",
+                stacklevel=2,
+            )
+            replicas = num_shards
         shard_col = _cluster_route_expr(
             df.sparkSession, centroids, vec_col, metric, replicas=replicas
         )
@@ -1601,7 +1613,13 @@ def hnsw_candidates(
     """(id, dist) of each probed shard's local top-max(k, ef) — the raw
     merge input. ``deleted`` ids are skipped at emit (scan.c:294-300).
     With cluster routing + ``nprobe``, only the probed shards' blobs are
-    ever deserialized (the filter prunes the graphs scan)."""
+    ever deserialized (the filter prunes the graphs scan). With
+    ``replicas > 1`` the result is GLOBALLY DEDUPED instead — one
+    min-dist row per id (overlapping shards return the same id; under
+    quant='pq' at slightly different ADC distances) — which costs one
+    groupBy shuffle that the single-assignment path doesn't have;
+    candidate-stage consumers (hybrid's indexed route) inherit both the
+    changed shape and that cost."""
     q, scale = _prep_query(index, query)
     dead = frozenset(int(i) for i in deleted) if deleted else None
     probes = _probe_shards(index, q, nprobe)
@@ -1980,19 +1998,23 @@ def _has_duplicate_qids(queries: DataFrame, q_id_col: str) -> bool:
 
 
 def _restore_surrogate(
-    result: DataFrame, keyed: DataFrame, q_id_col: str, tail_cols: list
+    result: DataFrame, keyed: DataFrame, q_id_col: str, tail_cols: list,
+    key_col: str = "q_id",
 ) -> DataFrame:
     """Swap the surrogate back for the caller's q_id values — ONE
     equi-join on the long key (AQE broadcasts the mapping when small);
     persisted-intermediate attachments carry through for release(),
     plus a handle that frees the pinned surrogate checkpoint blocks
     (DataFrame.unpersist alone leaves localCheckpoint storage behind —
-    plans/shape.py CheckpointHandle)."""
+    plans/shape.py CheckpointHandle). ``key_col`` names the result
+    frame's surrogate column AND the restored output column: the hnsw
+    forms emit a literal "q_id", the ivf family keeps the caller's
+    ``q_id_col`` — both share this restore."""
     from lanterndb_spark.plans.shape import CheckpointHandle
 
     mapping = keyed.select(F.col(q_id_col).alias("__sk"), "__orig_qid")
-    out = result.join(mapping, result["q_id"] == mapping["__sk"]).select(
-        F.col("__orig_qid").alias("q_id"), *tail_cols
+    out = result.join(mapping, result[key_col] == mapping["__sk"]).select(
+        F.col("__orig_qid").alias(key_col), *tail_cols
     )
     inner = result.__dict__.get("_lantern_persisted") or []
     out.__dict__["_lantern_persisted"] = list(inner) + [
@@ -2376,6 +2398,7 @@ def hnsw_search_df_filtered(
         exact = knn_join(
             fb, index.vec_col, remaining, q_vec_col, k=k,
             metric=index.metric, id_col=index.id_col, q_id_col=q_id_col,
+            unique_q_ids=True,  # unique past the wrap above
         ).withColumnRenamed(q_id_col, "q_id")
         parts.append(exact)
     out = parts[0]

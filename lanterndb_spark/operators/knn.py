@@ -97,6 +97,7 @@ def knn_join(
     q_id_col: str = "q_id",
     dist_col: str = "dist",
     impl: str = "auto",
+    unique_q_ids: bool = False,
 ) -> DataFrame:
     """Top-k neighbors in ``data`` for EVERY row of ``queries`` — the
     reference's lateral-join query shape (test/sql/hnsw_select.sql:66-67:
@@ -121,10 +122,34 @@ def knn_join(
       O(nq·dim) interpreted ops per row, the matmul amortizes Arrow
       transfer across all queries.
     - ``auto``: arrow for ≥4 queries on l2sq/cos/inner, else expr.
+
+    Duplicate q_id VALUES are PER-ROW (each input row keeps its own
+    top-k) via the same surrogate wrap as the ANN batch forms — without
+    it the per-query window below would merge them, violating the
+    "EVERY row" contract above. ``unique_q_ids=True`` skips the
+    one-aggregate detection pass (asserting uniqueness; duplicates then
+    merge).
     """
     from pyspark.sql import Window
 
     from lanterndb_spark.plans.shape import widen_partitions
+
+    if not unique_q_ids:
+        from lanterndb_spark.operators.hnsw import (
+            _has_duplicate_qids, _restore_surrogate, _surrogate_key_queries,
+        )
+
+        if _has_duplicate_qids(queries, q_id_col):
+            keyed = _surrogate_key_queries(queries, q_id_col, q_vec_col)
+            inner = knn_join(
+                data, vec_col, keyed.drop("__orig_qid"), q_vec_col, k=k,
+                metric=metric, id_col=id_col, q_id_col=q_id_col,
+                dist_col=dist_col, impl=impl, unique_q_ids=True,
+            )
+            tail = [c for c in inner.columns if c != q_id_col]
+            return _restore_surrogate(
+                inner, keyed, q_id_col, tail, key_col=q_id_col
+            )
 
     order_tail = [F.col(id_col).asc()] if id_col else []
 

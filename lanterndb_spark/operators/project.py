@@ -330,6 +330,7 @@ def projected_knn_batch(
         "__qp",
         k=k * oversample,
         id_col=id_col,
+        unique_q_ids=True,  # enumerate() mints them
     ).select("q_id", id_col)
     full_q = spark.createDataFrame(
         [(i, [float(x) for x in queries[i]]) for i in range(len(queries))],

@@ -558,11 +558,20 @@ class LanternTable:
         pred: Column | None = None,
         q_id_col: str = "q_id",
         q_vec_col: str = "query",
+        unique_q_ids: bool = False,
         **search_params,
     ) -> DataFrame:
         """Top-k for EVERY row of ``queries`` (a DataFrame with
         ``q_id_col`` + ``q_vec_col``) — the eval-pass / hard-negative-
         mining shape. Returns (q_id, id, dist), one row per neighbor.
+        Duplicate q_id VALUES are PER-ROW on EVERY route (hnsw, ivf
+        family, exact): the router detects them once (one column-pruned
+        aggregate) and surrogate-wraps the whole route — including the
+        delta-merge window, which would otherwise re-merge restored
+        duplicates — so the row count no longer depends on which index
+        kind the table happens to carry (the r11 divergence).
+        ``unique_q_ids=True`` skips the detection pass (asserting
+        uniqueness; duplicates then merge per q_id value).
         ``pred`` filters like ``knn``'s: rechecked OUTSIDE the access
         method (hnsw runs the batch streaming-k,
         ``hnsw_search_df_filtered``; ivf composes the filter before its
@@ -585,6 +594,25 @@ class LanternTable:
         side-scan, and the two lists merge per query."""
         from lanterndb_spark.operators.knn import knn_join
 
+        if not unique_q_ids:
+            from lanterndb_spark.operators.hnsw import (
+                _has_duplicate_qids, _restore_surrogate,
+                _surrogate_key_queries,
+            )
+
+            if _has_duplicate_qids(queries, q_id_col):
+                keyed = _surrogate_key_queries(queries, q_id_col, q_vec_col)
+                inner = self.knn_batch(
+                    vec_col, keyed.drop("__orig_qid"), k=k, metric=metric,
+                    mode=mode, pred=pred, q_id_col=q_id_col,
+                    q_vec_col=q_vec_col, unique_q_ids=True, **search_params,
+                )
+                return _restore_surrogate(
+                    inner, keyed, q_id_col, [self.id_col, "dist"],
+                    key_col=q_id_col,
+                )
+        # past here q_ids are unique (checked or caller-asserted): every
+        # inner route gets unique_q_ids=True so none re-runs the check
         if mode == "auto":
             mode = self._indexes.get(vec_col, ("exact",))[0]
         if (
@@ -599,7 +627,7 @@ class LanternTable:
             data = self.df.filter(pred) if pred is not None else self.df
             out = knn_join(
                 data, vec_col, queries, q_vec_col, k=k, metric=metric,
-                id_col=self.id_col, q_id_col=q_id_col,
+                id_col=self.id_col, q_id_col=q_id_col, unique_q_ids=True,
             )
             return out.select(q_id_col, self.id_col, "dist")
         kind, index = self._indexes[vec_col]
@@ -625,13 +653,15 @@ class LanternTable:
             if kind == "ivfsq":
                 return ivfsq_search_df(
                     base_index, queries, k=k, id_col=self.id_col,
-                    q_id_col=q_id_col, q_vec_col=q_vec_col, **search_params,
+                    q_id_col=q_id_col, q_vec_col=q_vec_col,
+                    unique_q_ids=True, **search_params,
                 )
             if kind == "ivfpq":
                 return ivfpq_search_df(
                     base_index, base_index.codebook, queries, k=k,
                     pq_col=base_index.pq_col, id_col=self.id_col,
-                    q_id_col=q_id_col, q_vec_col=q_vec_col, **search_params,
+                    q_id_col=q_id_col, q_vec_col=q_vec_col,
+                    unique_q_ids=True, **search_params,
                 )
             # DataFrame-native: queries route to their nprobe centroids
             # executor-side (no driver list, no 100k ceiling — batch
@@ -641,7 +671,7 @@ class LanternTable:
             return ivf_search_df(
                 base_index, queries, k=k, metric=metric, id_col=self.id_col,
                 pred=pred, q_id_col=q_id_col, q_vec_col=q_vec_col,
-                **search_params,
+                unique_q_ids=True, **search_params,
             )
         # hnsw
         from lanterndb_spark.operators.hnsw import hnsw_search_df
@@ -662,7 +692,8 @@ class LanternTable:
             search_params.pop("base", None)
             graph_top = hnsw_search_df_filtered(
                 index, self.base, queries, pred, k=k, deleted=deleted,
-                q_id_col=q_id_col, q_vec_col=q_vec_col, **search_params,
+                q_id_col=q_id_col, q_vec_col=q_vec_col,
+                unique_q_ids=True, **search_params,
             )
             inner = graph_top.__dict__.get("_lantern_persisted", [])
             # the graph batch forms emit a literal "q_id" column; restore
@@ -675,7 +706,8 @@ class LanternTable:
             base = self.base if index.quant == "pq" else None
             graph_top = hnsw_search_df(
                 index, queries, k=k, deleted=deleted, base=base,
-                q_id_col=q_id_col, q_vec_col=q_vec_col, **search_params,
+                q_id_col=q_id_col, q_vec_col=q_vec_col,
+                unique_q_ids=True, **search_params,
             ).select(F.col("q_id").alias(q_id_col), self.id_col, "dist")
         if not self._deltas:
             return graph_top
@@ -688,7 +720,7 @@ class LanternTable:
             delta = delta.filter(pred)
         delta_top = knn_join(
             delta, vec_col, queries, q_vec_col, k=k, metric=metric,
-            id_col=self.id_col, q_id_col=q_id_col,
+            id_col=self.id_col, q_id_col=q_id_col, unique_q_ids=True,
         ).select(q_id_col, self.id_col, "dist")
         from pyspark.sql import Window
 

@@ -353,6 +353,60 @@ def test_autotune_hnsw_cluster_nprobe_grid(emb):
     assert best is not None
 
 
+def test_autotune_hnsw_replicas_grid(emb):
+    """replicas_grid prices the r11 build-vs-search lever inside the
+    find_best_variant loop (index_autotune/mod.rs:220-254's grid shape
+    extended): one build per (m, replicas), replicas recorded in
+    params, recall at full probe unaffected by replication (the
+    min-dist dedup keeps each id once), and hash routing rejects the
+    knob like build_hnsw does."""
+    import pytest as _pytest
+
+    from lanterndb_spark.operators.autotune import autotune_hnsw
+
+    n = emb.count()
+    best, results = autotune_hnsw(
+        emb, "embedding", "vec_id", k=10, m_grid=(8,), ef_grid=(n,),
+        nprobe_grid=(4,), replicas_grid=(1, 2), n_queries=3,
+        target_recall=0.5, num_shards=4, routing="cluster",
+    )
+    assert len(results) == 2
+    by_r = {r.params["replicas"]: r for r in results}
+    assert set(by_r) == {1, 2}
+    # full probe + ef >= n: exact either way, replicated or not
+    assert abs(by_r[1].recall - 1.0) < 1e-12
+    assert abs(by_r[2].recall - 1.0) < 1e-12
+    assert best is not None
+    with _pytest.raises(ValueError, match="routing='cluster'"):
+        autotune_hnsw(
+            emb, "embedding", "vec_id", replicas_grid=(1, 2), routing="hash"
+        )
+
+
+def test_autotune_hnsw_batch_replicas_grid(emb):
+    """Batch twin: same replicas_grid surface on the throughput grid."""
+    import pytest as _pytest
+
+    from lanterndb_spark.operators.autotune import autotune_hnsw_batch
+
+    n = emb.count()
+    best, results = autotune_hnsw_batch(
+        emb, "embedding", "vec_id", k=10, m_grid=(8,), ef_grid=(n,),
+        nprobe_grid=(4,), replicas_grid=(1, 2), n_queries=4,
+        target_recall=0.5, num_shards=4, routing="cluster", seed=42,
+    )
+    assert len(results) == 2
+    by_r = {r.params["replicas"]: r for r in results}
+    assert abs(by_r[1].recall - 1.0) < 1e-12
+    assert abs(by_r[2].recall - 1.0) < 1e-12
+    assert all(r.params["batch_s"] > 0 for r in results)
+    assert best is not None
+    with _pytest.raises(ValueError, match="routing='cluster'"):
+        autotune_hnsw_batch(
+            emb, "embedding", "vec_id", replicas_grid=(2,), routing="hash"
+        )
+
+
 def test_empty_and_single_row_builds(spark):
     """Empty build is valid (ldb_ambuildunlogged analogue, build.c:653-727
     — searches return empty); a single-row graph serves itself."""

@@ -34,10 +34,13 @@ N_TIME = 10000
 # which factors to measure, e.g. CP_REPS=2 to skip the r=1 baseline
 # when a prior record already carries it (the 20M curve has r=1)
 REPS = tuple(int(x) for x in os.environ.get("CP_REPS", "1,2").split(","))
+# suffix derives from the ACTUAL tier so the filename always matches the
+# measured corpus (ADVICE r11: a >=10M threshold labelled 10M runs "_20m")
+_TIER = "" if N_VEC == 2_000_000 else f"_{N_VEC // 1_000_000}m"
 OUT_PATH = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "spark-warehouse",
-    f"replicas_ab_r11{'_20m' if N_VEC >= 10_000_000 else ''}.json",
+    f"replicas_ab_r11{_TIER}.json",
 )
 
 
