@@ -595,10 +595,14 @@ def ivf_search_df(
             # partition(axis=1) + ONE nonzero over the whole block — the
             # previous row-major kernel cut with a per-query python loop
             # (flatnonzero/repeat per column) plus a column-strided
-            # partition, measured far off the dgemm floor (the r11
-            # session's profile artifact was lost — VERDICT r11 item 2 —
-            # and re-measured by tools/ab_qmajor_r12.py against the r10
-            # kernel: spark-warehouse/ab_qmajor_r12.json)
+            # partition. Honest evidence state (r12, the r11 profile
+            # artifact was lost): at k=10 eval shapes the two kernels
+            # measure EQUAL (tools/ab_qmajor_r12.py vs the r10 kernel,
+            # spark-warehouse/ab_qmajor_r12*.json — small-k cuts are not
+            # the bottleneck); the rewrite's measured win is the LARGE-k
+            # coarse cut of the hybrid candidate stage (k=ef), where the
+            # r11 same-session profile halved 24.2 s -> 11.9 s at 2k
+            # queries over 2M (spark-warehouse/hybrid_profile_r11.json)
             if not len(bpdf) or not len(qpdf):
                 return pd.DataFrame({"__qid": [], id_col: [], "dist": []})
             X = np.asarray(bpdf[vec_col].tolist(), dtype=np.float64)

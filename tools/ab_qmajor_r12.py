@@ -40,32 +40,22 @@ def measure() -> dict:
     """One tree's timing: synth data, build_ivf, time the arrow batch.
     Deterministic (fixed seeds) so both trees score identical work."""
     import numpy as np
-    from pyspark.sql import SparkSession
-    from pyspark.sql import functions as F
+
+    # the SAME parquet corpus the other scale artifacts use (synthetic
+    # RDD-backed frames break build_ivf's sampling collect past the 1 GB
+    # driver result cap — per-partition over-fetch before the limit)
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", os.environ.get("AB_HEAP", "48g"))
+    tree = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(tree, "tools"))
+    import scale_smoke
 
     from lanterndb_spark.operators.ivf import build_ivf, ivf_search_df
+    from lanterndb_spark.session import get_spark
 
-    spark = (
-        SparkSession.builder.master(f"local[{os.cpu_count()}]")
-        .config("spark.sql.shuffle.partitions", "64")
-        .config("spark.driver.memory", os.environ.get("AB_HEAP", "48g"))
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
-        .appName("ab_qmajor")
-        .getOrCreate()
-    )
+    spark = get_spark(app_name="ab_qmajor")
     spark.sparkContext.setLogLevel("ERROR")
-    n_part = 64
-
-    def gen(pidx):
-        rng = np.random.default_rng(1234 + pidx)
-        lo = pidx * (N_VEC // n_part)
-        hi = (pidx + 1) * (N_VEC // n_part) if pidx < n_part - 1 else N_VEC
-        x = rng.standard_normal((hi - lo, DIM)).astype(np.float64)
-        for i in range(hi - lo):
-            yield (lo + i, x[i].tolist())
-
-    base = spark.sparkContext.parallelize(range(n_part), n_part).flatMap(gen)
-    df = spark.createDataFrame(base, "vec_id long, embedding array<double>")
+    df, _ = scale_smoke.gen(spark, N_VEC, 1000, dim=DIM)
+    df = df.select("vec_id", "embedding")
     idx = build_ivf(df, "embedding", nlist=NLIST, seed=42)
     idx.assigned.persist().count()
 

@@ -55,7 +55,12 @@ def main():
 
     spark = get_spark(
         app_name="replicas-ab",
-        extra_conf={"spark.driver.memory": "48g"},
+        # replicated 20M+ local runs need ~80g (the r11 OOM was the
+        # doubled shard blobs beside the cached table in ONE JVM;
+        # DESIGN.md "local-JVM measurement ceiling")
+        extra_conf={
+            "spark.driver.memory": os.environ.get("AB_HEAP", "48g"),
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     scale_smoke._SPARK = spark
