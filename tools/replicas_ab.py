@@ -35,12 +35,15 @@ N_TIME = 10000
 # when a prior record already carries it (the 20M curve has r=1)
 REPS = tuple(int(x) for x in os.environ.get("CP_REPS", "1,2").split(","))
 # suffix derives from the ACTUAL tier so the filename always matches the
-# measured corpus (ADVICE r11: a >=10M threshold labelled 10M runs "_20m")
+# measured corpus (ADVICE r11: a >=10M threshold labelled 10M runs "_20m");
+# the round label comes from AB_ROUND so re-runs never silently overwrite
+# a prior round's committed record
 _TIER = "" if N_VEC == 2_000_000 else f"_{N_VEC // 1_000_000}m"
+_ROUND = os.environ.get("AB_ROUND", "r12")
 OUT_PATH = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "spark-warehouse",
-    f"replicas_ab_r11{_TIER}.json",
+    f"replicas_ab_{_ROUND}{_TIER}.json",
 )
 
 
