@@ -221,6 +221,7 @@ def search_bm25_df(
     terms_col: str | None = None,
     q_terms_col: str | None = None,
     prune_terms: int | None = 8192,
+    unique_q_ids: bool = False,
 ) -> DataFrame:
     """Per-query BM25 top-``limit`` for a whole DataFrame of queries in
     ONE distributed job — the batch recast of :func:`search_bm25`, same
@@ -255,8 +256,32 @@ def search_bm25_df(
     ranking (cross-engine reproducibility, like the single-query form).
     Pass ``q_terms_col`` (pre-tokenized array) with ``terms_col`` for a
     custom tokenization profile; reference parity: search_bm25
-    (bm25_api.sql:61-104), one query per call, recast over a batch."""
+    (bm25_api.sql:61-104), one query per call, recast over a batch.
+    Duplicate q_id VALUES are PER-ROW like every other batch surface
+    (r12): without the wrap the groupBy/window would score the UNION of
+    the duplicates' terms as one query; ``unique_q_ids=True`` skips the
+    one-aggregate detection pass."""
     from pyspark.sql import Window
+
+    if not unique_q_ids:
+        from lanterndb_spark.operators.hnsw import (
+            _has_duplicate_qids, _restore_surrogate, _surrogate_key_queries,
+        )
+
+        if _has_duplicate_qids(queries, q_id_col):
+            payload = q_terms_col or q_text_col
+            keyed = _surrogate_key_queries(queries, q_id_col, payload)
+            inner = search_bm25_df(
+                docs, keyed.drop("__orig_qid"), id_col=id_col,
+                text_col=text_col, q_id_col=q_id_col, q_text_col=q_text_col,
+                limit=limit, k1=k1, b=b, stem=stem, stopwords=stopwords,
+                postings=postings, stats=stats, round_scores=round_scores,
+                terms_col=terms_col, q_terms_col=q_terms_col,
+                prune_terms=prune_terms, unique_q_ids=True,
+            )
+            return _restore_surrogate(
+                inner, keyed, q_id_col, ["doc_id", "bm25"], key_col=q_id_col
+            )
 
     if postings is None:
         postings = build_postings(

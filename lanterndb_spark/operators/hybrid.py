@@ -136,6 +136,7 @@ def weighted_vector_search_df(
     joint_col: str = "joint_dist",
     indexes: dict | None = None,
     nprobe: int = 4,
+    unique_q_ids: bool = False,
 ) -> DataFrame:
     """Per-query weighted multi-vector search for a whole DataFrame of
     queries in ONE distributed job — the batch recast of
@@ -159,13 +160,50 @@ def weighted_vector_search_df(
     unlike the single-query form, which pushes the filter inside each
     candidate query, so the per-term ef budget here is spent before the
     filter; pass a larger ``ef`` when combining ``max_dist`` with tight
-    limits. Returns (q_id_col, …base cols…, joint_col)."""
+    limits. Returns (q_id_col, …base cols…, joint_col). Duplicate q_id
+    VALUES are PER-ROW like every other batch surface (r12): without
+    the wrap the scoring join-by-q_id would fan out across duplicates
+    and the joint window would merge their candidate sets;
+    ``unique_q_ids=True`` skips the one-aggregate detection pass."""
     from pyspark.sql import Window
 
     from lanterndb_spark.operators.knn import knn_join
 
     if not terms:
         raise ValueError("need at least one (weight, col, query_col) term")
+    if not unique_q_ids:
+        from lanterndb_spark.operators.hnsw import _has_duplicate_qids
+
+        if _has_duplicate_qids(queries, q_id_col):
+            # multi-vector queries: the shared single-vec helper can't
+            # carry every term's column, so key ALL columns here (same
+            # eager-checkpoint pinning + CheckpointHandle release)
+            from lanterndb_spark.plans.shape import CheckpointHandle
+
+            keyed = (
+                queries.select(
+                    F.col(q_id_col).alias("__orig_qid"),
+                    *[c for c in queries.columns if c != q_id_col],
+                )
+                .withColumn(q_id_col, F.monotonically_increasing_id())
+                .localCheckpoint(eager=True)
+            )
+            inner = weighted_vector_search_df(
+                df, terms, keyed.drop("__orig_qid"), id_col=id_col,
+                q_id_col=q_id_col, metric=metric, ef=ef, max_dist=max_dist,
+                limit=limit, joint_col=joint_col, indexes=indexes,
+                nprobe=nprobe, unique_q_ids=True,
+            )
+            mapping = keyed.select(F.col(q_id_col).alias("__sk"), "__orig_qid")
+            tail = [c for c in inner.columns if c != q_id_col]
+            out = inner.join(
+                mapping, inner[q_id_col] == mapping["__sk"]
+            ).select(F.col("__orig_qid").alias(q_id_col), *tail)
+            prev = inner.__dict__.get("_lantern_persisted") or []
+            out.__dict__["_lantern_persisted"] = list(prev) + [
+                CheckpointHandle(keyed)
+            ]
+            return out
     # the joint expression binds each term's query column AFTER the
     # scoring join with the base rows — a query column sharing a base
     # column's name would be ambiguous there (or silently bind to the
@@ -201,6 +239,7 @@ def weighted_vector_search_df(
                 ids = ivf_search_df(
                     idx, qsel, k=ef, nprobe=nprobe, metric=metric,
                     id_col=id_col, q_id_col=q_id_col, q_vec_col=qcol,
+                    unique_q_ids=True,  # unique past the wrap above
                 )
                 # carry the stage's persisted routed frame through the
                 # transformations below (attachments don't propagate),
@@ -232,7 +271,8 @@ def weighted_vector_search_df(
                     )
                 q_id_type = queries.schema[q_id_col].dataType.simpleString()
                 ids = hnsw_search_df(
-                    idx, qsel, k=ef, q_id_col=q_id_col, q_vec_col=qcol
+                    idx, qsel, k=ef, q_id_col=q_id_col, q_vec_col=qcol,
+                    unique_q_ids=True,  # unique past the wrap above
                 ).select(
                     F.col("q_id").cast(q_id_type).alias(q_id_col),
                     F.col(idx.id_col).alias(id_col),
@@ -246,6 +286,7 @@ def weighted_vector_search_df(
             kj = knn_join(
                 df.select(id_col, col), col, qsel, qcol,
                 k=ef, metric=metric, id_col=id_col, q_id_col=q_id_col,
+                unique_q_ids=True,  # unique past the wrap above
             )
             cand_parts.append(kj.select(q_id_col, id_col))
     cand = reduce(DataFrame.unionByName, cand_parts).dropDuplicates(

@@ -748,7 +748,21 @@ def ivfpq_search_df(
     persist heavy lineages before calling. Duplicate q_id VALUES are
     PER-ROW via the same surrogate wrap as ``ivf_search_df`` (without
     it the re-rank's join-by-q_id would also fan out across the
-    duplicates); ``unique_q_ids=True`` skips the detection pass."""
+    duplicates); ``unique_q_ids=True`` skips the detection pass.
+
+    WHEN TO PICK THIS over plain ``ivf_search_df`` (measured at 20M x
+    64d, spark-warehouse/ab_ivfpq_disk_r12.json): ivfpq is the
+    CAPACITY/FOOTPRINT option, not the wall-clock option — its coarse
+    scan reads ~30x fewer bytes (1 byte/subvector vs 4/dim, and
+    parquet column pruning delivers that on disk), but the ADC
+    gather+LUT cost exceeded the saved decode on page-cached local
+    storage: pq measured 2.0x slower than ivf in RAM and still 1.55x
+    slower off parquet. Choose ivfpq when the coarse table cannot fit
+    hot storage at all (the 30x smaller scan is the difference between
+    a cold S3/HDFS read of 160 MB vs 5 GB per batch, where bandwidth,
+    not decode, is the wall) or when memory budget forces codes-only
+    residency; choose plain ivf (or SQ8, which bit-matches ivf recall
+    at half f32's bytes) whenever the f32/f64 table is servable."""
     from pyspark.sql import Window
 
     from lanterndb_spark.functions.distance import distance

@@ -225,3 +225,43 @@ def test_search_df_on_consolidated_incremental_postings(tables, spark):
     ).collect()
     key = lambda rs: sorted((r["q_id"], r["doc_id"], r["bm25"]) for r in rs)
     assert key(a) == key(b)
+
+
+def test_search_bm25_df_duplicate_q_ids_per_row(corpus, spark):
+    """Duplicate q_id VALUES answer per ROW (r12): q_id=7 appears with
+    two DIFFERENT query texts; each keeps its own top-k instead of
+    scoring the union of their terms as one query."""
+    from lanterndb_spark.operators.bm25 import search_bm25_df
+
+    dup = spark.createDataFrame(
+        [(7, "apple"), (7, "kiwi"), (3, "banana")],
+        "q_id int, query string",
+    )
+    uniq = spark.createDataFrame(
+        [(0, "apple"), (1, "kiwi"), (2, "banana")],
+        "q_id int, query string",
+    )
+    got = search_bm25_df(corpus, dup, limit=3, round_scores=6).collect()
+    exp = search_bm25_df(corpus, uniq, limit=3, round_scores=6).collect()
+    remap = {0: 7, 1: 7, 2: 3}
+    key = lambda rows, rm=None: sorted(
+        ((rm.get(r["q_id"], r["q_id"]) if rm else r["q_id"]),
+         r["doc_id"], r["bm25"]) for r in rows
+    )
+    assert len(got) == len(exp)  # per-row, not merged term-union
+    assert key(got) == key(exp, remap)
+    # escape hatch: unique_q_ids=True merges — duplicates score as one
+    # union-of-terms query. 'apple' + 'banana' overlap on docs 1-3, so
+    # the merged scores differ from both single-term lists.
+    dup2 = spark.createDataFrame(
+        [(7, "apple"), (7, "banana")], "q_id int, query string"
+    )
+    merged = search_bm25_df(
+        corpus, dup2, limit=4, round_scores=6, unique_q_ids=True
+    ).collect()
+    assert {r["q_id"] for r in merged} == {7}
+    one = search_bm25_df(
+        corpus, spark.createDataFrame([(7, "apple")], "q_id int, query string"),
+        limit=4, round_scores=6,
+    ).collect()
+    assert key(merged) != key(one)

@@ -381,3 +381,38 @@ def test_batch_hnsw_candidate_stage_rejects_metric_mismatch(hybrid_df, spark):
             metric="cos", ef=10, indexes={"v1": hidx},
         )
     hidx.graphs.unpersist()
+
+
+def test_hybrid_batch_duplicate_q_ids_per_row(hybrid_df, spark):
+    """Duplicate q_id VALUES answer per ROW on the hybrid batch too
+    (r12): same contract as the ANN/bm25 batch surfaces — without the
+    wrap the scoring join fans out across duplicates and the joint
+    window merges their candidate sets."""
+    from lanterndb_spark.operators.hybrid import weighted_vector_search_df
+
+    q1a, q2a = q_of(hybrid_df, 0)
+    q1b, q2b = q_of(hybrid_df, 9)
+    q1c, q2c = q_of(hybrid_df, 17)
+    dup = spark.createDataFrame(
+        [(7, q1a, q2a), (7, q1b, q2b), (3, q1c, q2c)],
+        "q_id long, qv1 array<double>, qv2 array<double>",
+    )
+    uniq = spark.createDataFrame(
+        [(0, q1a, q2a), (1, q1b, q2b), (2, q1c, q2c)],
+        "q_id long, qv1 array<double>, qv2 array<double>",
+    )
+    terms = [(1.0, "v1", "qv1"), (0.5, "v2", "qv2")]
+    n = hybrid_df.count()
+    got = weighted_vector_search_df(
+        hybrid_df, terms, dup, id_col="id", ef=n, limit=5
+    ).select("q_id", "id", "joint_dist").collect()
+    exp = weighted_vector_search_df(
+        hybrid_df, terms, uniq, id_col="id", ef=n, limit=5
+    ).select("q_id", "id", "joint_dist").collect()
+    remap = {0: 7, 1: 7, 2: 3}
+    key = lambda rows, rm=None: sorted(
+        ((rm.get(r["q_id"], r["q_id"]) if rm else r["q_id"]),
+         r["id"], round(r["joint_dist"], 9)) for r in rows
+    )
+    assert len(got) == 15  # 3 input rows x limit, not 10
+    assert key(got) == key(exp, remap)
