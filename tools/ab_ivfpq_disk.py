@@ -23,7 +23,11 @@ bytes).
 
 Usage: python tools/ab_ivfpq_disk.py
 Knobs: AB_NVEC (default 20,000,000), AB_NQ (20,000), AB_NLIST (256),
-AB_NPROBE (32), AB_HEAP (48g).
+AB_NPROBE (32), AB_HEAP (48g). AB_DROP_CACHES=1 (needs root) syncs and
+drops the OS page cache before every disk-tier batch, upgrading the
+"disk" arm from page-cached parquet decode to REAL cold-device reads —
+the regime the PQ scan-byte claim is actually about; the output file
+gains a _cold suffix.
 """
 
 from __future__ import annotations
@@ -38,7 +42,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WAREHOUSE = os.path.join(REPO, "spark-warehouse")
-OUT_PATH = os.path.join(WAREHOUSE, "ab_ivfpq_disk_r12.json")
+DROP_CACHES = os.environ.get("AB_DROP_CACHES") == "1"
+OUT_PATH = os.path.join(
+    WAREHOUSE, f"ab_ivfpq_disk_r12{'_cold' if DROP_CACHES else ''}.json"
+)
+
+
+def drop_page_cache():
+    """sync + drop the OS page cache so the next parquet scan reads the
+    device, not RAM. Root-only; the A/B refuses to claim a cold tier it
+    cannot produce."""
+    subprocess.run(["sync"], check=True)
+    with open("/proc/sys/vm/drop_caches", "w") as f:
+        f.write("3\n")
 
 N_VEC = int(os.environ.get("AB_NVEC", "20000000"))
 N_Q = int(os.environ.get("AB_NQ", "20000"))
@@ -139,9 +155,18 @@ def main():
 
     # ---- disk tier: nothing persisted, every run re-scans parquet ----
     spark.catalog.clearCache()
+    if DROP_CACHES:
+        rec["caveat"] = (
+            "page cache DROPPED (sync + /proc/sys/vm/drop_caches=3) "
+            "before every disk batch: real cold-device reads"
+        )
     for i in (1, 2):
+        if DROP_CACHES:
+            drop_page_cache()
         timed(f"disk_ivf_batch_{i}", run_ivf)
     for i in (1, 2):
+        if DROP_CACHES:
+            drop_page_cache()
         timed(f"disk_pq_batch_{i}", run_pq)
 
     # ---- in-RAM tier: same indexes persisted, same queries ----------
