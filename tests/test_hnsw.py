@@ -1164,3 +1164,25 @@ def test_replicas_requires_cluster_routing(emb):
             emb, "embedding", id_col="vec_id", num_shards=4,
             routing="cluster", replicas=0,
         )
+
+
+def test_replicas_clamp_warns(spark):
+    """When k-means yields fewer cells than the requested replicas (tiny
+    or degenerate tables), the clamp is SURFACED instead of silently
+    building a less-replicated index (ADVICE r11)."""
+    import warnings
+
+    tiny = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [10.0, 10.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.warns(UserWarning, match="clamped to num_shards"):
+        idx = build_hnsw(
+            tiny, "embedding", id_col="vec_id", m=4, ef_construction=8,
+            num_shards=4, routing="cluster", replicas=3, seed=1,
+        )
+    assert idx.replicas == 2  # k-means found only 2 cells in 2 rows
+    # the clamped index still answers exactly at full probe
+    got = hnsw_search(idx, tiny, [0.0, 0.0], k=2, ef=4).collect()
+    assert [r["vec_id"] for r in got] == [0, 1]
+    idx.graphs.unpersist()
