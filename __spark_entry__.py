@@ -1601,7 +1601,15 @@ def q_knnbatch_dup_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_parts[0].unionByName(out_parts[1]),
         ["backend", "q_id", "vec_id"], "dist",
     )
-    rows = out.collect()  # materialize before unpersisting the graphs
+    rows = out.collect()  # materialize before releasing the routes
+    # each route's dup wrap pins surrogate localCheckpoint blocks and
+    # the ivf route persists its routed frame; those attachments do NOT
+    # propagate through the union, so free them from the parts — this
+    # row runs in the driver's long-lived JVM every round
+    from lanterndb_spark.plans.shape import release
+
+    release(out_parts[0])
+    release(out_parts[1])
     kind, idx = t_hnsw._indexes["embedding"]
     idx.graphs.unpersist()
     return spark.createDataFrame(rows, out.schema)

@@ -1509,17 +1509,22 @@ def build_hnsw(
             x = x[nrm > 0] / nrm[nrm > 0][:, None]
             if not len(x):
                 raise ValueError("cluster routing needs non-zero vectors")
+        asked_shards = num_shards
         centroids = _kmeans_numpy(x, num_shards, seed=seed).astype(np.float64)
         num_shards = len(centroids)
         if replicas > num_shards:
-            # k-means may collapse duplicate centroids below the asked
-            # num_shards; surface the clamp like the shard reduction is
-            # surfaced, or a replicas=2 request silently builds an
-            # effectively unreplicated index (ADVICE r11)
+            # surface the clamp — silently building an effectively
+            # less-replicated index hides a recall regression (ADVICE
+            # r11) — and name the actual cause: a request exceeding the
+            # shard count vs k-means finding fewer distinct cells
+            reason = (
+                "k-means produced fewer distinct centroids than "
+                f"num_shards={asked_shards}" if num_shards < asked_shards
+                else f"num_shards={num_shards} is smaller than replicas"
+            )
             warnings.warn(
                 f"replicas={replicas} clamped to num_shards={num_shards} "
-                "(k-means produced fewer distinct centroids); the index "
-                "is less replicated than requested",
+                f"({reason}); the index is less replicated than requested",
                 stacklevel=2,
             )
             replicas = num_shards
@@ -1972,16 +1977,21 @@ _INTEGRAL_TYPES = ("tinyint", "smallint", "int", "bigint")
 
 
 def _surrogate_key_queries(
-    queries: DataFrame, q_id_col: str, q_vec_col: str
+    queries: DataFrame, q_id_col: str, *payload_cols: str
 ) -> DataFrame:
     """Zip a non-integral q_id to a long surrogate the graph kernels can
     key (they index int64 TIDs, like the reference's scan). The eager
     localCheckpoint pins ``monotonically_increasing_id``'s otherwise
     recomputation-unstable values so the search and the restore join
     read the SAME mapping — the same pinning the filtered form's round
-    loop uses. Returns (__orig_qid, <q_id_col>=surrogate long, vec)."""
+    loop uses. ``payload_cols`` is one vector column for the ANN forms,
+    every term's query column for hybrid's multi-vector batch. Returns
+    (__orig_qid, <payload cols...>, <q_id_col>=surrogate long)."""
     return (
-        queries.select(F.col(q_id_col).alias("__orig_qid"), F.col(q_vec_col))
+        queries.select(
+            F.col(q_id_col).alias("__orig_qid"),
+            *[F.col(c) for c in payload_cols],
+        )
         .withColumn(q_id_col, F.monotonically_increasing_id())
         .localCheckpoint(eager=True)
     )
@@ -1990,11 +2000,16 @@ def _surrogate_key_queries(
 def _has_duplicate_qids(queries: DataFrame, q_id_col: str) -> bool:
     """One column-pruned aggregate over the id column. Used by the
     integral fast path to decide whether the merge-by-key shortcut is
-    safe; callers that mint their own ids skip it via unique_q_ids."""
+    safe; callers that mint their own ids skip it via unique_q_ids.
+    NULL keys count too: count/count_distinct both skip NULLs, so two
+    NULL-keyed rows would otherwise slip past detection and merge in
+    the per-query window (r12 review) — the wrap gives each its own
+    surrogate and restores NULL labels per row."""
     row = queries.select(
-        (F.count(q_id_col) != F.count_distinct(q_id_col)).alias("dup")
+        (F.count(q_id_col) != F.count_distinct(q_id_col)).alias("dup"),
+        ((F.count(F.lit(1)) - F.count(q_id_col)) > 1).alias("null_dup"),
     ).first()
-    return bool(row["dup"])
+    return bool(row["dup"] or row["null_dup"])
 
 
 def _restore_surrogate(

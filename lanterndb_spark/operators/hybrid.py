@@ -172,21 +172,16 @@ def weighted_vector_search_df(
     if not terms:
         raise ValueError("need at least one (weight, col, query_col) term")
     if not unique_q_ids:
-        from lanterndb_spark.operators.hnsw import _has_duplicate_qids
+        from lanterndb_spark.operators.hnsw import (
+            _has_duplicate_qids, _restore_surrogate, _surrogate_key_queries,
+        )
 
         if _has_duplicate_qids(queries, q_id_col):
-            # multi-vector queries: the shared single-vec helper can't
-            # carry every term's column, so key ALL columns here (same
-            # eager-checkpoint pinning + CheckpointHandle release)
-            from lanterndb_spark.plans.shape import CheckpointHandle
-
-            keyed = (
-                queries.select(
-                    F.col(q_id_col).alias("__orig_qid"),
-                    *[c for c in queries.columns if c != q_id_col],
-                )
-                .withColumn(q_id_col, F.monotonically_increasing_id())
-                .localCheckpoint(eager=True)
+            # same shared wrap as the ANN/bm25 batch forms; the helper
+            # takes every term's query column as payload
+            keyed = _surrogate_key_queries(
+                queries, q_id_col,
+                *dict.fromkeys(qc for (_w, _c, qc) in terms),
             )
             inner = weighted_vector_search_df(
                 df, terms, keyed.drop("__orig_qid"), id_col=id_col,
@@ -194,16 +189,10 @@ def weighted_vector_search_df(
                 limit=limit, joint_col=joint_col, indexes=indexes,
                 nprobe=nprobe, unique_q_ids=True,
             )
-            mapping = keyed.select(F.col(q_id_col).alias("__sk"), "__orig_qid")
             tail = [c for c in inner.columns if c != q_id_col]
-            out = inner.join(
-                mapping, inner[q_id_col] == mapping["__sk"]
-            ).select(F.col("__orig_qid").alias(q_id_col), *tail)
-            prev = inner.__dict__.get("_lantern_persisted") or []
-            out.__dict__["_lantern_persisted"] = list(prev) + [
-                CheckpointHandle(keyed)
-            ]
-            return out
+            return _restore_surrogate(
+                inner, keyed, q_id_col, tail, key_col=q_id_col
+            )
     # the joint expression binds each term's query column AFTER the
     # scoring join with the base rows — a query column sharing a base
     # column's name would be ambiguous there (or silently bind to the

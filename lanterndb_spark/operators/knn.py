@@ -134,7 +134,32 @@ def knn_join(
 
     from lanterndb_spark.plans.shape import widen_partitions
 
-    if not unique_q_ids:
+    order_tail = [F.col(id_col).asc()] if id_col else []
+
+    # BOTH impls broadcast the query table (the expr path as a broadcast
+    # join, the arrow path as a task closure) — fine for the documented
+    # ≤100k contract, a quadratic-memory cliff beyond it. A cheap 4-row
+    # probe resolves impl='auto' AND skips the capped count entirely for
+    # tiny batches (the common lateral shape, where a heavy query
+    # lineage would otherwise pay an up-to-100k scan per call); only a
+    # batch that proves ≥4 rows pays the cap scan. Neither probe is ever
+    # a full count of a possibly-large query table. The duplicate-q_id
+    # check below keeps that property: it runs AFTER the probe, only on
+    # frames the probe shows have ≥2 rows (a single row cannot carry a
+    # duplicate), and only past the broadcast-cap raise.
+    MAX_BROADCAST_QUERIES = 100_000
+    nq = queries.limit(4).count()
+    if nq >= 4:
+        nq = queries.limit(MAX_BROADCAST_QUERIES + 1).count()
+        if nq > MAX_BROADCAST_QUERIES:
+            raise ValueError(
+                f"knn_join broadcasts the query table and scores every "
+                f"row x query pair; got more than {MAX_BROADCAST_QUERIES} "
+                "query rows. Use the DataFrame-native ANN batch forms "
+                "(ivf_search_df / hnsw_search_df, unbounded) or shard the "
+                "batch."
+            )
+    if not unique_q_ids and nq >= 2:
         from lanterndb_spark.operators.hnsw import (
             _has_duplicate_qids, _restore_surrogate, _surrogate_key_queries,
         )
@@ -149,29 +174,6 @@ def knn_join(
             tail = [c for c in inner.columns if c != q_id_col]
             return _restore_surrogate(
                 inner, keyed, q_id_col, tail, key_col=q_id_col
-            )
-
-    order_tail = [F.col(id_col).asc()] if id_col else []
-
-    # BOTH impls broadcast the query table (the expr path as a broadcast
-    # join, the arrow path as a task closure) — fine for the documented
-    # ≤100k contract, a quadratic-memory cliff beyond it. A cheap 4-row
-    # probe resolves impl='auto' AND skips the capped count entirely for
-    # tiny batches (the common lateral shape, where a heavy query
-    # lineage would otherwise pay an up-to-100k scan per call); only a
-    # batch that proves ≥4 rows pays the cap scan. Neither probe is ever
-    # a full count of a possibly-large query table.
-    MAX_BROADCAST_QUERIES = 100_000
-    nq = queries.limit(4).count()
-    if nq >= 4:
-        nq = queries.limit(MAX_BROADCAST_QUERIES + 1).count()
-        if nq > MAX_BROADCAST_QUERIES:
-            raise ValueError(
-                f"knn_join broadcasts the query table and scores every "
-                f"row x query pair; got more than {MAX_BROADCAST_QUERIES} "
-                "query rows. Use the DataFrame-native ANN batch forms "
-                "(ivf_search_df / hnsw_search_df, unbounded) or shard the "
-                "batch."
             )
     if impl == "auto":
         impl = "arrow" if nq >= 4 and metric in ("l2sq", "cos", "inner") else "expr"

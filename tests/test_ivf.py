@@ -834,13 +834,15 @@ def test_knn_batch_duplicate_q_ids_same_rows_every_index_kind(tables, spark):
         ("hnsw", {"m": 8, "ef_construction": 64, "num_shards": 2, "seed": 42}),
         ("ivf", {"nlist": 4, "seed": 42}),
         ("ivfsq", {"nlist": 4, "seed": 42}),
+        ("ivfpq", {"nlist": 4, "splits": 8, "clusters": 16, "seed": 42}),
     ):
         t = LanternTable(emb, "vec_id").create_index(
             "embedding", kind=kind, **params
         )
         # exact-equivalence settings per kind so values match too
         kw = {"ef": n} if kind == "hnsw" else (
-            {"nprobe": 4} if kind == "ivf" else {"nprobe": 4, "refine": (n + 4) // 5}
+            {"nprobe": 4} if kind == "ivf"
+            else {"nprobe": 4, "refine": (n + 4) // 5}
         )
         out = t.knn_batch("embedding", dup, k=5, **kw)
         rows = out.collect()
@@ -849,6 +851,7 @@ def test_knn_batch_duplicate_q_ids_same_rows_every_index_kind(tables, spark):
     assert results["hnsw"] == results["exact"]
     assert results["ivf"] == results["exact"]
     assert results["ivfsq"] == results["exact"]
+    assert results["ivfpq"] == results["exact"]
     # delta path: duplicates + a pending insert stay per-row and see the delta
     t = LanternTable(emb, "vec_id").create_index(
         "embedding", kind="hnsw", m=8, ef_construction=64, num_shards=2, seed=42
@@ -859,3 +862,31 @@ def test_knn_batch_duplicate_q_ids_same_rows_every_index_kind(tables, spark):
     ))
     out = t.knn_batch("embedding", dup, k=5, ef=n)
     assert out.count() == 15
+
+
+def test_duplicate_null_q_ids_per_row(emb, index, spark):
+    """NULL q_ids count as duplicates of each other (r12 review:
+    count/count_distinct both skip NULLs, so two NULL-keyed rows
+    previously slipped past detection and merged in the per-query
+    window). Each NULL row keeps its own top-k on the ivf route and
+    the exact lateral join."""
+    from lanterndb_spark.operators.ivf import ivf_search_df
+    from lanterndb_spark.operators.knn import knn_join
+
+    qa, qb = qvec(emb, 1), qvec(emb, 9)
+    nulls = spark.createDataFrame(
+        [(None, qa), (None, qb)], "q_id string, query array<double>"
+    )
+    got = ivf_search_df(index, nulls, k=5, nprobe=8, id_col="vec_id").collect()
+    assert len(got) == 10  # 2 rows x k, each its own top-5
+    assert all(r["q_id"] is None for r in got)
+    # the two result sets are the two rows' own exact top-5s
+    uniq = spark.createDataFrame(
+        [("a", qa), ("b", qb)], "q_id string, query array<double>"
+    )
+    exp = ivf_search_df(index, uniq, k=5, nprobe=8, id_col="vec_id").collect()
+    assert sorted((r["vec_id"], round(r["dist"], 9)) for r in got) == sorted(
+        (r["vec_id"], round(r["dist"], 9)) for r in exp
+    )
+    kj = knn_join(emb, "embedding", nulls, "query", k=5, id_col="vec_id")
+    assert kj.count() == 10

@@ -67,12 +67,23 @@ def measure() -> dict:
     ).persist()
     qdf.count()
 
+    # ids are minted unique above: skip the r12 duplicate-detection job
+    # where the tree supports the flag, so the HEAD arm's wall doesn't
+    # carry a Spark job the r10 kernel predates (review finding — the
+    # job is ~0.1 s on a cached 20k frame, but an A/B should be clean)
+    import inspect
+
+    kw = (
+        {"unique_q_ids": True}
+        if "unique_q_ids" in inspect.signature(ivf_search_df).parameters
+        else {}
+    )
     walls = []
     for _ in range(2):  # cold-ish + warm; report both
         t0 = time.monotonic()
         out = ivf_search_df(
             idx, qdf, k=10, nprobe=NPROBE, id_col="vec_id",
-            impl="arrow", salt=8,
+            impl="arrow", salt=8, **kw,
         )
         n = out.count()
         walls.append(round(time.monotonic() - t0, 2))

@@ -36,9 +36,14 @@ N_TIME = 10000
 REPS = tuple(int(x) for x in os.environ.get("CP_REPS", "1,2").split(","))
 # suffix derives from the ACTUAL tier so the filename always matches the
 # measured corpus (ADVICE r11: a >=10M threshold labelled 10M runs "_20m");
-# the round label comes from AB_ROUND so re-runs never silently overwrite
-# a prior round's committed record
-_TIER = "" if N_VEC == 2_000_000 else f"_{N_VEC // 1_000_000}m"
+# non-multiples of 1M keep the raw count (no floor-to-"_0m"/"_1m"
+# mislabels); the round label comes from AB_ROUND so re-runs never
+# silently overwrite a prior round's committed record
+_TIER = (
+    "" if N_VEC == 2_000_000
+    else f"_{N_VEC // 1_000_000}m" if N_VEC % 1_000_000 == 0
+    else f"_{N_VEC}"
+)
 _ROUND = os.environ.get("AB_ROUND", "r12")
 OUT_PATH = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
