@@ -108,12 +108,15 @@ def logreg_fit(
     system is (d+1)², driver-trivial). Features are standardized from
     the sample; L2 applies to weights, not the bias. Deterministic for a
     fixed seed."""
-    rows = (
-        df.select(*feature_cols, F.col(label_col).cast("double").alias("__y"))
-        .dropna()
-        .orderBy(F.rand(seed))
-        .limit(sample_limit)
-        .collect()
+    from lanterndb_spark.plans.shape import bounded_rand_sample
+
+    # driver-safe sample (see bounded_rand_sample: the old
+    # orderBy(rand).limit idiom blows maxResultSize at 50M+ rows)
+    rows = bounded_rand_sample(
+        df.select(
+            *feature_cols, F.col(label_col).cast("double").alias("__y")
+        ).dropna(),
+        sample_limit, seed,
     )
     if len(rows) < 4:
         raise ValueError("logreg_fit needs at least 4 labeled rows")

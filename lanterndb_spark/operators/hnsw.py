@@ -1489,12 +1489,12 @@ def build_hnsw(
     centroids = None
     if routing == "cluster":
         from lanterndb_spark.operators.pq import _kmeans_numpy
+        from lanterndb_spark.plans.shape import bounded_rand_sample
 
-        rows = (
-            df.select(F.col(vec_col).alias("v"))
-            .orderBy(F.rand(seed))
-            .limit(sample_limit)
-            .collect()
+        # driver-safe sample (see bounded_rand_sample: the old
+        # orderBy(rand).limit idiom blows maxResultSize at 50M+ rows)
+        rows = bounded_rand_sample(
+            df.select(F.col(vec_col).alias("v")), sample_limit, seed
         )
         if not rows:
             raise ValueError("cluster routing needs a non-empty table")

@@ -131,11 +131,14 @@ def build_ivf(
     """
     from lanterndb_spark.operators.pq import _kmeans_numpy
 
-    rows = (
-        df.select(F.col(vec_col).alias("v"))
-        .orderBy(F.rand(seed))
-        .limit(sample_limit)
-        .collect()
+    from lanterndb_spark.plans.shape import bounded_rand_sample
+
+    # driver-safe sample: the old orderBy(rand).limit(n).collect() plan
+    # ships every task's local top-n to the driver — past ~40 partitions
+    # at n=50k that exceeds spark.driver.maxResultSize (found by the r12
+    # 50M smoke)
+    rows = bounded_rand_sample(
+        df.select(F.col(vec_col).alias("v")), sample_limit, seed
     )
     if not rows:
         # empty build (ldb_ambuildunlogged analogue, build.c:653-727):

@@ -110,12 +110,13 @@ def pca_fit(
     """Top-``out_dim`` principal directions of a bounded random sample
     (one scan + driver-side eigh of the (d × d) covariance — d is the
     embedding dim, so the driver work is microscopic)."""
-    rows = (
-        df.select(F.col(vec_col).alias("v"))
-        .filter(F.col("v").isNotNull())
-        .orderBy(F.rand(seed))
-        .limit(sample_limit)
-        .collect()
+    from lanterndb_spark.plans.shape import bounded_rand_sample
+
+    # driver-safe sample (see bounded_rand_sample: the old
+    # orderBy(rand).limit idiom blows maxResultSize at 50M+ rows)
+    rows = bounded_rand_sample(
+        df.select(F.col(vec_col).alias("v")).filter(F.col("v").isNotNull()),
+        sample_limit, seed,
     )
     if len(rows) < 2:
         raise ValueError("pca_fit needs at least 2 sample vectors")

@@ -163,3 +163,41 @@ def posexplode_nonempty(df: DataFrame, arr, pos_alias: str, alias: str, *keep) -
     arr = F.col(arr) if isinstance(arr, str) else arr
     out = df.select(*keep, F.posexplode_outer(arr).alias(pos_alias, alias))
     return out.filter(F.col(alias).isNotNull())
+
+
+def bounded_rand_sample(df: DataFrame, n: int, seed: int, n_rows: int | None = None) -> list:
+    """Driver-safe seeded random sample of ~``n`` rows, collected.
+
+    Replaces the ``orderBy(rand(seed)).limit(n).collect()`` idiom for
+    LARGE ``n``: that plan is TakeOrderedAndProject, where EVERY task
+    ships its local top-``n`` rows to the driver — at 50M rows / 99
+    partitions x 50k limit that is ~2.7 GB of task results, past
+    spark.driver.maxResultSize (the r12 50M smoke's finding). Here a
+    rand filter thins the scan to ~1.25·n rows FIRST, so the driver
+    receives a bounded ~1.25·n regardless of partition count; the
+    collected rows then sort by their rand key driver-side and cut to
+    ``n``, which keeps the result deterministic for a given seed and
+    partitioning independent of task arrival order (the property the
+    old idiom had). One widening retry covers an unlucky draw. Pass
+    ``n_rows`` when the caller already knows the count to skip one
+    aggregate job. Rows carry an extra ``__r`` field; callers index by
+    name."""
+    if n_rows is None:
+        n_rows = df.count()
+    if n_rows <= n:
+        # small table: every row survives; keep the rand-sorted ORDER
+        # the old idiom produced (k-means init indexes into this order,
+        # so byte-identical behavior below the limit is free)
+        rows = df.withColumn("__r", F.rand(seed)).collect()
+        rows.sort(key=lambda r: r["__r"])
+        return rows
+    frac = min(1.0, 1.25 * n / n_rows)
+    rows = df.withColumn("__r", F.rand(seed)).filter(F.col("__r") < frac).collect()
+    if len(rows) < n:
+        rows = (
+            df.withColumn("__r", F.rand(seed))
+            .filter(F.col("__r") < min(1.0, 4 * frac))
+            .collect()
+        )
+    rows.sort(key=lambda r: r["__r"])
+    return rows[:n]
