@@ -2001,15 +2001,18 @@ def _has_duplicate_qids(queries: DataFrame, q_id_col: str) -> bool:
     """One column-pruned aggregate over the id column. Used by the
     integral fast path to decide whether the merge-by-key shortcut is
     safe; callers that mint their own ids skip it via unique_q_ids.
-    NULL keys count too: count/count_distinct both skip NULLs, so two
-    NULL-keyed rows would otherwise slip past detection and merge in
-    the per-query window (r12 review) — the wrap gives each its own
-    surrogate and restores NULL labels per row."""
+    NULL keys count too: count/count_distinct both skip NULLs, so
+    NULL-keyed rows would otherwise slip past detection — and ANY
+    NULL key (even a single one) must take the surrogate wrap, because
+    the downstream equi-joins (ivfsq/ivfpq re-rank on q_id, hybrid's
+    scoring join) silently drop NULL keys, returning zero rows for
+    that query with no error (r12 review + r13 advice). The wrap gives
+    each row a non-NULL surrogate and restores NULL labels per row."""
     row = queries.select(
         (F.count(q_id_col) != F.count_distinct(q_id_col)).alias("dup"),
-        ((F.count(F.lit(1)) - F.count(q_id_col)) > 1).alias("null_dup"),
+        ((F.count(F.lit(1)) - F.count(q_id_col)) > 0).alias("has_null"),
     ).first()
-    return bool(row["dup"] or row["null_dup"])
+    return bool(row["dup"] or row["has_null"])
 
 
 def _restore_surrogate(

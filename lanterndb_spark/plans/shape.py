@@ -178,8 +178,11 @@ def bounded_rand_sample(df: DataFrame, n: int, seed: int, n_rows: int | None = N
     collected rows then sort by their rand key driver-side and cut to
     ``n``, which keeps the result deterministic for a given seed and
     partitioning independent of task arrival order (the property the
-    old idiom had). One widening retry covers an unlucky draw. Pass
-    ``n_rows`` when the caller already knows the count to skip one
+    old idiom had). The widening loop guarantees len == min(n, n_rows)
+    — the old idiom's contract — terminating at frac == 1.0 where the
+    filter keeps everything (r13 advice: a single 4x retry could still
+    return short and quietly shrink a k-means/logreg training sample).
+    Pass ``n_rows`` when the caller already knows the count to skip one
     aggregate job. Rows carry an extra ``__r`` field; callers index by
     name."""
     if n_rows is None:
@@ -192,12 +195,14 @@ def bounded_rand_sample(df: DataFrame, n: int, seed: int, n_rows: int | None = N
         rows.sort(key=lambda r: r["__r"])
         return rows
     frac = min(1.0, 1.25 * n / n_rows)
-    rows = df.withColumn("__r", F.rand(seed)).filter(F.col("__r") < frac).collect()
-    if len(rows) < n:
+    while True:
         rows = (
             df.withColumn("__r", F.rand(seed))
-            .filter(F.col("__r") < min(1.0, 4 * frac))
+            .filter(F.col("__r") < frac)
             .collect()
         )
+        if len(rows) >= n or frac >= 1.0:
+            break
+        frac = min(1.0, 4 * frac)
     rows.sort(key=lambda r: r["__r"])
     return rows[:n]

