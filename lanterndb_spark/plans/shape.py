@@ -172,7 +172,10 @@ def bounded_rand_sample(df: DataFrame, n: int, seed: int, n_rows: int | None = N
     LARGE ``n``: that plan is TakeOrderedAndProject, where EVERY task
     ships its local top-``n`` rows to the driver — at 50M rows / 99
     partitions x 50k limit that is ~2.7 GB of task results, past
-    spark.driver.maxResultSize (the r12 50M smoke's finding). Here a
+    spark.driver.maxResultSize (found in the r12 50M smoke attempt;
+    the completed run over this sampler is committed as
+    spark-warehouse/smoke_50m_r13.json — ivf + hnsw both clear the
+    tier, worker peak RSS < 1 GB). Here a
     rand filter thins the scan to ~1.25·n rows FIRST, so the driver
     receives a bounded ~1.25·n regardless of partition count; the
     collected rows then sort by their rand key driver-side and cut to
