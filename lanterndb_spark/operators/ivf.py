@@ -405,6 +405,7 @@ def ivf_search_df(
     impl: str = "auto",
     salt: int = 8,
     unique_q_ids: bool = False,
+    base_decode: tuple | None = None,
 ) -> DataFrame:
     """DataFrame-native batch ANN over an IVF index: queries arrive as a
     DataFrame and are routed to their ``nprobe`` nearest centroids
@@ -490,7 +491,19 @@ def ivf_search_df(
     routed rows) aggregate over the cache, which the scoring route then
     reuses; call ``plans.shape.release`` on the result after
     materializing to free it. With ``prune=False`` there is no second
-    pass to collapse (the gate runs a limit-capped count, bounded)."""
+    pass to collapse (the gate runs a limit-capped count, bounded).
+
+    ``base_decode`` — coded-scan hook for the arrow kernel:
+    ``([col, ...], fn)`` where ``fn(bpdf) -> (rows, dim) float64``.
+    When set and the resolved impl is ``arrow``, the base side ships
+    ONLY those columns through the Arrow boundary and the kernel
+    decodes them in numpy — ``ivfsq_search_df`` passes its int8 codes
+    + scale this way, cutting the Python-boundary bytes ~8x vs
+    serializing the dequantized float column (measured at 2M x 768d,
+    spark-warehouse/ab_dim768_r13.json). The expr path ignores the
+    hook and reads ``index.vec_col`` (the decoded column must still
+    exist on ``index.assigned`` for it). ``fn`` must reproduce the
+    vec_col values bit-exactly or the two impls diverge."""
     from pyspark.sql import Window
 
     from lanterndb_spark.functions.distance import distance
@@ -520,7 +533,7 @@ def ivf_search_df(
                     index, q, k=k, nprobe=nprobe, metric=metric,
                     id_col=id_col, pred=pred, q_id_col=q_id_col,
                     q_vec_col=q_vec_col, prune=prune, impl=impl,
-                    salt=salt, unique_q_ids=True,
+                    salt=salt, unique_q_ids=True, base_decode=base_decode,
                 ),
                 queries, q_id_col, q_vec_col, id_col,
             )
@@ -536,11 +549,14 @@ def ivf_search_df(
         f"__qid {q_id_type}, __q array<double>, cluster_id int",
     )
 
-    base = index.assigned.select("cluster_id", id_col, index.vec_col)
+    # column selection is deferred to the impl branch below: the arrow
+    # kernel may scan a coded layout (base_decode) whose columns differ
+    # from the expr path's float column, and selecting before the
+    # widen_partitions exchange is what keeps the unneeded one out of
+    # the shuffle
+    src = index.assigned
     if pred is not None:
-        base = index.assigned.filter(pred).select(
-            "cluster_id", id_col, index.vec_col
-        )
+        src = src.filter(pred)
     probed_stats = None
     cached_routed = None
     if prune and np_eff < index.nlist:
@@ -560,8 +576,7 @@ def ivf_search_df(
         )
         routed = cached_routed
         probed = [int(r["cluster_id"]) for r in probed_stats]
-        base = base.filter(F.col("cluster_id").isin(probed))
-    data = widen_partitions(base)
+        src = src.filter(F.col("cluster_id").isin(probed))
 
     if impl == "auto":
         # the crossover is query DENSITY (queries per probed cluster) —
@@ -582,8 +597,15 @@ def ivf_search_df(
         impl = "arrow" if metric in ("l2sq", "cos") and dense else "expr"
     if impl == "arrow" and metric not in ("l2sq", "cos"):
         raise ValueError("impl='arrow' batch scoring implements l2sq and cos only")
+    if impl == "arrow" and base_decode is not None:
+        # coded scan: only the code columns cross the exchange and the
+        # Arrow boundary; the kernel decodes them in numpy
+        data = widen_partitions(src.select("cluster_id", id_col, *base_decode[0]))
+    else:
+        data = widen_partitions(src.select("cluster_id", id_col, index.vec_col))
     if impl == "arrow":
         vec_col = index.vec_col
+        decode_fn = base_decode[1] if base_decode is not None else None
         kk = int(k)
         base_s = data.withColumn(
             "__salt", F.pmod(F.hash(F.col(id_col)), F.lit(salt)).cast("int")
@@ -608,7 +630,10 @@ def ivf_search_df(
             # queries over 2M (spark-warehouse/hybrid_profile_r11.json)
             if not len(bpdf) or not len(qpdf):
                 return pd.DataFrame({"__qid": [], id_col: [], "dist": []})
-            X = np.asarray(bpdf[vec_col].tolist(), dtype=np.float64)
+            if decode_fn is not None:
+                X = decode_fn(bpdf)
+            else:
+                X = np.asarray(bpdf[vec_col].tolist(), dtype=np.float64)
             ids = bpdf[id_col].to_numpy()
             Q = np.asarray(qpdf["__q"].tolist(), dtype=np.float64)
             qids = qpdf["__qid"].to_numpy()
@@ -754,18 +779,35 @@ def ivfpq_search_df(
     duplicates); ``unique_q_ids=True`` skips the detection pass.
 
     WHEN TO PICK THIS over plain ``ivf_search_df`` (measured at 20M x
-    64d, spark-warehouse/ab_ivfpq_disk_r12.json): ivfpq is the
+    64d, spark-warehouse/ab_ivfpq_disk_r12.json, AND at 2M x 768d,
+    spark-warehouse/ab_dim768_r13.json): ivfpq is the
     CAPACITY/FOOTPRINT option, not the wall-clock option — its coarse
     scan reads ~30x fewer bytes (1 byte/subvector vs 4/dim, and
-    parquet column pruning delivers that on disk), but the ADC
-    gather+LUT cost exceeded the saved decode on page-cached local
-    storage: pq measured 2.0x slower than ivf in RAM and still 1.55x
-    slower off parquet. Choose ivfpq when the coarse table cannot fit
-    hot storage at all (the 30x smaller scan is the difference between
-    a cold S3/HDFS read of 160 MB vs 5 GB per batch, where bandwidth,
-    not decode, is the wall) or when memory budget forces codes-only
-    residency; choose plain ivf (or SQ8, which bit-matches ivf recall
-    at half f32's bytes) whenever the f32/f64 table is servable."""
+    parquet column pruning delivers that on disk: 197 MB vs 5.9 GB at
+    2M x 768d), but the ADC gather+LUT cost exceeded the saved decode
+    on page-cached local storage at BOTH dims: 2.0x slower than ivf in
+    RAM / 1.55x off parquet at 64d, and ~5-8x slower at 768d (the
+    LUT gather scales with splits=dim/8 while ivf's matmul rides dgemm,
+    so higher dim makes the compute gap WORSE on hot storage, not
+    better — the r12 conjecture that dim would flip the RAM-tier
+    crossover is refuted; what 768d does amplify is the absolute byte
+    gap, i.e. the cold-storage/capacity case). ADC ordering noise also
+    grows with dim: recall@10 0.236 vs ivf/sq8's 0.48 at refine=10 —
+    budget a larger ``refine`` at high dims, but keep k*refine BELOW
+    rows/(nlist*salt) (~the per-cogroup-block size) or the coarse
+    per-block cut prunes nothing and the full probed volume hits the
+    global window (measured: refine=100 at 2M/256/8 turned a 30 ms/q
+    scan into 175 ms/q — arms_refine100 in the r13 artifact). Choose
+    ivfpq when the coarse table cannot fit hot storage at all (the 30x
+    smaller scan is the difference between a cold S3/HDFS read of
+    197 MB vs 5.9 GB per batch, where bandwidth, not decode, is the
+    wall) or when memory budget forces codes-only residency; choose
+    plain ivf whenever the f32/f64 table is servable, and SQ8 as the
+    middle tier — with the r13 in-kernel code decode it bit-matches
+    ivf recall at 1/4 the scan bytes and ~1.7x ivf's wall at 768d
+    (16.9 vs 9.75 ms/q; the decode change itself is a 2.2-3.3x win
+    over shipping dequantized floats, spark-warehouse/
+    ab_sqdecode_r13.json)."""
     from pyspark.sql import Window
 
     from lanterndb_spark.functions.distance import distance
@@ -992,10 +1034,16 @@ def ivfsq_search_df(
 ) -> DataFrame:
     """DataFrame-native batch twin of :func:`ivfsq_search` — the
     ``quant_bits=8`` composite (options.c:137-158) at eval-pass query
-    volumes. The coarse pass is :func:`ivf_search_df` over the
-    ON-THE-FLY dequantized codes (top ``k·refine`` per query; queries
-    route executor-side, so the batch is unbounded like the plain ivf
-    and hnsw forms), then the candidates join their ORIGINAL query
+    volumes. The coarse pass is :func:`ivf_search_df` over the sq8
+    codes (top ``k·refine`` per query; queries route executor-side, so
+    the batch is unbounded like the plain ivf and hnsw forms): the
+    arrow kernel receives the 1-byte codes + scale through the Arrow
+    boundary and dequantizes IN-KERNEL (bit-exact float64(c)*scale —
+    r13; shipping the Catalyst-dequantized float column cost the same
+    boundary bytes as raw ivf and measured 2.2-3.3x slower at 2M x
+    768d, spark-warehouse/ab_sqdecode_r13.json), while the expr path
+    reads the on-the-fly dequantized column. Then the candidates join
+    their ORIGINAL query
     vectors by q_id — a plain equi-join, ≤ k·refine rows per query —
     for one exact re-rank window with the shared (dist, id) tie order.
 
@@ -1031,10 +1079,26 @@ def ivfsq_search_df(
     code_col = code_col or f"{index.vec_col}_sq8"
     deq = sq8_dequantize(index.assigned, code_col, "__sq_deq")
     coarse_index = IvfIndex(deq, index.centroids, "__sq_deq")
+    scale_col = f"{code_col}_scale"
+
+    def _sq8_decode(bpdf):
+        # bit-exact twin of sq8_dequantize's float64(c) * float64(scale)
+        # — decoded executor-side in numpy so the Arrow boundary carries
+        # 1-byte codes + one scale double instead of 8 bytes/dim
+        # (~8x fewer boundary bytes; measured at 2M x 768d,
+        # spark-warehouse/ab_dim768_r13.json)
+        import numpy as np
+
+        X = np.asarray(bpdf[code_col].tolist(), dtype=np.float64)
+        X *= bpdf[scale_col].to_numpy(dtype=np.float64)[:, None]
+        return X
+
     coarse = ivf_search_df(
         coarse_index, queries, k=k * refine, nprobe=nprobe, id_col=id_col,
         pred=pred, q_id_col=q_id_col, q_vec_col=q_vec_col,
-        unique_q_ids=True, **search_params,
+        unique_q_ids=True,
+        base_decode=([code_col, scale_col], _sq8_decode),
+        **search_params,
     )
     persisted = coarse.__dict__.get("_lantern_persisted", [])
     qslim = queries.select(

@@ -935,3 +935,43 @@ def test_single_null_q_id_not_dropped(emb, index, spark):
         assert len(got) == 5, f"{name}: NULL q_id dropped"
         assert all(r["q_id"] is None for r in got), name
         assert vals(got) == vals(run(ref).collect()), name
+
+
+def test_ivfsq_arrow_kernel_decodes_codes_in_kernel(emb, index, spark):
+    """The sq8 coarse pass ships CODES through the Arrow boundary and
+    decodes in the kernel (r13): serializing the Catalyst-dequantized
+    float column cost the same boundary bytes as raw ivf (~8 bytes/dim),
+    wasting sq8's whole point — measured 2M x 768d before/after in
+    spark-warehouse/ab_dim768_r13.json. The in-kernel float64(c) *
+    float64(scale) is bit-exact with sq8_dequantize, so forced-arrow
+    and forced-expr answers are IDENTICAL, and the arrow plan never
+    materializes the dequantized column (__sq_deq absent from the
+    physical plan)."""
+    from lanterndb_spark.operators.ivf import IvfIndex, ivfsq_search_df
+    from lanterndb_spark.operators.sq import sq8_quantize
+
+    coded = IvfIndex(
+        sq8_quantize(index.assigned, "embedding"), index.centroids, "embedding"
+    )
+    qdf = emb.limit(40).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("query")
+    )
+
+    def run(impl):
+        return sorted(
+            (r["q_id"], r["vec_id"], round(r["dist"], 12))
+            for r in ivfsq_search_df(
+                coded, qdf, k=5, nprobe=8, refine=4, id_col="vec_id",
+                unique_q_ids=True, impl=impl,
+            ).collect()
+        )
+
+    assert run("arrow") == run("expr")
+    plan = (
+        ivfsq_search_df(
+            coded, qdf, k=5, nprobe=8, refine=4, id_col="vec_id",
+            unique_q_ids=True, impl="arrow",
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "__sq_deq" not in plan  # codes cross the boundary, not floats

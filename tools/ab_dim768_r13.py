@@ -52,7 +52,15 @@ N_Q = int(os.environ.get("AB_NQ", "2000"))
 DIM = 768
 NLIST = 256
 NPROBE = 32
-REFINE = 100
+# refine multiplies k into the coarse candidate window (kk = k*refine).
+# MUST stay well under rows-per-(cluster,salt) block (~n/nlist/salt =
+# 977 here): the first run used 100 -> kk=1000 > block, so the coarse
+# per-block cut pruned NOTHING and the full probed volume (500M rows)
+# hit the global window — ivfsq read 175 ms/q, 18x plain ivf. That
+# reading is kept in the artifact under arms_refine100 as a documented
+# pathology; the steering comparison uses refine=10 (kk=100, ~10x the
+# final k — a generous exact-re-rank window).
+REFINE = int(os.environ.get("AB_REFINE", "10"))
 N_SPOT = 50
 HNSW_SHARDS = 400
 HNSW_NPROBE = 25
@@ -225,6 +233,10 @@ def main():
     if "--arm" in sys.argv:
         print(json.dumps(arm(sys.argv[sys.argv.index("--arm") + 1])))
         return
+    which_arms = ("ivf", "ivfsq", "ivfpq", "hnsw")
+    if "--only" in sys.argv:
+        which_arms = tuple(
+            sys.argv[sys.argv.index("--only") + 1].split(","))
     arms = {}
     rec = {
         "what": "768d backend A/B at 2M vectors (VERDICT r12 item 2): "
@@ -236,8 +248,14 @@ def main():
                            "ef": 64, "nprobe": HNSW_NPROBE}},
         "arms": arms,
     }
+    if "--only" in sys.argv and os.path.exists(OUT_PATH):
+        # partial re-run: keep the other arms' readings from the prior
+        # artifact (refine changes don't touch ivf/hnsw)
+        prior = json.load(open(OUT_PATH))
+        rec.update({k: v for k, v in prior.items() if k != "shape"})
+        rec["arms"] = arms = dict(prior.get("arms", {}))
     os.makedirs(os.path.dirname(OUT_PATH), exist_ok=True)
-    for which in ("ivf", "ivfsq", "ivfpq", "hnsw"):
+    for which in which_arms:
         env = dict(os.environ)
         env["PYTHONPATH"] = REPO
         print(f"arm {which} (fresh JVM) ...", flush=True)
