@@ -41,6 +41,12 @@ from lanterndb_spark.operators.knn import knn
 # flat, so breakeven density is ~2-3; gate at 8 to keep genuinely
 # small batches on the lower-latency codegen join.
 _ARROW_QPC_CROSSOVER = 8
+# ADC coarse-cut route: at and above this dim the ivfpq kernel decodes
+# the code block once and rides a dgemm cut (r13 — the per-subvector
+# gather measured ~8x slower than matmul at 768d, ab_dim768_r13.json);
+# below it the f32 gather-accumulate keeps its r11-measured 64d shape.
+# Both emit bit-identical rows/distances (exact f64 LUT rescore).
+_ADC_DGEMM_MIN_DIM = 128
 
 
 class IvfIndex:
@@ -848,6 +854,10 @@ def ivfpq_search_df(
     bounds = subvector_bounds(dim, len(books))
     bc = spark.sparkContext.broadcast(index.centroids)
     bc_books = spark.sparkContext.broadcast((books, bounds))
+    # captured driver-side so the kernel closure carries the value (the
+    # executors import the module fresh; tests force a branch by
+    # patching the module constant before the call)
+    adc_dgemm_min_dim = _ADC_DGEMM_MIN_DIM
     qsel = queries.select(
         F.col(q_id_col).alias("__qid"),
         F.col(q_vec_col).cast("array<double>").alias("__q"),
@@ -892,18 +902,79 @@ def ivfpq_search_df(
         qids = qpdf["__qid"].to_numpy()
         splits = len(bks)
         nb = codes.shape[0]
+        dim = bnds[-1][1]
+        # decode-once + dgemm coarse cut (r13): ADC l2sq decomposes
+        # EXACTLY as ||q - decode(codes)||^2, so at wide dims the block
+        # decodes its codes to floats ONCE (nb x dim, amortized over
+        # every query probing the cluster) and the coarse cut rides the
+        # same blocked matmul as ivf_search_df's kernel — the
+        # per-subvector gather-accumulate materializes `splits` (B, nb)
+        # temporaries and measured ~8x slower than the dgemm scan at
+        # 768d (ab_dim768_r13.json) while the r11 A/B showed it
+        # NON-dominant at 64d, hence the >=128d gate (the 64d path
+        # keeps its measured shape). The margin + exact f64 LUT rescore
+        # below keeps output rows and distances BIT-IDENTICAL either
+        # way, so the gate is a pure speed knob.
+        use_dgemm = kk < nb and dim >= adc_dgemm_min_dim
+        if use_dgemm:
+            Xh = np.empty((nb, dim), dtype=np.float64)
+            for sv, ((lo, hi), book) in enumerate(zip(bnds, bks)):
+                Xh[:, lo:hi] = book[codes[:, sv]]
+            XhT = np.ascontiguousarray(Xh.T)
+            xhn = (Xh**2).sum(1)
         out_q, out_i, out_d = [], [], []
         # block queries so the (B, nb) score matrix stays <=~128 MB
         blk = max(1, (1 << 24) // max(nb, 1))
         for s in range(0, len(Q), blk):
             Qb = Q[s : s + blk]
-            # per-subvector f64 LUTs (tiny: splits x (B, nclusters)) —
-            # kept for the exact rescore below
-            luts = [
-                ((book[None, :, :] - Qb[:, lo:hi][:, None, :]) ** 2).sum(-1)
-                for (lo, hi), book in zip(bnds, bks)
-            ]
-            if kk < nb:
+            if kk < nb and use_dgemm:
+                # dgemm coarse cut over the decoded block (see the
+                # decode comment above the loop): cancellation error in
+                # qn - 2qx + xn is bounded by ~1e-16 x the NORMS, not
+                # the (possibly tiny) distance, so the superset margin
+                # scales with (|q|^2 + max|x|^2) — at 2e-9 relative it
+                # is ~1e7x the true fp error and still keeps the
+                # superset within ties of the exact cut. NO LUT build
+                # on this route: the (B, nclusters, dim) LUT pass costs
+                # ~nclusters/nb of the scan itself (26% at 977-row
+                # blocks) and the rescore below computes its few
+                # superset pairs directly from the codebooks.
+                qn2 = (Qb**2).sum(1)
+                d_apx = Qb @ XhT
+                d_apx *= -2.0
+                d_apx += qn2[:, None]
+                d_apx += xhn[None, :]
+                thr = np.partition(d_apx, kk - 1, axis=1)[:, kk - 1]
+                margin = 2e-9 * (qn2 + float(xhn.max()) + 1.0)
+                qi, ri = np.nonzero(d_apx <= (thr + margin)[:, None])
+                # exact f64 rescore of the margin superset, computed
+                # per pair from the codebooks: (book[code] - q_s)^2
+                # summed over the subvector then accumulated in
+                # ascending-subvector order — the IDENTICAL ieee ops
+                # and order as the LUT-gather rescore (the LUT entry is
+                # the same 8-element sum), so rows and distances stay
+                # bit-identical across the route gate
+                d64 = None
+                for sv, ((lo, hi), book) in enumerate(zip(bnds, bks)):
+                    diff = book[codes[ri, sv]] - Qb[qi, lo:hi]
+                    term = (diff**2).sum(1)
+                    d64 = term if d64 is None else d64 + term
+                order = np.lexsort((ri, d64, qi))
+                qi, ri, d64 = qi[order], ri[order], d64[order]
+                starts = np.flatnonzero(np.r_[True, qi[1:] != qi[:-1]])
+                runs = np.diff(np.r_[starts, len(qi)])
+                kth = starts + np.minimum(kk, runs) - 1
+                thr64 = np.repeat(d64[kth], runs)
+                keep = d64 <= thr64
+                qi, ri, d64 = qi[keep], ri[keep], d64[keep]
+            elif kk < nb:
+                # per-subvector f64 LUTs (tiny: splits x (B, nclusters))
+                # — the gather cut scans them and the rescore re-reads
+                # them; the dgemm route above skips the build entirely
+                luts = [
+                    ((book[None, :, :] - Qb[:, lo:hi][:, None, :]) ** 2).sum(-1)
+                    for (lo, hi), book in zip(bnds, bks)
+                ]
                 # f32 coarse cut: the (B, nb) gather-accumulate is
                 # memory-bandwidth-bound under 32 parallel workers (the
                 # 20M smoke read 2775 s for this stage in f64 — SLOWER
@@ -947,6 +1018,10 @@ def ivfpq_search_df(
                 qi, ri, d64 = qi[keep], ri[keep], d64[keep]
             else:
                 # covering cut (every row survives): straight f64 pass
+                luts = [
+                    ((book[None, :, :] - Qb[:, lo:hi][:, None, :]) ** 2).sum(-1)
+                    for (lo, hi), book in zip(bnds, bks)
+                ]
                 d = None
                 for sv in range(splits):
                     g = luts[sv][:, codes[:, sv]]

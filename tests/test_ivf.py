@@ -975,3 +975,52 @@ def test_ivfsq_arrow_kernel_decodes_codes_in_kernel(emb, index, spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "__sq_deq" not in plan  # codes cross the boundary, not floats
+
+
+def test_ivfpq_dgemm_and_gather_cuts_bit_identical(spark, monkeypatch):
+    """The r13 dgemm coarse cut (decode-once + matmul at >=128d) and
+    the r11 f32 gather cut must emit BIT-IDENTICAL rows and distances:
+    both produce a margin superset of the exact ADC cut and the shared
+    exact f64 LUT rescore (ascending-subvector addition order) settles
+    the final set, so the dim gate is a pure speed knob. Forced by
+    patching the module gate around the same 160d corpus with an
+    active cut (kk < rows-per-cluster)."""
+    import numpy as np
+
+    import lanterndb_spark.operators.ivf as ivf_mod
+    from lanterndb_spark.operators.ivf import (
+        IvfIndex, build_ivf, ivfpq_search_df,
+    )
+    from lanterndb_spark.operators.pq import quantize, train_codebook
+
+    rng = np.random.default_rng(11)
+    dim = 160
+    X = rng.standard_normal((400, dim))
+    emb = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(400)],
+        "vec_id long, embedding array<double>",
+    )
+    raw = build_ivf(emb, "embedding", nlist=4, seed=42)
+    cb = train_codebook(emb, "embedding", splits=20, clusters=16, seed=42)
+    idx = IvfIndex(
+        quantize(raw.assigned, "embedding", cb), raw.centroids, "embedding"
+    )
+    qdf = spark.createDataFrame(
+        [(int(i), X[i].tolist()) for i in (3, 71, 205)],
+        "q_id long, query array<double>",
+    )
+
+    def run():
+        # nprobe=4 (all clusters), refine=2 -> kk=10 < ~100 rows/cluster
+        rows = ivfpq_search_df(
+            idx, cb, qdf, k=5, nprobe=4, refine=2, id_col="vec_id",
+            unique_q_ids=True,
+        ).collect()
+        return sorted((r["q_id"], r["vec_id"], r["dist"]) for r in rows)
+
+    monkeypatch.setattr(ivf_mod, "_ADC_DGEMM_MIN_DIM", 1)  # force dgemm
+    via_dgemm = run()
+    monkeypatch.setattr(ivf_mod, "_ADC_DGEMM_MIN_DIM", 10**9)  # force gather
+    via_gather = run()
+    assert via_dgemm == via_gather  # bit-identical, not approx
+    assert len(via_dgemm) == 15
