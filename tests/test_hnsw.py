@@ -1005,21 +1005,31 @@ def test_search_df_duplicate_q_ids_per_row_every_dtype(index, emb, spark):
 def test_surrogate_checkpoint_blocks_released(index, emb, spark):
     """release() frees the surrogate wrap's localCheckpoint blocks:
     DataFrame.unpersist() alone leaves them (the r10 leak), so the wrap
-    attaches a CheckpointHandle that unpersists the backing RDD."""
+    attaches a CheckpointHandle that unpersists the backing RDD.
+
+    Asserts on the SPECIFIC RDD ids this test creates (set diffs), not
+    the global persistent count — the ContextCleaner and other modules'
+    non-blocking unpersists mutate the global map concurrently under
+    full-suite ordering (the r13 flake), while our own ids are race-free
+    (unpersist removes from the map synchronously; RDD ids never reuse)."""
     from lanterndb_spark.operators.hnsw import hnsw_search_df
     from lanterndb_spark.plans.shape import release
 
-    jsc = spark.sparkContext._jsc.sc()
-    before = jsc.getPersistentRDDs().size()
+    def pids():
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in jmap.keySet().toArray()}
+
+    before = pids()
     sdf = spark.createDataFrame(
         [(f"e/{i}", qvec(emb, i)) for i in (2, 11)],
         "q_id string, query array<double>",
     )
     out = hnsw_search_df(index, sdf, k=3, ef=16)
     out.collect()
-    assert jsc.getPersistentRDDs().size() > before  # the pinned mapping
+    created = pids() - before
+    assert created  # the pinned mapping
     release(out)
-    assert jsc.getPersistentRDDs().size() == before
+    assert not (created & pids())  # every block the wrap pinned is freed
 
 
 # ---- cluster-routing multi-assignment (replicas) ----------------------

@@ -118,14 +118,29 @@ def test_history_generations_released(spark):
     """Each batch swap frees the PREVIOUS generation's checkpoint blocks
     — a long-running stream must not accumulate one dead history RDD per
     micro-batch (DataFrame.unpersist is a no-op on checkpoints, so the
-    writer uses CheckpointHandle)."""
-    jsc = spark.sparkContext._jsc.sc()
+    writer uses CheckpointHandle).
+
+    Tracks the SPECIFIC RDD ids each write creates (set diffs), not the
+    global persistent count — under full-suite ordering the ContextCleaner
+    and other modules' non-blocking unpersists race the global map (the
+    r13 flake); our own ids are race-free (map removal is synchronous,
+    RDD ids never reuse)."""
+
+    def pids():
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in jmap.keySet().toArray()}
+
     ingest = scd2_ingest_stream("uid", "ts", ["tier"], tiebreak_col="seq")
     write = ingest.writer()
+    base = pids()
     write(spark.createDataFrame([(1, _t(1), 0, "bronze")], SCHEMA), 0)
-    after_first = jsc.getPersistentRDDs().size()
+    live = pids() - base  # generation 1's checkpoint blocks
+    assert live
     for i in range(1, 4):
+        pre = pids()
         write(spark.createDataFrame([(1, _t(i + 1), i, "gold")], SCHEMA), i)
-    # one live generation regardless of batch count
-    assert jsc.getPersistentRDDs().size() == after_first
+        now = pids()
+        assert not (live & now), f"batch {i} left the previous generation pinned"
+        live = now - pre  # this batch's generation, freed by the next swap
+        assert live
     assert ingest.batches == 4

@@ -99,15 +99,38 @@ def test_file_stream_spans_contained_in_batch_spans(spark, tmp_path, tables):
 def test_store_generations_released(spark):
     """The postings store swap frees the previous generation's
     checkpoint blocks (the spans themselves accumulate — they are live
-    output — but dead store generations must not)."""
-    jsc = spark.sparkContext._jsc.sc()
+    output — but dead store generations must not).
+
+    Tracks the SPECIFIC RDD ids this test's writes create (set diffs),
+    not the global persistent count — the ContextCleaner and other
+    modules' non-blocking unpersists race the global map under
+    full-suite ordering (the r13 flake); our own ids are race-free."""
+
+    def pids():
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in jmap.keySet().toArray()}
+
     ingest = span_dedup_ingest_stream("doc_id", "text", min_len=10, min_docs=2)
     w = ingest.writer()
+    base = pids()
     w(_doc(spark, 1, f"alpha beta gamma {BOILER} one two"), 0)
-    after_first = jsc.getPersistentRDDs().size()
+    # each batch checkpoints a spans frame (live output, survives) AND a
+    # store generation (freed by the NEXT swap) — tell them apart by
+    # which ids die on the next write
+    prev = pids() - base
+    assert prev
+    dead_total, store_size = set(), None
     for i in range(1, 4):
+        pre = pids()
         w(_doc(spark, 1 + i, f"tail {i} then {BOILER} pad pad pad"), i)
-    # stores: exactly one live generation; spans: one checkpoint per
-    # EMITTING batch (batches 2..4 emit, batch 1 has no repeats)
-    growth = jsc.getPersistentRDDs().size() - after_first
-    assert growth == 3, f"expected 3 live span checkpoints, got growth={growth}"
+        now = pids()
+        dead = prev - now  # the superseded store generation's blocks
+        assert dead, f"batch {i} left the previous store generation pinned"
+        assert prev & now, f"batch {i-1}'s span checkpoint was wrongly freed"
+        if store_size is None:
+            store_size = len(dead)
+        assert len(dead) == store_size, f"swap {i} freed {sorted(dead)}"
+        dead_total |= dead
+        prev = now - pre  # this batch's {span ckpt, store gen}
+    # spans accumulate: every emitted checkpoint from batches 1..3 still live
+    assert not (dead_total & pids())

@@ -60,6 +60,8 @@ def main():
     out_path = None
     if "--out" in argv:
         i = argv.index("--out")
+        if i + 1 >= len(argv):
+            sys.exit("usage: check_oracle.py [--out PATH] [sf_dir] [query ...]")
         out_path = argv[i + 1]
         del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
