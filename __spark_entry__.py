@@ -1642,8 +1642,8 @@ def q_knnbatch_nullqid_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding", kind="ivfsq", nlist=8, seed=42
     )
     res = t.knn_batch(
-        "embedding", qdf, k=5, nprobe=8, refine=(n + 9) // 10
-    )
+        "embedding", qdf, k=5, nprobe=8, refine=(n + 4) // 5
+    )  # k·refine ≥ n: covering window, same convention as the sibling equivs
     out = _round_out(res, ["q_id", "vec_id"], "dist")
     rows = out.collect()  # materialize before freeing the wrap's blocks
     release(res)  # the knn_batch return carries the attachments
@@ -6423,81 +6423,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Rows-only queries never occupy window slots (VERDICT r9 item 3 —
     every slot should be able to go hash-green); their shadows do.
 
-    - Entries 1-50 (the round-13 window): knnbatch_nullqid_equiv (NEW —
-      never-checked; pins the r13 ADVICE fix: ANY NULL q_id takes the
-      surrogate wrap instead of silently dropping from the coded
-      routes' re-rank join), then knnbatch_dup_equiv (its function body
-      changed this round — release() now targets the knn_batch return
-      objects, whose __dict__ attachments do not survive withColumn),
-      then the nineteen r9 greens VERDICT r12 item 8 ordered headed
-      (age 4 this round — the stalest greens anywhere), then
-      twenty-nine of the thirty-eight r10 greens (age 3), including
-      the four VERDICT named (knn_cos, knn_filtered, knn_hamming,
-      sql_knn).
-    - Entries 51+: the nine r10 greens that did not fit (first in line
-      next round), then the r11 greens (age 2), then the r12 greens
-      (age 1 — youngest, safest to park). Still checked every round by
-      tools/check_oracle.py and pytest.
+    - Entries 1-50 (the round-14 window): knnbatch_nullqid_equiv first
+      (its function body changed this round — the r14 ADVICE fix widens
+      refine to the covering-window convention, k*refine >= n), then
+      the nine r10 greens VERDICT r13 item 6 ordered headed (age 4 —
+      the stalest greens anywhere, they'd age to 5 if deferred again),
+      then all forty r11 greens (age 3). 1 + 9 + 40 = 50 exactly.
+    - Entries 51+: the r12 greens (age 2, first in line for r15), then
+      the r13 greens (age 1 — youngest, safest to park). Still checked
+      every round by tools/check_oracle.py and pytest.
     - Final block: rows-only queries with no SQL-expressible oracle,
       each shadowed by an oracle-backed *_exact_equiv / *_invariants /
       *_recall query.
     """
     return {
         # -- 1-50: the driver-checked window ------------------------------
-        # never-checked (NEW r13) + changed-this-round:
-        "knnbatch_nullqid_equiv": q_knnbatch_nullqid_equiv,  # NEW r13
-        "knnbatch_dup_equiv": q_knnbatch_dup_equiv,  # release-fix r13
-        # newest-green r9 (age 4 — the stalest greens anywhere):
-        "srp_exact_equiv": q_srp_exact_equiv,
-        "ivfpq_exact_equiv": q_ivfpq_exact_equiv,
-        "cluster_balance": q_cluster_balance,
-        "dedup_exact": q_dedup_exact,
-        "tpch_q1": q_tpch_q1,
-        "events_tumbling": q_events_tumbling,
-        "asof_join": q_asof_join,
-        "range_join": q_range_join,
-        "overlap_join": q_overlap_join,
-        "sessionize": q_sessionize,
-        "asof_forward": q_asof_forward,
-        "hnswsq_recall": q_hnswsq_recall,
-        "hnswpq_recall": q_hnswpq_recall,
-        "asof_nearest": q_asof_nearest,
-        "bm25_consolidate": q_bm25_consolidate,
-        "rag_pipeline": q_rag_pipeline,
-        "mix_domains": q_mix_domains,
-        "decontaminate_semantic": q_decontaminate_semantic,
-        "rrf_hybrid": q_rrf_hybrid,
-        # newest-green r10 (age 3 — 29 of 38; the rest head r14):
-        "streaming_annbatch_equiv": q_streaming_annbatch_equiv,
-        "streaming_ann_equiv": q_streaming_ann_equiv,
-        "hybrid_exact": q_hybrid_exact,
-        "hybrid_candidate": q_hybrid_candidate,
-        "tpch_q14": q_tpch_q14,
-        "tpch_q19": q_tpch_q19,
-        "tpch_q22": q_tpch_q22,
-        "rolling_window": q_rolling_window,
-        "events_pivot": q_events_pivot,
-        "sketch_distinct": q_sketch_distinct,
-        "sketch_quantiles": q_sketch_quantiles,
-        "para_dedup": q_para_dedup,
-        "text_repetition": q_text_repetition,
-        "hash_split": q_hash_split,
-        "cap_per_group": q_cap_per_group,
-        "curate": q_curate,
-        "decontaminate": q_decontaminate,
-        "pack_sequences": q_pack_sequences,
-        "pii_scrub": q_pii_scrub,
-        "unigram_score": q_unigram_score,
-        "tfidf_topk": q_tfidf_topk,
-        "pipeline_full": q_pipeline_full,
-        "events_variant": q_events_variant,
-        "funnel": q_funnel,
-        "doc_rollup": q_doc_rollup,
-        "knn_cos": q_knn_cos,
-        "knn_filtered": q_knn_filtered,
-        "knn_hamming": q_knn_hamming,
-        "sql_knn": q_sql_knn,
-        # -- 51+: deferred r10 greens (first in line next round) -----------
+        # changed-this-round (r14 ADVICE: covering refine window):
+        "knnbatch_nullqid_equiv": q_knnbatch_nullqid_equiv,
+        # newest-green r10 (age 4 — the stalest greens anywhere):
         "events_json": q_events_json,
         "tpch_q3": q_tpch_q3,
         "window_rownum": q_window_rownum,
@@ -6507,7 +6450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_prefix": q_jaccard_prefix,
         "bigram_score": q_bigram_score,
         "mad_outliers": q_mad_outliers,
-        # -- r11 greens (age 2) ---------------------------------------------
+        # newest-green r11 (age 3 — all forty):
         "histogram": q_histogram,
         "zipf_fit": q_zipf_fit,
         "psi_drift": q_psi_drift,
@@ -6548,7 +6491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_eval": q_retrieval_eval,
         "hard_negatives": q_hard_negatives,
         "leakage_split": q_leakage_split,
-        # -- r12 greens (age 1 — youngest, safest to park) ------------------
+        # -- 51+: r12 greens (age 2 — first in line for r15) ----------------
         "chunk_documents": q_chunk_documents,
         "tpch_q8": q_tpch_q8,
         "tpch_q13": q_tpch_q13,
@@ -6598,6 +6541,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq8_knn": q_sq8_knn,
         "text_metrics": q_text_metrics,
         "ivf_exact_equiv": q_ivf_exact_equiv,
+        # -- r13 greens (age 1 — youngest, safest to park) ------------------
+        "knnbatch_dup_equiv": q_knnbatch_dup_equiv,
+        "srp_exact_equiv": q_srp_exact_equiv,
+        "ivfpq_exact_equiv": q_ivfpq_exact_equiv,
+        "cluster_balance": q_cluster_balance,
+        "dedup_exact": q_dedup_exact,
+        "tpch_q1": q_tpch_q1,
+        "events_tumbling": q_events_tumbling,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "overlap_join": q_overlap_join,
+        "sessionize": q_sessionize,
+        "asof_forward": q_asof_forward,
+        "hnswsq_recall": q_hnswsq_recall,
+        "hnswpq_recall": q_hnswpq_recall,
+        "asof_nearest": q_asof_nearest,
+        "bm25_consolidate": q_bm25_consolidate,
+        "rag_pipeline": q_rag_pipeline,
+        "mix_domains": q_mix_domains,
+        "decontaminate_semantic": q_decontaminate_semantic,
+        "rrf_hybrid": q_rrf_hybrid,
+        "streaming_annbatch_equiv": q_streaming_annbatch_equiv,
+        "streaming_ann_equiv": q_streaming_ann_equiv,
+        "hybrid_exact": q_hybrid_exact,
+        "hybrid_candidate": q_hybrid_candidate,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q22": q_tpch_q22,
+        "rolling_window": q_rolling_window,
+        "events_pivot": q_events_pivot,
+        "sketch_distinct": q_sketch_distinct,
+        "sketch_quantiles": q_sketch_quantiles,
+        "para_dedup": q_para_dedup,
+        "text_repetition": q_text_repetition,
+        "hash_split": q_hash_split,
+        "cap_per_group": q_cap_per_group,
+        "curate": q_curate,
+        "decontaminate": q_decontaminate,
+        "pack_sequences": q_pack_sequences,
+        "pii_scrub": q_pii_scrub,
+        "unigram_score": q_unigram_score,
+        "tfidf_topk": q_tfidf_topk,
+        "pipeline_full": q_pipeline_full,
+        "events_variant": q_events_variant,
+        "funnel": q_funnel,
+        "doc_rollup": q_doc_rollup,
+        "knn_cos": q_knn_cos,
+        "knn_filtered": q_knn_filtered,
+        "knn_hamming": q_knn_hamming,
+        "sql_knn": q_sql_knn,
         # -- rows-only (no SQL oracle), shadowed by equiv/invariant rows --
         "ivfsq_knn": q_ivfsq_knn,
         "srp_knn": q_srp_knn,
