@@ -798,8 +798,11 @@ def ivfpq_search_df(
     better — the r12 conjecture that dim would flip the RAM-tier
     crossover is refuted; what 768d does amplify is the absolute byte
     gap, i.e. the cold-storage/capacity case). ADC ordering noise also
-    grows with dim: recall@10 0.236 vs ivf/sq8's 0.48 at refine=10 —
-    budget a larger ``refine`` at high dims, but keep k*refine BELOW
+    grows with dim, and at 768d it is a recall CEILING, not a knob
+    (recall-matched sweep, spark-warehouse/recall_ops_r14.json): on the
+    2M iid-gaussian corpus recall@10 plateaus at 0.451 even at
+    nprobe=nlist with refine=30 — there is NO 0.8 operating point
+    within a block-safe refine window. Keep k*refine BELOW
     rows/(nlist*salt) (~the per-cogroup-block size) or the coarse
     per-block cut prunes nothing and the full probed volume hits the
     global window (measured: refine=100 at 2M/256/8 turned a 30 ms/q
@@ -807,13 +810,24 @@ def ivfpq_search_df(
     ivfpq when the coarse table cannot fit hot storage at all (the 30x
     smaller scan is the difference between a cold S3/HDFS read of
     197 MB vs 5.9 GB per batch, where bandwidth, not decode, is the
-    wall) or when memory budget forces codes-only residency; choose
+    wall) AND the recall target tolerates the ADC ceiling (or refine
+    can ride a larger block: fewer salts, bigger clusters); choose
     plain ivf whenever the f32/f64 table is servable, and SQ8 as the
-    middle tier — with the r13 in-kernel code decode it bit-matches
-    ivf recall at 1/4 the scan bytes and ~1.7x ivf's wall at 768d
-    (16.9 vs 9.75 ms/q; the decode change itself is a 2.2-3.3x win
-    over shipping dequantized floats, spark-warehouse/
-    ab_sqdecode_r13.json)."""
+    middle tier. At MATCHED RECALL sq8 carries no quality tax at all:
+    its 768d recall curve is pointwise identical to raw ivf (0.468 /
+    0.687 / 0.871 / 0.972 at nprobe 32/64/96/128, refine=10 — the
+    exact re-rank absorbs the int8 rounding), so the 1/4-byte scan is
+    free quality-wise; recall-matched walls are recorded per-arm with
+    in-JVM clock probes in recall_ops_r14.json (this host's clock
+    swings ~3x between arms — compare walls only with their probes,
+    e.g. ivf 31.0 ms/q@0.87 at probe 78 GFLOP/s vs ivfsq 34.7
+    ms/q@0.87 at probe 226). Two honest context lines from that sweep:
+    on ISOTROPIC gaussian 768d even raw ivf must probe fraction 0.375
+    of clusters for 0.8 recall and 0.5 for 0.9 (cluster pruning buys
+    only ~2-3x over a full scan in this worst case — real embedding
+    manifolds cluster far better), and the graph backend needs
+    (nprobe=200/400 shards, ef=256) for 0.9, at ~10x the ivf wall at
+    this scale — the dgemm coarse-scan family is the 768d default."""
     from pyspark.sql import Window
 
     from lanterndb_spark.functions.distance import distance
