@@ -43,7 +43,11 @@ N_VEC = int(os.environ.get("AB_NVEC", "50000000"))
 N_Q = int(os.environ.get("AB_NQ", "10000"))
 N_SPOT = 50
 HNSW_SHARDS = 1024
-NPROBE_GRID = (64, 128, 192, 256, 320)
+# 64 omitted: measured twice already (0.648 in smoke_50m_r13.json and
+# 0.648 again in this tool's first launch — recorded below) and each
+# curve point shuffles the ~25 GB graph side, which is what filled the
+# disk on the first attempt
+NPROBE_GRID = (128, 192, 256, 320)
 TARGET = 0.8
 
 
@@ -98,7 +102,13 @@ def main():
         "n_vec": N_VEC, "nq": N_Q, "dim": 64, "shards": HNSW_SHARDS,
         "replicas": 1, "target_recall": TARGET,
         "clock_dgemm_gflops": gflops, "complete": False, "stages": {},
-        "curve": [],
+        "curve": [
+            # two independent prior measurements of the omitted 64 point
+            {"nprobe": 64, "probed_fraction": 0.0625, "recall_at_10": 0.648,
+             "source": "smoke_50m_r13.json + first launch of this tool "
+                       "(identical 0.648 both times; re-measuring costs a "
+                       "25 GB graph shuffle per point)"},
+        ],
         "replicas_note": (
             "20M/512 evidence (replicas_ab_r12_20m.json): replicas=2 "
             "lifts recall 0.719->0.862 at the same nprobe=64 for 2x "
@@ -158,6 +168,13 @@ def main():
             "spot_wall_s": round(time.monotonic() - t0, 1)})
         print(f"nprobe {nprobe}: recall {r}", flush=True)
         flush()
+        # each eval shuffles the ~25 GB persisted graph side, and Spark
+        # only reaps dead shuffle files when the ContextCleaner sees the
+        # dependency GC'd — with a 64 GB heap that can be never. Force
+        # the GC so consecutive curve points don't stack ~25 GB each on
+        # disk (the first launch died on ENOSPC exactly this way).
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(5)
         if r >= TARGET:
             chosen = nprobe
             break
