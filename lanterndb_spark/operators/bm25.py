@@ -203,6 +203,22 @@ def search_bm25(
     return out
 
 
+# below this postings size the batch term-union probe job costs more
+# than the isin pushdown saves: the equi-join alone restricts the output
+# identically, and probing a small (cached bench-sized) postings table
+# buys nothing a hash join doesn't already do. Catalyst's size estimate
+# is read driver-side — no job.
+_PRUNE_PROBE_MIN_BYTES = 64 << 20
+
+
+def _postings_worth_probe(postings: DataFrame) -> bool:
+    try:
+        stats = postings._jdf.queryExecution().optimizedPlan().stats()
+        return float(str(stats.sizeInBytes())) >= _PRUNE_PROBE_MIN_BYTES
+    except Exception:  # stats unavailable → keep the probe (scale-safe)
+        return True
+
+
 def search_bm25_df(
     docs: DataFrame,
     queries: DataFrame,
@@ -305,7 +321,7 @@ def search_bm25_df(
     )
 
     hits = postings
-    if prune_terms is not None:
+    if prune_terms is not None and _postings_worth_probe(postings):
         # limit-capped probe, never an unbounded collect: the distinct
         # term union is vocabulary-bounded, but only a small union is
         # worth turning into a scan-pushable isin

@@ -372,6 +372,7 @@ def _minhash_wide(
     text_col: str,
     num_hashes: int,
     n: int,
+    sh_df: DataFrame | None = None,
 ) -> DataFrame:
     """(id, mh_0..mh_{H-1}) via explode + groupBy of seeded murmur mins.
 
@@ -380,9 +381,14 @@ def _minhash_wide(
     whole-stage codegen (HOFs are interpreted) — measured ~10x slower.
     explode + ``min(hash(g, seed))`` aggregates are fully codegen'd AND
     get map-side partial aggregation (min is associative), so the shuffle
-    carries one row per (doc, 64 ints) — the standard distributed MinHash."""
+    carries one row per (doc, 64 ints) — the standard distributed MinHash.
+
+    ``sh_df``: an already-built (id, sh) shingle table to aggregate from
+    instead of re-tokenizing ``df`` — callers that also need the shingle
+    arrays later (the corpus-scope exact verify) persist ONE table and
+    feed both consumers from it."""
     ex = explode_nonempty(
-        shingle_table(df, id_col, text_col, n),
+        sh_df if sh_df is not None else shingle_table(df, id_col, text_col, n),
         "sh", "g", "id",
     )
     # Kirsch-Mitzenmacher double hashing: h_i(g) = h1(g) + i*h2(g) gives an
@@ -488,17 +494,34 @@ def minhash_lsh_pairs(
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
     r = num_hashes // bands
-    wide = _minhash_wide(df, id_col, text_col, num_hashes, n)
-    # signature-needing verify modes cache the 64-column signature table
-    # (estimate reads it back per pair; auto might). Pure exact/candidate
-    # modes cache only the NARROW banded projection instead — the hot-check
-    # job and both self-join branches re-read (id, band, bh), and caching
-    # 3 small columns is materially cheaper than caching 64 bigints (the
-    # signature aggregation still runs exactly once either way).
-    # persist before the self-join so the signature aggregation runs once,
-    # not once per join branch (at cluster scale: write the signature table,
-    # then join against it)
-    wide = wide.persist()
+    # signature-needing verify modes (estimate, and auto which may pick
+    # estimate) cache the 64-column signature table — estimate reads it
+    # back per pair. Pure exact/candidate modes cache only the NARROW
+    # banded projection instead (r14): the hot-check job and both
+    # self-join branches re-read (id, band, bh), caching 3 small columns
+    # is materially cheaper than 64 bigints, and the 16-struct band
+    # explode is computed once instead of once per cache reader (the
+    # signature aggregation still runs exactly once either way — it is
+    # upstream of whichever frame persists).
+    needs_sigs = verify in ("estimate", "auto")
+    sh_shared = None
+    if verify in (True, "exact") and verify_scope == "auto":
+        # resolve the scope NOW from the input row count (one cheap
+        # column-pruned count over the input — results are
+        # scope-invariant, the threshold only picks a plan) so a
+        # corpus-scope run can share ONE persisted shingle table
+        # between the signature build and the verify join instead of
+        # re-tokenizing the corpus twice. The candidates scope (the
+        # 100 TB path) never persists a corpus-sized shingle table.
+        verify_scope = "candidates" if df.count() >= 20_000 else "corpus"
+    if verify in (True, "exact") and verify_scope == "corpus":
+        sh_shared = shingle_table(df, id_col, text_col, n).persist()
+    wide = _minhash_wide(df, id_col, text_col, num_hashes, n, sh_df=sh_shared)
+    if needs_sigs:
+        # persist before the self-join so the signature aggregation runs
+        # once, not once per join branch (at cluster scale: write the
+        # signature table, then join against it)
+        wide = wide.persist()
     banded = wide.select(
         "id",
         F.explode(
@@ -513,7 +536,11 @@ def minhash_lsh_pairs(
             )
         ).alias("s"),
     ).select("id", "s.band", "s.bh")
-    persisted = [wide]
+    if not needs_sigs:
+        banded = banded.persist()
+    persisted = [wide] if needs_sigs else [banded]
+    if sh_shared is not None:
+        persisted.append(sh_shared)
     star = None
     cold_side = banded
     if max_bucket is not None:
@@ -611,11 +638,15 @@ def minhash_lsh_pairs(
             id_col, text_col, n,
         )
     else:
-        # corpus scope: one streaming re-tokenize pass feeds the verify
-        # join directly — no extra jobs, no cache; right when the corpus
-        # is small enough that a second full pass is cheaper than the
-        # candidate-pruning machinery
-        sh = shingle_table(df, id_col, text_col, n)
+        # corpus scope: the persisted shingle table built above already
+        # fed the signature aggregation — the verify join reads the SAME
+        # cache, so the corpus tokenizes once per call, not twice (r14;
+        # corpus scope only triggers under the ~20k-doc crossover, so
+        # the cache is bounded small). Ad-hoc callers that forced
+        # scope="corpus" with a non-exact verify fall back to the
+        # streaming re-tokenize pass.
+        sh = sh_shared if sh_shared is not None else shingle_table(
+            df, id_col, text_col, n)
     out = (
         cand.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
         .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")

@@ -397,6 +397,45 @@ def _per_row_qid_wrap(
     return out
 
 
+# target f64 bytes per salted cogroup task on the arrow kernel's base
+# side: the per-(cluster, salt) block is decoded to float64 before the
+# matmul, so rows_per_task * dim * 8 should stay well under executor
+# task memory. 32 MiB leaves ~4x headroom under the kernel's own 128 MiB
+# distance-matrix block and absorbs moderate cluster skew.
+_SALT_TARGET_BYTES = 32 << 20
+
+
+def _adaptive_salt(index: "IvfIndex", salt_cap: int) -> int:
+    """Scale-adaptive cogroup salt: ``ceil(per-cluster f64 block bytes /
+    32 MiB)``, clamped to [1, salt_cap].
+
+    The salt exists to bound per-task memory (cluster_rows/salt per
+    task); it never changes results. A fixed salt=8 is right at the
+    measured 2M x 768d tier (~768 MB/cluster) but at small/medium bases
+    it splits already-tiny blocks 8 ways, multiplying the routed side
+    (which replicates per salt value, query vector payload included) and
+    the cogroup task count for nothing — measured 3.6 -> 2.3 s on the
+    bench's 2k-query batch over a 2k-row base (profile_r14.json,
+    ivfdf.full_salt8 vs ivfdf.salt1). Row/size estimates come from
+    Catalyst statistics (driver-side, no job); when stats are
+    unavailable the cap (the old fixed behavior) applies."""
+    try:
+        dim = int(index.centroids.shape[1]) or 1
+        stats = index.assigned._jdf.queryExecution().optimizedPlan().stats()
+        rc = stats.rowCount()
+        if rc.isDefined():
+            rows = float(str(rc.get()))
+        else:
+            # float-array row estimate from byte stats (vec dominates)
+            rows = float(str(stats.sizeInBytes())) / max(dim * 4 + 16, 1)
+        block_bytes = rows / max(index.nlist, 1) * dim * 8.0
+        import math
+
+        return max(1, min(int(salt_cap), math.ceil(block_bytes / _SALT_TARGET_BYTES)))
+    except Exception:  # stats unavailable: keep the caller's bound
+        return int(salt_cap)
+
+
 def ivf_search_df(
     index: IvfIndex,
     queries: DataFrame,
@@ -451,7 +490,11 @@ def ivf_search_df(
          is rows_probed × queries_per_cluster, and each pair pays an
          interpreted array fold.
        - ``arrow``: SALTED cogroup — the base side of each cluster
-         splits ``salt`` ways (deterministic pmod of the id), the
+         splits ``salt_eff`` ways (deterministic pmod of the id;
+         ``salt`` is the UPPER BOUND — the effective value adapts to
+         the estimated per-cluster block size via :func:`_adaptive_salt`
+         so a small base is not split into confetti tasks while the
+         100 TB tier keeps the full memory bound), the
          routed side replicates per salt value, and each
          (cluster, salt) task scores its base block against its
          cluster's queries with ONE blocked numpy matmul + in-kernel
@@ -530,20 +573,32 @@ def ivf_search_df(
         return spark.createDataFrame(
             [], f"{q_id_col} {q_id_type}, {id_col} {id_type}, dist double"
         )
-    if not unique_q_ids:
+    np_eff = min(int(nprobe), index.nlist)
+
+    def _wrap():
+        return _per_row_qid_wrap(
+            lambda q: ivf_search_df(
+                index, q, k=k, nprobe=nprobe, metric=metric,
+                id_col=id_col, pred=pred, q_id_col=q_id_col,
+                q_vec_col=q_vec_col, prune=prune, impl=impl,
+                salt=salt, unique_q_ids=True, base_decode=base_decode,
+            ),
+            queries, q_id_col, q_vec_col, id_col,
+        )
+
+    # duplicate/NULL q_id detection: when the prune pass runs anyway, it
+    # rides the SAME aggregate over the cached routed frame (every query
+    # emits exactly np_eff routed rows, so dup-or-NULL ⟺
+    # count_distinct(__qid)·np_eff ≠ count(1) — count_distinct skips
+    # NULLs, so a NULL key also breaks the equality), saving the
+    # standalone query-side aggregate job. Without a prune pass the
+    # standalone check runs as before.
+    deferred_dup_check = (not unique_q_ids) and prune and np_eff < index.nlist
+    if not unique_q_ids and not deferred_dup_check:
         from lanterndb_spark.operators.hnsw import _has_duplicate_qids
 
         if _has_duplicate_qids(queries, q_id_col):
-            return _per_row_qid_wrap(
-                lambda q: ivf_search_df(
-                    index, q, k=k, nprobe=nprobe, metric=metric,
-                    id_col=id_col, pred=pred, q_id_col=q_id_col,
-                    q_vec_col=q_vec_col, prune=prune, impl=impl,
-                    salt=salt, unique_q_ids=True, base_decode=base_decode,
-                ),
-                queries, q_id_col, q_vec_col, id_col,
-            )
-    np_eff = min(int(nprobe), index.nlist)
+            return _wrap()
     bc = spark.sparkContext.broadcast(index.centroids)
     qsel = queries.select(
         F.col(q_id_col).alias("__qid"),
@@ -575,11 +630,31 @@ def ivf_search_df(
         # rows across executors; it is attached to the result for
         # plans.shape.release(), like hnsw_search_df_filtered's rounds.
         cached_routed = routed.persist()
-        probed_stats = (
-            cached_routed.groupBy("cluster_id")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .collect()  # bounded: <= nlist rows, map-side-combined agg
-        )
+        if deferred_dup_check:
+            # rollup gives the per-cluster counts AND the grand-total
+            # row (cluster_id NULL — route never emits NULL cluster
+            # ids) in one job; count_distinct detects dup/NULL keys
+            rows = (
+                cached_routed.rollup("cluster_id")
+                .agg(
+                    F.count(F.lit(1)).alias("cnt"),
+                    F.count_distinct(F.col("__qid")).alias("dq"),
+                )
+                .collect()  # bounded: <= nlist + 1 rows
+            )
+            probed_stats = [r for r in rows if r["cluster_id"] is not None]
+            # empty queries → rollup emits no rows at all (grouping keys
+            # present): nothing to wrap, nothing to probe
+            total = next((r for r in rows if r["cluster_id"] is None), None)
+            if total is not None and total["dq"] * np_eff != total["cnt"]:
+                cached_routed.unpersist()
+                return _wrap()
+        else:
+            probed_stats = (
+                cached_routed.groupBy("cluster_id")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .collect()  # bounded: <= nlist rows, map-side-combined agg
+            )
         routed = cached_routed
         probed = [int(r["cluster_id"]) for r in probed_stats]
         src = src.filter(F.col("cluster_id").isin(probed))
@@ -613,11 +688,12 @@ def ivf_search_df(
         vec_col = index.vec_col
         decode_fn = base_decode[1] if base_decode is not None else None
         kk = int(k)
+        salt_eff = _adaptive_salt(index, salt)
         base_s = data.withColumn(
-            "__salt", F.pmod(F.hash(F.col(id_col)), F.lit(salt)).cast("int")
+            "__salt", F.pmod(F.hash(F.col(id_col)), F.lit(salt_eff)).cast("int")
         )
         routed_s = routed.withColumn(
-            "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+            "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_eff - 1)))
         )
 
         def score(key, bpdf: pd.DataFrame, qpdf: pd.DataFrame) -> pd.DataFrame:
@@ -893,11 +969,12 @@ def ivfpq_search_df(
         base = base.filter(F.col("cluster_id").isin(probed))
     data = widen_partitions(base)
 
+    salt_eff = _adaptive_salt(index, salt)
     base_s = data.withColumn(
-        "__salt", F.pmod(F.hash(F.col(id_col)), F.lit(salt)).cast("int")
+        "__salt", F.pmod(F.hash(F.col(id_col)), F.lit(salt_eff)).cast("int")
     )
     routed_s = routed.withColumn(
-        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_eff - 1)))
     )
 
     def score(key, bpdf: pd.DataFrame, qpdf: pd.DataFrame) -> pd.DataFrame:
@@ -1352,13 +1429,15 @@ def ivf_search_batch(
     if impl == "auto":
         # arrow scores every kept row against ALL queries; worth it when
         # the wasted factor (~nlist/nprobe) stays within the ~10-20×
-        # per-op advantage of vectorized over interpreted scoring
-        # ≥16 queries: below that the Arrow batch setup outweighs the
-        # matmul win (measured at bench scale); the expr path also keeps
-        # tiny-table latency flat
+        # per-op advantage of vectorized over interpreted scoring.
+        # ≥4 queries, matching knn_join's measured crossover: the r14
+        # interleaved A/B shows arrow ahead already at nq=4 (paired-
+        # delta medians +0.08 s at nq=4/8, +0.17 s at nq=10 on the
+        # bench corpus — the query-major kernel rewrite moved the
+        # crossover down from the r9-era 16)
         impl = (
             "arrow"
-            if len(queries) >= 16
+            if len(queries) >= 4
             and metric in ("l2sq", "cos")
             and nprobe * 8 >= index.nlist
             else "expr"

@@ -138,33 +138,52 @@ def knn_join(
 
     # BOTH impls broadcast the query table (the expr path as a broadcast
     # join, the arrow path as a task closure) — fine for the documented
-    # ≤100k contract, a quadratic-memory cliff beyond it. A cheap 4-row
-    # probe resolves impl='auto' AND skips the capped count entirely for
-    # tiny batches (the common lateral shape, where a heavy query
-    # lineage would otherwise pay an up-to-100k scan per call); only a
-    # batch that proves ≥4 rows pays the cap scan. Neither probe is ever
-    # a full count of a possibly-large query table. The duplicate-q_id
-    # check below keeps that property: it runs AFTER the probe, only on
-    # frames the probe shows have ≥2 rows (a single row cannot carry a
-    # duplicate), and only past the broadcast-cap raise.
+    # ≤100k contract, a quadratic-memory cliff beyond it. ONE capped
+    # collect (limit(cap+1), never unbounded) replaces the former
+    # probe-count + cap-count + duplicate-q_id aggregate + arrow collect
+    # — four jobs' worth of query-lineage evaluations fused into a
+    # single evaluation (r14: each small job cost ~0.1-0.3 s of fixed
+    # latency at bench scale, and a heavy query lineage paid it 2-4x).
+    # The driver memory ceiling is unchanged: the expr path already
+    # collected the same rows into the driver-built broadcast relation,
+    # the arrow path into the task closure. Duplicate/NULL q_id
+    # detection happens driver-side on the collected keys with the same
+    # semantics as _has_duplicate_qids (count_distinct skips NULLs; NaN
+    # keys compare equal to each other like Spark's aggregate).
     MAX_BROADCAST_QUERIES = 100_000
-    nq = queries.limit(4).count()
-    if nq >= 4:
-        nq = queries.limit(MAX_BROADCAST_QUERIES + 1).count()
-        if nq > MAX_BROADCAST_QUERIES:
-            raise ValueError(
-                f"knn_join broadcasts the query table and scores every "
-                f"row x query pair; got more than {MAX_BROADCAST_QUERIES} "
-                "query rows. Use the DataFrame-native ANN batch forms "
-                "(ivf_search_df / hnsw_search_df, unbounded) or shard the "
-                "batch."
-            )
+    qsel_schema = queries.select(q_id_col, q_vec_col).schema
+    qrows = queries.select(q_id_col, q_vec_col).limit(
+        MAX_BROADCAST_QUERIES + 1
+    ).collect()
+    nq = len(qrows)
+    if nq > MAX_BROADCAST_QUERIES:
+        raise ValueError(
+            f"knn_join broadcasts the query table and scores every "
+            f"row x query pair; got more than {MAX_BROADCAST_QUERIES} "
+            "query rows. Use the DataFrame-native ANN batch forms "
+            "(ivf_search_df / hnsw_search_df, unbounded) or shard the "
+            "batch."
+        )
     if not unique_q_ids and nq >= 2:
         from lanterndb_spark.operators.hnsw import (
             _has_duplicate_qids, _restore_surrogate, _surrogate_key_queries,
         )
 
-        if _has_duplicate_qids(queries, q_id_col):
+        keys = [r[0] for r in qrows]
+        nonnull = [x for x in keys if x is not None]
+        has_null = len(nonnull) != len(keys)
+        try:
+            # NaN keys: Spark's count_distinct treats all NaNs as one
+            # value; a Python set treats distinct NaN objects as
+            # distinct — count them as a single value explicitly
+            nans = sum(1 for x in nonnull if isinstance(x, float) and x != x)
+            dn = len({x for x in nonnull
+                      if not (isinstance(x, float) and x != x)})
+            has_dup = (dn + (1 if nans else 0)) != len(nonnull)
+        except TypeError:  # unhashable key type: fall back to the agg
+            has_dup = _has_duplicate_qids(queries, q_id_col)
+            has_null = False  # the aggregate covers NULLs too
+        if has_dup or has_null:
             keyed = _surrogate_key_queries(queries, q_id_col, q_vec_col)
             inner = knn_join(
                 data, vec_col, keyed.drop("__orig_qid"), q_vec_col, k=k,
@@ -179,8 +198,11 @@ def knn_join(
         impl = "arrow" if nq >= 4 and metric in ("l2sq", "cos", "inner") else "expr"
 
     if impl == "expr":
+        # rebuild the (already collected) rows as a local relation so
+        # the broadcast build does not re-evaluate the query lineage
+        qlocal = data.sparkSession.createDataFrame(qrows, qsel_schema)
         pairs = widen_partitions(data).join(
-            F.broadcast(queries.select(F.col(q_id_col), F.col(q_vec_col).alias("__qv")))
+            F.broadcast(qlocal.select(F.col(q_id_col), F.col(q_vec_col).alias("__qv")))
         )
         pairs = pairs.withColumn(dist_col, distance(metric, vec_col, F.col("__qv")))
         w = Window.partitionBy(q_id_col).orderBy(F.col(dist_col).asc(), *order_tail)
@@ -190,7 +212,6 @@ def knn_join(
             .drop("__qv", "__rn")
         )
 
-    qrows = queries.select(q_id_col, q_vec_col).collect()
     qids = [r[0] for r in qrows]
     qmat = np.asarray([list(r[1]) for r in qrows], dtype=np.float64)
     data_w = widen_partitions(data)
