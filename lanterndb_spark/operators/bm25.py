@@ -84,9 +84,21 @@ def build_postings(
     )
     from lanterndb_spark.plans.shape import salted_collect_list
 
+    # the salt guards the hot-term reducer funnel, whose worst case is a
+    # posting list of ~every doc. For a small corpus (Catalyst size
+    # estimate under 64 MiB — driver-side, no job) even that worst case
+    # is a few-MB agg buffer, so the second collect stage buys nothing;
+    # salt becomes the UPPER bound, like ivf's adaptive cogroup salt.
+    salt_eff = salt
+    try:
+        stats = docs._jdf.queryExecution().optimizedPlan().stats()
+        if float(str(stats.sizeInBytes())) < (64 << 20):
+            salt_eff = 1
+    except Exception:
+        pass
     collected = salted_collect_list(
         per_doc_term, ["term"], F.struct("doc_id", "fq", "doc_len"),
-        alias="z", salt=salt,
+        alias="z", salt=salt_eff,
     )
     out = collected.select(
         "term",

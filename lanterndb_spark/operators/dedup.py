@@ -486,10 +486,12 @@ def minhash_lsh_pairs(
     downstream consumer in near_dup_keep, is unaffected for true
     duplicate groups, whose star edges all pass verification), but
     non-hub pair rows of a hot bucket are not emitted individually. Set
-    ``max_bucket=None`` for exhaustive pair lists (oracle mode). When the
-    star fallback actually engages, a warning is logged on
-    ``lanterndb_spark.dedup`` so direct pair-list consumers know the list
-    is non-exhaustive.
+    ``max_bucket=None`` for exhaustive pair lists (oracle mode). The
+    hot/cold split is computed inline by a (band, bh) window (r14) —
+    direct pair-list consumers that need to know whether any bucket
+    tripped the cap should compare ``size >= 2`` bucket counts against
+    ``max_bucket`` themselves (the former eager warning cost a
+    dedicated aggregate job on every call).
     """
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
@@ -536,46 +538,45 @@ def minhash_lsh_pairs(
             )
         ).alias("s"),
     ).select("id", "s.band", "s.bh")
+    star = None
+    if max_bucket is not None:
+        # hot-bucket handling WITHOUT the former decide-then-branch
+        # aggregate job (r14; it cost a dedicated pass over the banded
+        # projection on EVERY call — ~0.9 s at bench scale — to decide a
+        # plan shape): one (band, bh) window computes each row's bucket
+        # size and hub (min id) inline. WindowExec buffers per-group
+        # rows in a spillable array, so a boilerplate mega-bucket
+        # streams through one task exactly like the old semi-join
+        # funnel did — the memory bound is unchanged. Rows of cold
+        # buckets (≤ max_bucket) take the exact all-pairs self-join;
+        # rows of hot buckets emit hub-star edges, identical to the old
+        # split. The join on (band, bh) sits directly on the window's
+        # hash partitioning, so no additional exchange enters the plan.
+        # (The former eager hot-bucket log went with the decision job —
+        # non-exhaustiveness inside hot buckets is the documented
+        # max_bucket contract; set max_bucket=None for exhaustive
+        # pairs.)
+        from pyspark.sql import Window as _W
+
+        wspec = _W.partitionBy("band", "bh")
+        banded = banded.withColumn(
+            "__bc", F.count(F.lit(1)).over(wspec)
+        ).withColumn("__hub", F.min("id").over(wspec))
     if not needs_sigs:
         banded = banded.persist()
     persisted = [wide] if needs_sigs else [banded]
     if sh_shared is not None:
         persisted.append(sh_shared)
-    star = None
-    cold_side = banded
     if max_bucket is not None:
-        # one extra aggregate job (map-side-combined count over the banded
-        # projection of the cached signature table) decides whether any
-        # bucket is hot; the common case (none) then runs the EXACT
-        # uncapped plan — the anti/semi split and star build only enter
-        # the plan when a hot bucket actually exists.
-        hot_keys_df = (
-            banded.groupBy("band", "bh")
-            .agg(F.count("*").alias("__bc"))
-            .filter(F.col("__bc") > max_bucket)
-            .select("band", "bh")
+        cold_side = banded.filter(F.col("__bc") <= max_bucket)
+        star = (
+            banded.filter(
+                (F.col("__bc") > max_bucket) & (F.col("id") != F.col("__hub"))
+            )
+            .select(F.col("__hub").alias("id_a"), F.col("id").alias("id_b"))
         )
-        if hot_keys_df.limit(1).count():
-            # the pair list is about to become non-exhaustive inside hot
-            # buckets — surface it (consumers reading pairs directly, not
-            # via connected components, must know; see docstring)
-            _log.warning(
-                "minhash_lsh_pairs: band bucket(s) over max_bucket=%d — "
-                "hot buckets emit hub-star edges only, so the pair list is "
-                "non-exhaustive within them (connectivity preserved; "
-                "set max_bucket=None for exhaustive pairs)",
-                max_bucket,
-            )
-            # hot buckets are few by definition (≤ |rows|/cap) → broadcast
-            hot_keys = F.broadcast(hot_keys_df)
-            cold_side = banded.join(hot_keys, ["band", "bh"], "left_anti")
-            hot_side = banded.join(hot_keys, ["band", "bh"], "left_semi")
-            hub = hot_side.groupBy("band", "bh").agg(F.min("id").alias("__hub"))
-            star = (
-                hot_side.join(hub, ["band", "bh"])
-                .filter(F.col("id") != F.col("__hub"))
-                .select(F.col("__hub").alias("id_a"), F.col("id").alias("id_b"))
-            )
+    else:
+        cold_side = banded
     a, b = cold_side.alias("a"), cold_side.alias("b")
     cand = (
         a.join(b, on=["band", "bh"])

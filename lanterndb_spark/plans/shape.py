@@ -59,15 +59,23 @@ def salted_collect_list(
     Salting splits that group ``salt`` ways and the final flatten handles
     `salt` pre-built arrays instead of millions of rows. AQE's skew
     handling only splits joins, not aggregations — this is the manual
-    equivalent for the agg side."""
+    equivalent for the agg side.
+
+    ``salt <= 1`` short-circuits to a single-exchange groupBy — callers
+    that can bound the hottest group (small inputs, proven caps) skip
+    the second aggregation stage entirely; the output rows are
+    identical either way (``sort`` canonicalizes the array order)."""
     col = F.col(col) if isinstance(col, str) else col
-    salted = df.withColumn("__salt", F.pmod(F.hash(col), F.lit(salt)))
-    partial = salted.groupBy(*keys, "__salt").agg(
-        F.collect_list(col).alias("__part")
-    )
-    out = partial.groupBy(*keys).agg(
-        F.flatten(F.collect_list("__part")).alias(alias)
-    )
+    if salt <= 1:
+        out = df.groupBy(*keys).agg(F.collect_list(col).alias(alias))
+    else:
+        salted = df.withColumn("__salt", F.pmod(F.hash(col), F.lit(salt)))
+        partial = salted.groupBy(*keys, "__salt").agg(
+            F.collect_list(col).alias("__part")
+        )
+        out = partial.groupBy(*keys).agg(
+            F.flatten(F.collect_list("__part")).alias(alias)
+        )
     if sort:
         out = out.withColumn(alias, F.sort_array(F.col(alias)))
     return out

@@ -146,16 +146,33 @@ def test_ivf_batch_search_prunes_partitions(emb_parquet, spark, tmp_path):
     assert "cluster_id" in scan.split("PartitionFilters")[1][:300]
 
 
-def test_postings_build_is_salted_two_stage_agg(spark):
-    """The postings collect_list must be the two-stage salted shape:
-    collect per (term, salt) then flatten per term — otherwise one hot
-    term funnels its whole posting list through a single reducer."""
+def test_postings_build_salt_adapts_to_corpus_size(spark):
+    """The postings collect_list salt is ADAPTIVE (r14): a corpus whose
+    Catalyst size estimate is large keeps the two-stage salted shape —
+    collect per (term, salt) then flatten per term, so one hot term
+    cannot funnel its whole posting list through a single reducer —
+    while a small corpus (where even the worst-case posting list is a
+    few MB) takes the single-exchange groupBy and skips the second
+    aggregation stage."""
+    from pyspark.sql import functions as F
+
     from lanterndb_spark.operators.bm25 import build_postings
 
+    # small corpus: estimated size far under the 64 MiB threshold
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     plan = _plan(build_postings(docs))
-    assert "__salt" in plan
-    assert plan.count("ObjectHashAggregate") + plan.count("SortAggregate") >= 4
+    assert "__salt" not in plan
+    # big ESTIMATED corpus (plan-only — nothing executes): range stats
+    # put the projection far over the threshold
+    big = spark.range(200_000_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha beta gamma "), F.col("id").cast("string")).alias("text"),
+    )
+    plan_big = _plan(build_postings(big))
+    assert "__salt" in plan_big
+    assert (
+        plan_big.count("ObjectHashAggregate") + plan_big.count("SortAggregate") >= 4
+    )
 
 
 def test_tpch_q6_pushes_all_predicates_to_scan(spark):
@@ -496,10 +513,14 @@ def test_projection_is_shuffle_free(spark):
 
 def test_search_bm25_df_group_limits_and_prunes_terms(tables, spark):
     """The batch BM25 plan must carry (a) the term-isin prune from the
-    capped probe (the scan-pushable twin of the single-query term
-    filter) and (b) a WindowGroupLimit so the per-query cut happens
-    map-side, not after a full candidate shuffle."""
-    from lanterndb_spark.operators.bm25 import search_bm25_df
+    capped probe when the postings are LARGE (the scan-pushable twin of
+    the single-query term filter — r14: a small postings table skips
+    the probe job, the equi-join restricts identically) and (b) a
+    WindowGroupLimit so the per-query cut happens map-side, not after a
+    full candidate shuffle."""
+    from pyspark.sql import functions as F
+
+    from lanterndb_spark.operators.bm25 import build_postings, search_bm25_df
 
     docs = tables["documents"]
     qdf = spark.createDataFrame(
@@ -508,7 +529,18 @@ def test_search_bm25_df_group_limits_and_prunes_terms(tables, spark):
     )
     plan = _plan(search_bm25_df(docs, qdf, limit=5))
     assert "WindowGroupLimit" in plan
-    assert "term IN" in plan or "term#" in plan and " IN (" in plan
+    # small postings: the probe job is skipped — no isin enters the plan
+    assert "term IN" not in plan
+    # big ESTIMATED postings (plan-only — the probe job runs on the tiny
+    # query side only): the isin prune must reach the postings side
+    big = spark.range(50_000_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha beta gamma "), F.col("id").cast("string")).alias("text"),
+    )
+    plan_big = _plan(search_bm25_df(
+        docs, qdf, limit=5, postings=build_postings(big), stats=(50, 4.0)))
+    assert "WindowGroupLimit" in plan_big
+    assert "term IN" in plan_big or "term#" in plan_big and " IN (" in plan_big
 
 
 def test_weighted_search_df_group_limits(tables, spark):
