@@ -80,24 +80,33 @@ def decontaminate(
     doc_grams = docs.select(
         F.col(id_col), _norm_grams(F.col(text_col), n).alias("__grams")
     )
-    hits = (
-        doc_grams.select(id_col, F.explode("__grams").alias("gram"))
-        .join(F.broadcast(grams), "gram")
-        .groupBy(id_col)
-        .agg(F.count("*").cast("int").alias("hits"))
+    # ONE corpus pass (r14): carry size(__grams) through the explode and
+    # group on (id, n_grams) — both keys are functionally dependent on
+    # the doc, so cardinality is unchanged. The former shape tokenized
+    # the corpus TWICE (once for the hits explode, once for the n_grams
+    # base) and joined the two corpus-sized frames back together; at
+    # bench scale that join even broadcast the full base. explode_outer
+    # keeps gram-less docs ([] and NULL arrays) as one NULL-gram row, so
+    # every doc still emits an output row; count("gram") over NULLs
+    # never miscounts because a left-joined __hit is NULL exactly when
+    # gram is NULL or unmatched. n_grams preserves size() semantics
+    # bit-for-bit (including size(NULL) = -1).
+    exploded = doc_grams.select(
+        id_col,
+        F.size("__grams").cast("int").alias("n_grams"),
+        F.explode_outer("__grams").alias("gram"),
     )
-    base = doc_grams.select(
-        id_col, F.size("__grams").cast("int").alias("n_grams")
+    hit = exploded.join(
+        F.broadcast(grams.withColumn("__hit", F.lit(1))), "gram", "left"
     )
     return (
-        base.join(hits, id_col, "left")
+        hit.groupBy(id_col, "n_grams")
+        .agg(F.count("__hit").cast("int").alias("hits"))
         .select(
             id_col,
             "n_grams",
-            F.coalesce("hits", F.lit(0)).cast("int").alias("hits"),
-            (F.coalesce("hits", F.lit(0)) >= F.lit(int(min_hits))).alias(
-                "contaminated"
-            ),
+            "hits",
+            (F.col("hits") >= F.lit(int(min_hits))).alias("contaminated"),
         )
     )
 

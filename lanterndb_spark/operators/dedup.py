@@ -508,14 +508,21 @@ def minhash_lsh_pairs(
     needs_sigs = verify in ("estimate", "auto")
     sh_shared = None
     if verify in (True, "exact") and verify_scope == "auto":
-        # resolve the scope NOW from the input row count (one cheap
-        # column-pruned count over the input — results are
+        # resolve the scope NOW from the input row count (results are
         # scope-invariant, the threshold only picks a plan) so a
         # corpus-scope run can share ONE persisted shingle table
         # between the signature build and the verify join instead of
         # re-tokenizing the corpus twice. The candidates scope (the
         # 100 TB path) never persists a corpus-sized shingle table.
-        verify_scope = "candidates" if df.count() >= 20_000 else "corpus"
+        # Catalyst's row estimate (driver-side, no job — exact for a
+        # materialized cache) answers first; only an estimate-less
+        # input pays the column-pruned count job.
+        from lanterndb_spark.plans.shape import estimated_rows
+
+        n_rows = estimated_rows(df)
+        if n_rows is None:
+            n_rows = df.count()
+        verify_scope = "candidates" if n_rows >= 20_000 else "corpus"
     if verify in (True, "exact") and verify_scope == "corpus":
         sh_shared = shingle_table(df, id_col, text_col, n).persist()
     wide = _minhash_wide(df, id_col, text_col, num_hashes, n, sh_df=sh_shared)

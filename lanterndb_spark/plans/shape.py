@@ -114,6 +114,28 @@ def salted_join(
     return out.drop("__fsalt")
 
 
+def estimated_rows(df: DataFrame) -> float | None:
+    """Catalyst row-count estimate of ``df`` — driver-side, no job.
+
+    Returns the optimized plan's ``rowCount`` when defined (exact for a
+    materialized InMemoryRelation, whose stats come from the cache
+    accumulators; available for CBO-analyzed tables), else ``None``.
+    Use for plan-shape decisions whose RESULT is estimate-invariant —
+    the caller must fall back to an exact ``count()`` (or a
+    scale-conservative default) when this returns ``None``.
+
+    Reads stats off a freshly derived Dataset (``select("*")``): a
+    Dataset memoizes its QueryExecution, so a handle whose plan was
+    analyzed BEFORE ``cache()``/materialization would otherwise report
+    the stale pre-cache stats (no rowCount) forever."""
+    try:
+        fresh = df.select("*")
+        rc = fresh._jdf.queryExecution().optimizedPlan().stats().rowCount()
+        return float(str(rc.get())) if rc.isDefined() else None
+    except Exception:
+        return None
+
+
 def attach_persisted(out: DataFrame, *intermediates: DataFrame) -> DataFrame:
     """Record persisted intermediates on a result DataFrame so callers can
     free executor storage once the result is materialized (long sessions

@@ -68,6 +68,19 @@ def test_plan_broadcasts_eval_side(spark, tables):
     assert "BroadcastHashJoin" in plan
 
 
+def test_plan_tokenizes_corpus_once(spark, tables):
+    """r14 fusion contract: the corpus is normalized/tokenized in ONE
+    pass (explode_outer carried beside size()), not once for the hits
+    explode and again for the n_grams base — so `array_distinct` (the
+    _norm_grams fingerprint) appears exactly twice in the physical plan:
+    corpus side + eval side. A corpus-sized join back is also gone."""
+    docs = tables["documents"]
+    bench = docs.filter(F.col("doc_id") % 19 == 0)
+    plan = decontaminate(docs, bench, n=5)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("array_distinct") == 2
+    assert "SortMergeJoin" not in plan
+
+
 def test_semantic_decontamination_brute_exact(tables):
     import pytest
     """Brute mode: a corpus row identical to a bench row has dist 0 and

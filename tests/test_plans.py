@@ -586,3 +586,22 @@ def test_bounded_rand_sample_widens_until_full(spark):
     assert [r["x"] for r in rows] == [r["x"] for r in again]
     # small-table path unchanged: every row survives, rand-sorted
     assert len(bounded_rand_sample(df, 200, seed=7)) == 100
+
+
+def test_estimated_rows_sees_post_cache_stats(spark):
+    """estimated_rows drives plan-only decisions (minhash verify scope,
+    adaptive salts) without a job. Contract: None when Catalyst has no
+    row count (plain scans/local rdds with CBO off), the EXACT count for
+    a materialized cache — even on a handle whose QueryExecution was
+    memoized before cache(), which is why the helper derives a fresh
+    Dataset internally."""
+    from lanterndb_spark.plans.shape import estimated_rows
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "x int")
+    assert estimated_rows(df) is None  # memoizes the pre-cache QE
+    df.cache()
+    df.count()
+    try:
+        assert estimated_rows(df) == 100.0
+    finally:
+        df.unpersist()
