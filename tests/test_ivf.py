@@ -1024,3 +1024,36 @@ def test_ivfpq_dgemm_and_gather_cuts_bit_identical(spark, monkeypatch):
     via_gather = run()
     assert via_dgemm == via_gather  # bit-identical, not approx
     assert len(via_dgemm) == 15
+
+
+def test_adaptive_salt_bounds_both_directions(spark):
+    """r14 contract for the batch-search cogroup salt: the caller's salt
+    is an UPPER BOUND. A small estimated per-cluster block derives
+    salt_eff=1 (no confetti tasks); a block far past the 32 MiB f64
+    target hits the cap exactly (the 100 TB memory bound is intact).
+    Row counts come from Catalyst stats of a materialized cache."""
+    from types import SimpleNamespace
+
+    import numpy as np
+
+    from lanterndb_spark.operators.ivf import _adaptive_salt
+
+    small = spark.range(1000).withColumnRenamed("id", "vec_id")
+    small.cache()
+    small.count()
+    big = spark.range(200_000)
+    big.cache()
+    big.count()
+    try:
+        # 1000 rows / 4 clusters * 64 dims * 8 B = 128 KiB << 32 MiB
+        idx_small = SimpleNamespace(
+            centroids=np.zeros((4, 64)), assigned=small, nlist=4)
+        assert _adaptive_salt(idx_small, 8) == 1
+        # 200k rows / 1 cluster * 768 dims * 8 B ≈ 1.2 GiB -> ceil 39,
+        # clamped to the caller's bound
+        idx_big = SimpleNamespace(
+            centroids=np.zeros((1, 768)), assigned=big, nlist=1)
+        assert _adaptive_salt(idx_big, 8) == 8
+    finally:
+        small.unpersist()
+        big.unpersist()
