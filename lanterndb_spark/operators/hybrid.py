@@ -19,12 +19,25 @@ most ``n_cols * ef`` rows — driver-safe by construction.
 
 from __future__ import annotations
 
+import os
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from lanterndb_spark.functions.distance import distance, query_vec
+
+# Upper bound on concurrent candidate-stage constructions in
+# weighted_vector_search_df (guide §2.6 — overlap independent driver
+# work). Each term's stage build runs eager driver jobs (ivf's routed
+# persist + rollup, knn_join's capped collect) that are independent of
+# the other terms AND of the duplicate-q_id check, yet ran sequentially
+# before r14 (measured: 0.49 s check + 1.0 s ivf + 0.28 s knn on the
+# bench's 2-term/256-query shape — a sum where a max suffices). 0
+# restores the sequential order. Thread-safe: the operators on this
+# path mutate no session state, and PySpark's pinned-thread mode gives
+# each Python thread its own JVM-side property map.
+_STAGE_THREADS = int(os.environ.get("LDB_HYBRID_STAGE_THREADS", "8"))
 
 
 def _joint(terms, metric) -> Column:
@@ -171,32 +184,11 @@ def weighted_vector_search_df(
 
     if not terms:
         raise ValueError("need at least one (weight, col, query_col) term")
-    if not unique_q_ids:
-        from lanterndb_spark.operators.hnsw import (
-            _has_duplicate_qids, _restore_surrogate, _surrogate_key_queries,
-        )
-
-        if _has_duplicate_qids(queries, q_id_col):
-            # same shared wrap as the ANN/bm25 batch forms; the helper
-            # takes every term's query column as payload
-            keyed = _surrogate_key_queries(
-                queries, q_id_col,
-                *dict.fromkeys(qc for (_w, _c, qc) in terms),
-            )
-            inner = weighted_vector_search_df(
-                df, terms, keyed.drop("__orig_qid"), id_col=id_col,
-                q_id_col=q_id_col, metric=metric, ef=ef, max_dist=max_dist,
-                limit=limit, joint_col=joint_col, indexes=indexes,
-                nprobe=nprobe, unique_q_ids=True,
-            )
-            tail = [c for c in inner.columns if c != q_id_col]
-            return _restore_surrogate(
-                inner, keyed, q_id_col, tail, key_col=q_id_col
-            )
     # the joint expression binds each term's query column AFTER the
     # scoring join with the base rows — a query column sharing a base
     # column's name would be ambiguous there (or silently bind to the
-    # wrong side), so reject the collision up front
+    # wrong side), so reject the collision up front (driver-only
+    # validation, before any job runs)
     clash = sorted(
         {qc for (_w, _c, qc) in terms} & set(df.columns)
     )
@@ -205,9 +197,15 @@ def weighted_vector_search_df(
             f"query vector column(s) {clash} collide with base df columns; "
             "rename the query columns before calling"
         )
-    cand_parts = []
-    persisted: list[DataFrame] = []  # candidate stages' internal caches
-    for (_w, col, qcol) in terms:
+
+    def _build_stage(term):
+        """One term's candidate stage: (ids frame, persisted caches).
+        Every inner form runs with unique_q_ids=True — justified by the
+        caller's assertion, by the surrogate wrap below, or (in the
+        speculative build) by the stage being discarded when the
+        concurrent dup-check comes back dirty."""
+        (_w, col, qcol) = term
+        stage_persisted: list[DataFrame] = []
         qsel = queries.select(q_id_col, qcol)
         idx = (indexes or {}).get(col)
         if idx is not None:
@@ -228,12 +226,14 @@ def weighted_vector_search_df(
                 ids = ivf_search_df(
                     idx, qsel, k=ef, nprobe=nprobe, metric=metric,
                     id_col=id_col, q_id_col=q_id_col, q_vec_col=qcol,
-                    unique_q_ids=True,  # unique past the wrap above
+                    unique_q_ids=True,
                 )
                 # carry the stage's persisted routed frame through the
                 # transformations below (attachments don't propagate),
                 # so release() on the final result still frees it
-                persisted.extend(ids.__dict__.get("_lantern_persisted", []))
+                stage_persisted.extend(
+                    ids.__dict__.get("_lantern_persisted", [])
+                )
             elif kind == "HnswIndex":
                 from lanterndb_spark.operators.hnsw import hnsw_search_df
 
@@ -261,7 +261,7 @@ def weighted_vector_search_df(
                 q_id_type = queries.schema[q_id_col].dataType.simpleString()
                 ids = hnsw_search_df(
                     idx, qsel, k=ef, q_id_col=q_id_col, q_vec_col=qcol,
-                    unique_q_ids=True,  # unique past the wrap above
+                    unique_q_ids=True,
                 ).select(
                     F.col("q_id").cast(q_id_type).alias(q_id_col),
                     F.col(idx.id_col).alias(id_col),
@@ -270,14 +270,86 @@ def weighted_vector_search_df(
                 raise ValueError(
                     f"no batch search form for index type {kind!r} on {col!r}"
                 )
-            cand_parts.append(ids.select(q_id_col, id_col))
+            return ids.select(q_id_col, id_col), stage_persisted
+        kj = knn_join(
+            df.select(id_col, col), col, qsel, qcol,
+            k=ef, metric=metric, id_col=id_col, q_id_col=q_id_col,
+            unique_q_ids=True,
+        )
+        return kj.select(q_id_col, id_col), stage_persisted
+
+    # guide §2.6: the dup/NULL-key check and each term's candidate
+    # construction run eager driver jobs (ivf's routed persist + rollup
+    # collect, knn_join's capped collect) that are mutually independent
+    # — overlap them instead of paying the sum. The dup-check overlaps
+    # SPECULATIVELY: stages are built assuming unique keys (the common
+    # case — every caller minting ids, and the wrap path itself) and
+    # discarded when the check comes back dirty, so the dirty path
+    # costs the same as the r13 sequential order plus the abandoned
+    # builds, while the clean path pays max() instead of sum().
+    built = None
+    threads = _STAGE_THREADS
+    if not unique_q_ids:
+        from lanterndb_spark.operators.hnsw import (
+            _has_duplicate_qids, _restore_surrogate, _surrogate_key_queries,
+        )
+
+        if threads:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                max_workers=min(len(terms) + 1, threads + 1)
+            ) as ex:
+                dup_fut = ex.submit(_has_duplicate_qids, queries, q_id_col)
+                stage_futs = [ex.submit(_build_stage, t) for t in terms]
+                dup = dup_fut.result()
+                if dup:
+                    # discard the speculative builds; free their caches.
+                    # Build errors are swallowed HERE only: the wrap
+                    # path below rebuilds every stage and re-raises any
+                    # real error on the keyed frame.
+                    for fut in stage_futs:
+                        try:
+                            _ids, pers = fut.result()
+                        except Exception:
+                            continue
+                        for p in pers:
+                            p.unpersist()
+                else:
+                    built = [f.result() for f in stage_futs]
         else:
-            kj = knn_join(
-                df.select(id_col, col), col, qsel, qcol,
-                k=ef, metric=metric, id_col=id_col, q_id_col=q_id_col,
-                unique_q_ids=True,  # unique past the wrap above
+            dup = _has_duplicate_qids(queries, q_id_col)
+        if dup:
+            # same shared wrap as the ANN/bm25 batch forms; the helper
+            # takes every term's query column as payload
+            keyed = _surrogate_key_queries(
+                queries, q_id_col,
+                *dict.fromkeys(qc for (_w, _c, qc) in terms),
             )
-            cand_parts.append(kj.select(q_id_col, id_col))
+            inner = weighted_vector_search_df(
+                df, terms, keyed.drop("__orig_qid"), id_col=id_col,
+                q_id_col=q_id_col, metric=metric, ef=ef, max_dist=max_dist,
+                limit=limit, joint_col=joint_col, indexes=indexes,
+                nprobe=nprobe, unique_q_ids=True,
+            )
+            tail = [c for c in inner.columns if c != q_id_col]
+            return _restore_surrogate(
+                inner, keyed, q_id_col, tail, key_col=q_id_col
+            )
+    if built is None:
+        if threads and len(terms) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                max_workers=min(len(terms), threads)
+            ) as ex:
+                built = list(ex.map(_build_stage, terms))
+        else:
+            built = [_build_stage(t) for t in terms]
+    cand_parts = [ids for (ids, _pers) in built]
+    persisted: list[DataFrame] = [  # candidate stages' internal caches
+        p for (_ids, pers) in built for p in pers
+    ]
     cand = reduce(DataFrame.unionByName, cand_parts).dropDuplicates(
         [q_id_col, id_col]
     )

@@ -447,3 +447,93 @@ def test_hybrid_single_null_q_id_not_dropped(hybrid_df, spark):
     assert sorted((r["id"], round(r["joint_dist"], 9)) for r in got) == sorted(
         (r["id"], round(r["joint_dist"], 9)) for r in exp
     )
+
+
+def test_stage_threads_sequential_matches_overlapped(hybrid_df, spark):
+    """r14 contract for the overlapped candidate construction
+    (_STAGE_THREADS): threading is a driver-scheduling change ONLY —
+    rows must be identical to the sequential order on both the clean
+    path and the dirty path (duplicate q_ids, where the overlapped
+    build is speculative and discarded)."""
+    from lanterndb_spark.operators import hybrid
+    from lanterndb_spark.operators.hybrid import weighted_vector_search_df
+    from lanterndb_spark.operators.ivf import build_ivf
+    from lanterndb_spark.plans.shape import release
+
+    idx = build_ivf(hybrid_df.select("id", "v1"), "v1", nlist=4, seed=42)
+    q1a, q2a = q_of(hybrid_df, 0)
+    q1b, q2b = q_of(hybrid_df, 9)
+    clean = spark.createDataFrame(
+        [(0, q1a, q2a), (1, q1b, q2b)],
+        "q_id long, qv1 array<double>, qv2 array<double>",
+    )
+    dirty = spark.createDataFrame(
+        [(7, q1a, q2a), (7, q1b, q2b)],
+        "q_id long, qv1 array<double>, qv2 array<double>",
+    )
+    terms = [(1.0, "v1", "qv1"), (0.5, "v2", "qv2")]
+
+    def run(qdf):
+        out = weighted_vector_search_df(
+            hybrid_df, terms, qdf, id_col="id", ef=10, limit=5,
+            indexes={"v1": idx}, nprobe=2,
+        )
+        rows = sorted(
+            (r["q_id"], r["id"], round(r["joint_dist"], 9))
+            for r in out.select("q_id", "id", "joint_dist").collect()
+        )
+        release(out)
+        return rows
+
+    saved = hybrid._STAGE_THREADS
+    try:
+        for qdf in (clean, dirty):
+            hybrid._STAGE_THREADS = 0
+            seq = run(qdf)
+            hybrid._STAGE_THREADS = 8
+            thr = run(qdf)
+            assert seq == thr and seq
+    finally:
+        hybrid._STAGE_THREADS = saved
+    idx.assigned.unpersist()
+
+
+def test_speculative_build_discard_frees_caches(hybrid_df, spark):
+    """When the concurrent dup-check comes back dirty, the speculative
+    per-term builds are discarded — their internal caches (ivf's routed
+    frame) must be unpersisted at discard, and the wrap path's own
+    caches must ride the result for release(). Asserts on the SPECIFIC
+    RDD ids this test creates (set diffs), not global counts (the r13
+    flake lesson)."""
+    from lanterndb_spark.operators import hybrid
+    from lanterndb_spark.operators.hybrid import weighted_vector_search_df
+    from lanterndb_spark.operators.ivf import build_ivf
+    from lanterndb_spark.plans.shape import release
+
+    def pids():
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in jmap.keySet().toArray()}
+
+    idx = build_ivf(hybrid_df.select("id", "v1"), "v1", nlist=4, seed=42)
+    q1a, q2a = q_of(hybrid_df, 0)
+    dirty = spark.createDataFrame(
+        [(7, q1a, q2a), (7, q1a, q2a)],
+        "q_id long, qv1 array<double>, qv2 array<double>",
+    )
+    before = pids()
+    saved = hybrid._STAGE_THREADS
+    try:
+        hybrid._STAGE_THREADS = 8
+        out = weighted_vector_search_df(
+            hybrid_df, [(1.0, "v1", "qv1"), (0.5, "v2", "qv2")], dirty,
+            id_col="id", ef=10, limit=5, indexes={"v1": idx}, nprobe=2,
+        )
+        out.collect()
+        release(out)
+    finally:
+        hybrid._STAGE_THREADS = saved
+    created_live = pids() - before
+    assert not created_live, (
+        f"RDD ids left cached after discard+release: {created_live}"
+    )
+    idx.assigned.unpersist()
