@@ -366,6 +366,15 @@ def jaccard_pairs_prefix(
 
 # --------------------------------------------------------- MinHash LSH
 
+def _mix_sql(i: int) -> str:
+    """SQL text of the KM + xorshift64 mix for coordinate ``i`` over the
+    ``h1``/``h2`` murmur columns (see _minhash_wide for the derivation)."""
+    v = f"(h1 + {i}L * h2)"
+    v = f"({v} ^ shiftleft({v}, 13))"
+    v = f"({v} ^ shiftrightunsigned({v}, 7))"
+    return f"({v} ^ shiftleft({v}, 17))"
+
+
 def _minhash_wide(
     df: DataFrame,
     id_col: str,
@@ -412,15 +421,42 @@ def _minhash_wide(
     # whole aggregate stays in codegen. Identical shingle sets still map to
     # identical signatures (the mix is deterministic), so twin pairs keep
     # estimated Jaccard exactly 1.0.
-    def _mix(i: int) -> Column:
-        v = F.col("h1") + F.lit(i).cast("bigint") * F.col("h2")
-        v = v.bitwiseXOR(F.shiftleft(v, 13))
-        v = v.bitwiseXOR(F.shiftrightunsigned(v, 7))
-        v = v.bitwiseXOR(F.shiftleft(v, 17))
-        return v
-
-    aggs = [F.min(_mix(i)).alias(f"mh_{i}") for i in range(num_hashes)]
+    #
+    # The 64 mix chains are built as SQL strings parsed in ONE JVM call
+    # each (r14): constructing them through the Column DSL cost 1.5-2.4 s
+    # of py4j round-trips per call (~10 proxy objects x 64 coordinates) —
+    # pure driver-side overhead (guide §5 "very large query plans" / §7.3
+    # "gigantic expression trees in loops"). The parsed tree is the same
+    # expression (measured: identical results AND identical stage times;
+    # the repeated sub-expression text is deduplicated by codegen CSE
+    # exactly like the DSL's shared Column subtree was).
+    aggs = [F.expr(f"min({_mix_sql(i)}) AS mh_{i}") for i in range(num_hashes)]
     return ex.groupBy("id").agg(*aggs)
+
+
+def _sig_array_expr(num_hashes: int) -> Column:
+    """``array(mh_0, ..., mh_{H-1}) AS sig`` parsed in one JVM call (r14
+    py4j-chatter rule, see _minhash_wide)."""
+    return F.expr(
+        "array(" + ", ".join(f"mh_{i}" for i in range(num_hashes)) + ") AS sig"
+    )
+
+
+def _band_explode_expr(num_hashes: int, bands: int, fmt: str) -> Column:
+    """``explode(array(struct(b AS band, hash(<fmt(i)>...) AS bh), ...))``
+    parsed in one JVM call; ``fmt`` maps a flat coordinate index to the
+    SQL text of that coordinate (wide column or array element), so the
+    fresh-build and stored-signature banders share one (bit-identical)
+    band-hash construction."""
+    r = num_hashes // bands
+    return F.expr(
+        "explode(array(" + ", ".join(
+            f"struct({bi} AS band, hash("
+            + ", ".join(fmt.format(i=bi * r + j) for j in range(r))
+            + ") AS bh)"
+            for bi in range(bands)
+        ) + ")) AS s"
+    )
 
 
 def minhash_signatures(
@@ -429,9 +465,7 @@ def minhash_signatures(
     """(id, sig array<int>). Docs with zero shingles drop out (a token-less
     doc cannot near-duplicate anything)."""
     wide = _minhash_wide(df, id_col, text_col, num_hashes, n)
-    return wide.select(
-        "id", F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("sig")
-    )
+    return wide.select("id", _sig_array_expr(num_hashes))
 
 
 def minhash_lsh_pairs(
@@ -495,7 +529,6 @@ def minhash_lsh_pairs(
     """
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
-    r = num_hashes // bands
     # signature-needing verify modes (estimate, and auto which may pick
     # estimate) cache the 64-column signature table — estimate reads it
     # back per pair. Pure exact/candidate modes cache only the NARROW
@@ -532,18 +565,7 @@ def minhash_lsh_pairs(
         # signature table, then join against it)
         wide = wide.persist()
     banded = wide.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.hash(*[F.col(f"mh_{bi * r + j}") for j in range(r)]).alias("bh"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("s"),
+        "id", _band_explode_expr(num_hashes, bands, "mh_{i}")
     ).select("id", "s.band", "s.bh")
     star = None
     if max_bucket is not None:
@@ -599,9 +621,7 @@ def minhash_lsh_pairs(
         cand = cand.persist()
         verify = "exact" if cand.count() <= auto_estimate_threshold else "estimate"
     if verify == "estimate":
-        sig = wide.select(
-            "id", F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("sig")
-        )
+        sig = wide.select("id", _sig_array_expr(num_hashes))
         out = (
             cand.join(sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
             .join(sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
@@ -676,20 +696,8 @@ def _band_sig_array(sig_df: DataFrame, num_hashes: int, bands: int) -> DataFrame
     :func:`minhash_lsh_pairs` (``F.hash`` is value-based), so band keys
     from a stored signature table and keys from a fresh build collide
     exactly when the underlying signatures match."""
-    r = num_hashes // bands
     return sig_df.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.hash(*[F.col("sig")[bi * r + j] for j in range(r)]).alias("bh"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("s"),
+        "id", _band_explode_expr(num_hashes, bands, "sig[{i}]")
     ).select("id", "s.band", "s.bh")
 
 
@@ -835,20 +843,26 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str, bits: int = 
         )
     )
     ex = ex.select("id", h64.alias("h"))
+    # SQL-string construction for the 64 vote aggregates and the 64-term
+    # packing sum (r14): the same py4j-chatter rule as _minhash_wide —
+    # ~1 000 Column proxy calls of pure driver overhead replaced by 65
+    # parse calls; parsed trees are value-identical (same shift/and/sum
+    # arithmetic, same left-associated packing order, so identical ANSI
+    # partial sums).
     votes = ex.groupBy("id").agg(
         *[
-            F.sum(
-                F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b{i}")
+            F.expr(
+                f"sum(CASE WHEN (shiftright(h, {i}) & 1) = 1"
+                f" THEN 1 ELSE -1 END) AS b{i}"
+            )
             for i in range(bits)
         ]
     )
-    fp = F.lit(0).cast("bigint")
-    for i in range(bits):
-        fp = fp + F.when(
-            F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("bigint"), i)
-        ).otherwise(F.lit(0).cast("bigint"))
-    return votes.select("id", fp.alias("fp"))
+    fp = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN shiftleft(1L, {i}) ELSE 0L END)"
+        for i in range(bits)
+    )
+    return votes.select("id", F.expr(f"({fp}) AS fp"))
 
 
 def simhash_pairs(
@@ -869,19 +883,13 @@ def simhash_pairs(
     fp = simhash_fingerprints(df, id_col, text_col).persist()
     chunked = fp.select(
         "id", "fp",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("chunk"),
-                        F.shiftright("fp", i * width)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                        .alias("cv"),
-                    )
-                    for i in range(chunks)
-                ]
-            )
-        ).alias("s"),
+        F.expr(
+            "explode(array(" + ", ".join(
+                f"struct({i} AS chunk,"
+                f" (shiftright(fp, {i * width}) & {(1 << width) - 1}) AS cv)"
+                for i in range(chunks)
+            ) + ")) AS s"
+        ),
     ).select("id", "fp", "s.chunk", "s.cv")
     a, b = chunked.alias("a"), chunked.alias("b")
     out = (
