@@ -127,11 +127,23 @@ def estimated_rows(df: DataFrame) -> float | None:
     Reads stats off a freshly derived Dataset (``select("*")``): a
     Dataset memoizes its QueryExecution, so a handle whose plan was
     analyzed BEFORE ``cache()``/materialization would otherwise report
-    the stale pre-cache stats (no rowCount) forever."""
+    the stale pre-cache stats (no rowCount) forever.
+
+    A ``LocalRelation`` root (ad-hoc ``createDataFrame`` batches — e.g.
+    a driver-built query frame feeding the batch search forms) carries
+    no ``rowCount`` in its Statistics, but its row count is exact and
+    driver-resident by definition; read it from the node directly. The
+    optimizer folds Project/Filter chains over local data into a new
+    LocalRelation, so the count is post-pruning exact."""
     try:
         fresh = df.select("*")
-        rc = fresh._jdf.queryExecution().optimizedPlan().stats().rowCount()
-        return float(str(rc.get())) if rc.isDefined() else None
+        plan = fresh._jdf.queryExecution().optimizedPlan()
+        rc = plan.stats().rowCount()
+        if rc.isDefined():
+            return float(str(rc.get()))
+        if plan.getClass().getSimpleName() == "LocalRelation":
+            return float(plan.data().size())
+        return None
     except Exception:
         return None
 

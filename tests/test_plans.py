@@ -605,3 +605,18 @@ def test_estimated_rows_sees_post_cache_stats(spark):
         assert estimated_rows(df) == 100.0
     finally:
         df.unpersist()
+
+
+def test_estimated_rows_reads_local_relations(spark):
+    """A LocalRelation root (SQL VALUES / JVM-literal data) carries no
+    rowCount in its Statistics, but its data is driver-resident — the
+    helper reads the exact size off the node, post-optimizer-folding
+    (Filter over local data collapses into a pruned LocalRelation), so
+    known-small ad-hoc query frames take the single-task dup-check path
+    with zero jobs. Python-list createDataFrame parallelizes to a
+    LogicalRDD and stays None (no driver-resident count to read)."""
+    from lanterndb_spark.plans.shape import estimated_rows
+
+    v = spark.sql("SELECT * FROM VALUES (1,'a'),(2,'b'),(3,'c') AS t(q_id, q)")
+    assert estimated_rows(v) == 3.0
+    assert estimated_rows(v.filter("q_id < 3")) == 2.0
