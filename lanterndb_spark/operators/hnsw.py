@@ -2137,6 +2137,12 @@ def hnsw_search_df(
         F.col(q_id_col).cast("long").alias("__qid"),
         F.col(q_vec_col).alias("__q"),
     )
+    # known-small query batches prep/route in a few big Python tasks
+    # instead of one near-empty task per input partition (stats-driven,
+    # no job; large/unknown inputs keep their parallelism)
+    from lanterndb_spark.plans.shape import coalesce_known_small
+
+    qsel = coalesce_known_small(qsel, queries)
 
     def prep_block(pdf: pd.DataFrame):
         """(qids int64, prepped float64 matrix) for one arrow batch."""

@@ -605,7 +605,12 @@ def ivf_search_df(
         F.col(q_vec_col).cast("array<double>").alias("__q"),
     )
 
-    routed = qsel.mapInPandas(
+    # known-small query batches route in a few big Python tasks instead
+    # of one near-empty task per input partition (stats-driven, no job;
+    # large/unknown inputs keep their parallelism)
+    from lanterndb_spark.plans.shape import coalesce_known_small
+
+    routed = coalesce_known_small(qsel, queries).mapInPandas(
         _centroid_route(bc, np_eff),
         f"__qid {q_id_type}, __q array<double>, cluster_id int",
     )
@@ -952,7 +957,9 @@ def ivfpq_search_df(
         F.col(q_id_col).alias("__qid"),
         F.col(q_vec_col).cast("array<double>").alias("__q"),
     )
-    routed = qsel.mapInPandas(
+    from lanterndb_spark.plans.shape import coalesce_known_small
+
+    routed = coalesce_known_small(qsel, queries).mapInPandas(
         _centroid_route(bc, np_eff),
         f"__qid {q_id_type}, __q array<double>, cluster_id int",
     )

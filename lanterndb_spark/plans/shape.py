@@ -148,6 +148,27 @@ def estimated_rows(df: DataFrame) -> float | None:
         return None
 
 
+def coalesce_known_small(
+    df: DataFrame, stats_of: DataFrame, rows_per_task: int = 1024
+) -> DataFrame:
+    """Bound a Python-boundary pass's task count when Catalyst KNOWS the
+    input row count (guide §4.5 — amortize per-task init; §2.6 task
+    scheduling): a few thousand query rows spread over 32 input
+    partitions pay ~32 Python worker round-trips for microseconds of
+    kernel work each. ``coalesce`` is narrow and never INCREASES the
+    partition count, so a large input keeps its parallelism; unknown
+    stats return ``df`` unchanged (the scale-conservative default).
+    ``stats_of`` is the handle to read the row count from — pass the raw
+    cached frame, not a derived projection (rowCount does not propagate
+    through Project/Filter with CBO off)."""
+    est = estimated_rows(stats_of)
+    if est is None:
+        return df
+    import math
+
+    return df.coalesce(max(1, math.ceil(est / rows_per_task)))
+
+
 def attach_persisted(out: DataFrame, *intermediates: DataFrame) -> DataFrame:
     """Record persisted intermediates on a result DataFrame so callers can
     free executor storage once the result is materialized (long sessions

@@ -1057,3 +1057,30 @@ def test_adaptive_salt_bounds_both_directions(spark):
     finally:
         small.unpersist()
         big.unpersist()
+
+
+def test_routing_coalesce_results_invariant(emb, index, spark):
+    """r14 contract for the routing-pass coalesce: a cached (stats-known,
+    hence coalesced) query frame and the same frame uncached (stats
+    unknown, original partitioning) return IDENTICAL rows — the coalesce
+    is a task-layout change only."""
+    from lanterndb_spark.operators.ivf import ivf_search_df
+
+    qs = [(i, qvec(emb, i)) for i in range(6)]
+    raw = spark.createDataFrame(qs, "q_id int, query array<double>")
+    cached = spark.createDataFrame(qs, "q_id int, query array<double>").persist()
+    cached.count()
+    try:
+        a = sorted(
+            (r["q_id"], r["vec_id"], round(r["dist"], 9))
+            for r in ivf_search_df(index, raw, k=5, nprobe=3,
+                                   id_col="vec_id").collect()
+        )
+        b = sorted(
+            (r["q_id"], r["vec_id"], round(r["dist"], 9))
+            for r in ivf_search_df(index, cached, k=5, nprobe=3,
+                                   id_col="vec_id").collect()
+        )
+        assert a == b and a
+    finally:
+        cached.unpersist()

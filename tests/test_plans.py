@@ -620,3 +620,30 @@ def test_estimated_rows_reads_local_relations(spark):
     v = spark.sql("SELECT * FROM VALUES (1,'a'),(2,'b'),(3,'c') AS t(q_id, q)")
     assert estimated_rows(v) == 3.0
     assert estimated_rows(v.filter("q_id < 3")) == 2.0
+
+
+def test_coalesce_known_small_bounds_python_tasks(spark):
+    """r14 contract for the query-routing coalesce: a KNOWN-small input
+    (materialized cache stats) routes in ceil(rows/rows_per_task) tasks;
+    unknown stats leave the frame untouched (scale-conservative), and
+    coalesce can only ever REDUCE the partition count, so a large input
+    keeps its parallelism."""
+    from lanterndb_spark.plans.shape import coalesce_known_small
+
+    raw = spark.createDataFrame([(i,) for i in range(2000)], "x int")
+    derived = raw.select("x")
+    # LogicalRDD: no stats -> unchanged
+    assert coalesce_known_small(derived, raw) is derived
+    cached = raw.persist()
+    cached.count()
+    try:
+        out = coalesce_known_small(cached.select("x"), cached,
+                                   rows_per_task=1024)
+        assert out.rdd.getNumPartitions() == 2
+        assert out.count() == 2000
+        # rows_per_task above the row count -> a single task
+        one = coalesce_known_small(cached.select("x"), cached,
+                                   rows_per_task=100_000)
+        assert one.rdd.getNumPartitions() == 1
+    finally:
+        cached.unpersist()
