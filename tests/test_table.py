@@ -829,7 +829,13 @@ def test_knn_batch_dup_wrap_release_frees_blocks(tables, spark):
     object, and they do NOT propagate through withColumn/union — a
     release() on a derived frame is a silent no-op and the surrogate
     localCheckpoint blocks (+ the ivf route's persisted routed frame)
-    leak in a long-lived driver JVM."""
+    leak in a long-lived driver JVM.
+
+    Asserts on the SPECIFIC RDD ids this test creates (set diffs), not
+    the global persistent count — other modules' non-blocking unpersists
+    drain the global map concurrently under full-suite ordering (the r13
+    flake class; this test tripped it in the r14 full run), while our own
+    ids are race-free (unpersist removes synchronously; ids never reuse)."""
     from lanterndb_spark.plans.shape import release
 
     emb = tables["embeddings"]
@@ -841,18 +847,23 @@ def test_knn_batch_dup_wrap_release_frees_blocks(tables, spark):
     t = LanternTable(emb, "vec_id").create_index(
         "embedding", kind="ivf", nlist=4, seed=42
     )
-    jsc = spark.sparkContext._jsc.sc()
+
+    def pids():
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in jmap.keySet().toArray()}
+
     # warmup absorbs any lazily-persisted index state
     w = t.knn_batch("embedding", dup, k=5, nprobe=2)
     w.collect()
     release(w)
-    before = jsc.getPersistentRDDs().size()
+    before = pids()
 
     out = t.knn_batch("embedding", dup, k=5, nprobe=2)
     derived = out.withColumn("backend", F.lit("ivf"))  # the bug's shape
     derived.collect()
-    assert jsc.getPersistentRDDs().size() > before  # wrap pinned blocks
+    created = pids() - before
+    assert created  # wrap pinned blocks
     release(derived)  # no-op: attachments live on `out`
-    assert jsc.getPersistentRDDs().size() > before
+    assert created & pids() == created  # still pinned — derived is a no-op
     release(out)  # the contract: release the knn_batch result itself
-    assert jsc.getPersistentRDDs().size() == before
+    assert not (created & pids())  # every block the wrap pinned is freed
