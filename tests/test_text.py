@@ -53,6 +53,31 @@ def test_tokenize_keeps_duplicates(spark):
     assert df.select(tokenize("t").alias("x")).first()["x"] == ["apple", "apple", "banana"]
 
 
+def test_tokenize_one_pass_split_matches_two_pass_form(spark):
+    """r14: tokenize splits on the separator class directly (one regex
+    pass). Pin bit-identity against the former replace+split two-pass
+    form on the boundary cases where they could diverge: leading/
+    trailing separators, separator runs, unicode letters/digits/marks,
+    underscore, whitespace-only, empty, NULL."""
+    rows = [
+        ("Héllo, wörld—42 foo_bar",), ("  ",), ("",), (None,),
+        ("---a---",), ("ΑΒΓ δε-ζ 中文123",), ("a",), (" b\t c\n",),
+        ("𝟘𝟙 ²³ ¼ half",), ("ﬁre ﬂow",), ("a--b  c__d",),
+    ]
+    df = spark.createDataFrame(rows, "t string")
+    two_pass = F.array_remove(
+        F.split(
+            F.regexp_replace(F.lower(F.col("t")), r"[^\p{L}\p{N}]+", " "), " "
+        ),
+        "",
+    )
+    got = df.select(
+        tokenize("t", stopwords=None).alias("n"), two_pass.alias("o")
+    ).collect()
+    for r in got:
+        assert r["n"] == r["o"]
+
+
 def test_lang_id_profiles(spark):
     df = spark.createDataFrame(
         [
