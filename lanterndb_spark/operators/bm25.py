@@ -286,30 +286,15 @@ def search_bm25_df(
     custom tokenization profile; reference parity: search_bm25
     (bm25_api.sql:61-104), one query per call, recast over a batch.
     Duplicate q_id VALUES are PER-ROW like every other batch surface
-    (r12): without the wrap the groupBy/window would score the UNION of
-    the duplicates' terms as one query; ``unique_q_ids=True`` skips the
-    one-aggregate detection pass."""
+    (r12): an inline occurrence number over equal q_id values (one
+    small window on the query side, r15 — replacing the former
+    standalone detection aggregate + surrogate-checkpoint wrap, which
+    cost a dedicated job on EVERY call) keys the scoring groupBy and
+    the rank window per ROW, so duplicate-valued and NULL keys each
+    keep their own top-k; ``unique_q_ids=True`` skips the occurrence
+    column — duplicates then score as one union-of-terms query (the
+    documented escape hatch)."""
     from pyspark.sql import Window
-
-    if not unique_q_ids:
-        from lanterndb_spark.operators.hnsw import (
-            _has_duplicate_qids, _restore_surrogate, _surrogate_key_queries,
-        )
-
-        if _has_duplicate_qids(queries, q_id_col):
-            payload = q_terms_col or q_text_col
-            keyed = _surrogate_key_queries(queries, q_id_col, payload)
-            inner = search_bm25_df(
-                docs, keyed.drop("__orig_qid"), id_col=id_col,
-                text_col=text_col, q_id_col=q_id_col, q_text_col=q_text_col,
-                limit=limit, k1=k1, b=b, stem=stem, stopwords=stopwords,
-                postings=postings, stats=stats, round_scores=round_scores,
-                terms_col=terms_col, q_terms_col=q_terms_col,
-                prune_terms=prune_terms, unique_q_ids=True,
-            )
-            return _restore_surrogate(
-                inner, keyed, q_id_col, ["doc_id", "bm25"], key_col=q_id_col
-            )
 
     if postings is None:
         postings = build_postings(
@@ -327,39 +312,61 @@ def search_bm25_df(
         if q_terms_col
         else tokenize(q_text_col, stopwords=stopwords, stem=stem)
     )
-    qterms = explode_nonempty(
-        queries.select(F.col(q_id_col).alias("__qid"), F.array_distinct(qt).alias("_qt")),
-        "_qt", "term", "__qid",
+    qbase = queries.select(
+        F.col(q_id_col).alias("__qid"), F.array_distinct(qt).alias("_qt")
     )
+    qsel = qbase
+    group_keys = ["__qid"]
+    if not unique_q_ids:
+        # per-ROW answer without a detection job: number each row's
+        # occurrence among equal __qid values (NULLs form one window
+        # group, so NULL-keyed rows are numbered apart too — the former
+        # wrap's guarantee). The order key is the tokenized payload:
+        # deterministic across retries for distinct payloads, and rows
+        # with identical (qid, terms) are interchangeable (identical
+        # top-k), so the output multiset is retry-stable either way
+        # (guide §2.5 deterministic-keys rule). One narrow exchange of
+        # the (small) query frame replaces the standalone aggregate job
+        # the old check paid on every call, plus the eager
+        # localCheckpoint + restore join of the wrap on the dup path.
+        w_occ = Window.partitionBy("__qid").orderBy("_qt")
+        qsel = qsel.withColumn("__occ", F.row_number().over(w_occ))
+        group_keys = ["__qid", "__occ"]
+    qterms = explode_nonempty(qsel, "_qt", "term", *group_keys)
 
     hits = postings
     if prune_terms is not None and _postings_worth_probe(postings):
         # limit-capped probe, never an unbounded collect: the distinct
         # term union is vocabulary-bounded, but only a small union is
-        # worth turning into a scan-pushable isin
+        # worth turning into a scan-pushable isin. Built from the
+        # window-free projection — the probe job must not pay the
+        # occurrence window's exchange just to list distinct terms.
         probe = [
             r["term"]
-            for r in qterms.select("term").distinct().limit(prune_terms + 1).collect()
+            for r in explode_nonempty(qbase.select("_qt"), "_qt", "term")
+            .select("term").distinct().limit(prune_terms + 1).collect()
         ]
         if len(probe) <= prune_terms:
             hits = hits.filter(F.col("term").isin(probe))
 
     pairs = hits.join(qterms, on="term")
     per_doc = pairs.select(
-        "__qid",
+        *group_keys,
         "term_freq",
         F.explode(F.arrays_zip("doc_ids", "fqs", "doc_lens")).alias("p"),
     ).select(
-        "__qid",
+        *group_keys,
         F.col("p.doc_ids").alias("doc_id"),
         bm25_score_expr(
             F.col("p.fqs"), F.col("p.doc_lens"), F.col("term_freq"), n, avgdl, k1, b
         ).alias("score"),
     )
-    scored = per_doc.groupBy("__qid", "doc_id").agg(F.sum("score").alias("bm25"))
+    scored = per_doc.groupBy(*group_keys, "doc_id").agg(F.sum("score").alias("bm25"))
     if round_scores is not None:
         scored = scored.withColumn("bm25", F.round("bm25", round_scores))
-    w = Window.partitionBy("__qid").orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    w = Window.partitionBy(*group_keys).orderBy(
+        F.col("bm25").desc(), F.col("doc_id").asc()
+    )
     return (
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= limit)

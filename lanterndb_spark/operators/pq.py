@@ -92,14 +92,6 @@ def train_codebook(
     """
     if clusters > MAX_CLUSTERS:
         raise ValueError(f"cluster count must be <= {MAX_CLUSTERS}")
-    if dim is None:
-        first = df.select(vec_col).first()
-        if first is None or first[0] is None:
-            raise ValueError(
-                "cannot infer vector dim from an empty table; pass dim="
-            )
-        dim = len(first[0])
-    bounds = subvector_bounds(dim, splits)
 
     sample = df.select(F.col(vec_col).alias("v"))
     if sample_limit:
@@ -109,16 +101,40 @@ def train_codebook(
         sample = sample.orderBy(F.rand(seed)).limit(sample_limit)
 
     # explode each vector into its subvectors: (subvector_id, subvec)
-    sub_exprs = [
-        F.struct(
-            F.lit(i).alias("subvector_id"),
-            F.slice("v", lo + 1, hi - lo).alias("subvec"),
+    if dim is not None:
+        bounds = subvector_bounds(dim, splits)
+        sub_exprs = [
+            F.struct(
+                F.lit(i).alias("subvector_id"),
+                F.slice("v", lo + 1, hi - lo).alias("subvec"),
+            )
+            for i, (lo, hi) in enumerate(bounds)
+        ]
+        exploded = sample.select(F.explode(F.array(*sub_exprs)).alias("s")).select(
+            "s.subvector_id", "s.subvec"
         )
-        for i, (lo, hi) in enumerate(bounds)
-    ]
-    exploded = sample.select(F.explode(F.array(*sub_exprs)).alias("s")).select(
-        "s.subvector_id", "s.subvec"
-    )
+    else:
+        # dim read IN-PLAN from size(v) (r15): the former
+        # ``df.select(vec_col).first()`` probe paid a standalone job per
+        # build just to compute static slice bounds. The SQL mirror of
+        # subvector_bounds: sub = dim div splits, the LAST subvector
+        # takes the remainder. assert_true keeps the splits > dim
+        # contract an error (raised at job time instead of plan time —
+        # the trade for not scanning up front); it rides subvector_id,
+        # a consumed column, so it cannot be pruned away.
+        sub = f"(size(v) DIV {splits})"
+        last = splits - 1
+        exploded = sample.select(
+            F.expr(
+                f"explode(transform(sequence(0, {last}), i -> struct("
+                f"CAST(i + CAST(assert_true(size(v) >= {splits}, "
+                f"'splits {splits} > dim') IS NOT NULL AS INT) AS INT)"
+                f" AS subvector_id, "
+                f"slice(v, CAST(i AS INT) * {sub} + 1, "
+                f"IF(i = {last}, size(v) - {last} * {sub}, {sub}))"
+                f" AS subvec)))"
+            ).alias("s")
+        ).select("s.subvector_id", "s.subvec")
 
     def fit_group(pdf: pd.DataFrame) -> pd.DataFrame:
         sv = int(pdf["subvector_id"].iloc[0])

@@ -227,6 +227,63 @@ def test_search_df_on_consolidated_incremental_postings(tables, spark):
     assert key(a) == key(b)
 
 
+def test_search_bm25_df_null_q_ids_per_row(corpus, spark):
+    """NULL q_id rows each keep their own top-k (formerly guaranteed by
+    the surrogate wrap; r15's inline occurrence window must number the
+    NULL window group per row too) and the NULL label survives to the
+    output."""
+    from lanterndb_spark.operators.bm25 import search_bm25_df
+
+    withnull = spark.createDataFrame(
+        [(None, "apple"), (None, "kiwi"), (3, "banana")],
+        "q_id int, query string",
+    )
+    uniq = spark.createDataFrame(
+        [(0, "apple"), (1, "kiwi"), (2, "banana")],
+        "q_id int, query string",
+    )
+    got = search_bm25_df(corpus, withnull, limit=3, round_scores=6).collect()
+    exp = search_bm25_df(corpus, uniq, limit=3, round_scores=6).collect()
+    remap = {0: None, 1: None, 2: 3}
+    key = lambda rows, rm=None: sorted(
+        (((rm.get(r["q_id"], r["q_id"]) if rm else r["q_id"]) is None,
+          rm.get(r["q_id"], r["q_id"]) if rm else r["q_id"]),
+         r["doc_id"], r["bm25"]) for r in rows
+    )
+    assert len(got) == len(exp)  # per-row: both NULL rows answered
+    assert key(got) == key(exp, remap)
+
+
+def test_search_bm25_df_dup_path_runs_no_extra_job(corpus, spark):
+    """The per-row answer for duplicate/NULL q_ids is plan-inline (one
+    occurrence window over the query frame) — it must NOT cost a
+    standalone detection job or a checkpoint like the old wrap did:
+    job count with duplicate keys == job count with unique keys."""
+    from lanterndb_spark.operators.bm25 import (
+        build_postings, corpus_stats, search_bm25_df,
+    )
+
+    sc = spark.sparkContext
+    p = build_postings(corpus).cache()
+    p.count()
+    st = corpus_stats(corpus)
+
+    def njobs(qrows):
+        qdf = spark.createDataFrame(qrows, "q_id int, query string")
+        sc.parallelize([0], 1).count()
+        ids = sc.statusTracker().getJobIdsForGroup()
+        before = max(ids) if ids else -1
+        search_bm25_df(corpus, qdf, limit=3, postings=p, stats=st).count()
+        sc.parallelize([0], 1).count()
+        ids = sc.statusTracker().getJobIdsForGroup()
+        return (max(ids) if ids else -1) - before - 1
+
+    n_uniq = njobs([(0, "apple"), (1, "kiwi")])
+    n_dup = njobs([(7, "apple"), (7, "kiwi"), (None, "banana")])
+    assert n_dup == n_uniq
+    p.unpersist()
+
+
 def test_search_bm25_df_duplicate_q_ids_per_row(corpus, spark):
     """Duplicate q_id VALUES answer per ROW (r12): q_id=7 appears with
     two DIFFERENT query texts; each keeps its own top-k instead of

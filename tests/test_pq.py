@@ -87,3 +87,38 @@ def test_adc_knn_recall_vs_exact(emb, codebook):
     assert recall >= 0.3  # 8x16 codebook on 500 docs is coarse; sanity bound
     # the query's own row must be found (dist to itself is the LUT floor)
     assert 5 in ann[:3]
+
+
+def test_train_codebook_inplan_dim_matches_static(emb, spark):
+    """dim=None derives the subvector bounds IN-PLAN from size(v) (r15 —
+    the former first() probe job is gone); the codebook must be
+    bit-identical to the static-bounds path with the true dim, and the
+    lazy path must not cost MORE jobs than the static one. splits > dim
+    still errors (at job time now)."""
+    from pyspark.sql.utils import AnalysisException
+
+    dim = len(emb.select("embedding").first()[0])
+    sc = spark.sparkContext
+
+    def njobs(fn):
+        sc.parallelize([0], 1).count()
+        ids = sc.statusTracker().getJobIdsForGroup()
+        before = max(ids) if ids else -1
+        out = fn()
+        sc.parallelize([0], 1).count()
+        ids = sc.statusTracker().getJobIdsForGroup()
+        return out, (max(ids) if ids else -1) - before - 1
+
+    lazy, n_lazy = njobs(lambda: train_codebook(
+        emb, "embedding", splits=3, clusters=8, seed=7).collect())
+    static, n_static = njobs(lambda: train_codebook(
+        emb, "embedding", splits=3, clusters=8, seed=7, dim=dim).collect())
+    key = lambda rows: sorted(
+        (r["subvector_id"], r["centroid_id"], tuple(r["c"])) for r in rows
+    )
+    assert key(lazy) == key(static)
+    assert n_lazy <= n_static  # the probe job is gone, not moved
+
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="splits"):
+        train_codebook(emb, "embedding", splits=dim + 1, clusters=4).collect()
