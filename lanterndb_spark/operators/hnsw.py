@@ -2446,11 +2446,70 @@ def hnsw_search_df_filtered(
     return attach_persisted(out.select(*out_cols), *persisted)
 
 
-def hnsw_insert(index: HnswIndex, delta: DataFrame) -> HnswIndex:
-    """aminsert analogue (insert.c:51-262): cogroup the delta rows with
-    their shard's existing blob and run the SAME insertion routine — the
+def _merge_rows_into_shard(
+    shard: int, blob, dids: np.ndarray, raw_rows: list,
+    *, metric: str, m: int, efc: int, seed: int, quant,
+    pq_splits, pq_clusters,
+) -> tuple[int, bytes] | None:
+    """Insert (dids, raw vector rows) into one shard's graph — the body
+    both hnsw_insert paths (cogroup and broadcast-delta) share, so the
+    per-shard semantics (metric prep, fresh-shard build, frozen-PQ
+    geometry) cannot drift between them. ``blob=None`` builds a fresh
+    shard. Returns (n, blob_bytes), or None when an existing blob takes
+    no surviving rows (e.g. every cos delta row had zero norm) — the
+    caller passes the blob through VERBATIM, preserving its generation
+    uid like a fully untouched shard."""
+    if metric == "hamming":
+        dX = _bits_rows(raw_rows)
+    else:
+        dX = np.asarray(raw_rows, dtype=np.float64)
+        if metric == "cos":
+            dids, dX = _norm_rows(dids, dX)
+    if blob is not None and not len(dids):
+        return None
+    if blob is None:
+        g = _Graph(dids, dX, m, efc, seed ^ shard)
+        if quant == "pq":
+            g.freeze_pq(pq_splits, pq_clusters, seed ^ shard)
+        else:
+            g.quant = quant
+    else:
+        g = _Graph.from_blob(bytes(blob))
+        g.add(dids, dX, seed ^ shard)
+    return len(g.ids), g.to_blob()
+
+
+def hnsw_insert(
+    index: HnswIndex, delta: DataFrame, broadcast_delta: bool | None = None
+) -> HnswIndex:
+    """aminsert analogue (insert.c:51-262): merge the delta rows into
+    their shard's existing blob with the SAME insertion routine — the
     graph grows in place, nothing retrains, untouched shards pass
-    through unchanged."""
+    through unchanged.
+
+    Two plan shapes (r15). The original cogroup re-shuffled EVERY
+    shard's blob and round-tripped it through the Python worker on
+    every call — at index scale that is the whole index over the wire
+    per micro-batch just to decide "untouched" (guide §8: the decision
+    needs the shard KEY, not the blob). The broadcast-delta shape
+    groups the delta per shard, broadcasts it, and LEFT-joins the
+    graphs side — untouched blobs pass through as verbatim JVM bytes
+    (no exchange above the graphs cache, no Python), touched shards
+    merge through the shared per-shard routine with the blob argument
+    NULL-masked so untouched bytes never cross the Arrow boundary.
+    Brand-new shards (delta keys absent from the graphs) are detected
+    by two driver-side key collects (shard ids only, column-pruned) —
+    deliberately SEPARATE queries, so the returned plan embeds the
+    previous generation exactly ONCE and chained micro-batch inserts
+    keep the linear plan growth of the cogroup shape (a second
+    embedded reference would double the tree per generation).
+
+    ``broadcast_delta``: None (default) auto-picks the broadcast shape
+    when Catalyst knows the delta is small (known rowCount <= 65536 —
+    exact for materialized caches / local relations); the streaming
+    handles pass True (their micro-batch contract); big or unknown
+    deltas keep the cogroup, whose delta side never touches the
+    driver."""
     m, efc, seed = index.m, index.ef_construction, index.seed
     replicas = getattr(index, "replicas", 1)
     if index.centroids is not None:
@@ -2483,39 +2542,104 @@ def hnsw_insert(index: HnswIndex, delta: DataFrame) -> HnswIndex:
     quant = index.quant
     pq_splits, pq_clusters = index.pq_splits, index.pq_clusters
 
+    if broadcast_delta is None:
+        from lanterndb_spark.plans.shape import estimated_rows
+
+        est = estimated_rows(delta)
+        broadcast_delta = est is not None and est <= 65536
+
+    if broadcast_delta:
+        packed = src.groupBy("__shard").agg(
+            F.collect_list(F.struct("__gid", "__gv")).alias("__items")
+        )
+        # brand-new-shard detection: ONE shard-KEY collect over the
+        # union of both sides' keys (column-pruned — the cached graphs
+        # scan never materializes blobs, the packed side prunes to a
+        # distinct over the small delta). Driver-side on purpose:
+        # folding this into the returned plan would reference the
+        # previous generation a second time and chained inserts would
+        # double their plan per micro-batch.
+        keys = packed.select(
+            F.col("__shard").alias("k"), F.lit(True).alias("t")
+        ).unionByName(
+            index.graphs.select(F.col("shard").alias("k"), F.lit(False).alias("t"))
+        ).collect()
+        touched = {int(r["k"]) for r in keys if r["t"]}
+        existing = {int(r["k"]) for r in keys if not r["t"]}
+        new_ids = sorted(touched - existing)
+
+        @F.udf("n bigint, blob binary")
+        def merge_one(blob, items, shard):
+            if items is None:
+                return None  # untouched row: result discarded by the CASE
+            dids = np.asarray([int(r["__gid"]) for r in items], dtype=np.int64)
+            return _merge_rows_into_shard(
+                int(shard), blob, dids, [r["__gv"] for r in items],
+                metric=metric, m=m, efc=efc, seed=seed, quant=quant,
+                pq_splits=pq_splits, pq_clusters=pq_clusters,
+            )
+
+        # to_blob stamps a fresh generation uid → honestly nondeterministic;
+        # also stops the optimizer duplicating the expensive call (§4.4)
+        merge_one = merge_one.asNondeterministic()
+
+        joined = index.graphs.join(
+            F.broadcast(packed), F.col("shard") == F.col("__shard"), "left"
+        )
+        merged = joined.select(
+            "shard",
+            # merge_one is NULL for untouched rows (and for deltas whose
+            # rows all drop in metric prep) → coalesce passes the shard's
+            # verbatim JVM bytes through: no exchange above the graphs
+            # cache, no Python round-trip for untouched blobs
+            F.coalesce(
+                merge_one(
+                    # NULL-masked blob argument: untouched bytes never
+                    # cross the Python boundary even though the extracted
+                    # BatchEvalPython node runs for every row
+                    F.when(F.col("__items").isNotNull(), F.col("blob")),
+                    F.col("__items"),
+                    F.col("shard"),
+                ),
+                F.struct(F.col("n"), F.col("blob")),
+            ).alias("__m"),
+        ).select(
+            "shard", F.col("__m.n").alias("n"), F.col("__m.blob").alias("blob")
+        )
+        if new_ids:
+            fresh = packed.filter(F.col("__shard").isin(new_ids)).select(
+                F.col("__shard").alias("shard"),
+                merge_one(
+                    F.lit(None).cast("binary"), F.col("__items"),
+                    F.col("__shard"),
+                ).alias("__m"),
+            ).select(
+                "shard", F.col("__m.n").alias("n"), F.col("__m.blob").alias("blob")
+            )
+            merged = merged.unionByName(fresh)
+        graphs = merged.persist()
+        graphs.count()
+        return index._replace(graphs=graphs)
+
     def merge(key, gpdf: pd.DataFrame, dpdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(key[0])
-        dids = dpdf["__gid"].to_numpy() if len(dpdf) else np.empty(0, np.int64)
-        if not len(dids):
-            dX = np.empty((0, 0))
-        elif metric == "hamming":
-            dX = _bits_rows(dpdf["__gv"].tolist())
-        else:
-            dX = np.asarray(dpdf["__gv"].tolist(), dtype=np.float64)
-            if metric == "cos":
-                dids, dX = _norm_rows(dids, dX)
-        if not len(dids) and len(gpdf):
+        if not len(dpdf) and len(gpdf):
             # untouched shard: its existing blob BYTES pass through
             # verbatim — no deserialize/re-serialize, so a micro-batch
             # costs O(touched shards), not O(total shards), exactly the
             # economics the millions-of-shards cluster routing needs
             return gpdf[["shard", "n", "blob"]]
-        if len(gpdf) == 0:
-            # brand-new shard (possible when the base build saw no rows
-            # hashing here): build fresh, same blob format as the index
-            g = _Graph(dids, dX, m, efc, seed ^ shard)
-            if quant == "pq":
-                # same codebook geometry as the base build, so this
-                # shard's ADC distances merge fairly with its siblings
-                g.freeze_pq(pq_splits, pq_clusters, seed ^ shard)
-            else:
-                g.quant = quant
-        else:
-            g = _Graph.from_blob(gpdf["blob"].iloc[0])
-            g.add(dids, dX, seed ^ shard)
-        return pd.DataFrame(
-            {"shard": [shard], "n": [len(g.ids)], "blob": [g.to_blob()]}
+        dids = dpdf["__gid"].to_numpy() if len(dpdf) else np.empty(0, np.int64)
+        blob = gpdf["blob"].iloc[0] if len(gpdf) else None
+        res = _merge_rows_into_shard(
+            shard, blob, dids, dpdf["__gv"].tolist(), metric=metric, m=m,
+            efc=efc, seed=seed, quant=quant, pq_splits=pq_splits,
+            pq_clusters=pq_clusters,
         )
+        if res is None:  # every delta row dropped in prep: verbatim bytes
+            return gpdf[["shard", "n", "blob"]]
+        n, b = res
+        return pd.DataFrame({"shard": [shard], "n": [n], "blob": [b]})
 
     graphs = (
         index.graphs.groupBy("shard")

@@ -74,7 +74,12 @@ class HnswIngest:
             # superseded one unpersists here — lineage stays one
             # generation deep
             old = self.index
-            self.index = hnsw_insert(old, batch_df)
+            # broadcast_delta: micro-batches are small by contract (the
+            # whole handle's economics are O(batch), module docstring),
+            # and foreachBatch frames carry no Catalyst rowCount for the
+            # auto gate — untouched shard blobs then pass through the
+            # JVM verbatim instead of re-shuffling through Python (r15)
+            self.index = hnsw_insert(old, batch_df, broadcast_delta=True)
             old.graphs.unpersist()
             self.batches += 1
             # marker moves ONLY after success (see streaming/ann.py)

@@ -77,7 +77,14 @@ class SemanticDedupIngest:
             F.col(self.id_col).alias("__ib"), F.col(self.vec_col).alias("__vb")
         )
         return (
-            a.join(b, F.col("__ia") < F.col("__ib"))
+            # broadcast the right side explicitly (§3.1): a foreachBatch
+            # frame carries no Catalyst stats, so the planner otherwise
+            # falls back to CartesianProduct — measured 1,024 near-empty
+            # tasks (32x32 partition product) and ~12 s PER MICRO-BATCH
+            # of a 64-row stream at bench scale (r15). Micro-batches are
+            # small by this handle's own contract (the n^2 comparison is
+            # the design), so one side always fits a broadcast.
+            a.join(F.broadcast(b), F.col("__ia") < F.col("__ib"))
             .withColumn("cos_dist", cos_dist(F.col("__va"), F.col("__vb")))
             .filter(F.col("cos_dist") <= self.max_cos_dist)
             .select(
@@ -140,7 +147,13 @@ class SemanticDedupIngest:
                 )
             else:
                 old = self.index
-                self.index = hnsw_insert(old, batch)
+                # broadcast_delta: a micro-batch is small by construction
+                # (this handle brute self-joins it above), so the insert
+                # takes the broadcast shape — untouched shard blobs stay
+                # verbatim in the JVM instead of re-shuffling through
+                # Python every batch (r15; foreachBatch frames have no
+                # Catalyst rowCount, so the auto gate can't see it)
+                self.index = hnsw_insert(old, batch, broadcast_delta=True)
                 old.graphs.unpersist()
             self.pairs = (
                 found if self.pairs is None else self.pairs.unionByName(found)

@@ -1196,3 +1196,65 @@ def test_replicas_clamp_warns(spark):
     got = hnsw_search(idx, tiny, [0.0, 0.0], k=2, ef=4).collect()
     assert [r["vec_id"] for r in got] == [0, 1]
     idx.graphs.unpersist()
+
+
+def test_insert_broadcast_path_matches_cogroup(index, emb, spark):
+    """r15: hnsw_insert's broadcast-delta shape (small deltas — untouched
+    blobs pass through in the JVM with no exchange above the graphs
+    cache and no Python round-trip) must agree with the cogroup shape on
+    shard membership, counts, and search results — including a
+    brand-new shard and a multi-row delta to one shard."""
+    import io
+    from contextlib import redirect_stdout
+
+    from lanterndb_spark.operators import hnsw as H
+
+    rows = [(90_100 + i, qvec(emb, i)) for i in range(6)]
+    twin = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = hnsw_insert(index, twin, broadcast_delta=True)
+    b = hnsw_insert(index, twin, broadcast_delta=False)
+    ga = {r["shard"]: (r["n"], bytes(r["blob"])) for r in a.graphs.collect()}
+    gb = {r["shard"]: (r["n"], bytes(r["blob"])) for r in b.graphs.collect()}
+    assert set(ga) == set(gb)
+    assert {s: n for s, (n, _) in ga.items()} == {s: n for s, (n, _) in gb.items()}
+    # graph CONTENT equal per shard: same ids (blob uids differ by design)
+    for s in ga:
+        assert list(H._Graph.from_blob(ga[s][1]).ids) == list(
+            H._Graph.from_blob(gb[s][1]).ids)
+    q = qvec(emb, 2)
+    ra = [r["vec_id"] for r in hnsw_search_batch(a, [q], k=5, ef=64).collect()]
+    rb = [r["vec_id"] for r in hnsw_search_batch(b, [q], k=5, ef=64).collect()]
+    assert ra == rb
+    # untouched shards: verbatim bytes on the broadcast path too (a
+    # 1-row delta touches exactly one shard). A FRESH index is built
+    # here and its blobs pinned through localCheckpoint: late in the
+    # suite the shared fixture's cache can be evicted, and a re-read
+    # re-serializes every blob with a fresh generation uid — an
+    # eviction artifact this assertion must not confuse with the
+    # insert re-serializing untouched shards.
+    base = emb.limit(60).select("vec_id", "embedding")
+    fresh_idx = build_hnsw(
+        base, "embedding", id_col="vec_id", m=8, ef_construction=32,
+        num_shards=4, seed=11,
+    )
+    fresh_idx = fresh_idx._replace(
+        graphs=fresh_idx.graphs.localCheckpoint(eager=True)
+    )
+    before = {r["shard"]: bytes(r["blob"]) for r in fresh_idx.graphs.collect()}
+    one = spark.createDataFrame(rows[:1], "vec_id long, embedding array<float>")
+    c = hnsw_insert(fresh_idx, one, broadcast_delta=True)
+    gc = {r["shard"]: bytes(r["blob"]) for r in c.graphs.collect()}
+    changed = [s for s in before if gc[s] != before[s]]
+    assert len(changed) == 1
+    assert all(gc[s] == before[s] for s in before if s not in changed)
+    # plan: no Exchange above the graphs-side cache scan (the blobs never
+    # shuffle); the only exchange under the join is the packed delta's agg
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        c.graphs.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
+    import re
+    # the graphs cache feeds the join's streamed side directly
+    assert not re.search(r"Exchange[\s\S]{0,400}InMemoryTableScan", plan.split("BroadcastExchange")[0])
+    a.graphs.unpersist(); b.graphs.unpersist(); c.graphs.unpersist()
