@@ -6423,75 +6423,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Rows-only queries never occupy window slots (VERDICT r9 item 3 —
     every slot should be able to go hash-green); their shadows do.
 
-    - Entries 1-50 (the round-14 window): knnbatch_nullqid_equiv first
-      (its function body changed this round — the r14 ADVICE fix widens
-      refine to the covering-window convention, k*refine >= n), then
-      the nine r10 greens VERDICT r13 item 6 ordered headed (age 4 —
-      the stalest greens anywhere, they'd age to 5 if deferred again),
-      then all forty r11 greens (age 3). 1 + 9 + 40 = 50 exactly.
-    - Entries 51+: the r12 greens (age 2, first in line for r15), then
-      the r13 greens (age 1 — youngest, safest to park). Still checked
-      every round by tools/check_oracle.py and pytest.
+    - Entries 1-50 (the round-15 window): the eleven rows that execute
+      r15-changed lines head it (bm25 batch occurrence-window keying;
+      hnsw_insert's broadcast-delta shape + the streaming handles that
+      pass broadcast_delta=True; train_codebook's in-plan dim bounds on
+      every pq/ivfpq build; ivf_search_batch's tiny-batch literal
+      kernel inside rag_pipeline's module), then the first 39 of the
+      r12 greens — at age 3 the stalest greens anywhere.
+      11 + 39 = 50 exactly.
+    - Entries 51+: the remaining six r12 greens (first in line for the
+      next rotation), then the r13 greens (age 2), then the r14-window
+      greens (age 1 — youngest, safest to park). Still checked every
+      round by tools/check_oracle.py and pytest.
     - Final block: rows-only queries with no SQL-expressible oracle,
       each shadowed by an oracle-backed *_exact_equiv / *_invariants /
       *_recall query.
     """
     return {
         # -- 1-50: the driver-checked window ------------------------------
-        # changed-this-round (r14 ADVICE: covering refine window):
-        "knnbatch_nullqid_equiv": q_knnbatch_nullqid_equiv,
-        # newest-green r10 (age 4 — the stalest greens anywhere):
-        "events_json": q_events_json,
-        "tpch_q3": q_tpch_q3,
-        "window_rownum": q_window_rownum,
-        "dedup_groups": q_dedup_groups,
-        "ivfsq_exact_equiv": q_ivfsq_exact_equiv,
-        "multimodal_invariants": q_multimodal_invariants,
-        "jaccard_prefix": q_jaccard_prefix,
-        "bigram_score": q_bigram_score,
-        "mad_outliers": q_mad_outliers,
-        # newest-green r11 (age 3 — all forty):
-        "histogram": q_histogram,
-        "zipf_fit": q_zipf_fit,
-        "psi_drift": q_psi_drift,
-        "weighted_sample": q_weighted_sample,
-        "hnswdf_exact_equiv": q_hnswdf_exact_equiv,
-        "hnswdf_filtered_equiv": q_hnswdf_filtered_equiv,
-        "embed_invariants": q_embed_invariants,
+        # changed-this-round (r15 optimization diff, function-level):
+        "bm25_batch": q_bm25_batch,
         "streaming_semdedup_equiv": q_streaming_semdedup_equiv,
         "streaming_hnswbatch_equiv": q_streaming_hnswbatch_equiv,
-        "scd2": q_scd2,
-        "semdedup_ann_equiv": q_semdedup_ann_equiv,
-        "emb_near_dup": q_emb_near_dup,
+        "streaming_hnsw_equiv": q_streaming_hnsw_equiv,
+        "hnsw_invariants": q_hnsw_invariants,
+        "hnswpq_recall": q_hnswpq_recall,
+        "hnswsq_recall": q_hnswsq_recall,
         "pq_roundtrip": q_pq_roundtrip,
-        "hnsw_cos_equiv": q_hnsw_cos_equiv,
-        "grouped_linreg": q_grouped_linreg,
-        "quantile_bin": q_quantile_bin,
-        "repeated_spans": q_repeated_spans,
-        "mix_temperature": q_mix_temperature,
-        "quality_logreg_score": q_quality_logreg_score,
-        "quality_classifier_invariants": q_quality_classifier_invariants,
-        "minhash_estimate_invariants": q_minhash_estimate_invariants,
-        "minhash_incremental_invariants": q_minhash_incremental_invariants,
-        "tpch_q2": q_tpch_q2,
-        "tpch_q9": q_tpch_q9,
-        "tpch_q12": q_tpch_q12,
-        "tpch_q15": q_tpch_q15,
-        "tpch_q16": q_tpch_q16,
-        "tpch_q17": q_tpch_q17,
-        "tpch_q11": q_tpch_q11,
-        "tpch_q20": q_tpch_q20,
-        "tpch_q21": q_tpch_q21,
-        "events_cube": q_events_cube,
-        "events_resample": q_events_resample,
-        "events_percentiles": q_events_percentiles,
-        "user_day_full_outer": q_user_day_full_outer,
-        "profile_documents": q_profile_documents,
-        "constraint_checks": q_constraint_checks,
-        "retrieval_eval": q_retrieval_eval,
-        "hard_negatives": q_hard_negatives,
-        "leakage_split": q_leakage_split,
-        # -- 51+: r12 greens (age 2 — first in line for r15) ----------------
+        "ivfpq_exact_equiv": q_ivfpq_exact_equiv,
+        "ivfpqdf_exact_equiv": q_ivfpqdf_exact_equiv,
+        "rag_pipeline": q_rag_pipeline,
+        # newest-green r12 (age 3 — the stalest greens anywhere), 39:
         "chunk_documents": q_chunk_documents,
         "tpch_q8": q_tpch_q8,
         "tpch_q13": q_tpch_q13,
@@ -6503,9 +6465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_spans": q_pipeline_spans,
         "pr_curve": q_pr_curve,
         "hnsw_exact_equiv": q_hnsw_exact_equiv,
-        "hnsw_invariants": q_hnsw_invariants,
         "streaming_neardup_equiv": q_streaming_neardup_equiv,
-        "streaming_hnsw_equiv": q_streaming_hnsw_equiv,
         "hnswivf_exact_equiv": q_hnswivf_exact_equiv,
         "hnsw_filtered_equiv": q_hnsw_filtered_equiv,
         "hnsw_hamming_equiv": q_hnsw_hamming_equiv,
@@ -6515,7 +6475,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": q_knn_join,
         "ivfdf_exact_equiv": q_ivfdf_exact_equiv,
         "ivfsqdf_exact_equiv": q_ivfsqdf_exact_equiv,
-        "ivfpqdf_exact_equiv": q_ivfpqdf_exact_equiv,
         "hybrid_batch": q_hybrid_batch,
         "hybrid_batch_indexed": q_hybrid_batch_indexed,
         "autotune_invariants": q_autotune_invariants,
@@ -6523,7 +6482,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "projknn_invariants": q_projknn_invariants,
         "projection_invariants": q_projection_invariants,
         "hnswdf_replicas_equiv": q_hnswdf_replicas_equiv,
-        "bm25_batch": q_bm25_batch,
         "dedup_sketch_invariants": q_dedup_sketch_invariants,
         "bm25_score": q_bm25_score,
         "bloom_hot_terms": q_bloom_hot_terms,
@@ -6535,16 +6493,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q7": q_tpch_q7,
         "tpch_q10": q_tpch_q10,
         "tpch_q18": q_tpch_q18,
+        # -- 51+: remaining r12 greens (first in line next rotation) -------
         "knn_l2sq": q_knn_l2sq,
         "bm25_topk": q_bm25_topk,
         "bm25_topk_tsvector": q_bm25_topk_tsvector,
         "sq8_knn": q_sq8_knn,
         "text_metrics": q_text_metrics,
         "ivf_exact_equiv": q_ivf_exact_equiv,
-        # -- r13 greens (age 1 — youngest, safest to park) ------------------
+        # -- r13 greens (age 2) ---------------------------------------------
         "knnbatch_dup_equiv": q_knnbatch_dup_equiv,
         "srp_exact_equiv": q_srp_exact_equiv,
-        "ivfpq_exact_equiv": q_ivfpq_exact_equiv,
         "cluster_balance": q_cluster_balance,
         "dedup_exact": q_dedup_exact,
         "tpch_q1": q_tpch_q1,
@@ -6554,11 +6512,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlap_join": q_overlap_join,
         "sessionize": q_sessionize,
         "asof_forward": q_asof_forward,
-        "hnswsq_recall": q_hnswsq_recall,
-        "hnswpq_recall": q_hnswpq_recall,
         "asof_nearest": q_asof_nearest,
         "bm25_consolidate": q_bm25_consolidate,
-        "rag_pipeline": q_rag_pipeline,
         "mix_domains": q_mix_domains,
         "decontaminate_semantic": q_decontaminate_semantic,
         "rrf_hybrid": q_rrf_hybrid,
@@ -6591,6 +6546,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_filtered": q_knn_filtered,
         "knn_hamming": q_knn_hamming,
         "sql_knn": q_sql_knn,
+        # -- r14-window greens (age 1 — youngest, safest to park) ----------
+        "knnbatch_nullqid_equiv": q_knnbatch_nullqid_equiv,
+        "events_json": q_events_json,
+        "tpch_q3": q_tpch_q3,
+        "window_rownum": q_window_rownum,
+        "dedup_groups": q_dedup_groups,
+        "ivfsq_exact_equiv": q_ivfsq_exact_equiv,
+        "multimodal_invariants": q_multimodal_invariants,
+        "jaccard_prefix": q_jaccard_prefix,
+        "bigram_score": q_bigram_score,
+        "mad_outliers": q_mad_outliers,
+        "histogram": q_histogram,
+        "zipf_fit": q_zipf_fit,
+        "psi_drift": q_psi_drift,
+        "weighted_sample": q_weighted_sample,
+        "hnswdf_exact_equiv": q_hnswdf_exact_equiv,
+        "hnswdf_filtered_equiv": q_hnswdf_filtered_equiv,
+        "embed_invariants": q_embed_invariants,
+        "scd2": q_scd2,
+        "semdedup_ann_equiv": q_semdedup_ann_equiv,
+        "emb_near_dup": q_emb_near_dup,
+        "hnsw_cos_equiv": q_hnsw_cos_equiv,
+        "grouped_linreg": q_grouped_linreg,
+        "quantile_bin": q_quantile_bin,
+        "repeated_spans": q_repeated_spans,
+        "mix_temperature": q_mix_temperature,
+        "quality_logreg_score": q_quality_logreg_score,
+        "quality_classifier_invariants": q_quality_classifier_invariants,
+        "minhash_estimate_invariants": q_minhash_estimate_invariants,
+        "minhash_incremental_invariants": q_minhash_incremental_invariants,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21,
+        "events_cube": q_events_cube,
+        "events_resample": q_events_resample,
+        "events_percentiles": q_events_percentiles,
+        "user_day_full_outer": q_user_day_full_outer,
+        "profile_documents": q_profile_documents,
+        "constraint_checks": q_constraint_checks,
+        "retrieval_eval": q_retrieval_eval,
+        "hard_negatives": q_hard_negatives,
+        "leakage_split": q_leakage_split,
         # -- rows-only (no SQL oracle), shadowed by equiv/invariant rows --
         "ivfsq_knn": q_ivfsq_knn,
         "srp_knn": q_srp_knn,

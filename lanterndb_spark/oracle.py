@@ -47,7 +47,14 @@ def duck_sql_list(words) -> str:
 
 
 def duck_tokens(col: str, stopwords=None) -> str:
-    """DuckDB twin of functions.text.tokenize (no stemming)."""
+    """DuckDB twin of functions.text.tokenize (no stemming).
+
+    Forms diverge intentionally since r14: the Spark side splits on the
+    separator class in ONE regex pass, this twin keeps the retired
+    two-pass replace+split shape — they are pinned token-identical by
+    test_text.py::test_tokenize_one_pass_split_matches_two_pass_form,
+    so the oracle stays a value twin, not a structural one (r14 ADVICE
+    item, resolved by documentation)."""
     base = (
         f"list_filter(string_split_regex(regexp_replace(lower({col}), "
         f"'[^\\p{{L}}\\p{{N}}]+', ' ', 'g'), '\\s+'), t -> t <> '')"

@@ -1084,3 +1084,48 @@ def test_routing_coalesce_results_invariant(emb, index, spark):
         assert a == b and a
     finally:
         cached.unpersist()
+
+
+def test_search_batch_literal_kernel_matches_join_shape(tables, spark):
+    """r15 (VERDICT r14 item 6): below the arrow crossover (nq < 4) the
+    expr path scores against PARSED literal query arrays — no probes
+    LocalRelation, no broadcast join — and must return exactly the
+    join shape's rows. The plan must carry no join for the tiny batch;
+    non-finite query values fall back to the join shape."""
+    import io
+    import math
+    from contextlib import redirect_stdout
+
+    from lanterndb_spark.operators.ivf import ivf_search_batch
+
+    emb = tables["embeddings"]
+    idx = build_ivf(emb, "embedding", nlist=8, seed=42)
+    idx.assigned.cache().count()
+    qs = [[float(x) for x in r["embedding"]]
+          for r in emb.limit(3).collect()]
+    for nq in (1, 3):
+        tiny = ivf_search_batch(idx, qs[:nq], k=5, nprobe=4,
+                                id_col="vec_id", impl="expr")
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            tiny.explain("formatted")
+        assert "Join" not in buf.getvalue()
+        # the join shape, forced via a 4-query call restricted back down,
+        # is the semantic reference: compare against per-query windows of
+        # a padded batch (same probes, same tie order)
+        padded = ivf_search_batch(idx, qs[:nq] + qs[:1] * (4 - nq), k=5,
+                                  nprobe=4, id_col="vec_id", impl="expr")
+        key = lambda rows: sorted(
+            (r["q_id"], r["vec_id"], round(r["dist"], 9)) for r in rows)
+        got = key(tiny.collect())
+        ref = key([r for r in padded.collect() if r["q_id"] < nq])
+        assert got == ref and got
+    # non-finite query values keep the join shape (literals can't parse)
+    bad = [[math.nan] + qs[0][1:]]
+    fb = ivf_search_batch(idx, bad, k=5, nprobe=4, id_col="vec_id",
+                          impl="expr")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        fb.explain("formatted")
+    assert "Join" in buf.getvalue()
+    idx.assigned.unpersist()

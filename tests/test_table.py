@@ -861,6 +861,11 @@ def test_knn_batch_dup_wrap_release_frees_blocks(tables, spark):
     out = t.knn_batch("embedding", dup, k=5, nprobe=2)
     derived = out.withColumn("backend", F.lit("ivf"))  # the bug's shape
     derived.collect()
+    # `created` attributes every RDD persisted between the snapshots to
+    # this test — fine under sequential pytest (the warmup above absorbs
+    # shared-fixture lazy persists); if this ever flakes, snapshot
+    # tightly around derived.collect() or filter `created` to the ids
+    # release(out) is contractually responsible for (r14 ADVICE note)
     created = pids() - before
     assert created  # wrap pinned blocks
     release(derived)  # no-op: attachments live on `out`

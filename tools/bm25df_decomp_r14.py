@@ -60,7 +60,11 @@ out = {}
 # 1. dup-check alone
 out["dupcheck"] = med(lambda: _has_duplicate_qids(qdf_t, "q_id"))
 
-# 2. probe alone (as written: explode -> distinct -> limit -> collect)
+# 2. probe alone (as written: explode -> distinct -> limit -> collect).
+# NOTE: hand-replicates the probe construction that lived at
+# bm25.py:336-345 in r14 — a one-round diagnosis snapshot; if bm25.py's
+# probe changes (r15 moved it to a window-free projection), this tool
+# measures the r14 shape, not HEAD's (r14 ADVICE drift note).
 from lanterndb_spark.operators.bm25 import STOPWORDS  # noqa: E402
 
 def run_probe(coalesced):
