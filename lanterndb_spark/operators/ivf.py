@@ -404,6 +404,14 @@ def _per_row_qid_wrap(
 # distance-matrix block and absorbs moderate cluster skew.
 _SALT_TARGET_BYTES = 32 << 20
 
+# query batches whose Catalyst-KNOWN exact row count is at or under this
+# bound route on the DRIVER in ivf_search_df (r15): the same 65,536-row
+# known-small convention as hnsw_insert's broadcast-delta gate, and well
+# inside knn_join's standing 100k driver-collect ceiling. Unknown or
+# larger stats keep the executor routing pass (queries never touch the
+# driver — the 100 TB posture).
+_DRIVER_ROUTE_MAX_QUERIES = 65_536
+
 
 def _adaptive_salt(index: "IvfIndex", salt_cap: int) -> int:
     """Scale-adaptive cogroup salt: ``ceil(per-cluster f64 block bytes /
@@ -468,7 +476,14 @@ def ivf_search_df(
        (tiny, broadcast) centroid matrix and emits
        (q_id, query_vec, cluster_id) × nprobe. Same argsort order as
        :func:`ivf_search`, so per-query results are identical to the
-       driver-list form by construction. No driver collect of queries.
+       driver-list form by construction. No driver collect of queries
+       — EXCEPT when Catalyst knows the frame's exact row count is
+       ≤ 65,536 (r15): such batches collect once and route on the
+       driver with the identical numpy argsort, the prune stats and
+       dup/NULL check become driver-side lookups (zero jobs), and the
+       scoring kernel reads the query matrix from a broadcast while
+       the routed relation shrinks to (position, cluster) pairs.
+       Unknown or larger stats keep the executor pass.
     2. prune — the routed frame persists and a map-side-combined
        per-cluster count aggregates over the CACHE (so routing runs
        once; the scoring stage reuses the cached rows); the collected
@@ -586,6 +601,60 @@ def ivf_search_df(
             queries, q_id_col, q_vec_col, id_col,
         )
 
+    # KNOWN-SMALL query frames route on the DRIVER (r15, guide §4/§5 —
+    # the same single-collect pattern as knn_join's capped collect):
+    # when Catalyst KNOWS the frame's exact row count and it is at most
+    # _DRIVER_ROUTE_MAX_QUERIES, collect the queries ONCE and run the
+    # SAME ``((cents - q)**2).sum`` + ``np.argsort`` as _centroid_route
+    # — probe choice is bit-identical by construction — then answer the
+    # dup/NULL check, the prune stats, the density gate, and the probed
+    # set driver-side with NO job at all. The scoring kernel reads the
+    # query matrix from a broadcast and the routed relation shrinks to
+    # narrow (position, cluster) pairs, so the executor routing pass,
+    # its persist, and the rollup aggregate job all disappear (measured
+    # 1.57 s of ivfdf_2k's 2.3 s at bench scale). Unknown or large
+    # stats keep the executor path unchanged.
+    droute = None
+    if prune and np_eff < index.nlist:
+        from lanterndb_spark.plans.shape import estimated_rows
+
+        est = estimated_rows(queries)
+        if est is not None and est <= _DRIVER_ROUTE_MAX_QUERIES:
+            qrows = queries.select(
+                F.col(q_id_col), F.col(q_vec_col).cast("array<double>")
+            ).collect()
+            keys = [r[0] for r in qrows]
+            if not unique_q_ids:
+                # driver-side twin of _has_duplicate_qids over the
+                # collected keys (same semantics as knn_join's check):
+                # count_distinct skips NULLs, all NaNs are one value
+                nonnull = [x for x in keys if x is not None]
+                has_null = len(nonnull) != len(keys)
+                try:
+                    nans = sum(1 for x in nonnull
+                               if isinstance(x, float) and x != x)
+                    dn = len({x for x in nonnull
+                              if not (isinstance(x, float) and x != x)})
+                    has_dup = (dn + (1 if nans else 0)) != len(nonnull)
+                except TypeError:  # unhashable key type: fall back
+                    from lanterndb_spark.operators.hnsw import (
+                        _has_duplicate_qids,
+                    )
+
+                    has_dup = _has_duplicate_qids(queries, q_id_col)
+                    has_null = False  # the aggregate covers NULLs too
+                if has_dup or has_null:
+                    return _wrap()
+            if not qrows:
+                return spark.createDataFrame(
+                    [], f"{q_id_col} {q_id_type}, {id_col} {id_type}, "
+                        "dist double"
+                )
+            qarr = np.asarray([list(r[1]) for r in qrows], dtype=np.float64)
+            d = ((index.centroids[None, :, :] - qarr[:, None, :]) ** 2).sum(-1)
+            probes = np.argsort(d, axis=1)[:, :np_eff]
+            droute = (keys, qarr, probes)
+
     # duplicate/NULL q_id detection: when the prune pass runs anyway, it
     # rides the SAME aggregate over the cached routed frame (every query
     # emits exactly np_eff routed rows, so dup-or-NULL ⟺
@@ -593,27 +662,33 @@ def ivf_search_df(
     # NULLs, so a NULL key also breaks the equality), saving the
     # standalone query-side aggregate job. Without a prune pass the
     # standalone check runs as before.
-    deferred_dup_check = (not unique_q_ids) and prune and np_eff < index.nlist
-    if not unique_q_ids and not deferred_dup_check:
+    deferred_dup_check = (
+        (not unique_q_ids) and droute is None
+        and prune and np_eff < index.nlist
+    )
+    if not unique_q_ids and droute is None and not deferred_dup_check:
         from lanterndb_spark.operators.hnsw import _has_duplicate_qids
 
         if _has_duplicate_qids(queries, q_id_col):
             return _wrap()
-    bc = spark.sparkContext.broadcast(index.centroids)
-    qsel = queries.select(
-        F.col(q_id_col).alias("__qid"),
-        F.col(q_vec_col).cast("array<double>").alias("__q"),
-    )
+    routed = None
+    if droute is None:
+        bc = spark.sparkContext.broadcast(index.centroids)
+        qsel = queries.select(
+            F.col(q_id_col).alias("__qid"),
+            F.col(q_vec_col).cast("array<double>").alias("__q"),
+        )
 
-    # known-small query batches route in a few big Python tasks instead
-    # of one near-empty task per input partition (stats-driven, no job;
-    # large/unknown inputs keep their parallelism)
-    from lanterndb_spark.plans.shape import coalesce_known_small
+        # known-small query batches route in a few big Python tasks
+        # instead of one near-empty task per input partition
+        # (stats-driven, no job; large/unknown inputs keep their
+        # parallelism)
+        from lanterndb_spark.plans.shape import coalesce_known_small
 
-    routed = coalesce_known_small(qsel, queries).mapInPandas(
-        _centroid_route(bc, np_eff),
-        f"__qid {q_id_type}, __q array<double>, cluster_id int",
-    )
+        routed = coalesce_known_small(qsel, queries).mapInPandas(
+            _centroid_route(bc, np_eff),
+            f"__qid {q_id_type}, __q array<double>, cluster_id int",
+        )
 
     # column selection is deferred to the impl branch below: the arrow
     # kernel may scan a coded layout (base_decode) whose columns differ
@@ -625,7 +700,16 @@ def ivf_search_df(
         src = src.filter(pred)
     probed_stats = None
     cached_routed = None
-    if prune and np_eff < index.nlist:
+    probed = None
+    if droute is not None:
+        # prune stats are a driver-side bincount over the routed probes
+        # — no persist, no rollup job; the probed-cluster set and the
+        # density gate come for free
+        keys, qarr, probes = droute
+        counts = np.bincount(probes.reshape(-1), minlength=index.nlist)
+        probed = [int(c) for c in np.nonzero(counts)[0]]
+        src = src.filter(F.col("cluster_id").isin(probed))
+    elif prune and np_eff < index.nlist:
         # ONE evaluation of the queries lineage: the routed frame is
         # persisted and the prune stats aggregate over the CACHE (the
         # collect materializes it), so the scoring route reads cached
@@ -668,7 +752,12 @@ def ivf_search_df(
         # the crossover is query DENSITY (queries per probed cluster) —
         # below it the codegen expr join wins on latency, above it
         # matmul flops beat interpreted per-pair folds
-        if probed_stats is not None:
+        if droute is not None:
+            # every query emits exactly np_eff routed rows
+            dense = (
+                len(droute[0]) * np_eff >= _ARROW_QPC_CROSSOVER * index.nlist
+            )
+        elif probed_stats is not None:
             # the prune pass already measured the batch for free: every
             # query emits exactly np_eff routed rows, so sum(cnt) =
             # nq * np_eff and the gate needs NO extra job over queries
@@ -697,9 +786,30 @@ def ivf_search_df(
         base_s = data.withColumn(
             "__salt", F.pmod(F.hash(F.col(id_col)), F.lit(salt_eff)).cast("int")
         )
-        routed_s = routed.withColumn(
-            "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_eff - 1)))
-        )
+        qbc = None
+        if droute is not None:
+            # narrow routed relation: (query position, cluster) pairs —
+            # the query VECTORS reach the kernel through one broadcast
+            # (the same task-closure pattern as knn_join's arrow path),
+            # so neither the routed exchange nor the Arrow boundary
+            # carries nq x nprobe vector copies
+            keys, qarr, probes = droute
+            nq = len(keys)
+            qkeys = np.empty(nq, dtype=object)
+            qkeys[:] = keys
+            qbc = spark.sparkContext.broadcast((qkeys, qarr))
+            routed_n = spark.createDataFrame(pd.DataFrame({
+                "__pos": np.repeat(
+                    np.arange(nq, dtype=np.int32), np_eff),
+                "cluster_id": probes.reshape(-1).astype(np.int32),
+            }))
+            routed_s = routed_n.withColumn(
+                "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_eff - 1)))
+            )
+        else:
+            routed_s = routed.withColumn(
+                "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_eff - 1)))
+            )
 
         def score(key, bpdf: pd.DataFrame, qpdf: pd.DataFrame) -> pd.DataFrame:
             # QUERY-MAJOR kernel (r11): the distance matrix is (queries,
@@ -722,8 +832,14 @@ def ivf_search_df(
             else:
                 X = np.asarray(bpdf[vec_col].tolist(), dtype=np.float64)
             ids = bpdf[id_col].to_numpy()
-            Q = np.asarray(qpdf["__q"].tolist(), dtype=np.float64)
-            qids = qpdf["__qid"].to_numpy()
+            if qbc is not None:
+                qk, qm = qbc.value
+                pos = qpdf["__pos"].to_numpy()
+                Q = qm[pos]
+                qids = qk[pos]
+            else:
+                Q = np.asarray(qpdf["__q"].tolist(), dtype=np.float64)
+                qids = qpdf["__qid"].to_numpy()
             if metric == "cos":
                 # zero-norm rows/queries have undefined angle — drop,
                 # mirroring the expr path's NULL-dist filter
@@ -785,6 +901,17 @@ def ivf_search_df(
             )
         )
     else:
+        if droute is not None:
+            # the expr join needs the vectors ON the routed rows (the
+            # distance expression reads __q); a driver-built local
+            # relation carries them — still no routing job, no persist,
+            # no rollup
+            keys, qarr, probes = droute
+            routed = spark.createDataFrame(
+                [(keys[i], [float(x) for x in qarr[i]], int(c))
+                 for i in range(len(keys)) for c in probes[i]],
+                f"__qid {q_id_type}, __q array<double>, cluster_id int",
+            )
         pairs = data.join(routed, on="cluster_id").withColumn(
             "dist", distance(metric, index.vec_col, F.col("__q")).cast("double")
         )
@@ -809,6 +936,7 @@ def ivf_search_df(
         from lanterndb_spark.plans.shape import attach_persisted
 
         out = attach_persisted(out, cached_routed)
+    if probed is not None:
         # the probed-cluster set rides the result so composites
         # (ivfsq_search_df's exact re-rank) can keep the coarse pass's
         # partition pruning instead of re-scanning the full table
@@ -838,7 +966,11 @@ def ivfpq_search_df(
 
     1. route — queries route to their ``nprobe`` nearest centroids
        executor-side (``_centroid_route``: same argsort as the
-       driver-list forms, unbounded batch).
+       driver-list forms, unbounded batch). Catalyst-known frames of
+       ≤ 65,536 rows route on the DRIVER instead (r15, identical
+       argsort — see ``ivf_search_df``), folding the routing pass, the
+       persist, the distinct collect, and the duplicate-check job into
+       one collect.
     2. prune — the routed frame persists (single evaluation of the
        queries lineage, like ``ivf_search_df``) and its per-cluster
        counts turn the probed union into a static ``isin`` the coded
@@ -929,44 +1061,100 @@ def ivfpq_search_df(
         return spark.createDataFrame(
             [], f"{q_id_col} {q_id_type}, {id_col} {id_type}, dist double"
         )
-    if not unique_q_ids:
+    np_eff = min(int(nprobe), index.nlist)
+
+    def _wrap():
+        return _per_row_qid_wrap(
+            lambda q: ivfpq_search_df(
+                index, codebook, q, k=k, nprobe=nprobe, refine=refine,
+                pq_col=pq_col, id_col=id_col, q_id_col=q_id_col,
+                q_vec_col=q_vec_col, prune=prune, salt=salt,
+                unique_q_ids=True,
+            ),
+            queries, q_id_col, q_vec_col, id_col,
+        )
+
+    # KNOWN-SMALL query frames route on the DRIVER — the same gate,
+    # numpy formulation, and dup/NULL semantics as ivf_search_df's
+    # driver route (r15): the routing pass, its persist, the distinct
+    # collect, AND the standalone duplicate-check job all fold into one
+    # collect of the (Catalyst-known ≤ 65,536-row) query frame.
+    droute = None
+    if prune and np_eff < index.nlist:
+        from lanterndb_spark.plans.shape import estimated_rows
+
+        est = estimated_rows(queries)
+        if est is not None and est <= _DRIVER_ROUTE_MAX_QUERIES:
+            qrows = queries.select(
+                F.col(q_id_col), F.col(q_vec_col).cast("array<double>")
+            ).collect()
+            keys = [r[0] for r in qrows]
+            if not unique_q_ids:
+                nonnull = [x for x in keys if x is not None]
+                has_null = len(nonnull) != len(keys)
+                try:
+                    nans = sum(1 for x in nonnull
+                               if isinstance(x, float) and x != x)
+                    dn = len({x for x in nonnull
+                              if not (isinstance(x, float) and x != x)})
+                    has_dup = (dn + (1 if nans else 0)) != len(nonnull)
+                except TypeError:  # unhashable key type: fall back
+                    from lanterndb_spark.operators.hnsw import (
+                        _has_duplicate_qids,
+                    )
+
+                    has_dup = _has_duplicate_qids(queries, q_id_col)
+                    has_null = False
+                if has_dup or has_null:
+                    return _wrap()
+            if not qrows:
+                return spark.createDataFrame(
+                    [], f"{q_id_col} {q_id_type}, {id_col} {id_type}, "
+                        "dist double"
+                )
+            qarr = np.asarray([list(r[1]) for r in qrows], dtype=np.float64)
+            dists = (
+                (index.centroids[None, :, :] - qarr[:, None, :]) ** 2
+            ).sum(-1)
+            probes = np.argsort(dists, axis=1)[:, :np_eff]
+            droute = (keys, qarr, probes)
+    if not unique_q_ids and droute is None:
         from lanterndb_spark.operators.hnsw import _has_duplicate_qids
 
         if _has_duplicate_qids(queries, q_id_col):
-            return _per_row_qid_wrap(
-                lambda q: ivfpq_search_df(
-                    index, codebook, q, k=k, nprobe=nprobe, refine=refine,
-                    pq_col=pq_col, id_col=id_col, q_id_col=q_id_col,
-                    q_vec_col=q_vec_col, prune=prune, salt=salt,
-                    unique_q_ids=True,
-                ),
-                queries, q_id_col, q_vec_col, id_col,
-            )
-    np_eff = min(int(nprobe), index.nlist)
+            return _wrap()
     kk = int(k) * int(refine)
     books = _codebook_arrays(codebook)
     dim = sum(b.shape[1] for b in books)
     bounds = subvector_bounds(dim, len(books))
-    bc = spark.sparkContext.broadcast(index.centroids)
     bc_books = spark.sparkContext.broadcast((books, bounds))
     # captured driver-side so the kernel closure carries the value (the
     # executors import the module fresh; tests force a branch by
     # patching the module constant before the call)
     adc_dgemm_min_dim = _ADC_DGEMM_MIN_DIM
-    qsel = queries.select(
-        F.col(q_id_col).alias("__qid"),
-        F.col(q_vec_col).cast("array<double>").alias("__q"),
-    )
-    from lanterndb_spark.plans.shape import coalesce_known_small
+    routed = None
+    if droute is None:
+        bc = spark.sparkContext.broadcast(index.centroids)
+        qsel = queries.select(
+            F.col(q_id_col).alias("__qid"),
+            F.col(q_vec_col).cast("array<double>").alias("__q"),
+        )
+        from lanterndb_spark.plans.shape import coalesce_known_small
 
-    routed = coalesce_known_small(qsel, queries).mapInPandas(
-        _centroid_route(bc, np_eff),
-        f"__qid {q_id_type}, __q array<double>, cluster_id int",
-    )
+        routed = coalesce_known_small(qsel, queries).mapInPandas(
+            _centroid_route(bc, np_eff),
+            f"__qid {q_id_type}, __q array<double>, cluster_id int",
+        )
 
     base = index.assigned.select("cluster_id", id_col, pq_col)
     cached_routed = None
-    if prune and np_eff < index.nlist:
+    probed = None
+    if droute is not None:
+        keys, qarr, probes = droute
+        counts = np.bincount(probes.reshape(-1), minlength=index.nlist)
+        probed = [int(c) for c in np.nonzero(counts)[0]]
+        base = base.filter(F.col("cluster_id").isin(probed))
+    elif prune and np_eff < index.nlist:
         cached_routed = routed.persist()
         probed = [
             int(r["cluster_id"])
@@ -980,9 +1168,24 @@ def ivfpq_search_df(
     base_s = data.withColumn(
         "__salt", F.pmod(F.hash(F.col(id_col)), F.lit(salt_eff)).cast("int")
     )
-    routed_s = routed.withColumn(
-        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_eff - 1)))
-    )
+    qbc = None
+    if droute is not None:
+        keys, qarr, probes = droute
+        nq = len(keys)
+        qkeys = np.empty(nq, dtype=object)
+        qkeys[:] = keys
+        qbc = spark.sparkContext.broadcast((qkeys, qarr))
+        routed_n = spark.createDataFrame(pd.DataFrame({
+            "__pos": np.repeat(np.arange(nq, dtype=np.int32), np_eff),
+            "cluster_id": probes.reshape(-1).astype(np.int32),
+        }))
+        routed_s = routed_n.withColumn(
+            "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_eff - 1)))
+        )
+    else:
+        routed_s = routed.withColumn(
+            "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_eff - 1)))
+        )
 
     def score(key, bpdf: pd.DataFrame, qpdf: pd.DataFrame) -> pd.DataFrame:
         # QUERY-MAJOR ADC kernel (r11, same rewrite as ivf_search_df's):
@@ -996,8 +1199,14 @@ def ivfpq_search_df(
         bks, bnds = bc_books.value
         codes = np.asarray(bpdf[pq_col].tolist(), dtype=np.int64)
         ids = bpdf[id_col].to_numpy()
-        Q = np.asarray(qpdf["__q"].tolist(), dtype=np.float64)
-        qids = qpdf["__qid"].to_numpy()
+        if qbc is not None:
+            qk, qm = qbc.value
+            pos = qpdf["__pos"].to_numpy()
+            Q = qm[pos]
+            qids = qk[pos]
+        else:
+            Q = np.asarray(qpdf["__q"].tolist(), dtype=np.float64)
+            qids = qpdf["__qid"].to_numpy()
         splits = len(bks)
         nb = codes.shape[0]
         dim = bnds[-1][1]
@@ -1163,7 +1372,7 @@ def ivfpq_search_df(
         q_id_col, F.col(q_vec_col).cast("array<double>").alias("__qv")
     )
     rerank_src = index.assigned
-    if cached_routed is not None:
+    if probed is not None:
         # candidates can only come from the probed clusters — keep the
         # coarse pass's partition pruning on the re-rank scan too (a
         # partitionBy(cluster_id) layout would otherwise full-scan here)

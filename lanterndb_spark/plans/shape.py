@@ -134,10 +134,20 @@ def estimated_rows(df: DataFrame) -> float | None:
     no ``rowCount`` in its Statistics, but its row count is exact and
     driver-resident by definition; read it from the node directly. The
     optimizer folds Project/Filter chains over local data into a new
-    LocalRelation, so the count is post-pruning exact."""
+    LocalRelation, so the count is post-pruning exact.
+
+    ``Project`` roots are walked through (r15): the size-only stats
+    visitor drops ``rowCount`` at every unary node, so a projection of
+    a materialized cache — exactly what the batch search forms receive
+    from composing callers like the hybrid batch — would otherwise
+    read as unknown. A Project is strictly row-preserving (generators
+    plan as ``Generate`` nodes, never Project), so the child's count IS
+    the projection's count."""
     try:
         fresh = df.select("*")
         plan = fresh._jdf.queryExecution().optimizedPlan()
+        while plan.getClass().getSimpleName() == "Project":
+            plan = plan.child()
         rc = plan.stats().rowCount()
         if rc.isDefined():
             return float(str(rc.get()))

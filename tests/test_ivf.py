@@ -1129,3 +1129,89 @@ def test_search_batch_literal_kernel_matches_join_shape(tables, spark):
         fb.explain("formatted")
     assert "Join" in buf.getvalue()
     idx.assigned.unpersist()
+
+
+def test_search_df_driver_route_matches_executor_route(tables, spark):
+    """r15: query frames whose exact row count Catalyst knows (<= the
+    65,536 known-small bound) route on the DRIVER — same numpy argsort,
+    so rows must be identical to the executor routing path on both the
+    arrow (cogroup) and expr (join) impls, for ivf AND ivfpq — with
+    strictly fewer jobs, and dup/NULL q_ids still answered per row."""
+    from lanterndb_spark.operators import ivf as ivfmod
+    from lanterndb_spark.operators.ivf import ivf_search_df, ivfpq_search_df
+    from lanterndb_spark.operators.pq import quantize, train_codebook
+    from lanterndb_spark.plans.shape import release
+
+    emb = tables["embeddings"]
+    idx = build_ivf(emb, "embedding", nlist=8, seed=42)
+    idx.assigned.cache().count()
+    qs = [(i, [float(x) for x in r["embedding"]])
+          for i, r in enumerate(emb.limit(24).collect())]
+    qdf = spark.createDataFrame(qs, "q_id int, query array<double>").persist()
+    qdf.count()  # exact InMemoryRelation rowCount => driver route fires
+
+    sc = spark.sparkContext
+
+    def run(fn):
+        sc.parallelize([0], 1).count()
+        ids = sc.statusTracker().getJobIdsForGroup()
+        before = max(ids) if ids else -1
+        out = fn()
+        rows = sorted(
+            (r[0], r[1], round(r[2], 9)) for r in out.collect())
+        release(out)
+        sc.parallelize([0], 1).count()
+        ids = sc.statusTracker().getJobIdsForGroup()
+        return rows, (max(ids) if ids else -1) - before - 1
+
+    for impl in ("arrow", "expr"):
+        body = lambda: ivf_search_df(
+            idx, qdf, k=5, nprobe=3, id_col="vec_id", impl=impl)
+        rows_d, jobs_d = run(body)
+        old = ivfmod._DRIVER_ROUTE_MAX_QUERIES
+        ivfmod._DRIVER_ROUTE_MAX_QUERIES = 0  # force the executor path
+        try:
+            rows_e, jobs_e = run(body)
+        finally:
+            ivfmod._DRIVER_ROUTE_MAX_QUERIES = old
+        assert rows_d == rows_e and rows_d, impl
+        assert jobs_d < jobs_e, (impl, jobs_d, jobs_e)
+
+    # ivfpq: same gate, same equality (codes built over the assigned set)
+    cb = train_codebook(emb, "embedding", splits=4, clusters=8, seed=1)
+    assigned_pq = quantize(
+        idx.assigned, "embedding", cb).cache()
+    assigned_pq.count()
+    pq_idx = ivfmod.IvfIndex(assigned_pq, idx.centroids, "embedding")
+    body_pq = lambda: ivfpq_search_df(
+        pq_idx, cb, qdf, k=5, nprobe=3, refine=3, id_col="vec_id")
+    rows_d, jobs_d = run(body_pq)
+    old = ivfmod._DRIVER_ROUTE_MAX_QUERIES
+    ivfmod._DRIVER_ROUTE_MAX_QUERIES = 0
+    try:
+        rows_e, jobs_e = run(body_pq)
+    finally:
+        ivfmod._DRIVER_ROUTE_MAX_QUERIES = old
+    assert rows_d == rows_e and rows_d
+    assert jobs_d < jobs_e, (jobs_d, jobs_e)
+
+    # dup/NULL q_ids on the driver path: the wrap still answers PER ROW
+    v0, v1 = qs[0][1], qs[1][1]
+    dup = spark.createDataFrame(
+        [(7, v0), (7, v1), (None, v0)], "q_id int, query array<double>"
+    ).persist()
+    dup.count()
+    uniq = spark.createDataFrame(
+        [(0, v0), (1, v1), (2, v0)], "q_id int, query array<double>"
+    ).persist()
+    uniq.count()
+    out_dup = ivf_search_df(idx, dup, k=5, nprobe=3, id_col="vec_id")
+    got = sorted((r[1], round(r[2], 9)) for r in out_dup.collect())
+    release(out_dup)
+    out_u = ivf_search_df(idx, uniq, k=5, nprobe=3, id_col="vec_id")
+    want = sorted((r[1], round(r[2], 9)) for r in out_u.collect())
+    release(out_u)
+    assert got == want and len(got) == 15
+    for df in (qdf, dup, uniq, assigned_pq):
+        df.unpersist()
+    idx.assigned.unpersist()
