@@ -2497,12 +2497,16 @@ def hnsw_insert(
     (no exchange above the graphs cache, no Python), touched shards
     merge through the shared per-shard routine with the blob argument
     NULL-masked so untouched bytes never cross the Arrow boundary.
-    Brand-new shards (delta keys absent from the graphs) are detected
-    by two driver-side key collects (shard ids only, column-pruned) —
-    deliberately SEPARATE queries, so the returned plan embeds the
-    previous generation exactly ONCE and chained micro-batch inserts
-    keep the linear plan growth of the cogroup shape (a second
-    embedded reference would double the tree per generation).
+    The delta is materialized by ONE driver collect (r15) that feeds
+    the per-shard packing, the broadcast relation (a LocalRelation —
+    its broadcast builds without a job), and brand-new-shard detection
+    in one evaluation; the existing shard keys come from a driver-local
+    set stamped on the graphs frame by the previous chained insert
+    (first insert after a build/load pays one column-pruned collect).
+    Detection stays driver-side on purpose: folding it into the
+    returned plan would embed the previous generation a second time
+    and chained micro-batch inserts would double their plan per
+    generation.
 
     ``broadcast_delta``: None (default) auto-picks the broadcast shape
     when Catalyst knows the delta is small (known rowCount <= 65536 —
@@ -2549,24 +2553,46 @@ def hnsw_insert(
         broadcast_delta = est is not None and est <= 65536
 
     if broadcast_delta:
-        packed = src.groupBy("__shard").agg(
-            F.collect_list(F.struct("__gid", "__gv")).alias("__items")
-        )
-        # brand-new-shard detection: ONE shard-KEY collect over the
-        # union of both sides' keys (column-pruned — the cached graphs
-        # scan never materializes blobs, the packed side prunes to a
-        # distinct over the small delta). Driver-side on purpose:
-        # folding this into the returned plan would reference the
-        # previous generation a second time and chained inserts would
-        # double their plan per micro-batch.
-        keys = packed.select(
-            F.col("__shard").alias("k"), F.lit(True).alias("t")
-        ).unionByName(
-            index.graphs.select(F.col("shard").alias("k"), F.lit(False).alias("t"))
-        ).collect()
-        touched = {int(r["k"]) for r in keys if r["t"]}
-        existing = {int(r["k"]) for r in keys if not r["t"]}
+        # ONE driver collect evaluates the delta lineage exactly once,
+        # route included (r15). The former shape evaluated it TWICE —
+        # once in a union-keys detection collect and once in the
+        # broadcast build — and paid a collect_list agg exchange plus a
+        # broadcast-build job per micro-batch. A broadcast IS a driver
+        # collect of the build side, so materializing the (known-small
+        # by this path's gate) delta explicitly adds no driver-memory
+        # exposure; the per-shard packing, the touched-shard set, and
+        # the broadcast relation all come from the same rows, and the
+        # packed side becomes a LocalRelation whose broadcast builds
+        # without a job.
+        rows = src.collect()
+        by_shard: dict[int, list] = {}
+        for r in rows:
+            by_shard.setdefault(int(r["__shard"]), []).append(
+                (r["__gid"], r["__gv"]))
+        touched = set(by_shard)
+        # brand-new-shard detection needs the EXISTING shard keys: read
+        # them from the driver-local cache the previous insert stamped
+        # on the graphs frame (inserts chain through this function, so
+        # steady-state micro-batches pay no job at all); a frame with
+        # no stamp — the first insert after a build/load — pays one
+        # column-pruned collect over the (persisted, shard-count-sized)
+        # graphs. Driver-side on purpose either way: folding detection
+        # into the returned plan would reference the previous
+        # generation a second time and chained inserts would double
+        # their plan per micro-batch.
+        existing = index.graphs.__dict__.get("_lantern_shard_keys")
+        if existing is None:
+            existing = {
+                int(r["shard"])
+                for r in index.graphs.select("shard").collect()
+            }
         new_ids = sorted(touched - existing)
+        gv_type = src.schema["__gv"].dataType.simpleString()
+        packed = src.sparkSession.createDataFrame(
+            [(s, items) for s, items in sorted(by_shard.items())],
+            f"__shard int, "
+            f"__items array<struct<__gid:bigint,__gv:{gv_type}>>",
+        )
 
         @F.udf("n bigint, blob binary")
         def merge_one(blob, items, shard):
@@ -2619,6 +2645,10 @@ def hnsw_insert(
             merged = merged.unionByName(fresh)
         graphs = merged.persist()
         graphs.count()
+        # stamp the new generation's shard-key set so the NEXT chained
+        # insert detects brand-new shards with zero jobs (driver-local
+        # bookkeeping; merged = existing rows + fresh shards exactly)
+        graphs.__dict__["_lantern_shard_keys"] = existing | touched
         return index._replace(graphs=graphs)
 
     def merge(key, gpdf: pd.DataFrame, dpdf: pd.DataFrame) -> pd.DataFrame:

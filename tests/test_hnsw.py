@@ -1258,3 +1258,47 @@ def test_insert_broadcast_path_matches_cogroup(index, emb, spark):
     # the graphs cache feeds the join's streamed side directly
     assert not re.search(r"Exchange[\s\S]{0,400}InMemoryTableScan", plan.split("BroadcastExchange")[0])
     a.graphs.unpersist(); b.graphs.unpersist(); c.graphs.unpersist()
+
+
+def test_insert_shard_key_stamp_chained(index, emb, spark):
+    """r15: the broadcast insert collects the routed delta ONCE and
+    detects brand-new shards against a driver-local shard-key set the
+    previous chained insert stamped on the graphs frame — the stamp
+    must match the real shard set exactly, a chained (stamped) insert
+    must run strictly fewer jobs than a first (unstamped) one, and both
+    must produce identical graphs."""
+    from lanterndb_spark.operators import hnsw as H
+
+    rows1 = [(91_200 + i, qvec(emb, i)) for i in range(4)]
+    rows2 = [(91_300 + i, qvec(emb, i + 4)) for i in range(4)]
+    d1 = spark.createDataFrame(rows1, "vec_id long, embedding array<float>")
+    d2 = spark.createDataFrame(rows2, "vec_id long, embedding array<float>")
+    a1 = hnsw_insert(index, d1, broadcast_delta=True)
+    stamp = a1.graphs.__dict__["_lantern_shard_keys"]
+    actual = {int(r["shard"]) for r in a1.graphs.select("shard").collect()}
+    assert stamp == actual
+
+    sc = spark.sparkContext
+
+    def njobs(fn):
+        sc.parallelize([0], 1).count()
+        ids = sc.statusTracker().getJobIdsForGroup()
+        before = max(ids) if ids else -1
+        out = fn()
+        sc.parallelize([0], 1).count()
+        ids = sc.statusTracker().getJobIdsForGroup()
+        return out, (max(ids) if ids else -1) - before - 1
+
+    chained, n_chain = njobs(
+        lambda: hnsw_insert(a1, d2, broadcast_delta=True))
+    a1.graphs.__dict__.pop("_lantern_shard_keys")
+    cold, n_cold = njobs(
+        lambda: hnsw_insert(a1, d2, broadcast_delta=True))
+    assert n_chain < n_cold, (n_chain, n_cold)
+    gc_ = {r["shard"]: list(H._Graph.from_blob(bytes(r["blob"])).ids)
+           for r in chained.graphs.collect()}
+    gk = {r["shard"]: list(H._Graph.from_blob(bytes(r["blob"])).ids)
+          for r in cold.graphs.collect()}
+    assert gc_ == gk
+    for ix in (a1, chained, cold):
+        ix.graphs.unpersist()
