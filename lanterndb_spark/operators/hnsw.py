@@ -1571,8 +1571,18 @@ def build_hnsw(
         build_shard, "shard int, n bigint, blob binary"
     )
     # graphs are the index artifact: materialize once so every search
-    # reuses the built blobs instead of replaying the build
-    graphs = graphs.persist()
+    # reuses the built blobs instead of replaying the build. The cache
+    # is hash-partitioned ON THE SHARD KEY first (r15, guide §8/§2.1):
+    # FlatMapGroupsInPandas reports no output partitioning, so without
+    # this every hnsw_search_df call and every cogroup insert
+    # re-exchanged EVERY blob — at index scale, the whole index over
+    # the wire per call. One declared exchange of the fresh blobs here
+    # (the heavy bytes move once, at build) makes the cache's
+    # partitioning visible to Catalyst, and the shard-keyed cogroups
+    # downstream read it exchange-free; the broadcast insert preserves
+    # the property through its narrow join, so chained generations keep
+    # it without re-shuffling.
+    graphs = graphs.repartition(F.col("shard")).persist()
     graphs.count()
     return HnswIndex(
         graphs, vec_col, id_col, m, ef_construction, num_shards, seed,
@@ -2642,7 +2652,12 @@ def hnsw_insert(
             ).select(
                 "shard", F.col("__m.n").alias("n"), F.col("__m.blob").alias("blob")
             )
-            merged = merged.unionByName(fresh)
+            # the union loses the parent cache's shard partitioning —
+            # re-establish it so later searches/cogroups stay
+            # exchange-free (only generations that ADD a shard pay this
+            # one blob exchange; the merged-only path is narrow over
+            # the parent and keeps the property for free)
+            merged = merged.unionByName(fresh).repartition(F.col("shard"))
         graphs = merged.persist()
         graphs.count()
         # stamp the new generation's shard-key set so the NEXT chained
@@ -2675,6 +2690,12 @@ def hnsw_insert(
         index.graphs.groupBy("shard")
         .cogroup(src.groupBy("__shard"))
         .applyInPandas(merge, "shard int, n bigint, blob binary")
+        # cogroup output reports no partitioning — re-declare the shard
+        # partitioning before persisting so subsequent searches and
+        # cogroup inserts read this generation exchange-free (build's
+        # rule; the rows are already physically grouped by shard, the
+        # exchange just makes that visible to Catalyst)
+        .repartition(F.col("shard"))
         .persist()
     )
     graphs.count()
@@ -2716,6 +2737,8 @@ def hnsw_compact(index: HnswIndex, deleted: set) -> HnswIndex:
     graphs = (
         index.graphs.groupBy("shard")
         .applyInPandas(rebuild, "shard int, n bigint, blob binary")
+        # same shard-partitioned-cache rule as build_hnsw/hnsw_insert
+        .repartition(F.col("shard"))
         .persist()
     )
     graphs.count()
@@ -2748,7 +2771,12 @@ def save_hnsw(index: HnswIndex, path: str) -> None:
 
 
 def load_hnsw(spark, path: str) -> HnswIndex:
-    graphs = spark.read.parquet(f"{path}/graphs").persist()
+    # shard-partitioned cache, same as build_hnsw: searches and cogroup
+    # inserts on a loaded index read the blobs exchange-free
+    graphs = (
+        spark.read.parquet(f"{path}/graphs")
+        .repartition(F.col("shard")).persist()
+    )
     r = spark.read.parquet(f"{path}/meta").first()
     centroids = None
     from pyspark.errors import AnalysisException

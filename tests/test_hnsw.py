@@ -1302,3 +1302,29 @@ def test_insert_shard_key_stamp_chained(index, emb, spark):
     assert gc_ == gk
     for ix in (a1, chained, cold):
         ix.graphs.unpersist()
+
+
+def test_search_df_graphs_cogroup_no_exchange(index, emb, spark):
+    """r15: build_hnsw persists the graphs cache hash-partitioned ON
+    THE SHARD KEY, so the search cogroup's graphs side reads the blobs
+    with NO Exchange above the cache scan — the former plan re-shuffled
+    every blob (the whole index, at scale) on every call."""
+    import io
+    from contextlib import redirect_stdout
+
+    from lanterndb_spark.operators.hnsw import hnsw_search_df
+
+    qdf = spark.createDataFrame(
+        [(i, qvec(emb, i)) for i in range(6)],
+        "q_id long, query array<double>")
+    out = hnsw_search_df(index, qdf, k=5, ef=32, unique_q_ids=True)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    # the cogroup's LEFT (graphs) subtree prints first: it must reach
+    # its InMemoryTableScan without an intervening Exchange
+    seg = plan.split("FlatMapCoGroupsInPandas", 1)[1]
+    head = seg[:seg.index("InMemoryTableScan")]
+    assert "Exchange" not in head, head
+    assert len(out.collect()) > 0
