@@ -2077,6 +2077,7 @@ def hnsw_search_df(
     q_id_col: str = "q_id",
     q_vec_col: str = "query",
     unique_q_ids: bool = False,
+    broadcast_queries: bool | None = None,
 ) -> DataFrame:
     """DataFrame-native batch ANN: queries arrive as a DataFrame and
     are SHUFFLED to their probed shards instead of shipped in a task
@@ -2111,7 +2112,19 @@ def hnsw_search_df(
     candidate sets). cos queries with zero norm are DROPPED (undefined
     angle, distance.py's NULL convention). Reference parity:
     scan.c:167-238 is per-query; this is the batch recast that scales
-    it."""
+    it.
+
+    ``broadcast_queries``: None (default) takes a DRIVER-side prep +
+    route when Catalyst knows the frame's exact row count is ≤ 65,536
+    (r15, the ivf_search_df driver-route twin): the queries collect
+    once, prep/route through the SAME numpy code the executor pass
+    runs (bit-identical), the routed relation shrinks to narrow
+    (position, shard) pairs, and the shard kernel reads the query
+    matrix from a broadcast — the prep mapInPandas pass disappears.
+    Streaming handles whose micro-batch contract guarantees smallness
+    pass True (their foreachBatch frames carry no stats); False forces
+    the executor pass. Unknown stats without the hint keep the
+    executor pass — queries never touch the driver at scale."""
     from pyspark.sql import Window
 
     if nprobe is not None and nprobe < 1:
@@ -2127,6 +2140,7 @@ def hnsw_search_df(
             index, keyed.drop("__orig_qid"), k=k, ef=ef, deleted=deleted,
             nprobe=nprobe, base=base, q_id_col=q_id_col, q_vec_col=q_vec_col,
             unique_q_ids=True,  # surrogates are unique by construction
+            broadcast_queries=broadcast_queries,
         )
         return _restore_surrogate(inner, keyed, q_id_col, [index.id_col, "dist"])
     rerank = index.quant == "pq" and base is not None
@@ -2143,70 +2157,143 @@ def hnsw_search_df(
     )
     np_eff = int(nprobe) if routed_probe else 0
 
-    qsel = queries.select(
-        F.col(q_id_col).cast("long").alias("__qid"),
-        F.col(q_vec_col).alias("__q"),
-    )
-    # known-small query batches prep/route in a few big Python tasks
-    # instead of one near-empty task per input partition (stats-driven,
-    # no job; large/unknown inputs keep their parallelism)
-    from lanterndb_spark.plans.shape import coalesce_known_small
+    if broadcast_queries is None:
+        from lanterndb_spark.plans.shape import estimated_rows
 
-    qsel = coalesce_known_small(qsel, queries)
+        est = estimated_rows(queries)
+        broadcast_queries = est is not None and est <= 65_536
+    qbc = None
+    routed = None
+    if broadcast_queries:
+        # driver-side prep + route (see docstring): the SAME _bits_rows
+        # / _norm_rows / centroid-scoring numpy the executor pass runs,
+        # so the prepped vectors and the probed-shard SETS are
+        # bit-identical; the kernel reads the query matrix from the
+        # broadcast and the routed relation is narrow (position, shard)
+        qrows = queries.select(
+            F.col(q_id_col).cast("long"), F.col(q_vec_col)
+        ).collect()
+        if qrows:
+            raw = [list(r[1]) for r in qrows]
+            qids0 = np.empty(len(qrows), dtype=object)
+            qids0[:] = [r[0] for r in qrows]
+            if metric == "hamming":
+                qk, Qp = qids0, _bits_rows(raw)
+            else:
+                Qp = np.asarray(raw, dtype=np.float64)
+                if metric == "cos":
+                    qk, Qp = _norm_rows(qids0, Qp)
+                else:
+                    qk = qids0
+            nq = len(qk)
+            if nq:
+                if routed_probe:
+                    cn = np.einsum("sd,sd->s", cents, cents)
+                    blk = max(1, (1 << 25) // max(len(cents), 1))
+                    probes_l = []
+                    for s in range(0, nq, blk):
+                        Qb = Qp[s:s + blk]
+                        d = cn[None, :] - 2.0 * (Qb @ cents.T)
+                        probes_l.append(
+                            np.argpartition(d, np_eff - 1, axis=1)[:, :np_eff]
+                        )
+                    pos = np.repeat(np.arange(nq, dtype=np.int32), np_eff)
+                    shards = np.concatenate(probes_l).reshape(-1).astype(
+                        np.int32)
+                else:
+                    # full probe: every query visits every existing
+                    # shard; the shard-key set comes from the stamp a
+                    # chained insert left on the graphs frame, or one
+                    # column-pruned collect (stamped here so later
+                    # searches AND inserts reuse it)
+                    shard_ids = index.graphs.__dict__.get(
+                        "_lantern_shard_keys")
+                    if shard_ids is None:
+                        shard_ids = {
+                            int(r["shard"])
+                            for r in index.graphs.select("shard").collect()
+                        }
+                        index.graphs.__dict__["_lantern_shard_keys"] = (
+                            set(shard_ids))
+                    sh = np.asarray(sorted(shard_ids), dtype=np.int32)
+                    pos = np.repeat(
+                        np.arange(nq, dtype=np.int32), len(sh))
+                    shards = np.tile(sh, nq)
+                qbc = queries.sparkSession.sparkContext.broadcast((qk, Qp))
+                routed = queries.sparkSession.createDataFrame(pd.DataFrame({
+                    "__pos": pos, "__shard": shards}))
+        # zero collected/prepped queries: fall through to the executor
+        # shape, which evaluates the (empty) lineage into the same
+        # empty result frame
 
-    def prep_block(pdf: pd.DataFrame):
-        """(qids int64, prepped float64 matrix) for one arrow batch."""
-        qids = pdf["__qid"].to_numpy()
-        raw = pdf["__q"].tolist()
-        if metric == "hamming":
-            return qids, _bits_rows(raw)
-        Qp = np.asarray(raw, dtype=np.float64)
-        if metric == "cos":
-            return _norm_rows(qids, Qp)
-        return qids, Qp
-
-    if routed_probe:
-        def route(batches):
-            for pdf in batches:
-                qids, Qp = prep_block(pdf)
-                if not len(qids):
-                    continue
-                # block the centroid scoring so the (B, S) distance
-                # matrix stays <=~256 MB even at millions of shards
-                blk = max(1, (1 << 25) // max(len(cents), 1))
-                cn = np.einsum("sd,sd->s", cents, cents)
-                for s in range(0, len(qids), blk):
-                    Qb = Qp[s:s + blk]
-                    d = cn[None, :] - 2.0 * (Qb @ cents.T)
-                    sh = np.argpartition(d, np_eff - 1, axis=1)[:, :np_eff]
-                    B = len(Qb)
-                    yield pd.DataFrame({
-                        "__qid": np.repeat(qids[s:s + blk], np_eff),
-                        "__q": [Qb[i].tolist() for i in range(B)
-                                for _ in range(np_eff)],
-                        "__shard": sh.reshape(-1).astype(np.int32),
-                    })
-
-        routed = qsel.mapInPandas(
-            route, "__qid long, __q array<double>, __shard int"
+    if routed is None:
+        qsel = queries.select(
+            F.col(q_id_col).cast("long").alias("__qid"),
+            F.col(q_vec_col).alias("__q"),
         )
-    else:
-        def prep(batches):
-            for pdf in batches:
-                qids, Qp = prep_block(pdf)
-                if len(qids):
-                    yield pd.DataFrame({
-                        "__qid": qids,
-                        "__q": [r.tolist() for r in Qp],
-                    })
+        # known-small query batches prep/route in a few big Python
+        # tasks instead of one near-empty task per input partition
+        # (stats-driven, no job; large/unknown inputs keep their
+        # parallelism)
+        from lanterndb_spark.plans.shape import coalesce_known_small
 
-        prepped = qsel.mapInPandas(prep, "__qid long, __q array<double>")
-        # hash routing / full probe: every query visits every existing
-        # shard — the fan-out is declarative (broadcast of the tiny
-        # shard-id list), never a driver collect
-        routed = prepped.crossJoin(
-            F.broadcast(index.graphs.select(F.col("shard").alias("__shard")))
-        )
+        qsel = coalesce_known_small(qsel, queries)
+
+        def prep_block(pdf: pd.DataFrame):
+            """(qids int64, prepped float64 matrix) per arrow batch."""
+            qids = pdf["__qid"].to_numpy()
+            raw = pdf["__q"].tolist()
+            if metric == "hamming":
+                return qids, _bits_rows(raw)
+            Qp = np.asarray(raw, dtype=np.float64)
+            if metric == "cos":
+                return _norm_rows(qids, Qp)
+            return qids, Qp
+
+        if routed_probe:
+            def route(batches):
+                for pdf in batches:
+                    qids, Qp = prep_block(pdf)
+                    if not len(qids):
+                        continue
+                    # block the centroid scoring so the (B, S) distance
+                    # matrix stays <=~256 MB even at millions of shards
+                    blk = max(1, (1 << 25) // max(len(cents), 1))
+                    cn = np.einsum("sd,sd->s", cents, cents)
+                    for s in range(0, len(qids), blk):
+                        Qb = Qp[s:s + blk]
+                        d = cn[None, :] - 2.0 * (Qb @ cents.T)
+                        sh = np.argpartition(
+                            d, np_eff - 1, axis=1)[:, :np_eff]
+                        B = len(Qb)
+                        yield pd.DataFrame({
+                            "__qid": np.repeat(qids[s:s + blk], np_eff),
+                            "__q": [Qb[i].tolist() for i in range(B)
+                                    for _ in range(np_eff)],
+                            "__shard": sh.reshape(-1).astype(np.int32),
+                        })
+
+            routed = qsel.mapInPandas(
+                route, "__qid long, __q array<double>, __shard int"
+            )
+        else:
+            def prep(batches):
+                for pdf in batches:
+                    qids, Qp = prep_block(pdf)
+                    if len(qids):
+                        yield pd.DataFrame({
+                            "__qid": qids,
+                            "__q": [r.tolist() for r in Qp],
+                        })
+
+            prepped = qsel.mapInPandas(prep, "__qid long, __q array<double>")
+            # hash routing / full probe: every query visits every
+            # existing shard — the fan-out is declarative (broadcast of
+            # the tiny shard-id list), never a driver collect
+            routed = prepped.crossJoin(
+                F.broadcast(
+                    index.graphs.select(F.col("shard").alias("__shard")))
+            )
 
     def run_shard(key, gpdf: pd.DataFrame, qpdf: pd.DataFrame) -> pd.DataFrame:
         if not len(gpdf) or not len(qpdf):
@@ -2216,8 +2303,15 @@ def hnsw_search_df(
                  "dist": pd.Series(dtype="float64")}
             )
         g = _graph_from_blob_cached(gpdf["blob"].iloc[0])
-        qids = qpdf["__qid"].to_numpy()
-        results = g.search_many(qpdf["__q"].tolist(), kk, ef, skip_ids=dead)
+        if qbc is not None:
+            qk_, qm_ = qbc.value
+            pos = qpdf["__pos"].to_numpy()
+            qids = qk_[pos]
+            results = g.search_many(qm_[pos].tolist(), kk, ef, skip_ids=dead)
+        else:
+            qids = qpdf["__qid"].to_numpy()
+            results = g.search_many(
+                qpdf["__q"].tolist(), kk, ef, skip_ids=dead)
         # vectorized assembly, truncated to the global cut kk: a shard
         # can never contribute more than kk rows to a query's top-kk,
         # and a per-query pd.DataFrame here costs ~50 us x nq x shards

@@ -260,9 +260,13 @@ def bounded_rand_sample(df: DataFrame, n: int, seed: int, n_rows: int | None = N
     return short and quietly shrink a k-means/logreg training sample).
     Pass ``n_rows`` when the caller already knows the count to skip one
     aggregate job. Rows carry an extra ``__r`` field; callers index by
-    name."""
+    name. When the caller doesn't know it, Catalyst often does (r15):
+    :func:`estimated_rows` answers exactly for materialized caches and
+    local relations with NO job — the common sample source is a cached
+    training table — and only an estimate-less input pays the count."""
     if n_rows is None:
-        n_rows = df.count()
+        est = estimated_rows(df)
+        n_rows = int(est) if est is not None else df.count()
     if n_rows <= n:
         # small table: every row survives; keep the rand-sorted ORDER
         # the old idiom produced (k-means init indexes into this order,

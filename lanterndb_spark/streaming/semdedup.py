@@ -126,6 +126,12 @@ class SemanticDedupIngest:
                         # doc ids ARE the dedup key — duplicates are a
                         # caller error upstream of this operator
                         unique_q_ids=True,
+                        # micro-batches are small by this handle's own
+                        # contract (the n² self-join above is the
+                        # design), but a foreachBatch frame carries no
+                        # Catalyst stats — assert the driver route
+                        # (r15), like the broadcast_delta insert hint
+                        broadcast_queries=True,
                     )
                     .filter(F.col("dist") <= self.max_cos_dist)
                     .select(

@@ -1304,20 +1304,28 @@ def test_insert_shard_key_stamp_chained(index, emb, spark):
         ix.graphs.unpersist()
 
 
-def test_search_df_graphs_cogroup_no_exchange(index, emb, spark):
+def test_search_df_graphs_cogroup_no_exchange(emb, spark):
     """r15: build_hnsw persists the graphs cache hash-partitioned ON
     THE SHARD KEY, so the search cogroup's graphs side reads the blobs
     with NO Exchange above the cache scan — the former plan re-shuffled
-    every blob (the whole index, at scale) on every call."""
+    every blob (the whole index, at scale) on every call. A FRESH index
+    is built here: the shared fixture's cache can be unpersisted by
+    earlier tests, and an uncached graphs frame replays its build
+    lineage (exchanges included) — an eviction artifact, not the
+    property under test."""
     import io
     from contextlib import redirect_stdout
 
     from lanterndb_spark.operators.hnsw import hnsw_search_df
 
+    own = build_hnsw(
+        emb.limit(120).select("vec_id", "embedding"), "embedding",
+        id_col="vec_id", m=8, ef_construction=32, num_shards=4, seed=21,
+    )
     qdf = spark.createDataFrame(
         [(i, qvec(emb, i)) for i in range(6)],
         "q_id long, query array<double>")
-    out = hnsw_search_df(index, qdf, k=5, ef=32, unique_q_ids=True)
+    out = hnsw_search_df(own, qdf, k=5, ef=32, unique_q_ids=True)
     buf = io.StringIO()
     with redirect_stdout(buf):
         out.explain("formatted")
@@ -1325,6 +1333,64 @@ def test_search_df_graphs_cogroup_no_exchange(index, emb, spark):
     # the cogroup's LEFT (graphs) subtree prints first: it must reach
     # its InMemoryTableScan without an intervening Exchange
     seg = plan.split("FlatMapCoGroupsInPandas", 1)[1]
+    assert "InMemoryTableScan" in seg, plan
     head = seg[:seg.index("InMemoryTableScan")]
     assert "Exchange" not in head, head
     assert len(out.collect()) > 0
+    own.graphs.unpersist()
+
+
+def test_search_df_broadcast_queries_matches_executor(index, emb, spark):
+    """r15: the driver prep+route for known-small query frames
+    (broadcast_queries) must return rows identical to the executor
+    prep/route path — full probe AND cluster-routed nprobe, cos
+    included (zero-norm drop happens in the same _norm_rows). The
+    driver route's routed relation is a narrow driver-built
+    LocalTableScan and its plan carries NO query-side Python pass
+    (measured: 1.22 vs 1.81 s median per 64-row semdedup-shaped batch;
+    job count is NOT asserted — the route trades in-action Python
+    stages for two driver collects, so its win is wall, not jobs)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from lanterndb_spark.operators.hnsw import hnsw_search_df
+
+    qdf = spark.createDataFrame(
+        [(i, qvec(emb, i)) for i in range(12)],
+        "q_id long, query array<double>").persist()
+    qdf.count()
+
+    def run(force):
+        out = hnsw_search_df(index, qdf, k=5, ef=32, unique_q_ids=True,
+                             broadcast_queries=force)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            out.explain("formatted")
+        return (sorted((r[0], r[1], round(r[2], 9)) for r in out.collect()),
+                buf.getvalue())
+
+    rows_d, plan_d = run(True)
+    rows_e, plan_e = run(False)
+    assert rows_d == rows_e and rows_d
+    # driver route: narrow (pos, shard) LocalTableScan feeds the
+    # cogroup; executor route: a MapInPandas prep over the query frame
+    assert "LocalTableScan" in plan_d and "LocalTableScan" not in plan_e
+    n_py_d = plan_d.count("MapInPandas")
+    n_py_e = plan_e.count("MapInPandas")
+    assert n_py_d < n_py_e, (n_py_d, n_py_e)
+
+    # cos metric + cluster-routed nprobe: same equality through the
+    # driver _norm_rows prep and centroid routing
+    base = emb.limit(80).select("vec_id", "embedding")
+    cidx = build_hnsw(base, "embedding", id_col="vec_id", metric="cos",
+                      m=8, ef_construction=32, num_shards=4, seed=3,
+                      routing="cluster")
+    out_d = hnsw_search_df(cidx, qdf, k=5, ef=32, nprobe=2,
+                           unique_q_ids=True, broadcast_queries=True)
+    out_e = hnsw_search_df(cidx, qdf, k=5, ef=32, nprobe=2,
+                           unique_q_ids=True, broadcast_queries=False)
+    kd = sorted((r[0], r[1], round(r[2], 9)) for r in out_d.collect())
+    ke = sorted((r[0], r[1], round(r[2], 9)) for r in out_e.collect())
+    assert kd == ke and kd
+    cidx.graphs.unpersist()
+    qdf.unpersist()

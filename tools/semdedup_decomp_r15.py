@@ -71,7 +71,7 @@ def main():
         cross = (
             hnsw_search_df(handle.index, qdf, k=handle.k_neighbors,
                            ef=handle.ef, nprobe=handle.nprobe,
-                           unique_q_ids=True)
+                           unique_q_ids=True, broadcast_queries=True)
             .filter(F.col("dist") <= handle.max_cos_dist)
             .select(F.least("q_id", "vec_id").alias("id_a"),
                     F.greatest("q_id", "vec_id").alias("id_b"),
