@@ -91,9 +91,11 @@ def main():
         handle.batches += 1
         phases["batch_total"].append(round(time.monotonic() - t_b0, 3))
 
-    # sub-split of the insert on a fresh steady batch: keys collect vs
-    # merge materialization (persist+count), replicated from
-    # hnsw_insert's broadcast branch
+    # sub-split probes of the FORMER insert shape (r15 session 1), kept
+    # for before/after comparison: "insert_keys_collect" replicates the
+    # union-keys detection query the operator ran before the
+    # single-collect change landed (the live operator no longer issues
+    # it), and "insert_materialize" times a standalone insert
     from lanterndb_spark.operators.hnsw import _cluster_route_expr, _shard_expr
 
     for bi in (2 + N_STEADY, 2 + N_STEADY + 0):
